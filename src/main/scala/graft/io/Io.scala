@@ -1,0 +1,47 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All readers are plain columnar scans — schema-on-read from the parquet
+  * footers, no inference step. At 100 TB these same entry points would
+  * point at partitioned table roots instead of single files; nothing in
+  * the operator layer assumes a single file, a single partition, or any
+  * driver-side materialization.
+  */
+object Io {
+  val starTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val allTables: Seq[String] = starTables ++ Seq("events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark 4.x
+    * cannot read natively (SURVEY.md §0.1 G1). With
+    * `spark.sql.legacy.parquet.nanosAsLong=true` the column arrives as
+    * LongType nanos-since-epoch; we expose `ts_us` (epoch microseconds,
+    * BIGINT — the canonical cross-engine event-time representation, G2)
+    * plus `ts_t` (TimestampType, UTC session) for window()/streaming
+    * operators.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () } // already pinned via builder config
+    table(spark, sfDir, "events")
+      .withColumn("ts_us", expr("CAST(ts DIV 1000 AS BIGINT)"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+  }
+
+  /** Temp views for SQL-expressed operators (correlated subqueries,
+    * GROUPING SETS). The events view carries ts_us/ts_t, not raw nanos.
+    */
+  def views(spark: SparkSession, sfDir: String): Unit = {
+    starTables.foreach(t => table(spark, sfDir, t).createOrReplaceTempView(t))
+    events(spark, sfDir).createOrReplaceTempView("events")
+    table(spark, sfDir, "documents").createOrReplaceTempView("documents")
+    table(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
+  }
+}

@@ -1,0 +1,191 @@
+package graft.ops
+
+import graft.io.Io
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SURVEY.md §2-D — aggregation.
+  *
+  * Every double aggregate goes through `Q.decSum` (exact decimal
+  * accumulation) so the result is independent of partial-aggregate merge
+  * order — the #1 cross-engine hash-mismatch source (G7). Sums of
+  * integral-valued doubles (l_quantity) are exact in plain double and
+  * stay builtin. All aggregations are hash-based with map-side partial
+  * aggregation; at 100 TB the shuffle carries one row per (group ×
+  * partition), never raw data.
+  */
+object AggOps {
+
+  val all: Seq[Q] = Seq(
+    Q("d_agg_global", (s, d) => {
+      Io.table(s, d, "lineitem").agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        r4(decSum(col("l_extendedprice"))).as("sum_price"),
+        r4(decAvg(col("l_discount"))).as("avg_disc"))
+    }, Some(
+      s"""SELECT COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
+         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+         |  ROUND(${dSum("l_extendedprice")}, 4) AS sum_price,
+         |  ROUND(${dAvg("l_discount")}, 4) AS avg_disc
+         |FROM lineitem""".stripMargin)),
+
+    // TPC-H Q1 shape.
+    Q("d_agg_groupby", (s, d) => {
+      Io.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          r4(decSum(col("l_extendedprice"))).as("sum_base_price"),
+          r4(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+          r4(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+          r4(decAvg(col("l_quantity"))).as("avg_qty"),
+          r4(decAvg(col("l_extendedprice"))).as("avg_price"),
+          r4(decAvg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  SUM(l_quantity) AS sum_qty,
+         |  ROUND(${dSum("l_extendedprice")}, 4) AS sum_base_price,
+         |  ROUND(${dSum("l_extendedprice * (1.0 - l_discount)")}, 4) AS sum_disc_price,
+         |  ROUND(${dSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}, 4) AS sum_charge,
+         |  ROUND(${dAvg("l_quantity")}, 4) AS avg_qty,
+         |  ROUND(${dAvg("l_extendedprice")}, 4) AS avg_price,
+         |  ROUND(${dAvg("l_discount")}, 4) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("d_agg_distinct", (s, d) => {
+      Io.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"), count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("d_agg_multi_distinct", (s, d) => {
+      Io.table(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"))
+        .orderBy("l_linestatus")
+    }, Some(
+      """SELECT l_linestatus, COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps,
+        |       COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    Q("d_agg_rollup", (s, d) => {
+      Io.table(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .orderBy(coalesce(col("l_returnflag"), lit("~")), coalesce(col("l_linestatus"), lit("~")))
+    }, Some(
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY COALESCE(l_returnflag, '~'), COALESCE(l_linestatus, '~')""".stripMargin)),
+
+    Q("d_agg_cube", (s, d) => {
+      Io.table(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), r4(decSum(col("o_totalprice"))).as("sum_price"))
+        .orderBy(coalesce(col("o_orderstatus"), lit("~")), coalesce(col("o_orderpriority"), lit("~")))
+    }, Some(
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |       ROUND(${dSum("o_totalprice")}, 4) AS sum_price
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY COALESCE(o_orderstatus, '~'), COALESCE(o_orderpriority, '~')""".stripMargin)),
+
+    Q("d_agg_grouping_sets", (s, d) => {
+      Io.views(s, d)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+          |ORDER BY COALESCE(l_returnflag, '~'), COALESCE(l_linestatus, '~')""".stripMargin)
+    }, Some(
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY COALESCE(l_returnflag, '~'), COALESCE(l_linestatus, '~')""".stripMargin)),
+
+    // Moment statistics via explicit exact-decimal sums — deterministic on
+    // both engines (builtin stddev/corr are accumulation-order-dependent;
+    // the builtins themselves are asserted against these in scalatest).
+    Q("d_agg_stats", (s, d) => {
+      val x = col("l_extendedprice"); val y = col("l_discount")
+      Io.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          decSum(x).as("sx"), decSum(x * x).as("sxx"),
+          decSum(y).as("sy"), decSum(y * y).as("syy"),
+          decSum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          r4(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))).as("stddev_price"),
+          r6(sqrt((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1))).as("stddev_disc"),
+          r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_price_disc"))
+        .orderBy("l_returnflag")
+    }, Some(
+      s"""WITH m AS (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |    ${dSum("l_extendedprice")} AS sx, ${dSum("l_extendedprice * l_extendedprice")} AS sxx,
+         |    ${dSum("l_discount")} AS sy, ${dSum("l_discount * l_discount")} AS syy,
+         |    ${dSum("l_extendedprice * l_discount")} AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_price,
+         |  ROUND(SQRT((syy - sy * sy / n) / (n - 1)), 6) AS stddev_disc,
+         |  ROUND((n * sxy - sx * sy) /
+         |        (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_price_disc
+         |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // l_quantity is integral-valued double → exact percentile interpolation.
+    Q("d_agg_percentile", (s, d) => {
+      Io.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(median(col("l_quantity")).as("med_qty"),
+          percentile(col("l_quantity"), lit(0.25)).as("p25_qty"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75_qty"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """SELECT l_returnflag, MEDIAN(l_quantity) AS med_qty,
+        |       QUANTILE_CONT(l_quantity, 0.25) AS p25_qty,
+        |       QUANTILE_CONT(l_quantity, 0.75) AS p75_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Deterministic collect: sorted list serialized to one string.
+    Q("d_agg_collect", (s, d) => {
+      Io.table(s, d, "orders")
+        .filter(col("o_custkey") <= 50)
+        .groupBy(col("o_custkey"))
+        .agg(array_join(sort_array(collect_list(col("o_orderpriority"))), ",").as("priorities"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+    }, Some(
+      """SELECT o_custkey, STRING_AGG(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        |       COUNT(*) AS n_orders
+        |FROM orders WHERE o_custkey <= 50
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // HLL++ sketch differs from DuckDB's HLL → rows-only check here;
+    // bounds vs exact distinct asserted in scalatest.
+    Q("d_agg_approx_hll", (s, d) => {
+      Io.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")
+    }, None)
+  )
+}

@@ -1,0 +1,186 @@
+package graft.ops
+
+import graft.io.Io
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SURVEY.md §2-C — join operators.
+  *
+  * Scale notes (100 TB): dimension joins (`nation`, `region`, `part`
+  * slices) are explicitly `broadcast()` so no shuffle of the fact side
+  * ever happens for them; fact-fact joins (orders ⋈ lineitem) shuffle on
+  * the join key and AQE handles skew splitting. The as-of join is a
+  * bounded range join + per-key top-1 window — shuffle is keyed by the
+  * equi part (user), never a cartesian.
+  */
+object JoinOps {
+
+  private def bcastNationRegion(s: SparkSession, d: String): DataFrame = {
+    val n = Io.table(s, d, "nation"); val r = Io.table(s, d, "region")
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("c_join_bcast", (s, d) => {
+      bcastNationRegion(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy("n_nationkey")
+    }, Some(
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin)),
+
+    Q("c_join_smj", (s, d) => {
+      val o = Io.table(s, d, "orders"); val li = Io.table(s, d, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select(col("o_orderkey"), col("l_linenumber"), col("o_totalprice"),
+          col("l_extendedprice"), col("o_orderstatus"), col("l_returnflag"))
+        // (l_orderkey, l_linenumber) is not unique → order by every column.
+        .orderBy("o_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+    }, Some(
+      """SELECT o_orderkey, l_linenumber, o_totalprice, l_extendedprice,
+        |       o_orderstatus, l_returnflag
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey, l_linenumber, l_extendedprice, l_returnflag""".stripMargin)),
+
+    Q("c_join_5way", (s, d) => {
+      val li = Io.table(s, d, "lineitem"); val o = Io.table(s, d, "orders")
+      val c = Io.table(s, d, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(Io.table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Io.table(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          r4(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    }, Some(
+      s"""SELECT r_name,
+         |       ROUND(${dSum("l_extendedprice * (1.0 - l_discount)")}, 4) AS revenue,
+         |       COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey  = o_orderkey
+         |JOIN customer ON o_custkey   = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    Q("c_join_left_outer", (s, d) => {
+      val c = Io.table(s, d, "customer"); val o = Io.table(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }, Some(
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin)),
+
+    Q("c_join_full_outer", (s, d) => {
+      val sup = Io.table(s, d, "supplier"); val n = Io.table(s, d, "nation")
+      sup.join(n, sup("s_nationkey") === n("n_nationkey"), "full_outer")
+        .select(col("n_nationkey"), col("n_name"), col("s_suppkey"), col("s_name"))
+        .orderBy(coalesce(col("n_nationkey"), lit(-1)), coalesce(col("s_suppkey"), lit(-1L)))
+    }, Some(
+      """SELECT n_nationkey, n_name, s_suppkey, s_name
+        |FROM supplier FULL OUTER JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY COALESCE(n_nationkey, -1), COALESCE(s_suppkey, -1)""".stripMargin)),
+
+    Q("c_join_semi", (s, d) => {
+      val c = Io.table(s, d, "customer")
+      val urgent = Io.table(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }, Some(
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    Q("c_join_anti", (s, d) => {
+      val c = Io.table(s, d, "customer"); val o = Io.table(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Banded non-equi join: small (broadcast) part slice × filtered
+    // lineitem, |l_quantity - p_size| <= 1; aggregated so the checked
+    // output stays small at every sf. At 100 TB the small side stays a
+    // broadcast; the predicate evaluates stream-side (no shuffle).
+    Q("c_join_theta_range", (s, d) => {
+      val p = Io.table(s, d, "part").filter(col("p_size") <= 10)
+      val li = Io.table(s, d, "lineitem").filter(col("l_quantity") <= 12)
+      broadcast(p).join(li,
+          li("l_quantity").between(p("p_size") - 1, p("p_size") + 1))
+        .groupBy(col("p_size"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy("p_size")
+    }, Some(
+      """SELECT p_size, COUNT(*) AS n_pairs, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM part JOIN lineitem
+        |  ON l_quantity BETWEEN p_size - 1 AND p_size + 1
+        |WHERE p_size <= 10 AND l_quantity <= 12
+        |GROUP BY p_size ORDER BY p_size""".stripMargin)),
+
+    // As-of join: for every purchase event, the latest click by the same
+    // user at-or-before it. Spark has no native ASOF; expressed as an
+    // equi-join on user + range predicate + per-purchase top-1 window.
+    // DuckDB's native ASOF JOIN is the oracle — a strong cross-check.
+    // Scale: the shuffle key is user_id; the window is per purchase event.
+    Q("c_join_asof", (s, d) => {
+      val ev = Io.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts_us").as("c_us"))
+      val w = Window.partitionBy(col("p_id")).orderBy(col("c_us").desc, col("c_id").desc)
+      p.join(c, col("user_id") === col("c_user") && col("c_us") <= col("p_us"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("user_id"), col("p_us"), col("c_id"), col("c_us"))
+        .orderBy("p_id")
+    }, Some(
+      """SELECT p.event_id AS p_id, p.user_id, epoch_us(p.ts) AS p_us,
+        |       c.event_id AS c_id, epoch_us(c.ts) AS c_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p_id""".stripMargin)),
+
+    // Interval self-join: pairs of events of the same user within 30 min.
+    // Equi on user_id (shuffle key) + bounded range predicate.
+    Q("c_join_interval", (s, d) => {
+      val ev = Io.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val a = ev.select(col("event_id").as("id_a"), col("user_id"), col("ts_us").as("us_a"))
+      val b = ev.select(col("event_id").as("id_b"), col("user_id").as("user_b"), col("ts_us").as("us_b"))
+      a.join(b, col("user_id") === col("user_b") &&
+          col("id_a") < col("id_b") &&
+          abs(col("us_a") - col("us_b")) <= lit(1800000000L))
+        .select(col("user_id"), col("id_a"), col("id_b"), (col("us_b") - col("us_a")).as("gap_us"))
+        .orderBy("id_a", "id_b")
+    }, Some(
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("c_join_cross_limited", (s, d) => {
+      val r = Io.table(s, d, "region").select(col("r_name"))
+      val n = Io.table(s, d, "nation").select(col("n_name"))
+      r.crossJoin(n).orderBy("r_name", "n_name")
+    }, Some(
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin))
+  )
+}

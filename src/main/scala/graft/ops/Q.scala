@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One declared operator: a `SparkEntry.queries` entry plus (usually) a
+  * DuckDB oracle SQL twin. `oracle == None` → the driver records a weaker
+  * rows-only check (reserved for ops whose hash family DuckDB lacks).
+  *
+  * Every checked query obeys the parity rules of SURVEY.md §2 (R1-R5):
+  * total-order ORDER BY with a unique tiebreak, order-independent decimal
+  * sums for double aggregates, event time only as epoch-microsecond
+  * BIGINT, dates as DATE, similarity rounded at 1e-6.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+
+  /** Exact, accumulation-order-independent sum of a double column: cast
+    * each value to DECIMAL(38,6) (deterministic round-to-nearest), sum
+    * exactly, cast back to double. This removes Spark's run-to-run
+    * partial-aggregate merge-order nondeterminism (SURVEY §0.1 G7) and
+    * makes the value bit-identical to DuckDB's
+    * `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)`. Scales: partial
+    * aggregation (map-side combine) still applies — decimal sums merge
+    * associatively, so the plan shape at 100 TB is identical to a plain
+    * sum.
+    */
+  def decSum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  /** Order-independent mean via exact sum / count. */
+  def decAvg(c: Column): Column = decSum(c) / count(lit(1))
+
+  def r4(c: Column): Column = round(c, 4)
+  def r6(c: Column): Column = round(c, 6)
+
+  /** DuckDB text twins for the helpers above. */
+  def dSum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE)"
+  def dAvg(x: String): String = s"(${dSum(x)} / COUNT(*))"
+}

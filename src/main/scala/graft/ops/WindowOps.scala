@@ -1,0 +1,171 @@
+package graft.ops
+
+import graft.io.Io
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Q._
+
+/** SURVEY.md §2-E — window functions.
+  *
+  * Every window carries a total order inside the partition (unique key as
+  * final sort key) so ranks and frames are deterministic. Running /
+  * sliding sums of doubles go through DECIMAL inside the frame: DuckDB
+  * evaluates windowed sums with a segment tree (non-linear accumulation
+  * order), so plain double sums would drift between engines. Windows
+  * shuffle once on the partition key — the same plan shape a 1000-node
+  * cluster would use.
+  */
+object WindowOps {
+
+  private val dec = DecimalType(38, 6)
+
+  val all: Seq[Q] = Seq(
+    Q("e_win_rank", (s, d) => {
+      // rank/dense_rank ordered on a tie-heavy key (priority); row_number
+      // gets a unique tiebreak of its own.
+      val wTies = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))
+      val wUniq = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      Io.table(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+          row_number().over(wUniq).as("rn"),
+          rank().over(wTies).as("rk"),
+          dense_rank().over(wTies).as("drk"))
+        .orderBy("o_custkey", "rn")
+    }, Some(
+      """SELECT o_custkey, o_orderkey, o_orderpriority,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority, o_orderkey) AS rn,
+        |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rk,
+        |  DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drk
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin)),
+
+    Q("e_win_topk_group", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Io.table(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    }, Some(
+      """SELECT o_custkey, ROW_NUMBER() OVER w AS rn, o_orderkey, o_totalprice
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |QUALIFY rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    Q("e_win_ntile_pct", (s, d) => {
+      val wUniq = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      val wTies = Window.orderBy(col("c_acctbal"))
+      Io.table(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(wUniq).as("quartile"),
+          r6(percent_rank().over(wTies)).as("pct_rank"),
+          r6(cume_dist().over(wTies)).as("cume"))
+        .orderBy("c_custkey")
+    }, Some(
+      """SELECT c_custkey, c_acctbal,
+        |  NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal), 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER (ORDER BY c_acctbal), 6) AS cume
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    Q("e_win_lag_lead", (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Io.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          lag(col("ts_us"), 1).over(w).as("prev_us"),
+          lead(col("ts_us"), 1).over(w).as("next_us"),
+          (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+        .orderBy("event_id")
+    }, Some(
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  LAG(epoch_us(ts), 1) OVER w AS prev_us,
+        |  LEAD(epoch_us(ts), 1) OVER w AS next_us,
+        |  epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY event_id""".stripMargin)),
+
+    Q("e_win_running", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Io.table(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_date"),
+          r4(sum(col("o_totalprice").cast(dec)).over(w).cast("double")).as("running_rev"))
+        .orderBy("o_custkey", "o_date", "o_orderkey")
+    }, Some(
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE), 4) AS running_rev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_date, o_orderkey""".stripMargin)),
+
+    Q("e_win_sliding_rows", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-6, Window.currentRow)
+      Io.table(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          r4(sum(col("o_totalprice").cast(dec)).over(w).cast("double") /
+            count(lit(1)).over(w)).as("mov_avg_price"),
+          count(lit(1)).over(w).as("n_window"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+        |        / COUNT(*) OVER w, 4) AS mov_avg_price,
+        |  COUNT(*) OVER w AS n_window
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Time-based RANGE frame: 7-day rolling order count per customer.
+    Q("e_win_range_time", (s, d) => {
+      val days = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_no"))
+        .rangeBetween(-6, Window.currentRow)
+      Io.table(s, d, "orders")
+        .withColumn("day_no", days)
+        .select(col("o_custkey"), col("o_orderkey"), col("day_no"),
+          count(lit(1)).over(w).as("orders_7d"),
+          r4(sum(col("o_totalprice").cast(dec)).over(w).cast("double")).as("rev_7d"))
+        .orderBy("o_custkey", "day_no", "o_orderkey")
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_no,
+        |  COUNT(*) OVER w AS orders_7d,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE), 4) AS rev_7d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day_no, o_orderkey""".stripMargin)),
+
+    Q("e_win_first_last", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Io.table(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"),
+          first(col("o_orderdate").cast("date")).over(w).as("first_date"),
+          last(col("o_orderdate").cast("date")).over(w).as("last_date"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_order,
+        |  FIRST_VALUE(CAST(o_orderdate AS DATE)) OVER w AS first_date,
+        |  LAST_VALUE(CAST(o_orderdate AS DATE)) OVER w AS last_date
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin))
+  )
+}
