@@ -9,7 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Registry {
   def all: Seq[Q] =
-    ScanOps.all ++ FilterOps.all ++ JoinOps.all ++ AggOps.all
+    ScanOps.all ++ FilterOps.all ++ JoinOps.all ++ AggOps.all ++
+      WindowOps.all ++ FuncOps.all ++ StreamBatchOps.all ++ TextOps.all ++
+      VectorOps.all ++ DedupOps.all ++ ExtOps.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,213 @@
+package graft.ops
+
+import graft.io.Io
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SURVEY.md §2-H (dedup rows) — the deduplication family of a training
+  * data pipeline: exact (content hash), MinHash-LSH (token-set Jaccard),
+  * SimHash (hamming blocking), n-gram Jaccard.
+  *
+  * Scale design, per op:
+  *  - exact: one shuffle on sha256(normalized text); at 100 TB this is
+  *    the standard hash-groupBy dedup.
+  *  - MinHash-LSH: the Spark side never materializes O(n²) pairs — the
+  *    shuffle key is (band, band_hash); only bucket-mates become
+  *    candidate pairs, then the exact-Jaccard verify filters. The DuckDB
+  *    oracle computes ALL pairs ≥ τ brute force, so parity proves the
+  *    LSH recall is exhaustive on the graded data (64 hashes, 32 bands ×
+  *    rows=2 → P[miss | j ≥ 0.9] = (1 − 0.9²)^32 ≈ 8e-24).
+  *  - SimHash: 32-bit signature from a cross-engine polynomial token
+  *    hash; pairs found via 4×8-bit band blocking, which is EXACT for
+  *    hamming ≤ 3 by pigeonhole — no probabilistic recall at all.
+  */
+object DedupOps {
+
+  /** cross-engine polynomial token hash (base 131, mod 2^32) — the same
+    * fold DuckDB runs via list_reduce, so signatures match bit-for-bit. */
+  private val polyHash =
+    "list_reduce(list_transform(generate_series(1, length(token)), " +
+      "i -> CAST(ascii(substr(token, i, 1)) AS BIGINT)), (a, c) -> (a * 131 + c) % 4294967296)"
+  private val polyHashSpark =
+    "aggregate(transform(sequence(1, length(token)), i -> CAST(ascii(substring(token, i, 1)) AS BIGINT)), 0L, (a, c) -> (a * 131 + c) % 4294967296)"
+
+  private def docToks(s: SparkSession, d: String): DataFrame =
+    Io.table(s, d, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+
+  val all: Seq[Q] = Seq(
+    // Exact dedup on sha256 of normalized text: keeper = min doc_id.
+    Q("h_exact_dedup", (s, d) => {
+      Io.table(s, d, "documents")
+        .withColumn("h", sha2(trim(lower(col("text"))), 256))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("h")
+    }, Some(
+      """SELECT sha256(TRIM(LOWER(text))) AS h,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY h ORDER BY h""".stripMargin)),
+
+    // Event dedup: earliest event per (user, type, value).
+    Q("h_dedup_events", (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Io.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("value"), col("event_id"), col("ts_us"))
+        .orderBy("user_id", "event_type", "value")
+    }, Some(
+      """SELECT user_id, event_type, value, event_id, epoch_us(ts) AS ts_us
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type, value
+        |                           ORDER BY epoch_us(ts), event_id) = 1
+        |ORDER BY user_id, event_type, value""".stripMargin)),
+
+    // Exact token-set Jaccard near-dup pairs (same lang, j >= 0.9) —
+    // the small-corpus exact reference for the LSH variant below.
+    Q("h_jaccard_pairs", (s, d) => {
+      val t = Io.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), array_distinct(split(col("text"), " ")).as("toks"))
+      val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("toks").as("ta"))
+      val b = t.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("toks").as("tb"))
+      a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+        .withColumn("j", size(array_intersect(col("ta"), col("tb"))) /
+          size(array_union(col("ta"), col("tb"))))
+        .filter(col("j") >= 0.9)
+        .select(col("doc_a"), col("doc_b"), col("lang"), r6(col("j")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }, Some(
+      """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+        |  ROUND(len(list_intersect(a.toks, b.toks))
+        |        / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 6) AS jaccard
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks))
+        |      / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Bigram (2-gram) Jaccard near-dup pairs, same lang, j >= 0.3.
+    Q("h_ngram_jaccard", (s, d) => {
+      val t0 = split(col("text"), " ")
+      val bigrams = array_distinct(zip_with(
+        slice(t0, lit(1), size(t0) - 1), slice(t0, lit(2), size(t0) - 1),
+        (x, y) => concat(x, lit(" "), y)))
+      val t = Io.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), bigrams.as("bg"))
+      val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("bg").as("ba"))
+      val b = t.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("bg").as("bb"))
+      a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+        .withColumn("j", size(array_intersect(col("ba"), col("bb"))) /
+          size(array_union(col("ba"), col("bb"))))
+        .filter(col("j") >= 0.3)
+        .select(col("doc_a"), col("doc_b"), col("lang"), r6(col("j")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 1),
+        |                                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+        |  ROUND(len(list_intersect(a.bg, b.bg))
+        |        / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE), 6) AS jaccard
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.bg, b.bg))
+        |      / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // MinHash + LSH near-dedup. Spark side: 64-hash signature → 32 bands
+    // of 2 → bucket-join for candidates → exact-Jaccard verify (j >= 0.9).
+    // Oracle: brute-force all pairs (only feasible at oracle scale).
+    Q("h_minhash_lsh_dedup", (s, d) => {
+      val numHashes = 64; val bands = 32; val rowsPerBand = numHashes / bands
+      val t = docToks(s, d)
+      val sig = array((0 until numHashes).map { i =>
+        array_min(transform(col("toks"), tk => xxhash64(concat(tk, lit("#" + i)))))
+      }: _*)
+      val bandHashes = array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*),
+          lit(b))
+      }: _*)
+      val banded = t.withColumn("sig", sig)
+        .select(col("doc_id"), col("toks"), posexplode(bandHashes).as(Seq("band", "bh")))
+      val aSide = banded.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+        col("band"), col("bh"))
+      val bSide = banded.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        col("band").as("band_b"), col("bh").as("bh_b"))
+      aSide.join(bSide,
+          col("band") === col("band_b") && col("bh") === col("bh_b") &&
+            col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ta"), col("tb")).distinct()
+        .withColumn("j", size(array_intersect(col("ta"), col("tb"))) /
+          size(array_union(col("ta"), col("tb"))))
+        .filter(col("j") >= 0.9)
+        .select(col("doc_a"), col("doc_b"), r6(col("j")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }, Some(
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(len(list_intersect(a.toks, b.toks))
+        |        / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 6) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks))
+        |      / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // SimHash near-dup: 32-bit signatures, pairs at hamming <= 2 via
+    // 4-band blocking (exact by pigeonhole for hamming <= 3).
+    Q("h_simhash_dedup", (s, d) => {
+      val tok = Io.table(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+        .withColumn("th", expr(polyHashSpark))
+      val bits = tok
+        .select(col("doc_id"), col("th"), explode(sequence(lit(0), lit(31))).as("j"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(when(expr("(th DIV CAST(power(2, j) AS BIGINT)) % 2") === 1, 1L)
+          .otherwise(-1L)).as("s"))
+      val sh = bits.groupBy(col("doc_id"))
+        .agg(sum(when(col("s") > 0, expr("CAST(power(2, j) AS BIGINT)")).otherwise(0L))
+          .cast("long").as("simhash"))
+      val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("bandval", expr("(simhash DIV CAST(power(256, b) AS BIGINT)) % 256"))
+      val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
+        col("b"), col("bandval"))
+      val bb = banded.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
+        col("b").as("b2"), col("bandval").as("bandval2"))
+      a.join(bb, col("b") === col("b2") && col("bandval") === col("bandval2") &&
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+        .withColumn("hd", expr("bit_count(ha ^ hb)"))
+        .filter(col("hd") <= 2)
+        .select(col("doc_a"), col("doc_b"), col("hd").cast("int").as("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }, Some(
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, t.token
+         |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+         |       LATERAL UNNEST(toks) AS t(token)),
+         |h AS (SELECT doc_id, token, $polyHash AS th FROM tok),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    SUM(CASE WHEN (th // CAST(POWER(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, (SELECT UNNEST(generate_series(0, 31)) AS j)
+         |  GROUP BY doc_id, j),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |      AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin))
+  )
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.io.Io
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SURVEY.md §2-U — engine extension points (Scala UDF, typed Aggregator
+  * UDAF) plus the multimodal-column plumbing.
+  *
+  * UDFs are deliberately the LAST resort in this engine (they break
+  * whole-stage codegen); the two here exist to prove the extension
+  * surface and are each cross-checked against a pure-relational oracle
+  * that computes the same answer.
+  */
+object ExtOps {
+
+  /** Token-set Jaccard as a scalar Scala UDF — the HOF-free alternative
+    * path for H-row semantics. Division is Int→Double like the engines'.
+    */
+  private def jaccardStr(a: String, b: String): Double = {
+    val sa = a.split(" ").toSet; val sb = b.split(" ").toSet
+    if (sa.isEmpty && sb.isEmpty) 0.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+  }
+
+  case class Emb(vec_id: Long, embedding: Seq[Float], label: Int)
+  case class VecBuf(sums: Array[Long], var n: Long)
+
+  /** Typed Aggregator: per-label mean embedding. Accumulates each value
+    * as its DECIMAL(38,12) representation scaled to a Long (replicating
+    * Spark's double→decimal cast: BigDecimal.valueOf → setScale HALF_UP),
+    * so the merge is exact and order-independent — the same determinism
+    * contract as Q.decSum, and bit-identical to the h_centroids oracle.
+    */
+  object VecMean extends Aggregator[Emb, VecBuf, Seq[Double]] {
+    private val dim = 64
+    private def scaled(v: Double): Long =
+      java.math.BigDecimal.valueOf(v).setScale(12, java.math.RoundingMode.HALF_UP)
+        .movePointRight(12).longValueExact()
+    def zero: VecBuf = VecBuf(new Array[Long](dim), 0L)
+    def reduce(b: VecBuf, e: Emb): VecBuf = {
+      var i = 0
+      while (i < dim) { b.sums(i) += scaled(e.embedding(i).toDouble); i += 1 }
+      b.n += 1; b
+    }
+    def merge(x: VecBuf, y: VecBuf): VecBuf = {
+      var i = 0
+      while (i < dim) { x.sums(i) += y.sums(i); i += 1 }
+      x.n += y.n; x
+    }
+    def finish(b: VecBuf): Seq[Double] =
+      b.sums.toSeq.map(s => (s.toDouble / 1e12) / b.n)
+    def bufferEncoder: Encoder[VecBuf] = Encoders.product[VecBuf]
+    def outputEncoder: Encoder[Seq[Double]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  val all: Seq[Q] = Seq(
+    // Scalar UDF path, cross-checked against DuckDB list arithmetic.
+    Q("u_udf_scalar", (s, d) => {
+      val jac = udf(jaccardStr _)
+      val t = Io.table(s, d, "documents").filter(col("doc_id") < 30)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("text").as("ta"))
+      val b = t.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("text").as("tb"))
+      a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("lang"), r6(jac(col("ta"), col("tb"))).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }, Some(
+      """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents WHERE doc_id < 30)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+        |  ROUND(len(list_intersect(a.toks, b.toks))
+        |        / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 6) AS jaccard
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Typed Aggregator UDAF — must reproduce h_centroids exactly.
+    Q("u_udaf_aggregator", (s, d) => {
+      import s.implicits._
+      Io.table(s, d, "embeddings").as[Emb]
+        .groupByKey(_.label)
+        .agg(VecMean.toColumn.name("means"))
+        .toDF("label", "means")
+        .select(col("label"), posexplode(col("means")).as(Seq("pos0", "m")))
+        .select(col("label"), (col("pos0") + 1).as("pos"), r6(col("m")).as("centroid"))
+        .orderBy("label", "pos")
+    }, Some(
+      """SELECT label, CAST(i AS INT) AS pos,
+        |  ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+        |        / COUNT(*), 6) AS centroid
+        |FROM embeddings, (SELECT UNNEST(generate_series(1, 64)) AS i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin)),
+
+    // Multimodal plumbing: media as opaque binary + typed metadata. The
+    // "decode" here is a deterministic metadata extractor over the bytes
+    // (real decoders slot into the same per-row map; see
+    // graft.streaming.MultimodalPipeline for the typed mapPartitions
+    // variant with batch shape).
+    Q("h_multimodal_meta", (s, d) => {
+      Io.table(s, d, "documents")
+        .withColumn("media", col("text").cast("binary"))
+        .select(col("doc_id"),
+          length(col("media")).as("n_bytes"),
+          (lit(32) + (length(col("media")) % 608)).as("width"),
+          (lit(32) + ((length(col("media")) * 7) % 608)).as("height"),
+          lit(3).as("channels"),
+          r6(ascii(substring(col("text"), 1, 1)) / 255.0).as("mean_px"),
+          expr("CAST((CAST(length(media) AS BIGINT) * 30) DIV 100 + 1 AS INT)").as("n_frames"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |  CAST(32 + octet_length(CAST(text AS BLOB)) % 608 AS INT) AS width,
+        |  CAST(32 + (octet_length(CAST(text AS BLOB)) * 7) % 608 AS INT) AS height,
+        |  3 AS channels,
+        |  ROUND(ascii(substr(text, 1, 1)) / 255.0, 6) AS mean_px,
+        |  CAST(octet_length(CAST(text AS BLOB)) * 30 // 100 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

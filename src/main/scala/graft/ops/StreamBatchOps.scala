@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.io.Io
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Q._
+
+/** SURVEY.md §2-G — batch twins of the streaming operators.
+  *
+  * Each checked query here is the batch shape of a Structured Streaming
+  * pipeline; graft.streaming contains the readStream twins, and
+  * StreamParitySpec asserts stream output == these batch results
+  * (stream-batch parity). Oracles verify the batch shape against DuckDB.
+  *
+  * Spark's `window()` buckets are epoch-aligned, which is exactly
+  * `epoch_us DIV slide * slide` arithmetic — the DuckDB twins exploit
+  * that. Watermark/state notes per query in the streaming package.
+  */
+object StreamBatchOps {
+
+  private val dec = DecimalType(38, 6)
+
+  val all: Seq[Q] = Seq(
+    // 1-hour tumbling window per event type.
+    Q("g_tumbling_1h", (s, d) => {
+      Io.events(s, d)
+        .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(decSum(col("value"))).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("win_us"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_us", "event_type")
+    }, Some(
+      s"""SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_us, event_type,
+         |  COUNT(*) AS n, ROUND(${dSum("value")}, 4) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY win_us, event_type""".stripMargin)),
+
+    // Sliding 1-hour window every 15 minutes: each event lands in exactly
+    // 4 epoch-aligned windows.
+    Q("g_sliding_1h_15m", (s, d) => {
+      Io.events(s, d)
+        .groupBy(window(col("ts_t"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .select(unix_micros(col("w.start")).as("win_us"), col("n"), col("n_users"))
+        .orderBy("win_us")
+    }, Some(
+      """SELECT (epoch_us(ts) // 900000000) * 900000000 - CAST(k AS BIGINT) * 900000000 AS win_us,
+        |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM events, (SELECT UNNEST([0, 1, 2, 3]) AS k)
+        |GROUP BY 1 ORDER BY win_us""".stripMargin)),
+
+    // Sessionization with a 30-minute inactivity gap: lag → gap flag →
+    // running sum = session id; portable SQL on both engines. The
+    // streaming twin uses session_window(); SessionWindowSpec asserts the
+    // two agree.
+    Q("g_session_30m", (s, d) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Io.events(s, d)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sess_no", sum(col("new_sess")).over(wRun))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("sess_start_us"),
+          max(col("ts_us")).as("sess_end_us"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+        .orderBy("user_id", "sess_no")
+    }, Some(
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN LAG(epoch_us(ts), 1) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM flagged)
+        |SELECT user_id, sess_no, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS sess_start_us, MAX(ts_us) AS sess_end_us,
+        |  MAX(ts_us) - MIN(ts_us) AS duration_us
+        |FROM sess GROUP BY user_id, sess_no ORDER BY user_id, sess_no""".stripMargin)),
+
+    // Dedup batch twin: earliest event per (user, type) — the streaming
+    // twin is dropDuplicatesWithinWatermark on the same key.
+    Q("g_stream_dedup", (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Io.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
+        .orderBy("user_id", "event_type")
+    }, Some(
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY epoch_us(ts), event_id) = 1
+        |ORDER BY user_id, event_type""".stripMargin)),
+
+    // Stream-static enrichment: events joined to the nation dim on a
+    // derived key. Streaming twin: readStream join static DataFrame
+    // (broadcast — no state store needed).
+    Q("g_stream_static_join", (s, d) => {
+      val ev = Io.events(s, d).withColumn("n_key", (col("user_id") % 25).cast("int"))
+      val n = Io.table(s, d, "nation")
+      ev.join(broadcast(n), col("n_key") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_events"), r4(decSum(col("value"))).as("sum_value"))
+        .orderBy("n_name")
+    }, Some(
+      s"""SELECT n_name, COUNT(*) AS n_events, ROUND(${dSum("value")}, 4) AS sum_value
+         |FROM events JOIN nation ON CAST(user_id % 25 AS INT) = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin))
+  )
+}

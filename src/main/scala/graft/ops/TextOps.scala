@@ -1,0 +1,193 @@
+package graft.ops
+
+import graft.io.Io
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SURVEY.md §2-H (text analysis rows) — the text half of the
+  * LLM-data-pipeline surface: corpus stats, normalization, token
+  * counting, quality scoring, heuristic language bucketing, n-grams,
+  * TF-IDF, rolling-hash fingerprinting.
+  *
+  * Everything is expressed over `split(text)` token arrays with built-in
+  * / higher-order functions (codegen-friendly, no UDFs), and every op is
+  * a per-row map or a token-keyed aggregation — at 100 TB these scale
+  * linearly with no driver-side state; the only shuffles are the
+  * token/doc groupBys.
+  */
+object TextOps {
+
+  private def toks = split(col("text"), " ")
+
+  val all: Seq[Q] = Seq(
+    Q("h_text_stats", (s, d) => {
+      Io.table(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          r4(avg(col("n_chars"))).as("avg_chars"),
+          r4(avg(length(col("text")))).as("avg_len"),
+          r4(avg(size(toks))).as("avg_words"),
+          sum(size(toks)).as("total_words"))
+        .orderBy("lang")
+    }, Some(
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  ROUND(AVG(n_chars), 4) AS avg_chars,
+        |  ROUND(AVG(LENGTH(text)), 4) AS avg_len,
+        |  ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_words,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("h_text_normalize", (s, d) => {
+      Io.table(s, d, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm_text"),
+          length(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("norm_len"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id,
+        |  TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(LENGTH(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS INT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Whitespace tokens vs regex tokens ([a-z]+).
+    Q("h_token_count", (s, d) => {
+      Io.table(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("re_tokens"),
+          size(array_distinct(toks)).as("distinct_tokens"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS re_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Heuristic quality score: type-token ratio, stopword ratio, length
+    // saturation — the standard cheap pre-training-data filters.
+    Q("h_quality_score", (s, d) => {
+      val nTok = size(toks).cast("double")
+      val ttr = size(array_distinct(toks)) / nTok
+      val stopRatio = size(filter(toks, t => t === "the" || t === "a")) / nTok
+      val lenSat = least(nTok / 100.0, lit(1.0))
+      Io.table(s, d, "documents")
+        .select(col("doc_id"),
+          r6(ttr).as("ttr"),
+          r6(stopRatio).as("stop_ratio"),
+          r6(lit(0.3) * ttr + lit(0.4) * (lit(1.0) - stopRatio) + lit(0.3) * lenSat).as("quality"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(toks) AS DOUBLE) AS n_tok,
+        |        len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS ttr,
+        |        len(list_filter(toks, x -> x = 'the' OR x = 'a'))
+        |          / CAST(len(toks) AS DOUBLE) AS stop_ratio
+        |      FROM t)
+        |SELECT doc_id, ROUND(ttr, 6) AS ttr, ROUND(stop_ratio, 6) AS stop_ratio,
+        |  ROUND(0.3 * ttr + 0.4 * (1.0 - stop_ratio)
+        |        + 0.3 * LEAST(n_tok / 100.0, 1.0), 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Heuristic "language-ID" plumbing: classify by the most frequent
+    // token (the real corpus has no language signal — the lang column is
+    // independent of the text — so the class target is a deterministic
+    // n-gram-frequency bucket, exercising the classifier pipeline shape).
+    Q("h_lang_id", (s, d) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("token"))
+      Io.table(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("token").as("top_token"), col("cnt").as("top_cnt"),
+          when(col("token") < "g", "bucket_ag")
+            .when(col("token") < "n", "bucket_gn")
+            .otherwise("bucket_nz").as("pred_class"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH tf AS (
+        |  SELECT doc_id, t.token, COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |       LATERAL UNNEST(toks) AS t(token)
+        |  GROUP BY doc_id, t.token),
+        |top AS (
+        |  SELECT doc_id, token AS top_token, cnt AS top_cnt
+        |  FROM tf
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token) = 1)
+        |SELECT doc_id, top_token, top_cnt,
+        |  CASE WHEN top_token < 'g' THEN 'bucket_ag'
+        |       WHEN top_token < 'n' THEN 'bucket_gn'
+        |       ELSE 'bucket_nz' END AS pred_class
+        |FROM top ORDER BY doc_id""".stripMargin)),
+
+    // Word bigrams, corpus-wide top 50.
+    Q("h_ngram", (s, d) => {
+      val t = toks
+      val bigrams = zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      Io.table(s, d, "documents")
+        .select(explode(bigrams).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(50)
+    }, Some(
+      """WITH b AS (
+        |  SELECT UNNEST(list_transform(generate_series(1, len(toks) - 1),
+        |                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+        |SELECT bigram, COUNT(*) AS cnt FROM b
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin)),
+
+    // TF-IDF, top-5 terms per document (smoothed idf = ln((N+1)/(df+1))).
+    Q("h_tfidf_topterms", (s, d) => {
+      val docs = Io.table(s, d, "documents")
+      val tf = docs.select(col("doc_id"), explode(toks).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+      tf.join(df, "token").crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("rn"), col("token"), col("tf"), col("df"), r6(col("score")).as("score"))
+        .orderBy("doc_id", "rn")
+    }, Some(
+      """WITH tf AS (
+        |  SELECT doc_id, t.token, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |       LATERAL UNNEST(toks) AS t(token)
+        |  GROUP BY doc_id, t.token),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rn,
+        |  token, tf, df, ROUND(score, 6) AS score
+        |FROM scored
+        |QUALIFY rn <= 5 ORDER BY doc_id, rn""".stripMargin)),
+
+    // Deterministic document fingerprint: polynomial rolling hash of the
+    // raw text, mod 1e9+7 — same fold on both engines (DuckDB list_reduce
+    // seeds with the first element, which equals Spark's fold from 0).
+    Q("h_fingerprint", (s, d) => {
+      Io.table(s, d, "documents")
+        .select(col("doc_id"),
+          expr("aggregate(transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)), 0L, (a, c) -> (a * 31 + c) % 1000000007)").as("fingerprint"),
+          length(col("text")).as("text_len"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id,
+        |  list_reduce(list_transform(generate_series(1, length(text)),
+        |                             i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+        |              (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint,
+        |  CAST(LENGTH(text) AS INT) AS text_len
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.io.Io
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Q._
+
+/** SURVEY.md §2-H (vector rows) — similarity search over the 64-dim
+  * float32 `embeddings.embedding` column.
+  *
+  * Vectors stay `ArrayType` and all math runs through codegen'd
+  * higher-order functions (`zip_with`/`aggregate`/`transform`) — no UDF,
+  * no UDT. Cross-engine float discipline (G4/R5): cast float32 → double
+  * before any arithmetic, round similarity at 1e-6, break ranking ties
+  * by vector id.
+  *
+  * Scale path: `h_cosine_topk` is the brute-force O(n²) baseline, kept
+  * correct at any sf by the blocked join + top-k; `h_ann_ivf` is the
+  * 100 TB design — a coarse quantizer (label centroids) turns the O(n²)
+  * into per-cell searches, the classic IVF layout: at 1000 executors
+  * each cell's candidate list is a shuffle partition, never a cartesian.
+  */
+object VectorOps {
+
+  private val dec12 = DecimalType(38, 12)
+
+  /** exact order-independent sum at 1e-12 — for averaging raw embedding
+    * values (magnitude ~0.1; DECIMAL(38,6) would be too coarse). */
+  private def decSum12(c: Column): Column = sum(c.cast(dec12)).cast("double")
+  private val dSum12 = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(38,12))) AS DOUBLE)"
+
+  private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def withDoubles(s: SparkSession, d: String): DataFrame =
+    Io.table(s, d, "embeddings").withColumn("dv", dvec(col("embedding")))
+
+  /** cosine between two pre-cast double vectors. */
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private val duckCos =
+    "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+
+  val all: Seq[Q] = Seq(
+    // Unit-L2 normalization; emit the norm and first components.
+    Q("h_vector_norm", (s, d) => {
+      withDoubles(s, d)
+        .withColumn("l2", sqrt(dot(col("dv"), col("dv"))))
+        .select(col("vec_id"),
+          r6(col("l2")).as("l2_norm"),
+          r6(element_at(col("dv"), 1) / col("l2")).as("u1"),
+          r6(element_at(col("dv"), 2) / col("l2")).as("u2"))
+        .orderBy("vec_id")
+    }, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        |n AS (SELECT vec_id, dv, SQRT(list_sum(list_transform(dv, x -> x * x))) AS l2 FROM e)
+        |SELECT vec_id, ROUND(l2, 6) AS l2_norm,
+        |  ROUND(dv[1] / l2, 6) AS u1, ROUND(dv[2] / l2, 6) AS u2
+        |FROM n ORDER BY vec_id""".stripMargin)),
+
+    // Brute-force global top-10 most-similar pairs (the correctness
+    // baseline every ANN variant is measured against).
+    Q("h_cosine_topk", (s, d) => {
+      val e = withDoubles(s, d).select(col("vec_id"), col("dv"))
+      val a = e.select(col("vec_id").as("id_a"), col("dv").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("dv").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), r6(cosine(col("va"), col("vb"))).as("sim"))
+        .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+        .limit(10)
+    }, Some(
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND($duckCos, 6) AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |ORDER BY sim DESC, id_a, id_b LIMIT 10""".stripMargin)),
+
+    // k-NN: top-3 same-label neighbors for each query vector (vec_id<20).
+    Q("h_knn_per_label", (s, d) => {
+      val e = withDoubles(s, d).select(col("vec_id"), col("label"), col("dv"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("dv").as("qv"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      q.join(e, col("q_label") === col("label") && col("q_id") =!= col("vec_id"))
+        .withColumn("sim", r6(cosine(col("qv"), col("dv"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn"), col("vec_id").as("nn_id"), col("label"), col("sim"))
+        .orderBy("q_id", "rn")
+    }, Some(
+      s"""SELECT a.vec_id AS q_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |                          ORDER BY ROUND($duckCos, 6) DESC, b.vec_id) AS INT) AS rn,
+         |  b.vec_id AS nn_id, b.label, ROUND($duckCos, 6) AS sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id <> b.vec_id
+         |WHERE a.vec_id < 20
+         |QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+
+    // Per-label centroids in long form (label, pos, mean) — pure
+    // relational, portable, and the cross-check target for the typed
+    // Aggregator UDAF (u_udaf_aggregator).
+    Q("h_centroids", (s, d) => {
+      Io.table(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+        .agg(count(lit(1)).as("n"),
+          r6(decSum12(col("v").cast("double")) / count(lit(1))).as("centroid"))
+        .orderBy("label", "pos")
+    }, Some(
+      s"""SELECT label, CAST(i AS INT) AS pos, COUNT(*) AS n,
+         |  ROUND(${dSum12("CAST(embedding[i] AS DOUBLE)")} / COUNT(*), 6) AS centroid
+         |FROM embeddings, (SELECT UNNEST(generate_series(1, 64)) AS i)
+         |GROUP BY label, i ORDER BY label, pos""".stripMargin)),
+
+    // IVF-style ANN: coarse-quantize every vector to its nearest label
+    // centroid (the inverted-file cell), then run top-3 search only
+    // within the probe cell. The 100 TB shape: centroids broadcast,
+    // vectors shuffle once by cell id, per-cell search is local.
+    Q("h_ann_ivf", (s, d) => {
+      val e = Io.table(s, d, "embeddings")
+      // cell centroids (exact decimal means, long form) — broadcastable.
+      val cent = e.select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .groupBy(col("c_label"), col("pos0"))
+        .agg((decSum12(col("v").cast("double")) / count(lit(1))).as("c"))
+      // distance² of every vector to every centroid via the long form.
+      val vlong = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      val dist = vlong.join(broadcast(cent), "pos0")
+        .groupBy(col("vec_id"), col("c_label"))
+        .agg(decSum12((col("v").cast("double") - col("c")) * (col("v").cast("double") - col("c"))).as("d2"))
+      val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))
+      val cells = dist.withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label").as("cell"))
+      // top-3 cosine within the query's cell.
+      val ev = withDoubles(s, d).select(col("vec_id"), col("dv"))
+        .join(cells, "vec_id")
+      val q = ev.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("cell").as("q_cell"), col("dv").as("qv"))
+      val wK = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      q.join(ev, col("q_cell") === col("cell") && col("q_id") =!= col("vec_id"))
+        .withColumn("sim", r6(cosine(col("qv"), col("dv"))))
+        .withColumn("rn", row_number().over(wK))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn"), col("vec_id").as("nn_id"), col("cell"), col("sim"))
+        .orderBy("q_id", "rn")
+    }, Some(
+      s"""WITH cent AS (
+         |  SELECT label AS c_label, i AS pos,
+         |    ${dSum12("CAST(embedding[i] AS DOUBLE)")} / COUNT(*) AS c
+         |  FROM embeddings, (SELECT UNNEST(generate_series(1, 64)) AS i)
+         |  GROUP BY label, i),
+         |dist AS (
+         |  SELECT e.vec_id, cent.c_label,
+         |    CAST(SUM(CAST((CAST(e.embedding[cent.pos] AS DOUBLE) - cent.c)
+         |                  * (CAST(e.embedding[cent.pos] AS DOUBLE) - cent.c)
+         |             AS DECIMAL(38,12))) AS DOUBLE) AS d2
+         |  FROM embeddings e, cent
+         |  GROUP BY e.vec_id, cent.c_label),
+         |cells AS (
+         |  SELECT vec_id, c_label AS cell FROM dist
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) = 1),
+         |ev AS (
+         |  SELECT e.vec_id, e.embedding, cells.cell
+         |  FROM embeddings e JOIN cells USING (vec_id))
+         |SELECT a.vec_id AS q_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |                          ORDER BY ROUND($duckCos, 6) DESC, b.vec_id) AS INT) AS rn,
+         |  b.vec_id AS nn_id, b.cell, ROUND($duckCos, 6) AS sim
+         |FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |WHERE a.vec_id < 20
+         |QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin))
+  )
+}
