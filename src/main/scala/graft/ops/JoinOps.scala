@@ -111,15 +111,19 @@ object JoinOps {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin)),
 
-    // Banded non-equi join: small (broadcast) part slice × filtered
-    // lineitem, |l_quantity - p_size| <= 1; aggregated so the checked
-    // output stays small at every sf. At 100 TB the small side stays a
-    // broadcast; the predicate evaluates stream-side (no shuffle).
+    // Banded non-equi join, |l_quantity - p_size| <= 1. A naive theta
+    // join plans as a nested-loop (600k × 4k comparisons at sf0.1 — it
+    // benched in minutes); since the band is over integral values, the
+    // scalable form is bucket expansion: explode each part into its 3
+    // candidate quantities and equi-join — a BroadcastHashJoin whose cost
+    // is linear in the fact side. Same semantics as the oracle's BETWEEN.
     Q("c_join_theta_range", (s, d) => {
       val p = Io.table(s, d, "part").filter(col("p_size") <= 10)
+        .select(col("p_size"),
+          explode(sequence(col("p_size") - 1, col("p_size") + 1)).as("qv"))
       val li = Io.table(s, d, "lineitem").filter(col("l_quantity") <= 12)
-      broadcast(p).join(li,
-          li("l_quantity").between(p("p_size") - 1, p("p_size") + 1))
+        .select(col("l_quantity"))
+      broadcast(p).join(li, col("l_quantity") === col("qv").cast("double"))
         .groupBy(col("p_size"))
         .agg(count(lit(1)).as("n_pairs"), sum(col("l_quantity")).cast("double").as("sum_qty"))
         .orderBy("p_size")

@@ -32,11 +32,16 @@ object VectorOps {
   private val dSum12 = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(38,12))) AS DOUBLE)"
 
   private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  private def withDoubles(s: SparkSession, d: String): DataFrame =
+  /** codegen'd native dot product (graft.functions.DotProduct) — same
+    * accumulation order as the HOF fold, ~10× faster on the pair loops. */
+  private def dot(a: Column, b: Column): Column =
+    expr(s"dot_product(${a.toString}, ${b.toString})")
+
+  private def withDoubles(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
     Io.table(s, d, "embeddings").withColumn("dv", dvec(col("embedding")))
+  }
 
   /** cosine between two pre-cast double vectors. */
   private def cosine(a: Column, b: Column): Column =
@@ -65,11 +70,14 @@ object VectorOps {
     // Brute-force global top-10 most-similar pairs (the correctness
     // baseline every ANN variant is measured against).
     Q("h_cosine_topk", (s, d) => {
-      val e = withDoubles(s, d).select(col("vec_id"), col("dv"))
-      val a = e.select(col("vec_id").as("id_a"), col("dv").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("dv").as("vb"))
+      // norms precomputed per vector (O(n)), the pair loop pays one dot.
+      val e = withDoubles(s, d)
+        .select(col("vec_id"), col("dv"), sqrt(dot(col("dv"), col("dv"))).as("nrm"))
+      val a = e.select(col("vec_id").as("id_a"), col("dv").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("dv").as("vb"), col("nrm").as("nb"))
       a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), r6(cosine(col("va"), col("vb"))).as("sim"))
+        .select(col("id_a"), col("id_b"),
+          r6(dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(10)
     }, Some(

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the G-row batch operators
+  * (graft.ops.StreamBatchOps). Each transform takes any events-shaped
+  * DataFrame — batch or streaming — so StreamParitySpec can run the SAME
+  * code over a MemoryStream and over the batch table and assert equal
+  * results (stream-batch parity, SURVEY.md §5.4).
+  *
+  * State/scale notes: every stateful op carries a watermark so state is
+  * bounded (old windows/sessions/dedup keys are evicted once the
+  * watermark passes); at 100 TB-equivalent event rates the state store
+  * is keyed by (window|session|dedup-key) per shuffle partition, the
+  * standard Structured Streaming layout.
+  */
+object Streams {
+
+  /** canonical event-time column for an events-shaped frame. */
+  private def withTime(df: DataFrame): DataFrame =
+    df.withColumn("ts_t", timestamp_micros(col("ts_us")))
+
+  /** 1-hour tumbling counts per event type (g_tumbling_1h twin). */
+  def tumbling1h(events: DataFrame): DataFrame =
+    withTime(events)
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("event_type"), col("n"))
+
+  /** sliding 1h/15m counts (g_sliding_1h_15m twin). */
+  def sliding1h15m(events: DataFrame): DataFrame =
+    withTime(events)
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(window(col("ts_t"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("n"))
+
+  /** session_window with 30-min gap (g_session_30m twin — the batch side
+    * derives sessions via lag+cumsum; the two must agree on counts,
+    * bounds, and membership). */
+  def session30m(events: DataFrame): DataFrame =
+    withTime(events)
+      .withWatermark("ts_t", "2 hours")
+      .groupBy(session_window(col("ts_t"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("sess_start_us"),
+        max(col("ts_us")).as("sess_end_us"))
+      .select(col("user_id"), col("n_events"), col("sess_start_us"), col("sess_end_us"))
+
+  /** streaming dedup on (user_id, event_type) within the watermark
+    * (g_stream_dedup twin; batch twin keeps the earliest by ts). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    withTime(events)
+      .withWatermark("ts_t", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
+
+  /** stream-static enrichment against the nation dim
+    * (g_stream_static_join twin). */
+  def staticEnrich(events: DataFrame, nation: DataFrame): DataFrame =
+    withTime(events)
+      .withColumn("n_key", (col("user_id") % 25).cast("int"))
+      .join(broadcast(nation), col("n_key") === col("n_nationkey"))
+      .select(col("event_id"), col("user_id"), col("n_name"), col("value"))
+
+  // ---- arbitrary stateful processing -------------------------------
+
+  case class Ev(event_id: Long, ts_us: Long, user_id: Long, event_type: String, value: Double)
+  case class UserCount(user_id: Long, n: Long)
+
+  /** flatMapGroupsWithState: running per-user event counter, emitting an
+    * update per micro-batch input (OutputMode.Update). The final emitted
+    * count per user must equal the batch groupBy count — asserted in
+    * StatefulSpec. */
+  def runningUserCounts(events: Dataset[Ev]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserCount](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + rows.size
+          state.update(next)
+          Iterator(UserCount(user, next))
+      }
+  }
+
+  /** Typed multimodal "decode" over an opaque binary column: the
+    * mapPartitions shape a real image/audio decoder plugs into (batch
+    * per partition, library handle initialized once per partition — the
+    * decoder itself is a deterministic stub here; the container has no
+    * media libs). */
+  case class Media(doc_id: Long, media: Array[Byte])
+  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int, checksum: Long)
+
+  def decodeMedia(media: Dataset[Media]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init of the (stubbed) decoder handle happens here
+      it.map { m =>
+        val n = m.media.length
+        var ck = 0L
+        var i = 0
+        while (i < n) { ck = (ck * 131 + (m.media(i) & 0xff)) % 4294967296L; i += 1 }
+        MediaMeta(m.doc_id, n, 32 + n % 608, 32 + (n * 7) % 608, ck)
+      }
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §4 — assert Catalyst actually produced the plans the engine
+  * is designed around (broadcast vs sort-merge join selection, filter
+  * pushdown to parquet, column pruning, top-k fusion, whole-stage
+  * codegen). These are the properties that make the operators hold at
+  * 100 TB, so they are pinned as tests, not assumed.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // let AQE settle on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def plan(name: String): String =
+    executedPlan(Registry.queries(name)(spark, sf))
+
+  test("dim join broadcasts (no shuffle of the fact side)") {
+    assert(plan("c_join_bcast").contains("BroadcastHashJoin"))
+  }
+
+  test("fact-fact join is sort-merge") {
+    // at sf0.001 AQE (correctly) broadcasts the tiny sides; pin the
+    // large-scale property by disabling the broadcast thresholds.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try assert(plan("c_join_smj").contains("SortMergeJoin"))
+    finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("banded theta join runs as broadcast hash join, not nested loop") {
+    val p = plan("c_join_theta_range")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("predicates push down to the parquet scan") {
+    val p = plan("b_filter_pred")
+    assert(p.contains("PushedFilters: [And(GreaterThanOrEqual(l_quantity,5.0)")
+      || p.contains("GreaterThanOrEqual(l_quantity,5.0)"))
+  }
+
+  test("column pruning reaches the scan (ReadSchema is the projection)") {
+    val p = plan("a_scan_project")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_returnflag"), "scan reads columns the query never uses")
+  }
+
+  test("global top-k fuses into TakeOrderedAndProject") {
+    assert(plan("f_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregation is hash-based under whole-stage codegen") {
+    val p = plan("d_agg_groupby")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("*("), "no WholeStageCodegen stage in the aggregate plan")
+  }
+
+  test("similarity pair loop uses the native codegen dot_product") {
+    val p = plan("h_cosine_topk")
+    assert(p.contains("dot_product"), "native DotProduct expression missing from plan")
+    assert(p.contains("*("), "pair loop fell out of whole-stage codegen")
+  }
+
+  test("semi/anti joins decorrelate from EXISTS subqueries") {
+    val p = executedPlan(spark.sql {
+      graft.io.Io.views(spark, sf)
+      "SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    })
+    assert(p.contains("SemiJoin") || p.contains("ExistenceJoin") || p.contains("LeftSemi"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.io.Io
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink capabilities with no graded query: CSV and JSON readers
+  * (explicit schema, no inference), parquet round-trip, and partition
+  * pruning on a partitioned layout (the testdata is single unpartitioned
+  * files, so pruning is exercised on a derived copy — SURVEY.md §4).
+  */
+class SourceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("csv round-trips with an explicit schema") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val src = Io.table(spark, sf, "nation")
+    src.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    val back = Io.csv(spark, dir, "n_nationkey INT, n_name STRING, n_regionkey INT")
+    assert(back.count() === src.count())
+    assert(back.schema.map(_.dataType.simpleString) === Seq("int", "string", "int"))
+  }
+
+  test("json round-trips with an explicit schema") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    val src = Io.table(spark, sf, "region")
+    src.coalesce(1).write.mode("overwrite").json(dir)
+    val back = Io.json(spark, dir, "r_regionkey INT, r_name STRING")
+    assert(back.orderBy("r_regionkey").collect().toSeq ===
+      src.select("r_regionkey", "r_name").orderBy("r_regionkey").collect().toSeq)
+  }
+
+  test("partition pruning skips non-matching partitions") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    Io.table(spark, sf, "orders")
+      .withColumn("status", col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("status").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("status") === "F")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "no partition filters in scan")
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.metrics.get("numFiles").map(_.value)
+    assert(scanned.exists(_ >= 1))
+    // equality predicate on the partition column must not read all files
+    val all = spark.read.parquet(dir)
+    all.collect()
+    val allFiles = all.queryExecution.executedPlan.collectLeaves()
+      .head.metrics.get("numFiles").map(_.value)
+    assert(scanned.get < allFiles.get, s"pruning read $scanned of $allFiles files")
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.io.Io
+import graft.streaming.Streams
+import graft.streaming.Streams.{Ev, Media, UserCount}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Arbitrary stateful processing (flatMapGroupsWithState) and the typed
+  * multimodal decode pipeline.
+  */
+class StatefulSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("flatMapGroupsWithState running counts converge to batch counts") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val evs = Io.events(spark, sf)
+      .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+    val (first, second) = evs.splitAt(evs.size / 2)
+    val mem = MemoryStream[Ev]
+    val q = Streams.runningUserCounts(mem.toDS()).writeStream
+      .format("memory").queryName("rc").outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(first); q.processAllAvailable()
+      mem.addData(second); q.processAllAvailable()
+    } finally q.stop()
+    // last update per user == total events per user
+    val streamed = spark.table("rc").as[UserCount].collect()
+      .groupBy(_.user_id).view.mapValues(_.map(_.n).max).toMap
+    val batch = evs.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    assert(streamed === batch)
+  }
+
+  test("typed mapPartitions media decode produces stable metadata") {
+    import spark.implicits._
+    val media = Io.table(spark, sf, "documents")
+      .limit(50)
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS media")
+      .as[Media]
+    val metas = Streams.decodeMedia(media).collect()
+    assert(metas.length === 50)
+    val texts = Io.table(spark, sf, "documents").limit(50)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    metas.foreach { m =>
+      val t = texts(m.doc_id)
+      assert(m.n_bytes === t.getBytes("UTF-8").length)
+      assert(m.width === 32 + m.n_bytes % 608)
+      val ck = t.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 4294967296L)
+      assert(m.checksum === ck)
+    }
+  }
+
+  test("approx_count_distinct stays within 10% of exact") {
+    val approx = Registry.queries("d_agg_approx_hll")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Registry.queries("d_agg_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.10, s"$k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("builtin stddev/corr agree with the exact-decimal formulation") {
+    import org.apache.spark.sql.functions._
+    val li = Io.table(spark, sf, "lineitem")
+    val perFlag = Registry.queries("d_agg_stats")(spark, sf).collect()
+    perFlag.foreach { r =>
+      val flag = r.getString(0)
+      val b = li.filter(col("l_returnflag") === flag)
+        .agg(stddev_samp(col("l_extendedprice"))).collect().head.getDouble(0)
+      assert(math.abs(b - r.getDouble(2)) < 0.01, s"$flag: builtin $b vs decimal ${r.getDouble(2)}")
+    }
+  }
+}

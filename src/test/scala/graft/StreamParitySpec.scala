@@ -1,0 +1,99 @@
+package graft
+
+import graft.io.Io
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-batch parity (SURVEY.md §5.4): the Structured Streaming twins
+  * must produce exactly the batch results when fed the same rows through
+  * a MemoryStream.
+  */
+class StreamParitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val evRows: Seq[Ev] = {
+    import spark.implicits._
+    Io.events(spark, sf)
+      .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+  }
+
+  private def eventsDf: DataFrame = {
+    import spark.implicits._
+    evRows.toDF()
+  }
+
+  /** run a streaming transform of a MemoryStream fed with all events. */
+  private def runStream(name: String, mode: OutputMode)(f: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evRows)
+    val q = f(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("tumbling 1h window: stream == batch") {
+    val stream = runStream("t1h", OutputMode.Complete())(Streams.tumbling1h)
+    val batch = Streams.tumbling1h(eventsDf)
+    assert(rows(stream) === rows(batch))
+  }
+
+  test("sliding 1h/15m window: stream == batch") {
+    val stream = runStream("s1h15", OutputMode.Complete())(Streams.sliding1h15m)
+    val batch = Streams.sliding1h15m(eventsDf)
+    assert(rows(stream) === rows(batch))
+  }
+
+  test("session_window(30m): stream == batch lag+cumsum sessionization") {
+    val stream = runStream("sess", OutputMode.Complete())(Streams.session30m)
+    // the relational batch twin from the checked inventory
+    val batch = Registry.queries("g_session_30m")(spark, sf)
+      .select("user_id", "n_events", "sess_start_us", "sess_end_us")
+    assert(rows(stream) === rows(batch))
+  }
+
+  test("dropDuplicatesWithinWatermark: stream keys == batch dedup keys") {
+    val stream = runStream("dedup", OutputMode.Append())(Streams.dedupWithinWatermark)
+    val batch = Registry.queries("g_stream_dedup")(spark, sf)
+    // streaming dedup keeps the FIRST ARRIVAL (arrival order, not event
+    // time) — parity holds on the key set, not the representative row.
+    assert(rows(stream.select("user_id", "event_type")) ===
+      rows(batch.select("user_id", "event_type")))
+  }
+
+  test("stream-static join enrich: stream == batch") {
+    val nation = Io.table(spark, sf, "nation")
+    val stream = runStream("enrich", OutputMode.Append())(df => Streams.staticEnrich(df, nation))
+    val batch = Streams.staticEnrich(eventsDf, nation)
+    assert(rows(stream) === rows(batch))
+  }
+
+  test("watermark drops events later than the watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val base = 1704067200000000L // 2024-01-01T00:00Z in micros
+    val hour = 3600000000L
+    def ev(id: Long, us: Long) = Ev(id, us, 1L, "click", 1.0)
+    val q = Streams.tumbling1h(mem.toDF()).writeStream
+      .format("memory").queryName("late").outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(ev(1, base), ev(2, base + 2 * hour)) // watermark → 01:00
+      q.processAllAvailable()
+      mem.addData(ev(3, base + 1000L)) // window [00:00,01:00) closed — late
+      q.processAllAvailable()
+    } finally q.stop()
+    val w0 = spark.table("late").filter($"win_us" === base).agg(Map("n" -> "max"))
+    assert(w0.collect().head.getLong(0) === 1L, "late event leaked into a closed window")
+  }
+}
