@@ -1,0 +1,200 @@
+package graft.ops
+
+import graft.io.Io
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Higher-level analytics operators beyond the SURVEY §2 core — the
+  * shapes a production event/training-data pipeline actually runs:
+  * pivot, skew-safe two-stage aggregation, funnel analysis, cohort
+  * retention, histograms, time-series gap-fill, moving-window anomaly
+  * scores. All oracle-checked.
+  */
+object AnalyticsOps {
+
+  /** epoch day from the canonical epoch-micros event time. */
+  private val day = expr("CAST(ts_us DIV 86400000000 AS BIGINT)")
+
+  val all: Seq[Q] = Seq(
+    // Pivot (statuses are a fixed domain → stable column names).
+    Q("d_pivot", (s, d) => {
+      Io.table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")
+    }, Some(
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Unpivot via stack(): wide customer metrics to long form.
+    Q("f_unpivot_stack", (s, d) => {
+      Io.table(s, d, "customer")
+        .filter(col("c_custkey") <= 50)
+        .select(col("c_custkey"),
+          expr("stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)"))
+        .orderBy("c_custkey", "metric")
+    }, Some(
+      """SELECT c_custkey, metric, value FROM (
+        |  SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer)
+        |WHERE c_custkey <= 50
+        |ORDER BY c_custkey, metric""".stripMargin)),
+
+    // Skew-safe aggregation: salt → partial per (key, salt) → final.
+    // Exact-decimal partials make the two-stage result identical to the
+    // direct groupBy (the oracle) — the pattern for hot keys at 100 TB;
+    // AQE skew handling covers joins, this covers aggregation fan-in.
+    Q("d_agg_salted", (s, d) => {
+      val salted = Io.table(s, d, "lineitem")
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("partial"),
+          count(lit(1)).as("pn"))
+      salted.groupBy(col("l_returnflag"))
+        .agg(r4(sum(col("partial")).cast("double")).as("sum_price"), sum(col("pn")).as("n"))
+        .orderBy("l_returnflag")
+    }, Some(
+      s"""SELECT l_returnflag, ROUND(${dSum("l_extendedprice")}, 4) AS sum_price,
+         |  COUNT(*) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Funnel: signup → first click after signup → first purchase after
+    // that click; one row of stage counts. Per-stage joins are keyed by
+    // user (shuffle key), no cross products.
+    Q("g_funnel", (s, d) => {
+      val ev = Io.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("s_us"))
+      val cl = ev.filter(col("event_type") === "click")
+        .join(su, "user_id").filter(col("ts_us") > col("s_us"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("c_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(cl, "user_id").filter(col("ts_us") > col("c_us"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_us"))
+      su.agg(count(lit(1)).as("n_signup")).crossJoin(
+        cl.agg(count(lit(1)).as("n_signup_click"))).crossJoin(
+        pu.agg(count(lit(1)).as("n_full_funnel")))
+    }, Some(
+      """WITH su AS (SELECT user_id, MIN(epoch_us(ts)) AS s_us FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |cl AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+        |       FROM events e JOIN su ON e.user_id = su.user_id
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > su.s_us
+        |       GROUP BY e.user_id),
+        |pu AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+        |       FROM events e JOIN cl ON e.user_id = cl.user_id
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > cl.c_us
+        |       GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM su) AS n_signup,
+        |       (SELECT COUNT(*) FROM cl) AS n_signup_click,
+        |       (SELECT COUNT(*) FROM pu) AS n_full_funnel""".stripMargin)),
+
+    // Cohort retention: cohort = a user's first active day; count
+    // distinct users active at each day offset.
+    Q("g_cohort_retention", (s, d) => {
+      val ev = Io.events(s, d).withColumn("day", day)
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val active = ev.select(col("user_id"), col("day")).distinct()
+      active.join(first, "user_id")
+        .withColumn("offset", col("day") - col("cohort_day"))
+        .groupBy(col("cohort_day"), col("offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "offset")
+    }, Some(
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |first AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, day FROM ev)
+        |SELECT cohort_day, day - cohort_day AS "offset",
+        |       COUNT(DISTINCT active.user_id) AS n_users
+        |FROM active JOIN first ON active.user_id = first.user_id
+        |GROUP BY cohort_day, "offset" ORDER BY cohort_day, "offset"""".stripMargin)),
+
+    // Histogram: fixed-width buckets over l_quantity (1..50 → 10 buckets
+    // of 5), arithmetic identical on both engines.
+    Q("f_histogram", (s, d) => {
+      Io.table(s, d, "lineitem")
+        .withColumn("bucket", least(floor((col("l_quantity") - 1) / 5).cast("int"), lit(9)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
+        .orderBy("bucket")
+    }, Some(
+      """SELECT LEAST(CAST(FLOOR((l_quantity - 1) / 5) AS INT), 9) AS bucket,
+        |  COUNT(*) AS n, MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Time-series resample + gap fill: daily event counts per type with
+    // missing days filled as 0 over the observed [min_day, max_day] span.
+    Q("g_resample_gapfill", (s, d) => {
+      val ev = Io.events(s, d).withColumn("day", day)
+      val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val types = ev.select(col("event_type")).distinct()
+      val grid = days.crossJoin(types)
+      val counts = ev.groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("n"))
+      grid.join(counts, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("day", "event_type")
+    }, Some(
+      """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type FROM events),
+        |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |days AS (SELECT UNNEST(generate_series(d0, d1)) AS day FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |counts AS (SELECT day, event_type, COUNT(*) AS n FROM ev GROUP BY day, event_type)
+        |SELECT days.day, types.event_type, COALESCE(counts.n, 0) AS n
+        |FROM days CROSS JOIN types
+        |LEFT JOIN counts ON counts.day = days.day AND counts.event_type = types.event_type
+        |ORDER BY days.day, types.event_type""".stripMargin)),
+
+    // Moving z-score anomaly detection over daily per-type counts
+    // (7-day trailing window; integer window sums → deterministic).
+    Q("g_moving_zscore", (s, d) => {
+      val ev = Io.events(s, d).withColumn("day", day)
+      val daily = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("wn", count(lit(1)).over(w))
+        .withColumn("ws", sum(col("cnt")).over(w))
+        .withColumn("wss", sum(col("cnt") * col("cnt")).over(w))
+        .withColumn("mean", col("ws") / col("wn"))
+        .withColumn("variance",
+          when(col("wn") >= 2, (col("wss") - col("ws") * col("ws") / col("wn")) / (col("wn") - 1)))
+        .withColumn("z",
+          when(col("variance") > 0, r4((col("cnt") - col("mean")) / sqrt(col("variance")))))
+        .select(col("event_type"), col("day"), col("cnt"), r4(col("mean")).as("mean_7d"),
+          col("z"), (abs(coalesce(col("z"), lit(0.0))) > 2.0).as("is_anomaly"))
+        .orderBy("event_type", "day")
+    }, Some(
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, day, cnt,
+        |    COUNT(*) OVER w AS wn, SUM(cnt) OVER w AS ws, SUM(cnt * cnt) OVER w AS wss
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |scored AS (
+        |  SELECT event_type, day, cnt,
+        |    ws / wn AS mean,
+        |    CASE WHEN wn >= 2 THEN (wss - ws * ws / wn) / (wn - 1) END AS variance
+        |  FROM win)
+        |SELECT event_type, day, cnt, ROUND(mean, 4) AS mean_7d,
+        |  CASE WHEN variance > 0 THEN ROUND((cnt - mean) / SQRT(variance), 4) END AS z,
+        |  ABS(COALESCE(CASE WHEN variance > 0
+        |                    THEN ROUND((cnt - mean) / SQRT(variance), 4) END, 0.0)) > 2.0
+        |    AS is_anomaly
+        |FROM scored ORDER BY event_type, day""".stripMargin))
+  )
+}
