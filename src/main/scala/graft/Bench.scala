@@ -12,6 +12,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/file-cache paths once so the first timed query
+    // doesn't absorb startup cost (scan + join + agg + window shapes).
+    try {
+      SparkEntry.queries.get("c_join_5way").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("e_win_rank").foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
