@@ -11,7 +11,8 @@ object Registry {
   def all: Seq[Q] =
     ScanOps.all ++ FilterOps.all ++ JoinOps.all ++ AggOps.all ++
       WindowOps.all ++ FuncOps.all ++ StreamBatchOps.all ++ TextOps.all ++
-      VectorOps.all ++ DedupOps.all ++ ExtOps.all ++ AnalyticsOps.all
+      VectorOps.all ++ DedupOps.all ++ ExtOps.all ++ AnalyticsOps.all ++
+      FuncExtraOps.all ++ EtlOps.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

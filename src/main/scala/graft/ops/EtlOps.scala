@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.io.Io
+import org.apache.spark.sql.functions._
+import Q._
+
+/** ETL/data-quality workflow operators: table profiling, CDC-style
+  * snapshot merge classification, and null repair (fill/drop). These are
+  * the batch-workflow shapes the reference category ("ETL/pipeline")
+  * implies beyond pure queries.
+  */
+object EtlOps {
+
+  val all: Seq[Q] = Seq(
+    // Column profile: one row per profiled column with count/nulls/
+    // distinct/min/max — the standard pre-ingest data-quality sweep.
+    // At scale this is one pass per profile batch (a single wide agg).
+    Q("e_profile_table", (s, d) => {
+      val li = Io.table(s, d, "lineitem")
+      def prof(c: String) = li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("double").as("min_val"),
+        max(col(c)).cast("double").as("max_val"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), r4(col("min_val")).as("min_val"), r4(col("max_val")).as("max_val"))
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(prof).reduce(_ unionByName _)
+        .orderBy("column_name")
+    }, Some(
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  ROUND(CAST(MIN($c) AS DOUBLE), 4) AS min_val,
+           |  ROUND(CAST(MAX($c) AS DOUBLE), 4) AS max_val
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))),
+
+    // CDC merge classification: previous snapshot (derived deterministic
+    // subset with drifted prices) vs current; classify insert/update/
+    // unchanged via a single full-outer join keyed on the PK — the merge
+    // shape that at 100 TB runs as one shuffle on the key.
+    Q("e_cdc_merge", (s, d) => {
+      val cur = Io.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val old = Io.table(s, d, "orders")
+        .filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("old_key"),
+          when(col("o_orderkey") % 5 === 0, round(col("o_totalprice") * 0.9, 2))
+            .otherwise(col("o_totalprice")).as("old_price"))
+      cur.join(old, col("o_orderkey") === col("old_key"), "full_outer")
+        .withColumn("status",
+          when(col("old_key").isNull, "insert")
+            .when(col("o_totalprice") =!= col("old_price"), "update")
+            .otherwise("unchanged"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }, Some(
+      """WITH old AS (
+        |  SELECT o_orderkey AS old_key,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN ROUND(o_totalprice * 0.9, 2)
+        |         ELSE o_totalprice END AS old_price
+        |  FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT CASE WHEN old_key IS NULL THEN 'insert'
+        |            WHEN o_totalprice <> old_price THEN 'update'
+        |            ELSE 'unchanged' END AS status,
+        |       COUNT(*) AS n
+        |FROM orders FULL OUTER JOIN old ON o_orderkey = old_key
+        |GROUP BY status ORDER BY status""".stripMargin)),
+
+    // Null repair: synthesize nulls deterministically, then fill one
+    // column and drop rows where another stays null.
+    Q("e_fillna_dropna", (s, d) => {
+      val withNulls = Io.table(s, d, "customer")
+        .withColumn("seg", nullif(col("c_mktsegment"), lit("BUILDING")))
+        .withColumn("bal", when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+      withNulls
+        .na.fill(Map("bal" -> 0.0))
+        .na.drop(Seq("seg"))
+        .select(col("c_custkey"), col("seg"), col("bal"))
+        .orderBy("c_custkey")
+    }, Some(
+      """SELECT c_custkey,
+        |  NULLIF(c_mktsegment, 'BUILDING') AS seg,
+        |  COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal
+        |FROM customer
+        |WHERE NULLIF(c_mktsegment, 'BUILDING') IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin))
+  )
+}

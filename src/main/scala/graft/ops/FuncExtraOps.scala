@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.io.Io
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Extended scalar-function surface (second wave) — string, date, math,
+  * and bit functions a user of the reference engine would expect to keep
+  * working. Per-row maps only; nothing here shuffles.
+  */
+object FuncExtraOps {
+
+  val all: Seq[Q] = Seq(
+    Q("f_str_funcs2", (s, d) => {
+      Io.table(s, d, "part")
+        .select(col("p_partkey"),
+          translate(col("p_brand"), "Brand#", "brandN").as("translated"),
+          expr("repeat(p_brand, 2)").as("repeated"),
+          reverse(col("p_name")).as("reversed"),
+          instr(col("p_name"), "a").as("first_a"),
+          expr("left(p_name, 3)").as("l3"),
+          expr("right(p_name, 3)").as("r3"),
+          regexp_replace(col("p_type"), lit(" "), lit("_")).as("snake_type"),
+          expr("replace(p_type, ' ', '+')").as("plus_type"),
+          ascii(col("p_name")).as("first_code"),
+          expr("chr(65 + CAST(p_partkey % 26 AS INT))").as("letter"),
+          col("p_name").startsWith("a").as("starts_a"),
+          col("p_name").endsWith("e").as("ends_e"),
+          col("p_name").contains("ol").as("has_ol"))
+        .orderBy("p_partkey")
+    }, Some(
+      """SELECT p_partkey,
+        |  translate(p_brand, 'Brand#', 'brandN') AS translated,
+        |  repeat(p_brand, 2) AS repeated,
+        |  reverse(p_name) AS reversed,
+        |  CAST(instr(p_name, 'a') AS INT) AS first_a,
+        |  left(p_name, 3) AS l3,
+        |  right(p_name, 3) AS r3,
+        |  regexp_replace(p_type, ' ', '_', 'g') AS snake_type,
+        |  replace(p_type, ' ', '+') AS plus_type,
+        |  CAST(ascii(p_name) AS INT) AS first_code,
+        |  chr(65 + CAST(p_partkey % 26 AS INT)) AS letter,
+        |  starts_with(p_name, 'a') AS starts_a,
+        |  ends_with(p_name, 'e') AS ends_e,
+        |  contains(p_name, 'ol') AS has_ol
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    Q("f_date_funcs2", (s, d) => {
+      val dt = col("o_orderdate").cast("date")
+      Io.table(s, d, "orders")
+        .select(col("o_orderkey"),
+          quarter(dt).as("qtr"),
+          weekofyear(dt).as("iso_week"),
+          add_months(dt, 3).as("plus_3mo"),
+          ((year(dt) * 12 + month(dt)) -
+            (lit(1995) * 12 + lit(1))).as("months_since_1995"),
+          date_format(dt, "yyyy-MM").as("ym"),
+          make_date(year(dt), month(dt), lit(1)).as("month_first"),
+          date_sub(dt, 7).as("minus_week"))
+        .orderBy("o_orderkey")
+    }, Some(
+      """SELECT o_orderkey,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+        |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+        |  CAST((year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)))
+        |       - (1995 * 12 + 1) AS INT) AS months_since_1995,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |  make_date(CAST(year(CAST(o_orderdate AS DATE)) AS INT),
+        |            CAST(month(CAST(o_orderdate AS DATE)) AS INT), 1) AS month_first,
+        |  CAST(o_orderdate AS DATE) - 7 AS minus_week
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("f_math_funcs2", (s, d) => {
+      Io.table(s, d, "part")
+        .select(col("p_partkey"),
+          r6(sin(col("p_size") / 10.0)).as("sin_x"),
+          r6(cos(col("p_size") / 10.0)).as("cos_x"),
+          r6(atan2(col("p_size").cast("double"), lit(7.0))).as("atan2_x"),
+          r6(exp(col("p_size") / 25.0)).as("exp_x"),
+          r6(log10(col("p_retailprice"))).as("log10_p"),
+          r6(log2(col("p_retailprice"))).as("log2_p"),
+          r6(cbrt(col("p_retailprice"))).as("cbrt_p"),
+          signum(col("p_size") - 25).cast("double").as("sign_off"),
+          greatest(col("p_size"), lit(10), lit(25)).as("gmax"),
+          least(col("p_size"), lit(10), lit(25)).as("lmin"),
+          r6(degrees(col("p_size") / 50.0)).as("deg"),
+          r6(radians(col("p_size").cast("double"))).as("rad"),
+          factorial(col("p_size") % 10).as("fact"))
+        .orderBy("p_partkey")
+    }, Some(
+      """SELECT p_partkey,
+        |  ROUND(sin(p_size / 10.0), 6) AS sin_x,
+        |  ROUND(cos(p_size / 10.0), 6) AS cos_x,
+        |  ROUND(atan2(CAST(p_size AS DOUBLE), 7.0), 6) AS atan2_x,
+        |  ROUND(exp(p_size / 25.0), 6) AS exp_x,
+        |  ROUND(log10(p_retailprice), 6) AS log10_p,
+        |  ROUND(log2(p_retailprice), 6) AS log2_p,
+        |  ROUND(cbrt(p_retailprice), 6) AS cbrt_p,
+        |  CAST(sign(p_size - 25) AS DOUBLE) AS sign_off,
+        |  CAST(greatest(p_size, 10, 25) AS INT) AS gmax,
+        |  CAST(least(p_size, 10, 25) AS INT) AS lmin,
+        |  ROUND(degrees(p_size / 50.0), 6) AS deg,
+        |  ROUND(radians(CAST(p_size AS DOUBLE)), 6) AS rad,
+        |  CAST(factorial(p_size % 10) AS BIGINT) AS fact
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    Q("f_bit_funcs", (s, d) => {
+      Io.table(s, d, "part")
+        .select(col("p_partkey"),
+          expr("p_size & 21").as("b_and"),
+          expr("p_size | 21").as("b_or"),
+          expr("p_size ^ 21").as("b_xor"),
+          shiftleft(col("p_size"), 2).as("b_shl"),
+          shiftright(col("p_size"), 1).as("b_shr"),
+          bit_count(col("p_size")).as("b_pop"))
+        .orderBy("p_partkey")
+    }, Some(
+      """SELECT p_partkey,
+        |  p_size & 21 AS b_and,
+        |  p_size | 21 AS b_or,
+        |  xor(p_size, 21) AS b_xor,
+        |  p_size << 2 AS b_shl,
+        |  p_size >> 1 AS b_shr,
+        |  CAST(bit_count(p_size) AS INT) AS b_pop
+        |FROM part ORDER BY p_partkey""".stripMargin))
+  )
+}
