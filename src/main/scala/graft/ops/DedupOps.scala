@@ -203,6 +203,67 @@ object DedupOps {
         |      / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Transitive dedup clusters: connected components over the exact
+    // near-dup pair graph (same-lang, j >= 0.9), labels = min doc_id per
+    // component. Spark side is iterative min-label propagation (the
+    // standard distributed CC: each round is one join + one groupBy,
+    // lineage truncated via localCheckpoint; converges in O(log
+    // diameter) rounds). Oracle: DuckDB recursive-CTE transitive
+    // closure. Output: every doc with its cluster representative and
+    // cluster size — the "keep one per duplicate group" primitive.
+    Q("h_dedup_clusters", (s, d) => {
+      val t = docMasks(s, d)
+      val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("mask").as("ma"))
+      val b = t.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("mask").as("mb"))
+      val pairs = a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+        .filter(maskJaccard("ma", "mb") >= 0.9)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst").localCheckpoint(true)
+      val docs = Io.table(s, d, "documents").select(col("doc_id"))
+      var labels = docs.withColumn("rep", col("doc_id")).localCheckpoint(true)
+      var prevSum = labels.agg(sum(col("rep"))).head.getLong(0)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 30) {
+        val viaNbr = edges.join(labels, edges("dst") === labels("doc_id"))
+          .select(col("src").as("doc_id"), col("rep"))
+        labels = labels.select(col("doc_id"), col("rep")).union(viaNbr)
+          .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
+          .localCheckpoint(true)
+        val sumRep = labels.agg(sum(col("rep"))).head.getLong(0)
+        converged = sumRep == prevSum
+        prevSum = sumRep
+        iter += 1
+      }
+      val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("n_members"))
+      labels.join(sizes, "rep")
+        .select(col("doc_id"), col("rep").as("cluster_rep"), col("n_members"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks))
+        |        / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.9),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |rep AS (
+        |  SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_rep
+        |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT rep.doc_id, rep.cluster_rep, sz.n_members
+        |FROM rep JOIN (SELECT cluster_rep, COUNT(*) AS n_members
+        |               FROM rep GROUP BY cluster_rep) sz USING (cluster_rep)
+        |ORDER BY doc_id""".stripMargin)),
+
     // SimHash near-dup: 32-bit signatures, pairs at hamming <= 2 via
     // 4-band blocking (exact by pigeonhole for hamming <= 3).
     Q("h_simhash_dedup", (s, d) => {

@@ -31,6 +31,40 @@ class SourceSpec extends AnyFunSuite {
       src.select("r_regionkey", "r_name").orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("orc round-trips") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val src = Io.table(spark, sf, "supplier")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("s_suppkey").collect().toSeq ===
+      src.orderBy("s_suppkey").collect().toSeq)
+  }
+
+  test("text source reads lines") {
+    val dir = Files.createTempDirectory("graft_txt").toString
+    Io.table(spark, sf, "region").select(col("r_name"))
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val lines = spark.read.text(dir).collect().map(_.getString(0)).toSet
+    assert(lines === Io.table(spark, sf, "region").collect().map(_.getString(1)).toSet)
+  }
+
+  test("streaming file source + foreachBatch drains a parquet directory") {
+    val dir = Files.createTempDirectory("graft_stream_src").toString
+    val ev = Io.events(spark, sf).select("event_id", "ts_us", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").parquet(dir)
+    val schema = ev.schema
+    var total = 0L
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        total += batch.count()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(total === ev.count())
+  }
+
   test("partition pruning skips non-matching partitions") {
     val dir = Files.createTempDirectory("graft_part").toString
     Io.table(spark, sf, "orders")
