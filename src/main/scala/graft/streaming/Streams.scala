@@ -66,6 +66,28 @@ object Streams {
       .join(broadcast(nation), col("n_key") === col("n_nationkey"))
       .select(col("event_id"), col("user_id"), col("n_name"), col("value"))
 
+  /** Stream-stream inner join: each purchase joined to clicks of the
+    * same user within the preceding hour. Both sides carry watermarks so
+    * the join state is bounded — rows older than (watermark − bound) are
+    * evicted; this is THE pattern for correlating two live streams at
+    * scale without unbounded state. Works identically on batch frames
+    * (the parity test's oracle).
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = withTime(purchases)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts_us").as("p_us"), col("ts_t").as("p_t"))
+      .withWatermark("p_t", "30 minutes")
+    val c = withTime(clicks)
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts_us").as("c_us"), col("ts_t").as("c_t"))
+      .withWatermark("c_t", "30 minutes")
+    p.join(c, expr(
+      """p_user = c_user AND
+        |c_t BETWEEN p_t - INTERVAL 1 HOUR AND p_t""".stripMargin))
+      .select(col("p_id"), col("c_id"), col("p_us"), col("c_us"))
+  }
+
   // ---- arbitrary stateful processing -------------------------------
 
   case class Ev(event_id: Long, ts_us: Long, user_id: Long, event_type: String, value: Double)

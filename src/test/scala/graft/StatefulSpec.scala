@@ -65,6 +65,15 @@ class StatefulSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile lands within tolerance of the exact percentile") {
+    import org.apache.spark.sql.functions._
+    val li = Io.table(spark, sf, "lineitem")
+    val r = li.agg(
+      expr("approx_percentile(l_quantity, 0.5, 1000)").as("appx"),
+      expr("percentile(l_quantity, 0.5)").as("exact")).collect().head
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 2.0)
+  }
+
   test("builtin stddev/corr agree with the exact-decimal formulation") {
     import org.apache.spark.sql.functions._
     val li = Io.table(spark, sf, "lineitem")

@@ -78,6 +78,22 @@ class StreamParitySpec extends AnyFunSuite {
     assert(rows(stream) === rows(batch))
   }
 
+  test("stream-stream time-bounded join: stream == batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val purchases = evRows.filter(_.event_type == "purchase")
+    val clicks = evRows.filter(_.event_type == "click")
+    val memP = MemoryStream[Ev]; val memC = MemoryStream[Ev]
+    memP.addData(purchases); memC.addData(clicks)
+    val q = Streams.purchaseClickJoin(memP.toDF(), memC.toDF())
+      .writeStream.format("memory").queryName("ssj").outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val stream = spark.table("ssj")
+    val batch = Streams.purchaseClickJoin(purchases.toDF(), clicks.toDF())
+    assert(rows(stream) === rows(batch))
+    assert(stream.count() > 0)
+  }
+
   test("watermark drops events later than the watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
