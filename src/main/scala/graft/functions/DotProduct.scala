@@ -73,5 +73,9 @@ object DotProduct {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bitmask_jaccard"),
+      new ExpressionInfo(classOf[BitmaskJaccard].getName, "bitmask_jaccard"),
+      (children: Seq[Expression]) => BitmaskJaccard(children(0), children(1)))
   }
 }

@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bitmask_jaccard"),
+      new ExpressionInfo(classOf[BitmaskJaccard].getName, "bitmask_jaccard"),
+      (children: Seq[Expression]) => BitmaskJaccard(children(0), children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
