@@ -171,10 +171,12 @@ object DedupOps {
       // is what bounds the candidate-join volume on this pathologically
       // self-similar corpus (74% of pairs exceed j=0.5).
       val numHashes = 64; val bands = 16; val rowsPerBand = numHashes / bands
+      graft.functions.MinHashSig.register(s)
       val t = docToks(s, d)
-      val sig = array((0 until numHashes).map { i =>
-        array_min(transform(col("toks"), tk => xxhash64(concat(tk, lit("#" + i)))))
-      }: _*)
+      // native one-pass signature (graft.functions.MinHashSig): each
+      // token's bytes hash once, per-permutation values derive by seed
+      // mixing in generated code.
+      val sig = expr(s"minhash_sig(toks, $numHashes)")
       val bandHashes = array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
           (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*),
