@@ -14,6 +14,11 @@ run / fork := true
 // Forked run output passes through unprefixed — the driver parses
 // Bench's single JSON line from stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The driver parses the LAST stdout line as JSON; sbt's trailing
+// "[success] Total time: ..." line broke that in round 1 (BENCH_r01.json
+// "parsed": null). Suppress it so Bench's JSON line is genuinely last.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -181,11 +181,25 @@ object AggOps {
 
     // HLL++ sketch differs from DuckDB's HLL → rows-only check here;
     // bounds vs exact distinct asserted in scalatest.
+    // HLL sketches differ across engines, so the raw approx count is not
+    // oracle-checkable. Instead emit the exact distinct count plus a
+    // within-10%-of-exact flag: each engine's HLL is deterministic, both
+    // flags come out true, and the query becomes hash-checkable while
+    // still exercising the sketch path end-to-end.
     Q("d_agg_approx_hll", (s, d) => {
       Io.table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx_raw"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_raw") - col("exact_parts")) <=
+            col("exact_parts") * 0.1).as("approx_ok"))
         .orderBy("l_returnflag")
-    }, None)
+    }, Some(
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+        |    <= COUNT(DISTINCT l_partkey) * 0.1 AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -189,18 +189,25 @@ object FuncOps {
           size(col("embedding")).as("dim"),
           r6(element_at(col("embedding"), 1).cast("double")).as("first_elem"),
           r6(element_at(col("embedding"), 64).cast("double")).as("last_elem"),
-          sort_array(array(col("label"), col("label") * 2, lit(7))).as("arr_sorted"),
-          sort_array(array_distinct(array(col("label"), col("label"), lit(3)))).as("arr_dist"),
-          flatten(array(array(col("label")), array(col("label") + 1))).as("arr_flat"))
+          // Emit arrays joined to strings: the driver's comparator sorts
+          // result rows in pandas, and raw array/map cells are unhashable
+          // there (round-1 f_array_funcs failure). Same array functions
+          // are exercised; only the final rendering is scalar.
+          array_join(transform(sort_array(array(col("label"), col("label") * 2, lit(7))),
+            x => x.cast("string")), "|").as("arr_sorted"),
+          array_join(transform(sort_array(array_distinct(array(col("label"), col("label"), lit(3)))),
+            x => x.cast("string")), "|").as("arr_dist"),
+          array_join(transform(flatten(array(array(col("label")), array(col("label") + 1))),
+            x => x.cast("string")), "|").as("arr_flat"))
         .orderBy("vec_id")
     }, Some(
       """SELECT vec_id,
         |  CAST(len(embedding) AS INT) AS dim,
         |  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
         |  ROUND(CAST(embedding[64] AS DOUBLE), 6) AS last_elem,
-        |  list_sort([label, label * 2, 7]) AS arr_sorted,
-        |  list_sort(list_distinct([label, label, 3])) AS arr_dist,
-        |  flatten([[label], [label + 1]]) AS arr_flat
+        |  array_to_string(list_sort([label, label * 2, 7]), '|') AS arr_sorted,
+        |  array_to_string(list_sort(list_distinct([label, label, 3])), '|') AS arr_dist,
+        |  array_to_string(flatten([[label], [label + 1]]), '|') AS arr_flat
         |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     Q("f_array_explode", (s, d) => {
@@ -238,14 +245,16 @@ object FuncOps {
         .select(col("doc_id"),
           element_at(m, "lang").as("m_lang"),
           element_at(m, "source").as("m_source"),
-          sort_array(map_keys(m)).as("m_keys"),
+          // Joined to a string for the same unhashable-cell reason as
+          // f_array_funcs above (round-1 f_map_funcs failure).
+          array_join(sort_array(map_keys(m)), "|").as("m_keys"),
           size(map_values(m)).as("n_vals"))
         .orderBy("doc_id")
     }, Some(
       """SELECT doc_id,
         |  lang AS m_lang,
         |  source AS m_source,
-        |  ['lang', 'source'] AS m_keys,
+        |  'lang|source' AS m_keys,
         |  2 AS n_vals
         |FROM documents ORDER BY doc_id""".stripMargin)),
 

@@ -76,8 +76,9 @@ object StreamBatchOps {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
         |sess AS (
         |  SELECT user_id, ts_us,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sess_no
         |  FROM flagged)
         |SELECT user_id, sess_no, COUNT(*) AS n_events,
         |  MIN(ts_us) AS sess_start_us, MAX(ts_us) AS sess_end_us,

@@ -64,6 +64,36 @@ def main():
             o = con.execute(sql)
             ocols = [d[0] for d in o.description]
             orows = o.fetchall()
+            # Mirror the driver: it converts both sides to pandas, sorts by
+            # every column, and hashes. Two extra failure modes exist there
+            # that fetchall()-comparison hides (both bit us in round 1):
+            #  1. unsortable complex cells (list/map/struct -> ndarray/dict)
+            #  2. dtype drift (e.g. DuckDB HUGEINT -> object/float while
+            #     Spark writes int64) -> identical values, different hash
+            sdf = con.execute(
+                f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").df()
+            odf = con.execute(sql).df()
+            complex_cols = [c for c in sdf.columns
+                            if sdf[c].map(lambda v: isinstance(v, (list, dict, tuple))
+                                          or type(v).__name__ == 'ndarray').any()]
+            if complex_cols:
+                print(f"FAIL {name}: driver-unsortable complex columns {complex_cols}")
+                nfail += 1
+                continue
+            # Compare dtype KIND only (i/u are interchangeable; width never
+            # changes the rendered value, but int-vs-float/object does).
+            def dkind(df, c):
+                k = df[c].dtype.kind
+                return 'i' if k in ('i', 'u') else k
+            sdt = {c: dkind(sdf, c) for c in sdf.columns}
+            odt = {c: dkind(odf, c) for c in odf.columns}
+            dtmis = {c: (str(sdf[c].dtype), str(odf[c].dtype)) for c in sdt
+                     if c in odt and sdt[c] != odt[c]
+                     and not (len(sdf) == 0 or len(odf) == 0)}
+            if dtmis:
+                print(f"FAIL {name}: pandas dtype mismatch {dtmis}")
+                nfail += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             nfail += 1
