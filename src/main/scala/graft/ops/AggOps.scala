@@ -200,6 +200,66 @@ object AggOps {
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |  ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
         |    <= COUNT(DISTINCT l_partkey) * 0.1 AS approx_ok
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Linear-regression aggregates. The checked values are computed from
+    // exact decimal moment sums (order-independent, identical on both
+    // engines); the builtin streaming regr_slope/regr_intercept are
+    // additionally asserted to sit within 1e-6 relative of the exact
+    // value — so the builtin path is exercised AND the output stays
+    // hash-stable.
+    Q("d_agg_regr", (s, d) => {
+      val x = col("l_quantity").cast("double")
+      val y = col("l_extendedprice").cast("double")
+      Io.table(s, d, "lineitem")
+        .select(col("l_returnflag"), x.as("x"), y.as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          decSum(col("x")).as("sx"), decSum(col("y")).as("sy"),
+          decSum(col("x") * col("y")).as("sxy"),
+          decSum(col("x") * col("x")).as("sxx"),
+          expr("regr_slope(y, x)").as("bslope"),
+          expr("regr_intercept(y, x)").as("bicept"))
+        .select(col("l_returnflag"), col("n"),
+          r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+          r6((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n")).as("icept"),
+          (abs(col("bslope") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))) <=
+            abs((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))) * 1e-6).as("builtin_ok"))
+        .orderBy("l_returnflag")
+    }, Some(
+      s"""WITH m AS (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |    ${dSum("l_quantity")} AS sx, ${dSum("l_extendedprice")} AS sy,
+         |    ${dSum("l_quantity * l_extendedprice")} AS sxy,
+         |    ${dSum("l_quantity * l_quantity")} AS sxx,
+         |    regr_slope(l_extendedprice, l_quantity) AS bslope
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS icept,
+         |  ABS(bslope - (n * sxy - sx * sy) / (n * sxx - sx * sx))
+         |    <= ABS((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e-6 AS builtin_ok
+         |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // Boolean aggregates + conditional counting per group.
+    Q("d_agg_bool", (s, d) => {
+      Io.table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("bool_and(o_totalprice > 1000.0)").as("all_over_1k"),
+          expr("bool_or(o_totalprice > 400000.0)").as("any_over_400k"),
+          expr("count_if(o_orderstatus = 'F')").as("n_finished"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }, Some(
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000.0) AS any_over_400k,
+        |  CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

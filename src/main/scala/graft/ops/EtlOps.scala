@@ -88,6 +88,26 @@ object EtlOps {
         |  COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal
         |FROM customer
         |WHERE NULLIF(c_mktsegment, 'BUILDING') IS NOT NULL
-        |ORDER BY c_custkey""".stripMargin))
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // SCD2-style validity ranges: each event version is valid until the
+    // user's next event (lead); the open-ended row is current. The same
+    // window shape builds slowly-changing-dimension tables from CDC logs.
+    Q("e_scd2_ranges", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Io.events(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+        .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .orderBy("user_id", "ts_us", "event_id")
+    }, Some(
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |  LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |                              ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+        |  LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |                              ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, ts_us, event_id""".stripMargin))
   )
 }

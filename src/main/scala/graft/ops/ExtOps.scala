@@ -117,6 +117,31 @@ object ExtOps {
         |  3 AS channels,
         |  ROUND(ascii(substr(text, 1, 1)) / 255.0, 6) AS mean_px,
         |  CAST(octet_length(CAST(text AS BLOB)) * 30 // 100 + 1 AS INT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Frame sampling over the media column: every 10th frame index of
+    // each "video" becomes a row (sequence + explode — the row-explosion
+    // shape a real decoder plugs into), with a deterministic per-frame
+    // fingerprint standing in for decoded-frame features. At 100 TB the
+    // explode is map-side only; no shuffle until a downstream agg.
+    Q("h_media_framesample", (s, d) => {
+      Io.table(s, d, "documents").filter(col("doc_id") < 100)
+        .withColumn("media", col("text").cast("binary"))
+        .withColumn("n_frames",
+          expr("CAST((CAST(length(media) AS BIGINT) * 30) DIV 100 + 1 AS INT)"))
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(10))).as("frame_idx"))
+        .withColumn("frame_sig",
+          (col("doc_id") * 1000003L + col("frame_idx")) * 2654435761L % 1000000007L)
+        .orderBy("doc_id", "frame_idx")
+    }, Some(
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) * 30 // 100 + 1 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx,
+        |  (doc_id * 1000003 + f) * 2654435761 % 1000000007 AS frame_sig
+        |FROM m, LATERAL UNNEST(generate_series(0, n_frames - 1, 10)) AS u(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

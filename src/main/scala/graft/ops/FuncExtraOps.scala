@@ -123,6 +123,39 @@ object FuncExtraOps {
         |  p_size << 2 AS b_shl,
         |  p_size >> 1 AS b_shr,
         |  CAST(bit_count(p_size) AS INT) AS b_pop
-        |FROM part ORDER BY p_partkey""".stripMargin))
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Cryptographic digests + base64 — content-addressing primitives
+    // (dedup keys, cache keys, stable shard assignment at 100 TB).
+    Q("f_hash_funcs", (s, d) => {
+      Io.table(s, d, "part")
+        .select(col("p_partkey"),
+          md5(col("p_name")).as("h_md5"),
+          sha2(col("p_name"), 256).as("h_sha256"),
+          base64(col("p_name").cast("binary")).as("h_b64"),
+          substring(sha2(col("p_name"), 256), 1, 8).as("shard_key"))
+        .orderBy("p_partkey")
+    }, Some(
+      """SELECT p_partkey,
+        |  md5(p_name) AS h_md5,
+        |  sha256(p_name) AS h_sha256,
+        |  base64(CAST(p_name AS BLOB)) AS h_b64,
+        |  substr(sha256(p_name), 1, 8) AS shard_key
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Deterministic ~5% sample via a multiplicative hash of the key —
+    // the portable, engine-independent way to sample a fixed cohort out
+    // of 100 TB (rand()-based sampling is neither reproducible across
+    // runs nor comparable across engines). Knuth multiplier mod 2^32.
+    Q("f_sample_hash", (s, d) => {
+      Io.table(s, d, "orders")
+        .filter(expr("(o_orderkey * 2654435761) % 4294967296 < 214748364"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }, Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE (o_orderkey * 2654435761) % 4294967296 < 214748364
+        |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -115,6 +115,50 @@ object StreamBatchOps {
     }, Some(
       s"""SELECT n_name, COUNT(*) AS n_events, ROUND(${dSum("value")}, 4) AS sum_value
          |FROM events JOIN nation ON CAST(user_id % 25 AS INT) = n_nationkey
-         |GROUP BY n_name ORDER BY n_name""".stripMargin))
+         |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Per-user ordered event-type path (clickstream sequence analysis).
+    // The collect is bounded per user and sorted by a total key, so the
+    // rendered path string is deterministic on both engines.
+    Q("g_user_path", (s, d) => {
+      Io.events(s, d).filter(col("user_id") < 50)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type")),
+            ">").as("path"))
+        .orderBy("user_id")
+    }, Some(
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id, event_type) AS path
+        |FROM events WHERE user_id < 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Batch twin of the stream-stream interval join: each click joined
+    // to the same user's purchases within the following hour. Streaming
+    // form: two readStreams, watermarks on both sides, time-bound join
+    // condition sizes the state store (see StreamParitySpec).
+    Q("g_click_purchase_join", (s, d) => {
+      val ev = Io.events(s, d)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_us").as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purch_id"), col("ts_us").as("p_ts"))
+      c.join(p, col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") && col("p_ts") <= col("c_ts") + 3600000000L)
+        .select(col("user_id"), col("click_id"), col("purch_id"),
+          (col("p_ts") - col("c_ts")).as("lag_us"))
+        .orderBy("user_id", "click_id", "purch_id")
+    }, Some(
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purch_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        |ORDER BY c.user_id, click_id, purch_id""".stripMargin))
   )
 }

@@ -43,6 +43,55 @@ object VectorOps {
     Io.table(s, d, "embeddings").withColumn("dv", dvec(col("embedding")))
   }
 
+  /** Random-hyperplane LSH signatures, banded: (vec_id, band, band_val).
+    *
+    * 16 hyperplanes, 4 bands × 4 bits. The plane weights are
+    * pseudo-random but generated with exact integer arithmetic
+    * (multiplicative hash mod a prime), NOT a libm function — `sin()`
+    * can differ by 1 ulp across engines, and a near-zero projection
+    * would then flip a sign bit on one side only. Projections accumulate
+    * in DECIMAL(38,12) (order-independent, bit-identical to the DuckDB
+    * twin), so the sign — and therefore every signature — is exactly
+    * reproducible.
+    *
+    * 100 TB shape: the 1024-row plane table broadcasts; each vector's
+    * signature is one map-side pass + a groupBy(vec_id) that AQE
+    * coalesces; candidate generation is an equi-join on (band,
+    * band_val) — never a cartesian.
+    */
+  private def lshSigs(s: SparkSession, d: String): DataFrame = {
+    val planes = s.range(0, 16).select(col("id").cast("int").as("p"))
+      .crossJoin(s.range(1, 65).select(col("id").cast("int").as("pos")))
+      .withColumn("w",
+        (((col("p") * 64 + col("pos")) * lit(2654435761L)) % 1000003L)
+          .cast("double") / 1000003.0 - 0.5)
+    Io.table(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .withColumn("pos", col("pos0") + 1)
+      .join(broadcast(planes), "pos")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum((col("v").cast("double") * col("w")).cast(dec12)).cast("double").as("pr"))
+      .withColumn("band", expr("p div 4"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(expr("sum(CAST(CASE WHEN pr >= 0.0 THEN shiftleft(1, p % 4) ELSE 0 END AS BIGINT))")
+        .as("band_val"))
+  }
+
+  /** DuckDB twin of [[lshSigs]] (CTE prefix `planes`/`proj`/`sig`). */
+  private val duckSig =
+    """planes AS (
+      |  SELECT p, i, ((p * 64 + i) * 2654435761 % 1000003) / 1000003.0 - 0.5 AS w
+      |  FROM (SELECT UNNEST(generate_series(0, 15)) AS p),
+      |       (SELECT UNNEST(generate_series(1, 64)) AS i)),
+      |proj AS (
+      |  SELECT e.vec_id, pl.p,
+      |    CAST(SUM(CAST(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w AS DECIMAL(38,12))) AS DOUBLE) AS pr
+      |  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p),
+      |sig AS (
+      |  SELECT vec_id, p // 4 AS band,
+      |    CAST(SUM(CASE WHEN pr >= 0 THEN (1 << (p % 4)) ELSE 0 END) AS BIGINT) AS band_val
+      |  FROM proj GROUP BY 1, 2)""".stripMargin
+
   /** cosine between two pre-cast double vectors. */
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -178,6 +227,90 @@ object VectorOps {
          |  b.vec_id AS nn_id, b.cell, ROUND($duckCos, 6) AS sim
          |FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id <> b.vec_id
          |WHERE a.vec_id < 20
-         |QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin))
+         |QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+
+    // LSH-bucketed ANN (the second scale path next to IVF): top-3
+    // neighbors per query among vectors sharing >= 1 signature band.
+    // Candidate recall is a function of the band layout only, and the
+    // oracle replicates the layout exactly — so the approximation itself
+    // is verified, not just the final arithmetic.
+    Q("h_ann_lsh", (s, d) => {
+      val sig = lshSigs(s, d)
+      val qsig = sig.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("band"), col("band_val"))
+      val cand = qsig.join(sig, Seq("band", "band_val"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("nn_id")).distinct()
+      val e = withDoubles(s, d)
+        .select(col("vec_id"), col("dv"), sqrt(dot(col("dv"), col("dv"))).as("nrm"))
+      val qe = e.select(col("vec_id").as("q_id"), col("dv").as("qv"), col("nrm").as("qn"))
+      val ne = e.select(col("vec_id").as("nn_id"), col("dv").as("nv"), col("nrm").as("nn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nn_id"))
+      cand.join(qe, "q_id").join(ne, "nn_id")
+        .withColumn("sim", r6(dot(col("qv"), col("nv")) / (col("qn") * col("nn"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn"), col("nn_id"), col("sim"))
+        .orderBy("q_id", "rn")
+    }, Some(
+      s"""WITH $duckSig,
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS nn_id
+         |  FROM sig q JOIN sig n
+         |    ON q.band = n.band AND q.band_val = n.band_val AND q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < 20)
+         |SELECT c.q_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY c.q_id
+         |    ORDER BY ROUND($duckCos, 6) DESC, c.nn_id) AS INT) AS rn,
+         |  c.nn_id, ROUND($duckCos, 6) AS sim
+         |FROM cand c JOIN embeddings a ON a.vec_id = c.q_id
+         |            JOIN embeddings b ON b.vec_id = c.nn_id
+         |QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+
+    // Embedding-cosine near-dedup: LSH-candidate pairs verified at
+    // cosine >= 0.4 (this corpus's vectors are near-orthogonal — max
+    // pair cosine ~0.51 — so the threshold sits where near-dups exist).
+    // Each vector reports the lowest-id near-duplicate it collapses
+    // into (dup_of), the count of such edges, and a survivor flag —
+    // the keep-min-id dedup contract, same as h_exact_dedup.
+    Q("h_embed_dedup", (s, d) => {
+      val sig = lshSigs(s, d)
+      val a = sig.select(col("vec_id").as("id_a"), col("band"), col("band_val"))
+      val b = sig.select(col("vec_id").as("id_b"), col("band"), col("band_val"))
+      val cand = a.join(b, Seq("band", "band_val"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val e = withDoubles(s, d)
+        .select(col("vec_id"), col("dv"), sqrt(dot(col("dv"), col("dv"))).as("nrm"))
+      val ea = e.select(col("vec_id").as("id_a"), col("dv").as("va"), col("nrm").as("na"))
+      val eb = e.select(col("vec_id").as("id_b"), col("dv").as("vb"), col("nrm").as("nb"))
+      val edges = cand.join(ea, "id_a").join(eb, "id_b")
+        .withColumn("sim", r6(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+        .filter(col("sim") >= 0.4)
+        .groupBy(col("id_b"))
+        .agg(min(col("id_a")).as("dup_of"), count(lit(1)).as("n_dup_lower"))
+      Io.table(s, d, "embeddings").select(col("vec_id"))
+        .join(edges, col("vec_id") === col("id_b"), "left")
+        .select(col("vec_id"), col("dup_of"),
+          coalesce(col("n_dup_lower"), lit(0L)).as("n_dup_lower"),
+          col("dup_of").isNull.as("survives"))
+        .orderBy("vec_id")
+    }, Some(
+      s"""WITH $duckSig,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM sig x JOIN sig y
+         |    ON x.band = y.band AND x.band_val = y.band_val AND x.vec_id < y.vec_id),
+         |edges AS (
+         |  SELECT c.id_b, MIN(c.id_a) AS dup_of, COUNT(*) AS n_dup_lower
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+         |              JOIN embeddings b ON b.vec_id = c.id_b
+         |  WHERE ROUND($duckCos, 6) >= 0.4
+         |  GROUP BY c.id_b)
+         |SELECT e.vec_id, edges.dup_of,
+         |  CAST(COALESCE(edges.n_dup_lower, 0) AS BIGINT) AS n_dup_lower,
+         |  edges.dup_of IS NULL AS survives
+         |FROM embeddings e LEFT JOIN edges ON e.vec_id = edges.id_b
+         |ORDER BY e.vec_id""".stripMargin))
   )
 }

@@ -166,6 +166,37 @@ object WindowOps {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // nth_value, lead-with-default, and IGNORE NULLS last_value — all on
+    // explicit ROWS frames with a unique order key (RANGE frames over
+    // tied keys would be engine-dependent).
+    Q("e_win_nth", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Io.table(s, d, "orders")
+        .filter(col("o_custkey") < 100)
+        .withColumn("nullable_status", nullif(col("o_orderstatus"), lit("O")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
+          lead(col("o_totalprice"), 1, -1.0).over(ord).as("next_price"),
+          last(col("nullable_status"), ignoreNulls = true).over(run).as("last_closed"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+        |  NTH_VALUE(o_totalprice, 2) OVER wf AS second_price,
+        |  LEAD(o_totalprice, 1, -1.0) OVER wo AS next_price,
+        |  LAST_VALUE(NULLIF(o_orderstatus, 'O') IGNORE NULLS) OVER wr AS last_closed
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW
+        |  wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 }
