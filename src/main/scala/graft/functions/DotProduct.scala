@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst dot product over two ArrayType(Double) columns.
   *
@@ -25,19 +25,38 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  // array<float> is accepted alongside array<double>: float→double
+  // widening is exact, so the accumulation is bit-identical to casting
+  // the array first — but skips the interpreted `transform(_.cast)`
+  // lambda (and halves the bytes when the vector is broadcast).
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"dot_product expects array<double> inputs, got ${left.dataType} / ${right.dataType}")
+      s"dot_product expects array<double|float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def toDoubles(a: Any, float: Boolean): Array[Double] = {
+    val ad = a.asInstanceOf[ArrayData]
+    if (float) {
+      val f = ad.toFloatArray(); val out = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { out(i) = f(i).toDouble; i += 1 }
+      out
+    } else ad.toDoubleArray()
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toDoubleArray()
-    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val x = toDoubles(a, isFloat(left))
+    val y = toDoubles(b, isFloat(right))
     val n = math.min(x.length, y.length)
     var s = 0.0
     var i = 0
@@ -50,12 +69,15 @@ case class DotProduct(left: Expression, right: Expression)
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      def decl(v: String, src: String, float: Boolean): String =
+        if (float) s"float[] $v = $src.toFloatArray();"
+        else s"double[] $v = $src.toDoubleArray();"
       s"""
-         |double[] $x = $a.toDoubleArray();
-         |double[] $y = $b.toDoubleArray();
+         |${decl(x, a, isFloat(left))}
+         |${decl(y, b, isFloat(right))}
          |int $n = Math.min($x.length, $y.length);
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $s += $x[$i] * $y[$i]; }
+         |for (int $i = 0; $i < $n; $i++) { $s += ((double) $x[$i]) * ((double) $y[$i]); }
          |${ev.value} = $s;
        """.stripMargin
     })

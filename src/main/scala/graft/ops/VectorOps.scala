@@ -38,43 +38,34 @@ object VectorOps {
   private def dot(a: Column, b: Column): Column =
     expr(s"dot_product(${a.toString}, ${b.toString})")
 
+  /** dv is the raw float32 vector: dot_product widens float→double
+    * per element (exact), so results are bit-identical to casting the
+    * array first — without the interpreted transform() lambda that used
+    * to dominate broadcast-build time, and at half the broadcast bytes.
+    */
   private def withDoubles(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotProduct.register(s)
-    Io.table(s, d, "embeddings").withColumn("dv", dvec(col("embedding")))
+    Io.table(s, d, "embeddings").withColumn("dv", col("embedding"))
   }
 
   /** Random-hyperplane LSH signatures, banded: (vec_id, band, band_val).
     *
-    * 16 hyperplanes, 4 bands × 4 bits. The plane weights are
-    * pseudo-random but generated with exact integer arithmetic
-    * (multiplicative hash mod a prime), NOT a libm function — `sin()`
-    * can differ by 1 ulp across engines, and a near-zero projection
-    * would then flip a sign bit on one side only. Projections accumulate
-    * in DECIMAL(38,12) (order-independent, bit-identical to the DuckDB
-    * twin), so the sign — and therefore every signature — is exactly
-    * reproducible.
+    * 16 hyperplanes, 4 bands × 4 bits, computed by the native one-pass
+    * [[graft.functions.LshBands]] expression (exact integer plane
+    * weights + scaled-decimal accumulation, so every sign bit is
+    * engine-reproducible; see its scaladoc). The relational long form
+    * (posexplode → plane join → decimal sums) is what the DuckDB oracle
+    * runs — proving the native path equal every round.
     *
-    * 100 TB shape: the 1024-row plane table broadcasts; each vector's
-    * signature is one map-side pass + a groupBy(vec_id) that AQE
-    * coalesces; candidate generation is an equi-join on (band,
-    * band_val) — never a cartesian.
+    * 100 TB shape: signatures are pure map-side scan parallelism; the
+    * only shuffle in the pipeline is candidate generation, an equi-join
+    * on (band, band_val) — never a cartesian.
     */
   private def lshSigs(s: SparkSession, d: String): DataFrame = {
-    val planes = s.range(0, 16).select(col("id").cast("int").as("p"))
-      .crossJoin(s.range(1, 65).select(col("id").cast("int").as("pos")))
-      .withColumn("w",
-        (((col("p") * 64 + col("pos")) * lit(2654435761L)) % 1000003L)
-          .cast("double") / 1000003.0 - 0.5)
+    graft.functions.LshBands.register(s)
     Io.table(s, d, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
-      .withColumn("pos", col("pos0") + 1)
-      .join(broadcast(planes), "pos")
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum((col("v").cast("double") * col("w")).cast(dec12)).cast("double").as("pr"))
-      .withColumn("band", expr("p div 4"))
-      .groupBy(col("vec_id"), col("band"))
-      .agg(expr("sum(CAST(CASE WHEN pr >= 0.0 THEN shiftleft(1, p % 4) ELSE 0 END AS BIGINT))")
-        .as("band_val"))
+      .select(col("vec_id"),
+        posexplode(expr("lsh_bands(embedding)")).as(Seq("band", "band_val")))
   }
 
   /** DuckDB twin of [[lshSigs]] (CTE prefix `planes`/`proj`/`sig`). */
