@@ -47,7 +47,14 @@ object DedupOps {
     * care) — the mask is an optimization valid exactly when it fits.
     */
   private def docMasks(s: SparkSession, d: String): DataFrame = {
+    // The bench corpus is one parquet file → a 1-task scan, so the
+    // explode/join would run single-threaded without the repartition
+    // (at 100 TB the scan itself is parallel and this is a no-op cost-
+    // wise). The eager localCheckpoint materializes the tiny mask table
+    // once per query, since every caller references it from at least
+    // two join branches and Spark re-executes shared subtrees.
     val tok = Io.table(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(split(col("text"), " "))).as("token"))
     val w = Window.orderBy(col("token"))
@@ -56,6 +63,7 @@ object DedupOps {
     tok.join(broadcast(vocab), "token")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask"))
+      .localCheckpoint(true)
   }
 
   private def maskJaccard(a: String, b: String): Column =
@@ -94,9 +102,14 @@ object DedupOps {
     // the small-corpus exact reference for the LSH variant below.
     Q("h_jaccard_pairs", (s, d) => {
       val t = docMasks(s, d)
+      // Same salted pair enumeration as h_ngram_jaccard (lang alone
+      // gives only ~4 merge groups).
+      val S = 16
       val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("mask").as("ma"))
+        .withColumn("ga", explode(sequence(lit(0), lit(S - 1))))
       val b = t.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("mask").as("mb"))
-      a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+        .withColumn("gb", (col("doc_b") % S).cast("int"))
+      a.join(b, col("lang") === col("lang_b") && col("ga") === col("gb") && col("doc_a") < col("doc_b"))
         .withColumn("j", maskJaccard("ma", "mb"))
         .filter(col("j") >= 0.9)
         .select(col("doc_a"), col("doc_b"), col("lang"), r6(col("j")).as("jaccard"))
@@ -126,23 +139,39 @@ object DedupOps {
       val bigrams = array_distinct(zip_with(
         slice(t0, lit(1), size(t0) - 1), slice(t0, lit(2), size(t0) - 1),
         (x, y) => concat(x, lit(" "), y)))
+      // Repartition for the same 1-task-scan reason as docMasks: the
+      // interpreted zip_with bigram build should run on all cores.
       val bg = Io.table(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("lang"), explode(bigrams).as("b"))
+        .localCheckpoint(true)
       val w = Window.orderBy(col("b"))
       val vocab = bg.select(col("b")).distinct()
         .withColumn("bit", row_number().over(w) - 1)
       val nWords = 16 // ceil(961 / 64); vocab is ≤ 31 words → ≤ 961 bigrams
+      // One codegen'd conditional sum per mask word (bits are distinct,
+      // so sum == bitwise OR) — replaces an interpreted
+      // transform/filter/aggregate lambda nest over a collected list.
+      val wordSums = (0 until nWords).map { w0 =>
+        sum(when(expr(s"bit DIV 64 = $w0"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))")).otherwise(0L)).as(s"m$w0")
+      }
       val masks = bg.join(broadcast(vocab), "b")
         .groupBy(col("doc_id"), col("lang"))
-        .agg(collect_list(col("bit")).as("bits"))
-        .withColumn("mask", expr(
-          s"""transform(sequence(0, ${nWords - 1}), w ->
-             |  aggregate(filter(bits, x -> x DIV 64 = w), CAST(0 AS BIGINT),
-             |            (acc, x) -> acc | shiftleft(CAST(1 AS BIGINT), CAST(x % 64 AS INT))))""".stripMargin))
-        .select(col("doc_id"), col("lang"), col("mask"))
+        .agg(wordSums.head, wordSums.tail: _*)
+        .select(col("doc_id"), col("lang"),
+          array((0 until nWords).map(w0 => col(s"m$w0")): _*).as("mask"))
+        .localCheckpoint(true)
+      // Salted pair enumeration: lang alone has ~4 distinct values, so an
+      // equi-join on lang runs ~4 merge groups ⇒ 4-way parallelism. One
+      // side replicates over 16 salt buckets, the other hashes doc_id
+      // into its bucket — same pair set, 64 independent groups.
+      val S = 16
       val a = masks.select(col("doc_id").as("doc_a"), col("lang"), col("mask").as("ma"))
+        .withColumn("ga", explode(sequence(lit(0), lit(S - 1))))
       val b = masks.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("mask").as("mb"))
-      a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+        .withColumn("gb", (col("doc_b") % S).cast("int"))
+      a.join(b, col("lang") === col("lang_b") && col("ga") === col("gb") && col("doc_a") < col("doc_b"))
         .withColumn("j", expr("bitmask_jaccard(ma, mb)"))
         .filter(col("j") >= 0.3)
         .select(col("doc_a"), col("doc_b"), col("lang"), r6(col("j")).as("jaccard"))
@@ -268,21 +297,21 @@ object DedupOps {
       var prevSum = labels.agg(sum(col("rep"))).head.getLong(0)
       var converged = false
       var iter = 0
-      while (!converged && iter < 30) {
-        val viaNbr = edges.join(labels, edges("dst") === labels("nid"))
+      // One propagation step: relax labels across edges, then pointer-jump
+      // (rep := rep's rep) so label distance doubles per step —
+      // O(log diameter) materialized rounds instead of O(diameter).
+      def step(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val viaNbr = edges.join(l, edges("dst") === l("nid"))
           .select(col("src").as("nid"), col("rep"))
-        val relaxed = labels.select(col("nid"), col("rep")).union(viaNbr)
+        val relaxed = l.select(col("nid"), col("rep")).union(viaNbr)
           .groupBy(col("nid")).agg(min(col("rep")).as("rep"))
-        // Pointer jump (rep := rep's rep): labels shortcut two hops per
-        // round, so convergence takes O(log diameter) rounds instead of
-        // O(diameter) — each round here is a full scheduling round trip,
-        // which is the dominant cost (the data is tiny after node
-        // contraction; at 100 TB both effects matter).
-        labels = relaxed.as("x")
+        relaxed.as("x")
           .join(relaxed.select(col("nid").as("r_nid"), col("rep").as("r_rep")),
             col("rep") === col("r_nid"), "left")
           .select(col("nid"), coalesce(col("r_rep"), col("rep")).as("rep"))
-          .localCheckpoint(true)
+      }
+      while (!converged && iter < 30) {
+        labels = step(labels).localCheckpoint(true)
         val sumRep = labels.agg(sum(col("rep"))).head.getLong(0)
         converged = sumRep == prevSum
         prevSum = sumRep
@@ -321,30 +350,43 @@ object DedupOps {
     // SimHash near-dup: 32-bit signatures, pairs at hamming <= 2 via
     // 4-band blocking (exact by pigeonhole for hamming <= 3).
     Q("h_simhash_dedup", (s, d) => {
-      val tok = Io.table(s, d, "documents")
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
-        .withColumn("th", expr(polyHashSpark))
-      val bits = tok
-        .select(col("doc_id"), col("th"), explode(sequence(lit(0), lit(31))).as("j"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(when(expr("(th DIV CAST(power(2, j) AS BIGINT)) % 2") === 1, 1L)
-          .otherwise(-1L)).as("s"))
-      val sh = bits.groupBy(col("doc_id"))
-        .agg(sum(when(col("s") > 0, expr("CAST(power(2, j) AS BIGINT)")).otherwise(0L))
-          .cast("long").as("simhash"))
-      val banded = sh.select(col("doc_id"), col("simhash"),
+      // Native one-pass simhash32 (the oracle runs the relational
+      // explode-×32 form, proving it equal) + the same node contraction
+      // as h_minhash_lsh_dedup: identical token sets hash identically,
+      // so LSH-band blocking runs on one representative per distinct
+      // set and doc pairs are reconstituted by membership joins.
+      // Within-group pairs are hamming-0 by construction.
+      graft.functions.SimHash32.register(s)
+      val masks = docMasks(s, d).select(col("doc_id"), col("mask"))
+      val nodeIds = masks.groupBy(col("mask")).agg(min(col("doc_id")).as("nid"))
+      val docNode = masks.join(nodeIds, "mask").select(col("doc_id"), col("nid"))
+      val t = docToks(s, d)
+      val sh = nodeIds.join(t, nodeIds("nid") === t("doc_id"))
+        .select(col("nid"), expr("simhash32(toks)").as("simhash"))
+      val banded = sh.select(col("nid"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("b"))
         .withColumn("bandval", expr("(simhash DIV CAST(power(256, b) AS BIGINT)) % 256"))
-      val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
+      val a = banded.select(col("nid").as("na"), col("simhash").as("ha"),
         col("b"), col("bandval"))
-      val bb = banded.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
+      val bb = banded.select(col("nid").as("nb"), col("simhash").as("hb"),
         col("b").as("b2"), col("bandval").as("bandval2"))
-      a.join(bb, col("b") === col("b2") && col("bandval") === col("bandval2") &&
-          col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+      val nodePairs = a.join(bb, col("b") === col("b2") && col("bandval") === col("bandval2") &&
+          col("na") < col("nb"))
+        .select(col("na"), col("nb"), col("ha"), col("hb")).distinct()
         .withColumn("hd", expr("bit_count(ha ^ hb)"))
         .filter(col("hd") <= 2)
-        .select(col("doc_a"), col("doc_b"), col("hd").cast("int").as("hamming"))
+        .select(col("na"), col("nb"), col("hd").cast("int").as("hamming"))
+      val memA = docNode.select(col("nid").as("na"), col("doc_id").as("da"))
+      val memB = docNode.select(col("nid").as("nb"), col("doc_id").as("db"))
+      val cross = nodePairs.join(memA, "na").join(memB, "nb")
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+      val within = docNode.select(col("nid"), col("doc_id").as("da"))
+        .join(docNode.select(col("nid"), col("doc_id").as("db")), "nid")
+        .filter(col("da") < col("db"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          lit(0).cast("int").as("hamming"))
+      cross.union(within)
         .orderBy("doc_a", "doc_b")
     }, Some(
       s"""WITH tok AS (
