@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native codegen expressions added for the hot similarity paths
+  * (lsh_bands, sq_dist_dec, simhash32, float-input dot_product) each
+  * replace a relational or HOF formulation that the DuckDB oracle still
+  * runs — these specs pin the in-Spark equivalence directly, so a drift
+  * in the native code shows up here before the cross-engine gate.
+  */
+class NativeFuncSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val emb = {
+    graft.functions.DotProduct.register(spark)
+    graft.functions.LshBands.register(spark)
+    graft.functions.SqDistDec.register(spark)
+    graft.functions.SimHash32.register(spark)
+    spark.read.parquet(s"$sf/embeddings.parquet")
+  }
+
+  test("dot_product on float arrays equals dot_product on cast-to-double arrays") {
+    val diff = emb
+      .withColumn("dv", transform(col("embedding"), x => x.cast("double")))
+      .select((expr("dot_product(embedding, embedding)") -
+        expr("dot_product(dv, dv)")).as("delta"))
+      .agg(max(abs(col("delta")))).head.getDouble(0)
+    assert(diff == 0.0) // float→double widening is exact; bit-identical
+  }
+
+  test("lsh_bands equals the relational plane-join + decimal-sum long form") {
+    import org.apache.spark.sql.types.DecimalType
+    val planes = spark.range(0, 16).select(col("id").cast("int").as("p"))
+      .crossJoin(spark.range(1, 65).select(col("id").cast("int").as("pos")))
+      .withColumn("w",
+        (((col("p") * 64 + col("pos")) * lit(2654435761L)) % 1000003L)
+          .cast("double") / 1000003.0 - 0.5)
+    val longForm = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .withColumn("pos", col("pos0") + 1)
+      .join(broadcast(planes), "pos")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum((col("v").cast("double") * col("w")).cast(DecimalType(38, 12)))
+        .cast("double").as("pr"))
+      .withColumn("band", expr("p div 4"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(expr("sum(CAST(CASE WHEN pr >= 0.0 THEN shiftleft(1, p % 4) ELSE 0 END AS BIGINT))")
+        .as("band_val"))
+    val native = emb.select(col("vec_id"),
+      posexplode(expr("lsh_bands(embedding)")).as(Seq("band", "band_val")))
+    assert(native.except(longForm.select(col("vec_id"), col("band").cast("int"), col("band_val"))).isEmpty)
+    assert(longForm.count() == native.count())
+  }
+
+  test("sq_dist_dec equals the posexplode + decimal-sum distance") {
+    import org.apache.spark.sql.types.DecimalType
+    val dec12 = DecimalType(38, 12)
+    val cent = emb.select(col("label").as("c_label"),
+        posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .groupBy(col("c_label"), col("pos0"))
+      .agg((sum(col("v").cast("double").cast(dec12)).cast("double") / count(lit(1))).as("c"))
+    val longForm = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .join(cent, "pos0")
+      .groupBy(col("vec_id"), col("c_label"))
+      .agg(sum(((col("v").cast("double") - col("c")) * (col("v").cast("double") - col("c"))).cast(dec12))
+        .cast("double").as("d2"))
+    val centArr = cent.groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos0"), col("c")))),
+        x => x.getField("c")).as("carr"))
+    val native = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("c_label"),
+        expr("sq_dist_dec(embedding, carr)").as("d2"))
+    assert(native.except(longForm).isEmpty && longForm.except(native).isEmpty)
+  }
+
+  test("simhash32 equals the relational explode-x32 vote form") {
+    val polyHashSpark =
+      "aggregate(transform(sequence(1, length(token)), i -> CAST(ascii(substring(token, i, 1)) AS BIGINT)), 0L, (a, c) -> (a * 131 + c) % 4294967296)"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .withColumn("th", expr(polyHashSpark))
+    val bits = tok
+      .select(col("doc_id"), col("th"), explode(sequence(lit(0), lit(31))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("(th DIV CAST(power(2, j) AS BIGINT)) % 2") === 1, 1L)
+        .otherwise(-1L)).as("s"))
+    val longForm = bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("CAST(power(2, j) AS BIGINT)")).otherwise(0L))
+        .cast("long").as("simhash"))
+    val native = docs
+      .select(col("doc_id"),
+        expr("simhash32(array_distinct(split(text, ' ')))").as("simhash"))
+    assert(native.except(longForm).isEmpty && longForm.except(native).isEmpty)
+  }
+
+  test("h_embed_dedup output is a consistent keep-min-id contract") {
+    val rows = Registry.queries("h_embed_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vecId = r.getLong(0)
+      val survives = r.getBoolean(3)
+      if (survives) assert(r.isNullAt(1) && r.getLong(2) == 0L)
+      else {
+        assert(r.getLong(1) < vecId) // collapses to a LOWER id
+        assert(r.getLong(2) >= 1L)
+      }
+    }
+  }
+
+  test("h_ann_lsh returns at most k=3 ranked neighbors per query") {
+    val rows = Registry.queries("h_ann_lsh")(spark, sf)
+      .groupBy(col("q_id")).agg(count(lit(1)).as("k"), max(col("rn")).as("maxrn"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k") <= 3 && r.getAs[Int]("maxrn").toLong == r.getAs[Long]("k"))
+    }
+  }
+
+  test("f_sample_hash is deterministic across runs") {
+    val a = Registry.queries("f_sample_hash")(spark, sf).collect()
+    val b = Registry.queries("f_sample_hash")(spark, sf).collect()
+    assert(a.sameElements(b) && a.nonEmpty)
+  }
+}
