@@ -202,6 +202,26 @@ object AggOps {
         |    <= COUNT(DISTINCT l_partkey) * 0.1 AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Quantile sketch, same tolerance-flag pattern as d_agg_approx_hll:
+    // the exact per-group median is the checked value; each engine's
+    // sketch (approx_percentile / approx_quantile) is asserted within 5%
+    // of it — deterministic per engine, identical flags across engines.
+    Q("d_agg_approx_pctl", (s, d) => {
+      Io.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("exact_med"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_med"))
+        .select(col("l_returnflag"), col("exact_med"),
+          (abs(col("approx_med") - col("exact_med")) <=
+            col("exact_med") * 0.05).as("approx_ok"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS exact_med,
+        |  ABS(approx_quantile(l_quantity, 0.5) - quantile_cont(l_quantity, 0.5))
+        |    <= quantile_cont(l_quantity, 0.5) * 0.05 AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Linear-regression aggregates. The checked values are computed from
     // exact decimal moment sums (order-independent, identical on both
     // engines); the builtin streaming regr_slope/regr_intercept are

@@ -188,6 +188,61 @@ object TextOps {
         |                             i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
         |              (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint,
         |  CAST(LENGTH(text) AS INT) AS text_len
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // PII scrubbing: regex redaction of emails and phone numbers — the
+    // corpus has none, so deterministic synthetic PII is appended per
+    // doc first (making redaction verifiable), then both patterns are
+    // replaced globally and the match counts emitted. Map-side only.
+    Q("h_pii_scrub", (s, d) => {
+      val raw = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Io.table(s, d, "documents")
+        .withColumn("raw", raw)
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit("[a-z0-9._]+@[a-z0-9.]+")).as("n_emails"),
+          regexp_count(col("raw"), lit("555-[0-9]{4}")).as("n_phones"),
+          regexp_replace(
+            regexp_replace(col("raw"), "[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
+            "555-[0-9]{4}", "<PHONE>").as("scrubbed"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@example.com or call 555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS INT) AS n_phones,
+        |  regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |                 '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Fixed-size token chunking with overlap (size 8, stride 6) — the
+    // standard training-data windowing shape: chunk starts explode
+    // map-side; each chunk renders its token slice. At 100 TB this is
+    // scan parallelism with no shuffle until a downstream groupBy.
+    Q("h_text_chunk", (s, d) => {
+      Io.table(s, d, "documents").filter(col("doc_id") < 200)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(6))).as("st"))
+        .select(col("doc_id"),
+          (col("st") / 6).cast("int").as("chunk_id"),
+          least(lit(8), size(col("toks")) - col("st")).as("n_tokens"),
+          array_join(slice(col("toks"), col("st") + 1, lit(8)), " ").as("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    }, Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, CAST(st // 6 AS INT) AS chunk_id,
+        |  CAST(least(8, len(toks) - st) AS INT) AS n_tokens,
+        |  array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS chunk
+        |FROM t, LATERAL UNNEST(generate_series(0, len(toks) - 1, 6)) AS u(st)
+        |ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }
