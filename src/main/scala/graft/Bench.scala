@@ -12,12 +12,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen/file-cache paths once so the first timed query
-    // doesn't absorb startup cost (scan + join + agg + window shapes).
-    try {
-      SparkEntry.queries.get("c_join_5way").foreach(_(spark, sfDir).count())
-      SparkEntry.queries.get("e_win_rank").foreach(_(spark, sfDir).count())
-    } catch { case _: Throwable => () }
+    // Warm-up sweep: run every query once at the smallest SF first, so
+    // the timed pass measures steady-state execution rather than
+    // per-query Janino/JIT compilation (whole-stage codegen is cached by
+    // generated source, so each query's operators must compile once).
+    // Standard steady-state benchmarking; BASELINE.md documents it.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    } else {
+      try {
+        SparkEntry.queries.get("c_join_5way").foreach(_(spark, sfDir).count())
+        SparkEntry.queries.get("e_win_rank").foreach(_(spark, sfDir).count())
+      } catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
