@@ -195,6 +195,46 @@ object AnalyticsOps {
         |  ABS(COALESCE(CASE WHEN variance > 0
         |                    THEN ROUND((cnt - mean) / SQRT(variance), 4) END, 0.0)) > 2.0
         |    AS is_anomaly
-        |FROM scored ORDER BY event_type, day""".stripMargin))
+        |FROM scored ORDER BY event_type, day""".stripMargin)),
+
+    // Exponentially-weighted moving average over each user's last 10
+    // events (α = 0.3). Written as ten explicit lag terms with rational
+    // weights 7^k/10^k (exact integer ratios → correctly-rounded double
+    // division, identical on both engines — POWER(0.7, k) could differ
+    // by an ulp between libms) and a FIXED left-to-right addition order,
+    // so the value is bit-stable without decimal routing. Lag windows
+    // shuffle once on user_id — the standard time-series shape at scale.
+    Q("g_ewma", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val weights = (0 until 10).map(k => math.pow(7, k) / math.pow(10, k))
+      val base = Io.events(s, d).filter(col("user_id") < 20)
+      val withLags = (0 until 10).foldLeft(base) { (df, k) =>
+        df.withColumn(s"l$k", lag(col("value"), k).over(w))
+      }
+      val num = (0 until 10).map(k =>
+        when(col(s"l$k").isNotNull, col(s"l$k") * lit(weights(k))).otherwise(lit(0.0)))
+        .reduceLeft(_ + _)
+      val den = (0 until 10).map(k =>
+        when(col(s"l$k").isNotNull, lit(weights(k))).otherwise(lit(0.0)))
+        .reduceLeft(_ + _)
+      withLags
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("value"), r6(num / den).as("ewma"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }, Some {
+      val terms = (0 until 10).map { k =>
+        val wk = s"(${BigInt(7).pow(k)} / ${BigInt(10).pow(k)}.0)"
+        (s"CASE WHEN LAG(value, $k) OVER w IS NOT NULL THEN LAG(value, $k) OVER w * $wk ELSE 0.0 END",
+          s"CASE WHEN LAG(value, $k) OVER w IS NOT NULL THEN $wk ELSE 0.0 END")
+      }
+      val num = terms.map(_._1).mkString("(", " + ", ")")
+      val den = terms.map(_._2).mkString("(", " + ", ")")
+      s"""SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+         |  ROUND($num / $den, 6) AS ewma
+         |FROM events WHERE user_id < 20
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |ORDER BY user_id, ts_us, event_id""".stripMargin
+    })
   )
 }

@@ -71,6 +71,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("*("), "pair loop fell out of whole-stage codegen")
   }
 
+  test("theta-range join aggregates the fact side BELOW the join") {
+    // the pre-join partial aggregation is what keeps the bucket
+    // expansion linear at 100 TB: the join must consume grouped rows,
+    // never raw lineitem.
+    val p = plan("c_join_theta_range")
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    val aggBelow = p.indexOf("HashAggregate", joinAt)
+    assert(joinAt >= 0 && aggBelow > joinAt,
+      "no aggregate below the expansion join — fact rows stream through it raw")
+  }
+
+  test("LSH signature stage is map-side only (native lsh_bands, no plane join)") {
+    val p = plan("h_ann_lsh")
+    assert(p.contains("lsh_bands"), "native lsh_bands expression missing")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "plane cross join resurfaced — signatures should be one generated-code pass")
+  }
+
+  test("minhash candidate join keys on (band, hash), never a cartesian") {
+    val p = plan("h_minhash_lsh_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("minhash_sig"), "native one-pass signature expression missing")
+  }
+
   test("semi/anti joins decorrelate from EXISTS subqueries") {
     val p = executedPlan(spark.sql {
       graft.io.Io.views(spark, sf)
