@@ -1,0 +1,169 @@
+package graft.ops
+
+import graft.io.Io
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** TPC-H on the shared SQL surface: each query is ONE ANSI SQL string
+  * executed verbatim by `spark.sql` AND by the DuckDB oracle — the
+  * strongest possible statement that the engine's SQL dialect, optimizer
+  * and execution agree with a reference engine on real analytic shapes
+  * (star joins, grouped aggregation, outer-join counting, market-share
+  * CASE pivots, HAVING on aggregates, top-k).
+  *
+  * Adapted where the test schema trims TPC-H (no partsupp table; no
+  * l_commitdate / l_receiptdate / l_shipmode / comment columns), with
+  * parameters chosen for the data's 1995-2001 date range. Determinism
+  * discipline is inside the shared text itself: money aggregates route
+  * through DECIMAL(38,6), outputs are rounded and totally ordered —
+  * identical bytes on both engines regardless of plan or thread count.
+  *
+  * Scale notes: every join here keys on the natural star keys (Catalyst
+  * broadcasts the dims, shuffles facts once); q13's left-outer count and
+  * q18's HAVING both partial-aggregate map-side before their shuffles.
+  */
+object TpchOps {
+
+  private def q(name: String, sql: String): Q =
+    Q(name, (s: SparkSession, d: String) => { Io.views(s, d); s.sql(sql) }, Some(sql))
+
+  private val revenue =
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)"
+
+  val all: Seq[Q] = Seq(
+    q("t_q01",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_base_price,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_disc_price,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_charge,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= DATE '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    q("t_q03",
+      s"""SELECT l_orderkey,
+         |  ROUND($revenue, 4) AS revenue,
+         |  CAST(o_orderdate AS DATE) AS orderdate
+         |FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < DATE '1997-06-01'
+         |  AND l_shipdate > DATE '1997-06-01'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin),
+
+    q("t_q05",
+      s"""SELECT n_name, ROUND($revenue, 4) AS revenue
+         |FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin),
+
+    q("t_q06",
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin),
+
+    q("t_q07",
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  ROUND(CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+         |    l_extendedprice * (1 - l_discount) AS volume
+         |  FROM supplier
+         |    JOIN lineitem ON s_suppkey = l_suppkey
+         |    JOIN orders ON o_orderkey = l_orderkey
+         |    JOIN customer ON c_custkey = o_custkey
+         |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+         |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+         |    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31') shipping
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+
+    q("t_q08",
+      """SELECT o_year,
+        |  ROUND(CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part
+        |    JOIN lineitem ON p_partkey = l_partkey
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |    JOIN region ON n1.n_regionkey = r_regionkey
+        |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA'
+        |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        |    AND p_type = 'ECONOMY') all_nations
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin),
+
+    q("t_q10",
+      s"""SELECT c_custkey, c_name,
+         |  ROUND($revenue, 4) AS revenue,
+         |  ROUND(c_acctbal, 4) AS acctbal, n_name
+         |FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin),
+
+    q("t_q13",
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    q("t_q14",
+      """SELECT ROUND(
+        |  100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |                             THEN l_extendedprice * (1 - l_discount)
+        |                             ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE),
+        |  6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'""".stripMargin),
+
+    q("t_q18",
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS orderdate,
+        |  ROUND(o_totalprice, 4) AS totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 300
+        |ORDER BY totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin)
+  )
+}
