@@ -26,6 +26,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSig(
         children.head, children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_bands"),
+      new ExpressionInfo(classOf[LshBands].getName, "lsh_bands"),
+      (children: Seq[Expression]) => LshBands(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("sq_dist_dec"),
+      new ExpressionInfo(classOf[SqDistDec].getName, "sq_dist_dec"),
+      (children: Seq[Expression]) => SqDistDec(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (children: Seq[Expression]) => SimHash32(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.EagerAggregation)
   }
 }

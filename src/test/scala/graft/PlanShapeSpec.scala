@@ -95,6 +95,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("minhash_sig"), "native one-pass signature expression missing")
   }
 
+  test("eager aggregation pushes the fact-side partial aggregate below the join (q18)") {
+    val df = Registry.queries("t_q18")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.optimizedPlan.toString.contains("_eager_partial"),
+      "EagerAggregation rule did not fire on the q18 shape")
+  }
+
   test("semi/anti joins decorrelate from EXISTS subqueries") {
     val p = executedPlan(spark.sql {
       graft.io.Io.views(spark, sf)
