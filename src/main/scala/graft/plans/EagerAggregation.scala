@@ -40,13 +40,31 @@ object EagerAggregation extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg @ Aggregate(_, _, join: Join, _) =>
       rewrite(agg, join).getOrElse(agg)
-    // column pruning interposes an attribute-only Project between the
-    // Aggregate and the Join; it is transparent for this rewrite (the
-    // attribute ids pass through), and ColumnPruning re-derives it on
-    // the rewritten plan in the same fixed-point batch.
-    case agg @ Aggregate(_, _, Project(projList, join: Join), _)
-        if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      rewrite(agg.copy(child = join), join).getOrElse(agg)
+    // column pruning / analysis interposes a Project between the
+    // Aggregate and the Join. Inline its (deterministic) aliases into
+    // the aggregate and retry over the bare join — ColumnPruning
+    // re-derives the pruning on the rewritten plan in the same
+    // fixed-point batch.
+    case agg @ Aggregate(g, a, Project(projList, join: Join), _)
+        if projList.forall(_.deterministic) =>
+      val aliasMap = projList.collect {
+        case al: Alias => al.exprId -> al
+      }.toMap
+      def subst(e: Expression): Expression = e.transformUp {
+        case attr: AttributeReference if aliasMap.contains(attr.exprId) =>
+          aliasMap(attr.exprId).child
+      }
+      def substNamed(ne: NamedExpression): NamedExpression = ne match {
+        case attr: AttributeReference if aliasMap.contains(attr.exprId) =>
+          aliasMap(attr.exprId) // keep the exprId/name: same output schema
+        case al: Alias =>
+          Alias(subst(al.child), al.name)(exprId = al.exprId,
+            qualifier = al.qualifier, explicitMetadata = al.explicitMetadata)
+        case other => other
+      }
+      val agg2 = agg.copy(groupingExpressions = g.map(subst),
+        aggregateExpressions = a.map(substNamed), child = join)
+      rewrite(agg2, join).getOrElse(agg)
   }
 
   private def supported(ae: AggregateExpression): Boolean =
@@ -62,21 +80,31 @@ object EagerAggregation extends Rule[LogicalPlan] {
     })
     if (aggFns.isEmpty || !aggFns.forall(supported)) return None
     val fnRefs = AttributeSet(aggFns.flatMap(_.references))
-    val groupRefs = AttributeSet(agg.groupingExpressions.flatMap(_.references))
 
-    // pick the side that feeds ALL aggregate inputs and NO grouping key
+    // pick the side that feeds ALL aggregate inputs; grouping
+    // expressions must each sit wholly on one side (pushed-side ones
+    // become partial grouping keys below the join)
     val pushed = Seq(join.left, join.right).find { side =>
-      (fnRefs.nonEmpty && fnRefs.subsetOf(side.outputSet)) &&
-        groupRefs.intersect(side.outputSet).isEmpty &&
+      fnRefs.nonEmpty && fnRefs.subsetOf(side.outputSet) &&
         !side.isInstanceOf[Aggregate] // also prevents refiring on our own output
     }.getOrElse(return None)
-    val other = if (pushed eq join.left) join.right else join.left
+    val (pushedGroups, stayGroups) = agg.groupingExpressions.partition { g =>
+      g.references.nonEmpty && g.references.subsetOf(pushed.outputSet)
+    }
+    if (!stayGroups.forall(_.references.intersect(pushed.outputSet).isEmpty))
+      return None // a grouping expression straddles both sides — bail
+    if (!pushedGroups.forall(_.deterministic)) return None
 
     // every pushed-side attribute the join condition touches becomes a
     // partial grouping key, so the condition stays row-evaluable above
-    val pushedKeys = join.condition.get.references.intersect(pushed.outputSet).toSeq
-    if (pushedKeys.isEmpty) return None
+    val condKeys = join.condition.get.references.intersect(pushed.outputSet).toSeq
+    if (condKeys.isEmpty) return None
 
+    // pushed grouping expressions surface as aliased partial columns
+    val groupAlias = pushedGroups.map {
+      case attr: Attribute => attr -> attr.asInstanceOf[NamedExpression]
+      case e => e -> Alias(e, "_eager_group")()
+    }
     // one partial per distinct aggregate call (canonicalized)
     val uniqueFns = aggFns.foldLeft(Seq.empty[AggregateExpression]) { (acc, ae) =>
       if (acc.exists(_.canonicalized == ae.canonicalized)) acc else acc :+ ae
@@ -84,7 +112,15 @@ object EagerAggregation extends Rule[LogicalPlan] {
     val partialAlias = uniqueFns.map { ae =>
       ae -> Alias(ae, "_eager_partial")()
     }
-    val pushedAgg = Aggregate(pushedKeys, pushedKeys ++ partialAlias.map(_._2), pushed)
+    val partialKeys = (condKeys ++ groupAlias.map(_._1)).foldLeft(Seq.empty[Expression]) {
+      (acc, e) => if (acc.exists(_.canonicalized == e.canonicalized)) acc else acc :+ e
+    }
+    val partialOut = (condKeys.map(_.asInstanceOf[NamedExpression]) ++
+      groupAlias.map(_._2) ++ partialAlias.map(_._2))
+      .foldLeft(Seq.empty[NamedExpression]) { (acc, ne) =>
+        if (acc.exists(_.exprId == ne.exprId)) acc else acc :+ ne
+      }
+    val pushedAgg = Aggregate(partialKeys, partialOut, pushed)
 
     def finalFn(ae: AggregateExpression, partial: Attribute): AggregateExpression =
       ae.aggregateFunction match {
@@ -95,17 +131,25 @@ object EagerAggregation extends Rule[LogicalPlan] {
         case _ => ae // unreachable (supported() gate)
       }
 
+    def replaceExprs(e: Expression): Expression = e.transform {
+      case ae: AggregateExpression =>
+        partialAlias.find(_._1.canonicalized == ae.canonicalized) match {
+          case Some((_, alias)) => finalFn(ae, alias.toAttribute)
+          case None => ae
+        }
+      case g if groupAlias.exists(_._1.canonicalized == g.canonicalized) =>
+        groupAlias.find(_._1.canonicalized == g.canonicalized).get._2.toAttribute
+    }
+    val newGrouping = agg.groupingExpressions.map(replaceExprs)
     val newAggExprs = agg.aggregateExpressions.map { ne =>
-      ne.transform {
-        case ae: AggregateExpression =>
-          partialAlias.find(_._1.canonicalized == ae.canonicalized) match {
-            case Some((_, alias)) => finalFn(ae, alias.toAttribute)
-            case None => ae
-          }
-      }.asInstanceOf[NamedExpression]
+      replaceExprs(ne) match {
+        case named: NamedExpression => named
+        case e => Alias(e, ne.name)(exprId = ne.exprId)
+      }
     }
     val newJoin = if (pushed eq join.left) join.copy(left = pushedAgg)
       else join.copy(right = pushedAgg)
-    Some(agg.copy(aggregateExpressions = newAggExprs, child = newJoin))
+    Some(agg.copy(groupingExpressions = newGrouping,
+      aggregateExpressions = newAggExprs, child = newJoin))
   }
 }
