@@ -126,4 +126,20 @@ class NativeFuncSpec extends AnyFunSuite {
     val b = Registry.queries("f_sample_hash")(spark, sf).collect()
     assert(a.sameElements(b) && a.nonEmpty)
   }
+
+  test("EagerAggregation rewrite matches the un-rewritten plan's results") {
+    val excl = "spark.sql.optimizer.excludedRules"
+    val saved = spark.conf.getOption(excl)
+    for (q <- Seq("t_q03", "t_q05", "t_q07", "t_q10", "t_q18")) {
+      val withRule = Registry.queries(q)(spark, sf).collect().map(_.toString).sorted
+      spark.conf.set(excl, "graft.plans.EagerAggregation")
+      try {
+        val df = Registry.queries(q)(spark, sf)
+        assert(!df.queryExecution.optimizedPlan.toString.contains("_eager_"),
+          s"$q: rule not actually excluded")
+        val without = df.collect().map(_.toString).sorted
+        assert(withRule.sameElements(without), s"$q: rewrite changed the result")
+      } finally saved.fold(spark.conf.unset(excl))(spark.conf.set(excl, _))
+    }
+  }
 }
