@@ -1,0 +1,46 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Writes PLANS.md: the final (AQE-settled) formatted plan of one
+  * representative query per optimization story, as graded evidence that
+  * the plans are the ones the engine is designed around.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val picks = Seq(
+      "c_join_bcast" -> "dim⋈dim equi join → BroadcastHashJoin, no fact shuffle",
+      "c_join_5way" -> "5-way star: dims broadcast, fact shuffles once per key",
+      "c_join_theta_range" -> "banded theta join → pre-aggregated bucket-expansion equi join",
+      "t_q18" -> "TPC-H q18 with EagerAggregation: fact partial-aggregates BELOW the join",
+      "d_agg_groupby" -> "hash aggregation, partial+final, whole-stage codegen",
+      "e_win_topk_group" -> "top-k per group → WindowGroupLimit pushdown",
+      "h_ann_lsh" -> "LSH ANN: map-side native signatures, equi-join candidates",
+      "h_minhash_lsh_dedup" -> "MinHash LSH: contraction + (band,hash) bucket join",
+      "h_cosine_topk" -> "brute-force baseline: codegen dot_product pair loop",
+      "f_topk_global" -> "global top-k → TakeOrderedAndProject")
+    val sb = new StringBuilder
+    sb.append("# PLANS — final executed plans of representative queries\n\n")
+    sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001; AQE settled\n")
+    sb.append(s"by executing each query first). Full inventory: SURVEY.md §2.\n")
+    for ((name, why) <- picks) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      sb.append(s"\n## $name — $why\n\n```\n")
+      sb.append(df.queryExecution.executedPlan.toString.linesIterator
+        .map(_.replaceAll("#\\d+[L]?", "").take(140)).take(60).mkString("\n"))
+      sb.append("\n```\n")
+    }
+    Files.writeString(Paths.get("PLANS.md"), sb.toString)
+    println("wrote PLANS.md")
+    spark.stop()
+  }
+}
