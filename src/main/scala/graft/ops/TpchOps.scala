@@ -59,6 +59,18 @@ object TpchOps {
          |ORDER BY revenue DESC, l_orderkey
          |LIMIT 10""".stripMargin),
 
+    // q4 adapted: the schema has no l_commitdate/l_receiptdate, so
+    // "late" is l_shipdate more than 30 days after the order date.
+    q("t_q04",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL '30' DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
     q("t_q05",
       s"""SELECT n_name, ROUND($revenue, 4) AS revenue
          |FROM customer
@@ -152,6 +164,29 @@ object TpchOps {
         |  6) AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'""".stripMargin),
+
+    q("t_q15",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, ROUND(total_revenue, 4) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // q17 adapted: no container column; brand + the correlated
+    // 20%-of-average-quantity subquery carry the shape.
+    q("t_q17",
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13'
+        |  AND l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |                                  / COUNT(*))
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin),
 
     q("t_q18",
       """SELECT c_name, c_custkey, o_orderkey,
