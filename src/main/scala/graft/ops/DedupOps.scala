@@ -148,6 +148,7 @@ object DedupOps {
       val w = Window.orderBy(col("b"))
       val vocab = bg.select(col("b")).distinct()
         .withColumn("bit", row_number().over(w) - 1)
+        .localCheckpoint(true)
       val nWords = 16 // ceil(961 / 64); vocab is ≤ 31 words → ≤ 961 bigrams
       // One codegen'd conditional sum per mask word (bits are distinct,
       // so sum == bitwise OR) — replaces an interpreted
@@ -312,9 +313,14 @@ object DedupOps {
       }
       while (!converged && iter < 30) {
         labels = step(labels).localCheckpoint(true)
-        val sumRep = labels.agg(sum(col("rep"))).head.getLong(0)
-        converged = sumRep == prevSum
-        prevSum = sumRep
+        // the sum-of-reps action is pure convergence detection; any
+        // non-trivial component graph needs >2 rounds, so skip the
+        // check (one scheduling round trip each) for the first two.
+        if (iter >= 2) {
+          val sumRep = labels.agg(sum(col("rep"))).head.getLong(0)
+          converged = sumRep == prevSum
+          prevSum = sumRep
+        }
         iter += 1
       }
       val docLabels = t.join(nodes, Seq("lang", "mask")).join(labels, "nid")
