@@ -287,6 +287,24 @@ object FuncOps {
     // Correlated scalar subquery + correlated EXISTS; same SQL text runs
     // on both engines. Catalyst decorrelates to joins (plan asserted in
     // scalatest) — at scale this is a shuffle-keyed join, not N queries.
+    // IN / NOT IN subqueries — the third subquery surface next to
+    // EXISTS and scalar (f_cond_subquery). Catalyst turns them into
+    // semi/anti joins; same SQL text runs on both engines.
+    Q("f_in_subquery", (s, d) => {
+      Io.views(s, d)
+      s.sql(
+        """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+          |FROM lineitem
+          |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 2)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin)
+    }, Some(
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 2)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin)),
+
     Q("f_cond_subquery", (s, d) => {
       Io.views(s, d)
       s.sql(

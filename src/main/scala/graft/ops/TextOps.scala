@@ -190,6 +190,27 @@ object TextOps {
         |  CAST(LENGTH(text) AS INT) AS text_len
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Corpus vocabulary statistics: global top-20 tokens by document
+    // frequency and total occurrences — the vocabulary table every
+    // tokenizer/quality pipeline starts from. Explode is map-side; the
+    // aggregation shuffles one row per token.
+    Q("h_vocab_topk", (s, d) => {
+      Io.table(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("doc_freq"),
+          count(lit(1)).as("occurrences"))
+        .orderBy(col("occurrences").desc, col("token"))
+        .limit(20)
+    }, Some(
+      """SELECT token,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+        |  COUNT(*) AS occurrences
+        |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY occurrences DESC, token
+        |LIMIT 20""".stripMargin)),
+
     // PII scrubbing: regex redaction of emails and phone numbers — the
     // corpus has none, so deterministic synthetic PII is appended per
     // doc first (making redaction verifiable), then both patterns are
