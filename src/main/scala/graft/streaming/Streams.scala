@@ -110,6 +110,45 @@ object Streams {
       }
   }
 
+  case class EwmaOut(user_id: Long, event_id: Long, ts_us: Long, ewma: Double)
+
+  /** Stateful streaming EWMA (g_ewma twin): per user, the
+    * exponentially-weighted moving average over the last 10 event
+    * values, emitted per event. State = the (ts, id, value) history,
+    * capped at 10 entries per user. Rows are event-time sorted within
+    * each micro-batch; cross-batch late events would additionally need
+    * a watermark-bounded reorder buffer (out of scope — the parity test
+    * feeds time-ordered batches). The arithmetic — rational 7^k/10^k
+    * weights, most-recent-first fixed fold, HALF_UP rounding at 1e-6 —
+    * replicates the batch query bit-for-bit (asserted in StatefulSpec).
+    */
+  def ewmaPerUser(events: Dataset[Ev]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Long, Double)], EwmaOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[List[(Long, Long, Double)]]) =>
+          var hist = state.getOption.getOrElse(Nil) // most recent first
+          val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            hist = ((e.ts_us, e.event_id, e.value) :: hist).take(10)
+            var num = 0.0
+            var den = 0.0
+            var k = 0
+            hist.foreach { case (_, _, v) =>
+              val w = math.pow(7, k) / math.pow(10, k)
+              num += v * w
+              den += w
+              k += 1
+            }
+            val ewma = java.math.BigDecimal.valueOf(num / den)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            EwmaOut(user, e.event_id, e.ts_us, ewma)
+          }
+          state.update(hist)
+          out.iterator
+      }
+  }
+
   /** Typed multimodal "decode" over an opaque binary column: the
     * mapPartitions shape a real image/audio decoder plugs into (batch
     * per partition, library handle initialized once per partition — the

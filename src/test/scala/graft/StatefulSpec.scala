@@ -2,7 +2,7 @@ package graft
 
 import graft.io.Io
 import graft.streaming.Streams
-import graft.streaming.Streams.{Ev, Media, UserCount}
+import graft.streaming.Streams.{Ev, EwmaOut, Media, UserCount}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -32,6 +32,30 @@ class StatefulSpec extends AnyFunSuite {
       .groupBy(_.user_id).view.mapValues(_.map(_.n).max).toMap
     val batch = evs.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
     assert(streamed === batch)
+  }
+
+  test("stateful streaming EWMA equals the batch g_ewma query") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // time-ordered feed split across two micro-batches (per-batch sort
+    // handles intra-batch order; cross-batch lateness is out of scope)
+    val evs = Io.events(spark, sf).filter("user_id < 20")
+      .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
+    val (first, second) = evs.splitAt(evs.size / 2)
+    val mem = MemoryStream[Ev]
+    val q = Streams.ewmaPerUser(mem.toDS()).writeStream
+      .format("memory").queryName("ewma").outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(first); q.processAllAvailable()
+      mem.addData(second); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ewma").as[EwmaOut].collect()
+      .map(o => (o.user_id, o.event_id, o.ts_us, o.ewma)).sorted.toSeq
+    val batch = Registry.queries("g_ewma")(spark, sf)
+      .selectExpr("user_id", "event_id", "ts_us", "ewma").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(streamed == batch)
   }
 
   test("typed mapPartitions media decode produces stable metadata") {
