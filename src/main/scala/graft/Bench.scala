@@ -20,9 +20,20 @@ object Bench {
     // Standard steady-state benchmarking; BASELINE.md documents it.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
-      }
+      // bounded: never let warm-up push the whole bench past a harness
+      // timeout — un-warmed queries just pay their own compile once.
+      val warmDeadline = System.nanoTime() + 120L * 1000000000L
+      // heaviest families first, so if the deadline cuts the sweep short
+      // (shared noisy host) the queries that benefit most are warm
+      SparkEntry.queries.toSeq
+        .sortBy { case (n, _) =>
+          (if (n.startsWith("h_") || n.startsWith("t_")) 0 else 1, n)
+        }
+        .foreach { case (_, fn) =>
+          if (System.nanoTime() < warmDeadline) {
+            try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          }
+        }
     } else {
       try {
         SparkEntry.queries.get("c_join_5way").foreach(_(spark, sfDir).count())
