@@ -45,6 +45,11 @@ object SimHash32 {
     val votes = new Array[Int](32)
     var t = 0
     while (t < n) {
+      // Skip null elements (containsNull arrays are accepted by the type
+      // check); matches the relational oracle form, where a NULL token
+      // contributes no vote.
+      if (arr.isNullAt(t)) { t += 1 }
+      else {
       val tok = arr.getUTF8String(t).toString
       var h = 0L
       var i = 0
@@ -61,6 +66,7 @@ object SimHash32 {
         j += 1
       }
       t += 1
+      }
     }
     var sh = 0L
     var j = 0

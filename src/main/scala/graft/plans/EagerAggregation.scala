@@ -122,10 +122,24 @@ object EagerAggregation extends Rule[LogicalPlan] {
       }
     val pushedAgg = Aggregate(partialKeys, partialOut, pushed)
 
-    def finalFn(ae: AggregateExpression, partial: Attribute): AggregateExpression =
+    // Re-aggregating a partial can change the surface type: SUM over a
+    // partial-sum widens decimals again (DECIMAL(15,2) -> DECIMAL(25,2),
+    // crossing the precision-18 UnsafeRow layout boundary), and
+    // COUNT -> SUM(partial) flips non-nullable LongType to nullable.
+    // The replacement keeps the original exprId, so the surfaced
+    // attribute MUST keep the original dataType and nullability: cast
+    // widened results back, and coalesce the re-summed count to 0 (also
+    // the correct COUNT value for a zero-row join under a global
+    // aggregate, where Sum's buffer is NULL).
+    def finalFn(ae: AggregateExpression, partial: Attribute): Expression =
       ae.aggregateFunction match {
-        case _: Sum => ae.copy(aggregateFunction = Sum(partial))
-        case _: Count => ae.copy(aggregateFunction = Sum(partial))
+        case _: Count =>
+          Coalesce(Seq(ae.copy(aggregateFunction = Sum(partial)),
+            Literal(0L)))
+        case _: Sum =>
+          val resummed = ae.copy(aggregateFunction = Sum(partial))
+          if (resummed.dataType == ae.dataType) resummed
+          else Cast(resummed, ae.dataType)
         case _: Min => ae.copy(aggregateFunction = Min(partial))
         case _: Max => ae.copy(aggregateFunction = Max(partial))
         case _ => ae // unreachable (supported() gate)

@@ -142,4 +142,46 @@ class NativeFuncSpec extends AnyFunSuite {
       } finally saved.fold(spark.conf.unset(excl))(spark.conf.set(excl, _))
     }
   }
+
+  test("EagerAggregation preserves low-precision decimal SUM types and empty-join COUNT") {
+    // The TPC-H equivalence cases all pre-cast to DECIMAL(38,6) (widening
+    // capped at 38) and have non-empty groups; these two cases pin the
+    // failure modes that slip past them: (a) SUM over DECIMAL(5,2), where
+    // the re-aggregated partial widens across the precision-18 UnsafeRow
+    // layout boundary, and (b) a global COUNT/SUM over a join with zero
+    // matching rows, where the re-summed count's buffer is NULL.
+    val fact = spark.sql(
+      """SELECT k, CAST(v AS DECIMAL(5,2)) AS v FROM VALUES
+        | (1, '1.02'), (1, '2.05'), (2, '4.07'), (2, '0.00') AS t(k, v)""".stripMargin)
+    val dim = spark.sql(
+      "SELECT k, g FROM VALUES (1, 'a'), (1, 'a'), (2, 'b') AS t(k, g)")
+    fact.createOrReplaceTempView("ea_fact")
+    dim.createOrReplaceTempView("ea_dim")
+    val grouped =
+      "SELECT g, SUM(v) AS s, COUNT(*) AS c FROM ea_fact JOIN ea_dim USING (k) GROUP BY g"
+    val globalEmpty =
+      "SELECT COUNT(*) AS c, SUM(v) AS s FROM ea_fact JOIN ea_dim ON ea_fact.k = ea_dim.k + 100"
+    val excl = "spark.sql.optimizer.excludedRules"
+    val saved = spark.conf.getOption(excl)
+    for (q <- Seq(grouped, globalEmpty)) {
+      val df = spark.sql(q)
+      assert(df.queryExecution.optimizedPlan.toString.contains("_eager_"),
+        s"rewrite did not fire on: $q")
+      val withRule = df.collect().map(_.toString).sorted
+      val withSchema = df.schema
+      spark.conf.set(excl, "graft.plans.EagerAggregation")
+      try {
+        val df2 = spark.sql(q)
+        assert(!df2.queryExecution.optimizedPlan.toString.contains("_eager_"))
+        assert(withRule.sameElements(df2.collect().map(_.toString).sorted),
+          s"rewrite changed the result of: $q")
+        assert(withSchema == df2.schema, s"rewrite changed the schema of: $q")
+      } finally saved.fold(spark.conf.unset(excl))(spark.conf.set(excl, _))
+    }
+    // direct value pins (independent of the exclusion comparison)
+    val r = spark.sql(grouped).collect().map(x => (x.getString(0), x.getDecimal(1).toString, x.getLong(2))).sortBy(_._1)
+    assert(r.toSeq == Seq(("a", "6.14", 4L), ("b", "4.07", 2L)))
+    val g = spark.sql(globalEmpty).head
+    assert(g.getLong(0) == 0L && g.isNullAt(1))
+  }
 }
