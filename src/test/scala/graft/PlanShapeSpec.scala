@@ -102,6 +102,68 @@ class PlanShapeSpec extends AnyFunSuite {
       "EagerAggregation rule did not fire on the q18 shape")
   }
 
+  test("exact pair enumerations run as equi-joins, never nested-loop/cartesian") {
+    // the blocked triangle layout (PairJoins) and the banded-minhash
+    // candidate stage must surface as shuffled equi-joins; a
+    // BroadcastNestedLoopJoin here is the 100 TB scale-killer the
+    // rewrite exists to remove.
+    for (q <- Seq("h_cosine_topk", "h_ngram_jaccard", "h_jaccard_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q: pair stage fell back to an all-pairs join")
+    }
+  }
+
+  test("AQE splits a skewed join partition (skew=true in the adaptive plan)") {
+    // the 100 TB story for skewed fact joins: AQE detects the oversized
+    // shuffle partition and splits it across tasks, duplicating the
+    // matching build-side partition. Thresholds are shrunk so the test
+    // data (99% of rows on one key) crosses them.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val ev = graft.io.Io.events(spark, sf)
+        .select(col("user_id"), col("event_id"))
+        .withColumn("rep", explode(sequence(lit(0), lit(49))))
+        .withColumn("k",
+          when(pmod(col("user_id") * 50 + col("rep"), lit(100)) < 90, lit(0L))
+            .otherwise(pmod(col("user_id") * 50 + col("rep"), lit(100))))
+        // incompressible per-row payload: shuffle sizes are measured on
+        // compressed bytes, so the skewed partition must carry entropy.
+        // localCheckpoint materializes it BELOW the join (otherwise
+        // Catalyst defers the projection above the shuffle and the
+        // skewed partition stays tiny); the repartition(8) gives the
+        // shuffle multiple mappers — AQE can only split a skewed reduce
+        // partition at mapper boundaries, so a single-mapper stage is
+        // unsplittable no matter how skewed.
+        .withColumn("payload",
+          sha2(concat_ws("-", col("user_id"), col("event_id"), col("rep")), 256))
+        .repartition(8)
+        .localCheckpoint(true)
+      val dim = spark.range(0, 100).select(col("id").as("k"), (col("id") * 7).as("w"))
+      // the aggregate references BOTH join sides so the session's own
+      // EagerAggregation rule cannot push it below the join (which would
+      // pre-reduce the skewed side to one row per key and erase the skew
+      // this test exists to observe)
+      val df = ev.join(dim, "k")
+        .agg(count(lit(1)).as("n"), max(length(col("payload")) + col("w")).as("pl"))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "no skew-split in the adaptive plan — AQE skew-join did not engage")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("semi/anti joins decorrelate from EXISTS subqueries") {
     val p = executedPlan(spark.sql {
       graft.io.Io.views(spark, sf)
