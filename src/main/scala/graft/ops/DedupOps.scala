@@ -37,15 +37,6 @@ object DedupOps {
     Io.table(s, d, "documents")
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
 
-  /** Token sets as 64-bit vocabulary bitmasks. The corpus vocabulary is
-    * tiny (31 words at every sf), so set intersect/union collapse to
-    * codegen'd long AND/OR + bit_count — this is what turned the O(n²)
-    * Jaccard verify stages from interpreted array HOFs (~40 s at sf0.1)
-    * into sub-second long arithmetic. The vocab→bit mapping is derived
-    * from the data (broadcast, derived once); corpora with >64-word
-    * vocabularies use the token-array path (MinHash signatures don't
-    * care) — the mask is an optimization valid exactly when it fits.
-    */
   /** Contiguous 0-based ids for a small distinct-key table WITHOUT a
     * data-sized single-partition sort: hash keys into P buckets, rank
     * within each bucket (partitioned window), then add the exclusive
@@ -72,6 +63,15 @@ object DedupOps {
       .drop("_bk", "_rn")
   }
 
+  /** Token sets as 64-bit vocabulary bitmasks. The corpus vocabulary is
+    * tiny (31 words at every sf), so set intersect/union collapse to
+    * codegen'd long AND/OR + bit_count — this is what turned the O(n²)
+    * Jaccard verify stages from interpreted array HOFs (~40 s at sf0.1)
+    * into sub-second long arithmetic. The vocab→bit mapping is derived
+    * from the data (broadcast, derived once); corpora with >64-word
+    * vocabularies use the token-array path (MinHash signatures don't
+    * care) — the mask is an optimization valid exactly when it fits.
+    */
   private def docMasks(s: SparkSession, d: String): DataFrame = {
     // The bench corpus is one parquet file → a 1-task scan, so the
     // explode/join would run single-threaded without the repartition
