@@ -273,6 +273,41 @@ object VectorOps {
          |            JOIN embeddings b ON b.vec_id = c.nn_id
          |QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin)),
 
+    // Scale-safe APPROXIMATE global top-k similar pairs — completes the
+    // family: h_cosine_topk is the exact O(n²) yardstick (blocked
+    // triangle), this is the sub-quadratic 100 TB form. Candidates =
+    // pairs sharing >= 1 LSH band (equi-join on (band, band_val), the
+    // only shuffle), cosine-verified, global top-10 via
+    // TakeOrderedAndProject. The oracle replicates the banding, so the
+    // approximation — candidate recall included — is itself
+    // parity-checked, exactly like h_ann_lsh.
+    Q("h_ann_topk_pairs", (s, d) => {
+      val sig = lshSigs(s, d)
+      val a = sig.select(col("vec_id").as("id_a"), col("band"), col("band_val"))
+      val b = sig.select(col("vec_id").as("id_b"), col("band"), col("band_val"))
+      val cand = a.join(b, Seq("band", "band_val"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val e = withDoubles(s, d)
+        .select(col("vec_id"), col("dv"), sqrt(dot(col("dv"), col("dv"))).as("nrm"))
+      val ea = e.select(col("vec_id").as("id_a"), col("dv").as("va"), col("nrm").as("na"))
+      val eb = e.select(col("vec_id").as("id_b"), col("dv").as("vb"), col("nrm").as("nb"))
+      cand.join(ea, "id_a").join(eb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          r6(dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+        .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+        .limit(10)
+    }, Some(
+      s"""WITH $duckSig,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM sig x JOIN sig y
+         |    ON x.band = y.band AND x.band_val = y.band_val AND x.vec_id < y.vec_id)
+         |SELECT c.id_a, c.id_b, ROUND($duckCos, 6) AS sim
+         |FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+         |            JOIN embeddings b ON b.vec_id = c.id_b
+         |ORDER BY sim DESC, id_a, id_b LIMIT 10""".stripMargin)),
+
     // Embedding-cosine near-dedup: LSH-candidate pairs verified at
     // cosine >= 0.4 (this corpus's vectors are near-orthogonal — max
     // pair cosine ~0.51 — so the threshold sits where near-dups exist).
