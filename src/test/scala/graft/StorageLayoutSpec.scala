@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-layout scale mechanics (SURVEY §2 scale notes): bucketing and
+  * partitioned layout are the two levers that delete shuffles and scans
+  * at 100 TB — a fact-fact join between tables bucketed on the join key
+  * reads co-located buckets with NO exchange, and a filter on a dim
+  * table prunes fact partitions at runtime via dynamic partition
+  * pruning. Both are pinned here as executed-plan properties, not
+  * assumed.
+  */
+class StorageLayoutSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def withConfs(confs: Seq[(String, String)])(body: => Unit): Unit = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("bucketed fact-fact join runs shuffle-free (co-located buckets, no Exchange)") {
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_bucketed")
+    // broadcast disabled so shuffle-freeness is attributable to the
+    // bucket layout, not to a broadcast of the small test data
+    withConfs(Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
+      val df = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), max(col("o_totalprice") + col("l_quantity")).as("m"))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"))
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed join still shuffles — bucket pruning/co-location not engaged")
+    }
+  }
+
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice", "l_returnflag")
+      .write.partitionBy("l_returnflag")
+      .mode("overwrite").saveAsTable("li_partitioned")
+    import spark.implicits._
+    // the dim must be a file-backed table: a LocalRelation dim defeats
+    // the broadcast-reuse check and DPP silently declines
+    Seq(("R", "returned"), ("N", "none"), ("A", "ack"))
+      .toDF("flag", "flag_name")
+      .write.mode("overwrite").saveAsTable("flag_dim")
+    val df = spark.table("li_partitioned")
+      .join(spark.table("flag_dim"), col("l_returnflag") === col("flag"))
+      .filter(col("flag_name") === "returned")
+      .agg(sum(col("l_extendedprice")).as("s"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "no dynamic partition pruning filter reached the partitioned scan")
+  }
+}
