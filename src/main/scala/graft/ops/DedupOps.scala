@@ -83,10 +83,21 @@ object DedupOps {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(split(col("text"), " "))).as("token"))
-    val vocab = denseIds(tok.select(col("token")).distinct(), "token")
-    tok.join(broadcast(vocab), "token")
+    // The whole vocabulary is ONE sorted array row (≤64 entries inside
+    // the mask path's validity domain): a two-stage collect_set
+    // aggregate + broadcast + array_position replaces the distinct →
+    // rank → offset-join pipeline — three fewer shuffles, and docMasks
+    // is on the critical path of four dedup queries. The final collect
+    // reducer is bounded by the vocabulary domain, never by the data;
+    // wide-vocabulary tables (ngram bigrams, 961 types) keep the
+    // denseIds + broadcast-hash-join path, where a per-row linear array
+    // scan would not pay.
+    val vocabArr = tok.agg(sort_array(collect_set(col("token"))).as("varr"))
+    tok.crossJoin(broadcast(vocabArr))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask"))
+      .agg(sum(expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(array_position(varr, token) AS INT) - 1)"))
+        .as("mask"))
       .localCheckpoint(true)
   }
 
