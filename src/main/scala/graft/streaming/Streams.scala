@@ -88,6 +88,31 @@ object Streams {
       .select(col("p_id"), col("c_id"), col("p_us"), col("c_us"))
   }
 
+  /** Stream-stream LEFT OUTER time-bounded join: like
+    * [[purchaseClickJoin]], but purchases with no click in the
+    * preceding hour still emit (null click columns) — and in streaming
+    * they emit only once the watermark has passed the end of their join
+    * window, proving the row can never match. This is the semantics
+    * corner outer stream joins exist for: the null-matched row is a
+    * STATEMENT about completed time, not about data seen so far. Same
+    * code runs on batch frames as the parity oracle.
+    */
+  def purchaseClickLeftOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = withTime(purchases)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts_us").as("p_us"), col("ts_t").as("p_t"))
+      .withWatermark("p_t", "30 minutes")
+    val c = withTime(clicks)
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts_us").as("c_us"), col("ts_t").as("c_t"))
+      .withWatermark("c_t", "30 minutes")
+    p.join(c, expr(
+      """p_user = c_user AND
+        |c_t BETWEEN p_t - INTERVAL 1 HOUR AND p_t""".stripMargin),
+      "left_outer")
+      .select(col("p_id"), col("c_id"), col("p_us"), col("c_us"))
+  }
+
   // ---- arbitrary stateful processing -------------------------------
 
   case class Ev(event_id: Long, ts_us: Long, user_id: Long, event_type: String, value: Double)

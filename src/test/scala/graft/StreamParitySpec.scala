@@ -94,6 +94,33 @@ class StreamParitySpec extends AnyFunSuite {
     assert(stream.count() > 0)
   }
 
+  test("stream-stream LEFT OUTER join: null-matched rows emit after the watermark passes") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val purchases = evRows.filter(_.event_type == "purchase")
+    val clicks = evRows.filter(_.event_type == "click")
+    // outer rows only emit once the watermark proves their join window
+    // closed — push it past every real row with one far-future event on
+    // each side (filtered back out of the comparison by id)
+    val flushUs = evRows.map(_.ts_us).max + 10L * 3600000000L
+    val flushP = Ev(900001L, flushUs, 999999L, "purchase", 0.0)
+    val flushC = Ev(900002L, flushUs, 999998L, "click", 0.0)
+    val memP = MemoryStream[Ev]; val memC = MemoryStream[Ev]
+    memP.addData(purchases); memC.addData(clicks)
+    val q = Streams.purchaseClickLeftOuter(memP.toDF(), memC.toDF())
+      .writeStream.format("memory").queryName("ssoj").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      memP.addData(flushP); memC.addData(flushC)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("ssoj").filter($"p_id" < 900000L)
+    val batch = Streams.purchaseClickLeftOuter(purchases.toDF(), clicks.toDF())
+    assert(rows(stream) === rows(batch))
+    assert(stream.filter($"c_id".isNull).count() > 0,
+      "no null-matched outer rows — the outer semantics were never exercised")
+  }
+
   test("watermark drops events later than the watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
