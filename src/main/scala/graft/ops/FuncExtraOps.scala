@@ -156,6 +156,39 @@ object FuncExtraOps {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
         |WHERE (o_orderkey * 2654435761) % 4294967296 < 214748364
-        |ORDER BY o_orderkey""".stripMargin))
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // ANSI-safe arithmetic: Spark 4 runs ANSI mode by default, where
+    // division by zero, malformed casts and out-of-range element access
+    // THROW — the try_* family is the production answer (NULL instead of
+    // a failed 100 TB job). DuckDB twins: NULLIF guard, TRY_CAST, and
+    // native OOB-list-index-is-NULL.
+    Q("f_try_funcs", (s, d) => {
+      Io.table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          // Snap the double quotient to DECIMAL(38,6) before the 4-digit
+          // round: a quotient landing on a ...5 half-boundary (e.g.
+          // 2338.70875) otherwise rounds differently in Spark (HALF_UP on
+          // the shortest decimal repr) vs DuckDB (binary nearbyint).
+          r4(expr("try_divide(l_extendedprice, l_quantity - 25.0)")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .cast("double").as("safe_ratio"),
+          expr("""try_cast(CASE WHEN l_linenumber % 2 = 0
+                 |        THEN CAST(l_orderkey AS STRING) ELSE l_returnflag END
+                 |        AS BIGINT)""".stripMargin).as("maybe_num"),
+          expr("try_element_at(sequence(1, CAST(l_linenumber AS INT)), 5)")
+            .as("fifth"))
+        .orderBy("l_orderkey", "l_linenumber", "safe_ratio", "maybe_num", "fifth")
+    }, Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(ROUND(CAST(l_extendedprice / NULLIF(l_quantity - 25.0, 0.0)
+        |             AS DECIMAL(38,6)), 4) AS DOUBLE) AS safe_ratio,
+        |  TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+        |           THEN CAST(l_orderkey AS VARCHAR) ELSE l_returnflag END
+        |           AS BIGINT) AS maybe_num,
+        |  CAST((generate_series(1, CAST(l_linenumber AS BIGINT)))[5] AS INT) AS fifth
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, safe_ratio NULLS FIRST,
+        |  maybe_num NULLS FIRST, fifth NULLS FIRST""".stripMargin))
   )
 }
