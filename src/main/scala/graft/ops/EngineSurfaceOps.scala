@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.io.Io
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SQL-surface staples a user switching engines would reach for on day
+  * one: URL parsing, mode(), argmax (max_by / max-of-struct), and the
+  * correlated LATERAL join. Each is either DataFrame-API with a DuckDB
+  * relational twin, or ONE shared SQL text run verbatim by both engines
+  * (the TpchOps discipline).
+  *
+  * Scale notes: everything here is scan-parallel or one hash-shuffle on
+  * the grouping key; the lateral top-k decorrelates to a windowed
+  * row_number — no per-row subquery execution at 100 TB.
+  */
+object EngineSurfaceOps {
+
+  private def shared(name: String, sql: String): Q =
+    Q(name, (s: SparkSession, d: String) => { Io.views(s, d); s.sql(sql) }, Some(sql))
+
+  val all: Seq[Q] = Seq(
+
+    // parse_url / url_encode / url_decode. The URL is built from part
+    // columns ('#' in p_brand forces percent-encoding), then parsed back:
+    // HOST and PATH extraction, a named QUERY parameter, and a decode
+    // round-trip that must return the original brand. DuckDB lacks the
+    // url functions; its twin states the equivalent string algebra
+    // (constrained input: '#' is the only character needing encoding).
+    Q("f_url_funcs", (s, d) => {
+      Io.table(s, d, "part")
+        .withColumn("u", concat(
+          lit("https://catalog.example.com/parts/"), col("p_partkey"),
+          lit("?brand="), expr("url_encode(p_brand)"),
+          lit("&size="), col("p_size")))
+        .select(col("p_partkey"),
+          expr("parse_url(u, 'HOST')").as("host"),
+          expr("parse_url(u, 'PATH')").as("path"),
+          expr("parse_url(u, 'QUERY', 'brand')").as("brand_enc"),
+          expr("url_decode(parse_url(u, 'QUERY', 'brand'))").as("brand_rt"),
+          expr("parse_url(u, 'QUERY', 'size')").as("size_q"))
+        .orderBy("p_partkey")
+    }, Some(
+      """SELECT p_partkey,
+        |  'catalog.example.com' AS host,
+        |  '/parts/' || CAST(p_partkey AS VARCHAR) AS path,
+        |  REPLACE(p_brand, '#', '%23') AS brand_enc,
+        |  p_brand AS brand_rt,
+        |  CAST(p_size AS VARCHAR) AS size_q
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // mode() aggregate, ONE shared SQL text. l_linenumber's mode is
+    // structurally unique (every order contributes linenumber 1, strictly
+    // fewer contribute 2+), so both engines' tie policies are irrelevant
+    // and the value is deterministic at every scale factor.
+    shared("d_agg_mode",
+      """SELECT l_returnflag,
+        |  CAST(mode(l_linenumber) AS INT) AS mode_ln,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
+    // Argmax family: max_by/min_by and the max-of-struct idiom (the
+    // classic "row with the group's max" without a self-join — one
+    // hash aggregate, no shuffle beyond the groupBy). The comparison
+    // key embeds o_orderkey so ties on price are totally ordered; the
+    // price is an untouched parquet double (no arithmetic → exact).
+    Q("d_agg_argmax", (s, d) => {
+      val top = max(struct(col("o_totalprice"), col("o_orderkey")))
+      Io.table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          top.getField("o_orderkey").as("top_order"),
+          top.getField("o_totalprice").as("top_price"),
+          expr("max_by(o_custkey, struct(o_totalprice, o_orderkey))").as("top_cust"),
+          expr("min_by(o_custkey, struct(o_totalprice, o_orderkey))").as("bottom_cust"))
+        .orderBy("o_orderpriority")
+    }, Some(
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  MAX(CASE WHEN rn_max = 1 THEN o_orderkey END) AS top_order,
+        |  MAX(CASE WHEN rn_max = 1 THEN o_totalprice END) AS top_price,
+        |  MAX(CASE WHEN rn_max = 1 THEN o_custkey END) AS top_cust,
+        |  MAX(CASE WHEN rn_min = 1 THEN o_custkey END) AS bottom_cust
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Correlated LATERAL join (top-2 orders per sampled customer), ONE
+    // shared SQL text. Catalyst decorrelates the LIMIT-under-correlation
+    // into a windowed row_number filter — verified in PlanShapeSpec; at
+    // 100 TB this is one shuffle on o_custkey, never a per-row subquery.
+    shared("f_lateral_join",
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey DESC
+        |  LIMIT 2) t
+        |WHERE c.c_custkey % 20 = 0
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+  )
+}

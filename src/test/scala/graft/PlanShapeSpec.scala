@@ -164,6 +164,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("correlated LATERAL top-k decorrelates to a windowed filter (no per-row subquery)") {
+    val p = plan("f_lateral_join")
+    // Catalyst rewrites LIMIT-under-correlation into row_number over a
+    // window partitioned by the join key, then a single equi-join — the
+    // shape that scales; a surviving nested-loop would mean per-row
+    // subquery execution.
+    assert(p.contains("row_number") || p.contains("Window"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   test("semi/anti joins decorrelate from EXISTS subqueries") {
     val p = executedPlan(spark.sql {
       graft.io.Io.views(spark, sf)
