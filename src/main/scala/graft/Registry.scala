@@ -12,7 +12,8 @@ object Registry {
     ScanOps.all ++ FilterOps.all ++ JoinOps.all ++ AggOps.all ++
       WindowOps.all ++ FuncOps.all ++ StreamBatchOps.all ++ TextOps.all ++
       VectorOps.all ++ DedupOps.all ++ ExtOps.all ++ AnalyticsOps.all ++
-      FuncExtraOps.all ++ EtlOps.all ++ TpchOps.all ++ EngineSurfaceOps.all
+      FuncExtraOps.all ++ EtlOps.all ++ TpchOps.all ++ EngineSurfaceOps.all ++
+      ContaminationOps.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
