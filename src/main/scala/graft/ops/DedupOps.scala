@@ -167,6 +167,87 @@ object DedupOps {
   private def maskJaccard(a: String, b: String): Column =
     expr(s"bit_count($a & $b)") / expr(s"bit_count($a | $b)")
 
+  /** Connected components over the exact near-dup pair graph (same-lang,
+    * j >= 0.9) → (doc_id, rep) with rep = min doc_id per component.
+    * Shared by h_dedup_clusters and h_dedup_best.
+    *
+    * Node contraction first: docs sharing (lang, mask) are exact
+    * token-set duplicates (j = 1), so connected components runs on
+    * the distinct-mask graph — ~10× fewer nodes and edges on this
+    * corpus (and far more at 100 TB, where dup-heavy crawls contract
+    * 100:1) — and the labels broadcast back to docs at the end.
+    * Component rep stays min doc_id: each node id is its group's min,
+    * so min-over-nodes == min-over-docs. */
+  private def ccDocLabels(s: SparkSession, d: String): DataFrame = {
+    val t = docMasks(s, d)
+    val nodes = t.groupBy(col("lang"), col("mask"))
+      .agg(min(col("doc_id")).as("nid")).localCheckpoint(true)
+    val a = nodes.select(col("nid").as("na"), col("lang"), col("mask").as("ma"))
+    val b = nodes.select(col("nid").as("nb"), col("lang").as("lang_b"), col("mask").as("mb"))
+    val pairs = a.join(b, col("lang") === col("lang_b") && col("na") < col("nb"))
+      .filter(maskJaccard("ma", "mb") >= 0.9)
+      .select(col("na"), col("nb"))
+    val edges = pairs.union(pairs.select(col("nb"), col("na")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var labels = nodes.select(col("nid")).withColumn("rep", col("nid"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("rep"))).head.getLong(0)
+    var converged = false
+    var iter = 0
+    // One propagation step: relax labels across edges, then pointer-jump
+    // (rep := rep's rep) so label distance doubles per step —
+    // O(log diameter) materialized rounds instead of O(diameter).
+    def step(l: DataFrame): DataFrame = {
+      val viaNbr = edges.join(l, edges("dst") === l("nid"))
+        .select(col("src").as("nid"), col("rep"))
+      val relaxed = l.select(col("nid"), col("rep")).union(viaNbr)
+        .groupBy(col("nid")).agg(min(col("rep")).as("rep"))
+      relaxed.as("x")
+        .join(relaxed.select(col("nid").as("r_nid"), col("rep").as("r_rep")),
+          col("rep") === col("r_nid"), "left")
+        .select(col("nid"), coalesce(col("r_rep"), col("rep")).as("rep"))
+    }
+    while (!converged && iter < 30) {
+      labels = step(labels).localCheckpoint(true)
+      // the sum-of-reps action is pure convergence detection; any
+      // non-trivial component graph needs >2 rounds, so skip the
+      // check (one scheduling round trip each) for the first two.
+      if (iter >= 2) {
+        val sumRep = labels.agg(sum(col("rep"))).head.getLong(0)
+        converged = sumRep == prevSum
+        prevSum = sumRep
+      }
+      iter += 1
+    }
+    t.join(nodes, Seq("lang", "mask")).join(labels, "nid")
+      .select(col("doc_id"), col("rep"))
+  }
+
+  /** DuckDB oracle prefix shared by the CC-based queries: recursive-CTE
+    * transitive closure over the exact j >= 0.9 same-lang pair graph,
+    * ending with rep(doc_id, cluster_rep). `select` continues from there
+    * (and may open further CTEs via a leading comma-less SELECT). */
+  private def ccOracle(select: String): String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.toks, b.toks))
+      |        / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.9),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |rep AS (
+      |  SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_rep
+      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      |  GROUP BY d.doc_id)
+      |""".stripMargin + select
+
   val all: Seq[Q] = Seq(
     // Exact dedup on sha256 of normalized text: keeper = min doc_id.
     Q("h_exact_dedup", (s, d) => {
@@ -318,82 +399,61 @@ object DedupOps {
     // closure. Output: every doc with its cluster representative and
     // cluster size — the "keep one per duplicate group" primitive.
     Q("h_dedup_clusters", (s, d) => {
-      val t = docMasks(s, d)
-      // Node contraction first: docs sharing (lang, mask) are exact
-      // token-set duplicates (j = 1), so connected components runs on
-      // the distinct-mask graph — ~10× fewer nodes and edges on this
-      // corpus (and far more at 100 TB, where dup-heavy crawls contract
-      // 100:1) — and the labels broadcast back to docs at the end.
-      // Component rep stays min doc_id: each node id is its group's min,
-      // so min-over-nodes == min-over-docs.
-      val nodes = t.groupBy(col("lang"), col("mask"))
-        .agg(min(col("doc_id")).as("nid")).localCheckpoint(true)
-      val a = nodes.select(col("nid").as("na"), col("lang"), col("mask").as("ma"))
-      val b = nodes.select(col("nid").as("nb"), col("lang").as("lang_b"), col("mask").as("mb"))
-      val pairs = a.join(b, col("lang") === col("lang_b") && col("na") < col("nb"))
-        .filter(maskJaccard("ma", "mb") >= 0.9)
-        .select(col("na"), col("nb"))
-      val edges = pairs.union(pairs.select(col("nb"), col("na")))
-        .toDF("src", "dst").localCheckpoint(true)
-      var labels = nodes.select(col("nid")).withColumn("rep", col("nid"))
-        .localCheckpoint(true)
-      var prevSum = labels.agg(sum(col("rep"))).head.getLong(0)
-      var converged = false
-      var iter = 0
-      // One propagation step: relax labels across edges, then pointer-jump
-      // (rep := rep's rep) so label distance doubles per step —
-      // O(log diameter) materialized rounds instead of O(diameter).
-      def step(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-        val viaNbr = edges.join(l, edges("dst") === l("nid"))
-          .select(col("src").as("nid"), col("rep"))
-        val relaxed = l.select(col("nid"), col("rep")).union(viaNbr)
-          .groupBy(col("nid")).agg(min(col("rep")).as("rep"))
-        relaxed.as("x")
-          .join(relaxed.select(col("nid").as("r_nid"), col("rep").as("r_rep")),
-            col("rep") === col("r_nid"), "left")
-          .select(col("nid"), coalesce(col("r_rep"), col("rep")).as("rep"))
-      }
-      while (!converged && iter < 30) {
-        labels = step(labels).localCheckpoint(true)
-        // the sum-of-reps action is pure convergence detection; any
-        // non-trivial component graph needs >2 rounds, so skip the
-        // check (one scheduling round trip each) for the first two.
-        if (iter >= 2) {
-          val sumRep = labels.agg(sum(col("rep"))).head.getLong(0)
-          converged = sumRep == prevSum
-          prevSum = sumRep
-        }
-        iter += 1
-      }
-      val docLabels = t.join(nodes, Seq("lang", "mask")).join(labels, "nid")
-        .select(col("doc_id"), col("rep"))
+      val docLabels = ccDocLabels(s, d)
       val sizes = docLabels.groupBy(col("rep")).agg(count(lit(1)).as("n_members"))
       docLabels.join(sizes, "rep")
         .select(col("doc_id"), col("rep").as("cluster_rep"), col("n_members"))
         .orderBy("doc_id")
-    }, Some(
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.toks, b.toks))
-        |        / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.9),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(a, b) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-        |rep AS (
-        |  SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_rep
-        |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-        |  GROUP BY d.doc_id)
-        |SELECT rep.doc_id, rep.cluster_rep, sz.n_members
+    }, Some(ccOracle(
+      """SELECT rep.doc_id, rep.cluster_rep, sz.n_members
         |FROM rep JOIN (SELECT cluster_rep, COUNT(*) AS n_members
         |               FROM rep GROUP BY cluster_rep) sz USING (cluster_rep)
-        |ORDER BY doc_id""".stripMargin)),
+        |ORDER BY doc_id""".stripMargin))),
+
+    // Quality-aware representative selection: within each near-dup
+    // cluster keep the HIGHEST-QUALITY member (h_quality_score's
+    // formula), not the min-id one — what a production dedup actually
+    // ships. Reuses the CC labels; the argmax is one windowed
+    // row_number over (cluster, quality desc, doc_id). Quality snaps to
+    // DECIMAL(38,6) before comparison so the argmax pick is identical
+    // across engines even when two members' qualities differ below 1e-6.
+    Q("h_dedup_best", (s, d) => {
+      val t = split(col("text"), " ")
+      val nTok = size(t).cast("double")
+      val ttr = size(array_distinct(t)) / nTok
+      val stopRatio = size(filter(t, x => x === "the" || x === "a")) / nTok
+      val lenSat = least(nTok / 100.0, lit(1.0))
+      val quality = (lit(0.3) * ttr + lit(0.4) * (lit(1.0) - stopRatio) +
+        lit(0.3) * lenSat).cast("decimal(38,6)").cast("double")
+      val q = Io.table(s, d, "documents")
+        .select(col("doc_id"), quality.as("quality"))
+      val wRank = Window.partitionBy(col("rep"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      ccDocLabels(s, d).join(q, "doc_id")
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("rep"))))
+        .filter(col("rn") === 1)
+        .select(col("rep").as("cluster_rep"), col("n_members"),
+          col("doc_id").as("best_doc"), col("quality").as("best_quality"))
+        .orderBy("cluster_rep")
+    }, Some(ccOracle(
+      """, q AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(0.3 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+        |       + 0.4 * (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a'))
+        |                      / CAST(len(toks) AS DOUBLE))
+        |       + 0.3 * LEAST(len(toks) / 100.0, 1.0)
+        |       AS DECIMAL(38,6)) AS DOUBLE) AS quality
+        |  FROM t),
+        |best AS (
+        |  SELECT rep.cluster_rep, rep.doc_id, q.quality,
+        |    ROW_NUMBER() OVER (PARTITION BY rep.cluster_rep
+        |      ORDER BY q.quality DESC, rep.doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY rep.cluster_rep) AS n_members
+        |  FROM rep JOIN q USING (doc_id))
+        |SELECT cluster_rep, CAST(n_members AS BIGINT) AS n_members,
+        |  doc_id AS best_doc, quality AS best_quality
+        |FROM best WHERE rn = 1 ORDER BY cluster_rep""".stripMargin))),
 
     // SimHash near-dup: 32-bit signatures, pairs at hamming <= 2 via
     // 4-band blocking (exact by pigeonhole for hamming <= 3).
