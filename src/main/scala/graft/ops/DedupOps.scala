@@ -60,7 +60,7 @@ object DedupOps {
       .select(col("_bk"), col("_off"))
     ranked.join(broadcast(offs), "_bk")
       .withColumn("bit", (col("_off") + col("_rn") - 1).cast("int"))
-      .drop("_bk", "_rn")
+      .drop("_bk", "_rn", "_off")
   }
 
   /** Token sets as 64-bit vocabulary bitmasks. The corpus vocabulary is
@@ -92,7 +92,15 @@ object DedupOps {
     // wide-vocabulary tables (ngram bigrams, 961 types) keep the
     // denseIds + broadcast-hash-join path, where a per-row linear array
     // scan would not pay.
-    val vocabArr = tok.agg(sort_array(collect_set(col("token"))).as("varr"))
+    // Guard the mask path's validity domain: shiftleft silently wraps
+    // mod 64, so a >64-token vocabulary would corrupt masks with no
+    // error. Fail loudly instead (wide vocabularies take the denseIds
+    // array<long> path, see h_ngram_jaccard).
+    val vocabArr = tok.agg(sort_array(collect_set(col("token"))).as("varr0"))
+      .select(when(size(col("varr0")) <= 64, col("varr0"))
+        .otherwise(raise_error(concat(lit("docMasks: vocabulary exceeds 64 tokens ("),
+          size(col("varr0")).cast("string"), lit(") — single-long masks invalid"))))
+        .as("varr"))
     tok.crossJoin(broadcast(vocabArr))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(expr(
@@ -438,13 +446,16 @@ object DedupOps {
         .orderBy("cluster_rep")
     }, Some(ccOracle(
       """, q AS (
+        |  -- raw (NOT deduped) tokens: quality must match h_quality_score's
+        |  -- formula over split(text), while ccOracle's t.toks is
+        |  -- list_distinct'd for the Jaccard graph — recompute from text.
         |  SELECT doc_id,
-        |    CAST(CAST(0.3 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
-        |       + 0.4 * (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a'))
-        |                      / CAST(len(toks) AS DOUBLE))
-        |       + 0.3 * LEAST(len(toks) / 100.0, 1.0)
+        |    CAST(CAST(0.3 * (len(list_distinct(rt)) / CAST(len(rt) AS DOUBLE))
+        |       + 0.4 * (1.0 - len(list_filter(rt, x -> x = 'the' OR x = 'a'))
+        |                      / CAST(len(rt) AS DOUBLE))
+        |       + 0.3 * LEAST(len(rt) / 100.0, 1.0)
         |       AS DECIMAL(38,6)) AS DOUBLE) AS quality
-        |  FROM t),
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS rt FROM documents)),
         |best AS (
         |  SELECT rep.cluster_rep, rep.doc_id, q.quality,
         |    ROW_NUMBER() OVER (PARTITION BY rep.cluster_rep
