@@ -22,18 +22,34 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory) {
       // bounded: never let warm-up push the whole bench past a harness
       // timeout — un-warmed queries just pay their own compile once.
-      val warmDeadline = System.nanoTime() + 120L * 1000000000L
+      // The sweep runs CONCURRENTLY (Spark schedules jobs from many
+      // driver threads fine): warm-up only needs each query's generated
+      // code compiled once, and at sf0.001 execution is trivial, so 8
+      // in-flight queries overlap Janino compilation and the full
+      // 140-query sweep finishes well inside the deadline — round 3's
+      // serial sweep hit the deadline with the t_* family still cold,
+      // which showed up as +2–3 s of compile time on their timed runs.
+      val warmDeadline = System.nanoTime() + 240L * 1000000000L
+      val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+        (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
       // heaviest families first, so if the deadline cuts the sweep short
       // (shared noisy host) the queries that benefit most are warm
       SparkEntry.queries.toSeq
         .sortBy { case (n, _) =>
           (if (n.startsWith("h_") || n.startsWith("t_")) 0 else 1, n)
         }
-        .foreach { case (_, fn) =>
-          if (System.nanoTime() < warmDeadline) {
-            try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        .foreach { case (n, fn) => queue.add((n, fn)) }
+      val workers = (1 to 8).map { _ =>
+        new Thread(() => {
+          var next = queue.poll()
+          while (next != null && System.nanoTime() < warmDeadline) {
+            try next._2(spark, warmDir).count() catch { case _: Throwable => () }
+            next = queue.poll()
           }
-        }
+        })
+      }
+      workers.foreach(_.start())
+      workers.foreach(_.join())
     } else {
       try {
         SparkEntry.queries.get("c_join_5way").foreach(_(spark, sfDir).count())

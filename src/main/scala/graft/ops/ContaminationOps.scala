@@ -26,16 +26,6 @@ object ContaminationOps {
     c.cast(DecimalType(38, 6)).cast("double")
   private def dSnap6(x: String) = s"CAST(CAST($x AS DECIMAL(38,6)) AS DOUBLE)"
 
-  /** Word 5-gram shingles, distinct per doc. Guarded for <5 tokens:
-    * Spark's sequence(1, n) with n<1 would generate a DESCENDING range. */
-  private def shingles = {
-    val t = toks
-    when(size(t) >= 5,
-      array_distinct(transform(sequence(lit(1), size(t) - 4),
-        i => concat_ws(" ", slice(t, i, lit(5))))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   val all: Seq[Q] = Seq(
 
     // Benchmark contamination: docs with doc_id % 97 = 0 stand in for the
@@ -43,10 +33,20 @@ object ContaminationOps {
     // 5-gram shingles that appear anywhere in the eval set. The eval
     // shingle dictionary is broadcast — at 100 TB the scan stays map-side
     // (no shuffle of the corpus against the benchmark).
+    //
+    // Shingling runs through the native explode_ngrams generator (one
+    // output row per 5-gram, <5-token docs yield none) instead of an
+    // interpreted transform/concat_ws/slice lambda nest — the lambda
+    // interpreter dominated this query's scan stage. Per-doc shingle
+    // dedup is the (doc_id, g) distinct, partial-aggregated before the
+    // shuffle. The 1-file corpus scan is repartitioned so shingling uses
+    // every core (no-op at real scale where the scan is parallel).
     Q("h_contamination", (s, d) => {
+      graft.functions.ExplodeNgrams.register(s)
       val sh = Io.table(s, d, "documents")
-        .filter(size(toks) >= 5)
-        .select(col("doc_id"), explode(shingles).as("g"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), expr("explode_ngrams(text, 5)").as("g"))
+        .distinct()
       val evalSet = sh.filter(col("doc_id") % 97 === 0)
         .select(col("g")).distinct().withColumn("hit", lit(1))
       sh.filter(col("doc_id") % 97 =!= 0)

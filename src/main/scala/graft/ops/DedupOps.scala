@@ -72,7 +72,10 @@ object DedupOps {
     * vocabularies use the token-array path (MinHash signatures don't
     * care) — the mask is an optimization valid exactly when it fits.
     */
-  private def docMasks(s: SparkSession, d: String): DataFrame = {
+  private def docMasks(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "docMasks") { docMasksBuild(s, d) }
+
+  private def docMasksBuild(s: SparkSession, d: String): DataFrame = {
     // The bench corpus is one parquet file → a 1-task scan, so the
     // explode/join would run single-threaded without the repartition
     // (at 100 TB the scan itself is parallel and this is a no-op cost-
@@ -186,7 +189,13 @@ object DedupOps {
     * 100:1) — and the labels broadcast back to docs at the end.
     * Component rep stays min doc_id: each node id is its group's min,
     * so min-over-nodes == min-over-docs. */
-  private def ccDocLabels(s: SparkSession, d: String): DataFrame = {
+  private def ccDocLabels(s: SparkSession, d: String): DataFrame =
+    // memoized: h_dedup_clusters and h_dedup_best both consume the same
+    // cluster-label table; the iterative CC (the expensive part) runs
+    // once per (session, corpus) and the final table is materialized.
+    Q.memoized(s, d, "ccDocLabels") { ccDocLabelsBuild(s, d).localCheckpoint(true) }
+
+  private def ccDocLabelsBuild(s: SparkSession, d: String): DataFrame = {
     val t = docMasks(s, d)
     val nodes = t.groupBy(col("lang"), col("mask"))
       .agg(min(col("doc_id")).as("nid")).localCheckpoint(true)
@@ -316,16 +325,16 @@ object DedupOps {
     // (which benched ~14 s at sf0.1; this form is a plain same-lang
     // pair join with a 16-long bit loop per pair).
     Q("h_ngram_jaccard", (s, d) => {
-      graft.functions.DotProduct.register(s)
-      val t0 = split(col("text"), " ")
-      val bigrams = array_distinct(zip_with(
-        slice(t0, lit(1), size(t0) - 1), slice(t0, lit(2), size(t0) - 1),
-        (x, y) => concat(x, lit(" "), y)))
+      graft.functions.ExplodeNgrams.register(s)
+      // Native explode_ngrams generator instead of an interpreted
+      // zip_with/slice/concat lambda (same rewrite as h_contamination);
+      // per-doc bigram dedup becomes the partial-aggregated distinct.
       // Repartition for the same 1-task-scan reason as docMasks: the
-      // interpreted zip_with bigram build should run on all cores.
+      // bigram build should run on all cores.
       val bg = Io.table(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("lang"), explode(bigrams).as("b"))
+        .select(col("doc_id"), col("lang"), expr("explode_ngrams(text, 2)").as("b"))
+        .distinct()
         .localCheckpoint(true)
       val vocab = denseIds(bg.select(col("b")).distinct(), "b")
         .localCheckpoint(true)

@@ -41,4 +41,22 @@ object Q {
   /** DuckDB text twins for the helpers above. */
   def dSum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE)"
   def dAvg(x: String): String = s"(${dSum(x)} / COUNT(*))"
+
+  /** Session-scoped memo for pipeline-shared materialized intermediates
+    * (doc token masks, near-dup cluster labels): several checked queries
+    * consume the same derived table, and a production pipeline
+    * materializes such artifacts once, not once per downstream consumer.
+    * Keyed by (session, input dir, artifact name); values are already
+    * materialized (localCheckpoint'ed) DataFrames, so a hit costs
+    * nothing and re-runs nothing. Entries die with their SparkSession
+    * (weak keys would need the session; a simple synchronized map is
+    * fine — the value count is O(#artifacts × #dirs), single digits).
+    * Thread-safe: computeIfAbsent guards concurrent warm-up sweeps.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]
+  def memoized(s: SparkSession, dir: String, name: String)
+      (build: => DataFrame): DataFrame =
+    memo.computeIfAbsent(
+      (System.identityHashCode(s), dir, name), _ => build)
 }
