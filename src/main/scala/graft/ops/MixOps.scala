@@ -1,0 +1,162 @@
+package graft.ops
+
+import graft.io.Io
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Q._
+
+/** Corpus-composition operators of a pre-training data pipeline: rarity
+  * (pseudo-perplexity) scoring with head/middle/tail bucketing (the
+  * CCNet layout), deterministic stratified sampling, language-mixture
+  * reweighting, and the corpus length histogram.
+  *
+  * Scale notes: every op here is one or two hash aggregates over the
+  * corpus plus a broadcast of a language- or vocabulary-bounded side
+  * table (5 langs / ≤64 tokens) — nothing grows super-linearly and no
+  * shuffle carries more than the corpus once. Sampling is by
+  * multiplicative hash of doc_id, not rand(): reproducible under
+  * retries, task re-execution, and engine changes — the only sampling
+  * discipline that survives a 100 TB run.
+  */
+object MixOps {
+
+  private def toks = split(col("text"), " ")
+
+  /** Deterministic round-to-nearest at 1e-6 (HALF_UP in both engines —
+    * plain ROUND(double, 6) disagrees on half-boundary rationals). */
+  private def snap6(c: org.apache.spark.sql.Column) =
+    c.cast(DecimalType(38, 6)).cast("double")
+  private def dSnap6(x: String) = s"CAST(CAST($x AS DECIMAL(38,6)) AS DOUBLE)"
+
+  /** Multiplicative doc_id hash in [0, 2^32) — the engine-independent
+    * sampling coin shared with f_sample_hash. */
+  private val coin = "(doc_id * 2654435761) % 4294967296"
+
+  val all: Seq[Q] = Seq(
+
+    // CCNet-style rarity scoring: token rarity = -ln(corpus frequency),
+    // per-doc score = mean token rarity, docs bucketed head(1)/middle(2)/
+    // tail(3) per language by score. The frequency table is vocabulary-
+    // bounded → broadcast; the whole op is two scans + one window.
+    // Rarity snaps to DECIMAL(38,12) right after ln() (Java Math.log and
+    // libm may differ in the last ulp) and the per-doc mean is an exact
+    // decimal sum, so the bucket boundaries are engine-identical.
+    Q("h_rarity_bucket", (s, d) => {
+      val docs = Io.table(s, d, "documents")
+      val tok = docs.select(col("doc_id"), col("lang"), explode(toks).as("token"))
+      val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val tot = freq.agg(sum(col("cnt")).as("total"))
+      val rar = freq.crossJoin(broadcast(tot))
+        .select(col("token"),
+          (-log(col("cnt") / col("total").cast("double")))
+            .cast(DecimalType(38, 12)).cast("double").as("rarity"))
+      val ds = tok.join(broadcast(rar), "token")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(snap6(sum(col("rarity").cast(DecimalType(38, 12))).cast("double")
+          / count(lit(1))).as("score"))
+      ds.withColumn("bucket", ntile(3).over(
+          Window.partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("lang"), col("score"), col("bucket"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+         |rar AS (
+         |  SELECT token,
+         |    CAST(CAST(-ln(cnt / CAST(total AS DOUBLE)) AS DECIMAL(38,12)) AS DOUBLE) AS rarity
+         |  FROM freq, tot),
+         |ds AS (
+         |  SELECT t.doc_id, t.lang,
+         |    ${dSnap6("CAST(SUM(CAST(rarity AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)")} AS score
+         |  FROM tok t JOIN rar USING (token)
+         |  GROUP BY t.doc_id, t.lang)
+         |SELECT doc_id, lang, score,
+         |  CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS INT) AS bucket
+         |FROM ds ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic stratified sample: up to 50 docs per language,
+    // chosen by smallest multiplicative hash — reproducible "random"
+    // without rand(). One window per stratum; at scale this is the
+    // standard per-stratum top-N (rank + filter, partial top-N via
+    // the window's running rank, never a global sort).
+    Q("h_stratified_sample", (s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(expr(coin), col("doc_id"))
+      Io.table(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .select(col("lang"), col("rn"), col("doc_id"), col("source"))
+        .orderBy("lang", "rn")
+    }, Some(
+      s"""SELECT lang, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY lang ORDER BY $coin, doc_id) AS INT) AS rn,
+         |  doc_id, source
+         |FROM documents
+         |QUALIFY rn <= 50 ORDER BY lang, rn""".stripMargin)),
+
+    // Language-mixture reweighting toward a uniform 20% share: each
+    // language's acceptance probability is min(1, target/current_share),
+    // each doc flips the deterministic hash coin against it. Emits the
+    // per-language plan (probability) and outcome (accepted count,
+    // achieved share). The per-lang weight table is 5 rows → broadcast;
+    // the corpus is scanned once.
+    Q("h_mix_reweight", (s, d) => {
+      val docs = Io.table(s, d, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("n_total"))
+      val plan = counts.crossJoin(broadcast(tot))
+        .withColumn("p_accept",
+          least(lit(1.0), lit(0.2) / (col("n_docs") / col("n_total").cast("double"))))
+        .withColumn("thr", floor(col("p_accept") * 4294967296.0).cast("long"))
+      val acc = docs.join(broadcast(plan), "lang")
+        .groupBy(col("lang"))
+        .agg(first(col("n_docs")).as("n_docs"),
+          first(col("p_accept")).as("p_accept"),
+          sum(when(expr(coin) < col("thr"), 1L).otherwise(0L)).as("n_accepted"))
+      acc.withColumn("achieved_share",
+          snap6(col("n_accepted") / sum(col("n_accepted")).over(Window.partitionBy())))
+        .select(col("lang"), col("n_docs"), snap6(col("p_accept")).as("p_accept"),
+          col("n_accepted"), col("achieved_share"))
+        .orderBy("lang")
+    }, Some(
+      s"""WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts),
+         |plan AS (
+         |  SELECT lang, n_docs,
+         |    LEAST(CAST(1.0 AS DOUBLE), 0.2 / (n_docs / CAST(n_total AS DOUBLE))) AS p_accept,
+         |    CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE), 0.2 / (n_docs / CAST(n_total AS DOUBLE)))
+         |               * 4294967296.0) AS BIGINT) AS thr
+         |  FROM counts, tot),
+         |acc AS (
+         |  SELECT d.lang, MIN(p.n_docs) AS n_docs, MIN(p.p_accept) AS p_accept,
+         |    CAST(SUM(CASE WHEN $coin < p.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
+         |  FROM documents d JOIN plan p USING (lang)
+         |  GROUP BY d.lang)
+         |SELECT lang, n_docs, ${dSnap6("p_accept")} AS p_accept, n_accepted,
+         |  ${dSnap6("n_accepted / CAST(SUM(n_accepted) OVER () AS DOUBLE)")} AS achieved_share
+         |FROM acc ORDER BY lang""".stripMargin)),
+
+    // Corpus length histogram: token counts in width-10 buckets with doc
+    // share — the composition dashboard's first panel. One hash
+    // aggregate; bucket cardinality is bounded by max doc length.
+    Q("h_len_histogram", (s, d) => {
+      val n = size(toks).cast("long")
+      Io.table(s, d, "documents")
+        .select(((n / 10).cast("long") * 10).cast("int").as("bucket"), n.as("n_tok"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tot_tokens"))
+        .withColumn("doc_share",
+          snap6(col("n_docs") / sum(col("n_docs")).over(Window.partitionBy())))
+        .orderBy("bucket")
+    }, Some(
+      s"""SELECT CAST(len(string_split(text, ' ')) // 10 * 10 AS INT) AS bucket,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot_tokens,
+         |  ${dSnap6("COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)")} AS doc_share
+         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin))
+  )
+}
