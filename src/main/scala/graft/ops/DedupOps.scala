@@ -226,15 +226,16 @@ object DedupOps {
     }
     while (!converged && iter < 30) {
       labels = step(labels).localCheckpoint(true)
-      // the sum-of-reps action is pure convergence detection; any
-      // non-trivial component graph needs >2 rounds, so skip the
-      // check (one scheduling round trip each) for the first two.
-      if (iter >= 2) {
-        val sumRep = labels.agg(sum(col("rep"))).head.getLong(0)
-        converged = sumRep == prevSum
-        prevSum = sumRep
-      }
+      // the sum-of-reps action is pure convergence detection — cheap
+      // (the labels table is already materialized) next to a wasted
+      // propagation round, so check every round: near-dup components
+      // are clique-like and typically converge after 1-2 pointer-jump
+      // rounds.
+      val sumRep = labels.agg(sum(col("rep"))).head.getLong(0)
+      converged = sumRep == prevSum
+      prevSum = sumRep
       iter += 1
+      if (converged) System.err.println(s"[cc] converged after $iter rounds")
     }
     t.join(nodes, Seq("lang", "mask")).join(labels, "nid")
       .select(col("doc_id"), col("rep"))
