@@ -140,6 +140,85 @@ object MixOps {
          |  ${dSnap6("n_accepted / CAST(SUM(n_accepted) OVER () AS DOUBLE)")} AS achieved_share
          |FROM acc ORDER BY lang""".stripMargin)),
 
+    // Deterministic stratified train/val/test split: the hash coin mod
+    // 100 buckets each doc 90/5/5 within its language — reproducible
+    // assignment with zero cross-split leakage by construction (a doc's
+    // split is a pure function of its id). Emits the per-(lang, split)
+    // census. One scan + one hash aggregate.
+    Q("h_split_assign", (s, d) => {
+      val split3 = when(expr(s"$coin % 100") < 90, "train")
+        .when(expr(s"$coin % 100") < 95, "val")
+        .otherwise("test")
+      val docs = Io.table(s, d, "documents")
+      docs.withColumn("split", split3)
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("lang_share", snap6(col("n_docs") /
+          sum(col("n_docs")).over(Window.partitionBy(col("lang")))))
+        .orderBy("lang", "split")
+    }, Some(
+      s"""WITH a AS (
+         |  SELECT lang,
+         |    CASE WHEN $coin % 100 < 90 THEN 'train'
+         |         WHEN $coin % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT lang, split, COUNT(*) AS n_docs,
+         |  ${dSnap6("COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS DOUBLE)")}
+         |    AS lang_share
+         |FROM a GROUP BY lang, split ORDER BY lang, split""".stripMargin)),
+
+    // Contrastive negative sampling: each anchor doc takes the next two
+    // docs of its language in deterministic hash order as negatives —
+    // reproducible, uniformly "random" w.r.t. content, and one window
+    // per language shard (no self-join, no rand()). Tail anchors keep
+    // NULL negatives rather than wrapping.
+    Q("h_negative_pairs", (s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(expr(coin), col("doc_id"))
+      Io.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          lead(col("doc_id"), 1).over(w).as("neg1"),
+          lead(col("doc_id"), 2).over(w).as("neg2"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""SELECT doc_id, lang,
+         |  LEAD(doc_id, 1) OVER (PARTITION BY lang ORDER BY $coin, doc_id) AS neg1,
+         |  LEAD(doc_id, 2) OVER (PARTITION BY lang ORDER BY $coin, doc_id) AS neg2
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Sequence packing: concatenate docs (in doc_id order, per language
+    // shard) into training sequences of ~2048 tokens — seq boundary =
+    // running token total div 2048, the standard document-concatenation
+    // layout. Emits per-sequence doc/token counts. The running sum is a
+    // per-shard window (each language packs independently), so the 100
+    // TB form partitions by shard and never needs a global sort.
+    Q("h_pack_sequences", (s, d) => {
+      val n = size(toks).cast("long")
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Io.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), n.as("n_tok"))
+        .withColumn("seq", ((sum(col("n_tok")).over(w) - col("n_tok")) / 2048L)
+          .cast("long"))
+        .groupBy(col("lang"), col("seq"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "seq")
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    CAST((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |            ROWS UNBOUNDED PRECEDING) - n_tok) // 2048 AS BIGINT) AS seq
+        |  FROM t)
+        |SELECT lang, seq, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM r GROUP BY lang, seq ORDER BY lang, seq""".stripMargin)),
+
     // Corpus length histogram: token counts in width-10 buckets with doc
     // share — the composition dashboard's first panel. One hash
     // aggregate; bucket cardinality is bounded by max doc length.
