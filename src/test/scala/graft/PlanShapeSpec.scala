@@ -182,4 +182,40 @@ class PlanShapeSpec extends AnyFunSuite {
     })
     assert(p.contains("SemiJoin") || p.contains("ExistenceJoin") || p.contains("LeftSemi"))
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The other half of the 100 TB semi-join-reduction story next to
+    // dynamic partition pruning (StorageLayoutSpec): when a shuffle join's
+    // build side carries a selective predicate, Catalyst injects a
+    // bloom_filter_agg over the build keys and a bloom_filter_might_contain
+    // probe into the fact-side scan filter, so non-matching fact rows die
+    // before the shuffle instead of crossing the network. Thresholds are
+    // shrunk to test scale (the app-side scan must look "big" and the
+    // creation side "small"); broadcast is disabled because only shuffle
+    // joins get bloom filters (a broadcast join already prunes at probe).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = graft.io.Io.table(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = graft.io.Io.table(spark, sf, "orders")
+        .filter(col("o_totalprice") > 400000.0) // selective build side
+        .select(col("o_orderkey"), col("o_custkey"))
+      val df = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      df.collect()
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_might_contain") || opt.contains("might_contain"),
+        "no bloom-filter probe injected on the fact side:\n" + opt.take(2000))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
