@@ -219,6 +219,60 @@ object MixOps {
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM r GROUP BY lang, seq ORDER BY lang, seq""".stripMargin)),
 
+    // Provenance census: per-source document/token counts, language
+    // spread, and the within-source exact-duplicate count (docs minus
+    // distinct content hashes) — the first question asked of any new
+    // crawl source. One scan, one hash aggregate.
+    Q("h_source_census", (s, d) => {
+      Io.table(s, d, "documents")
+        .select(col("source"), col("lang"),
+          size(toks).cast("long").as("n_tok"),
+          sha2(trim(lower(col("text"))), 256).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"))
+        .orderBy("source")
+    }, Some(
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(COUNT(*) - COUNT(DISTINCT sha256(TRIM(LOWER(text)))) AS BIGINT)
+        |    AS n_exact_dups
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Cross-source duplication overlap: for every source pair, how many
+    // doc pairs share an identical distinct-token set (the node-
+    // contraction criterion of the dedup family) — which sources copy
+    // from each other. The join key is a digest of the sorted token
+    // set, so candidate grouping is ONE shuffle on the digest; pairs
+    // only form inside a digest bucket (bounded by per-set duplicate
+    // count), never across the corpus.
+    Q("h_source_overlap", (s, d) => {
+      val key = sha2(concat_ws(" ", sort_array(array_distinct(toks))), 256)
+      val t = Io.table(s, d, "documents")
+        .select(col("doc_id"), col("source"), key.as("k"))
+      val a = t.select(col("k"), col("doc_id").as("id_a"), col("source").as("source_a"))
+      val b = t.select(col("k"), col("doc_id").as("id_b"), col("source").as("source_b"))
+      a.join(b, "k")
+        .filter(col("id_a") < col("id_b") && col("source_a") =!= col("source_b"))
+        .groupBy(least(col("source_a"), col("source_b")).as("src1"),
+          greatest(col("source_a"), col("source_b")).as("src2"))
+        .agg(count(lit(1)).as("n_shared_pairs"))
+        .orderBy("src1", "src2")
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS k
+        |  FROM documents)
+        |SELECT LEAST(a.source, b.source) AS src1,
+        |  GREATEST(a.source, b.source) AS src2,
+        |  COUNT(*) AS n_shared_pairs
+        |FROM t a JOIN t b ON a.k = b.k AND a.doc_id < b.doc_id
+        |                 AND a.source <> b.source
+        |GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin)),
+
     // Corpus length histogram: token counts in width-10 buckets with doc
     // share — the composition dashboard's first panel. One hash
     // aggregate; bucket cardinality is bounded by max doc length.
