@@ -183,6 +183,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("SemiJoin") || p.contains("ExistenceJoin") || p.contains("LeftSemi"))
   }
 
+  test("top-k per group pushes the rank filter into the window (WindowGroupLimit)") {
+    // rn <= k over a per-key window must not buffer whole partitions:
+    // Spark 4's WindowGroupLimit keeps a bounded top-k heap per key on
+    // both the partial (pre-shuffle) and final side, so the shuffle
+    // carries at most k rows per key per mapper — the difference
+    // between "top 3 orders per customer" scaling with k and scaling
+    // with the largest customer's order count.
+    val p = plan("e_win_topk_group")
+    assert(p.contains("WindowGroupLimit"),
+      "rank filter not pushed into the window:\n" + p.take(2000))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // The other half of the 100 TB semi-join-reduction story next to
     // dynamic partition pruning (StorageLayoutSpec): when a shuffle join's
