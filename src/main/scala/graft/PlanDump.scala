@@ -26,7 +26,10 @@ object PlanDump {
       "h_ann_lsh" -> "LSH ANN: map-side native signatures, equi-join candidates",
       "h_minhash_lsh_dedup" -> "MinHash LSH: contraction + (band,hash) bucket join",
       "h_cosine_topk" -> "brute-force baseline: codegen dot_product pair loop",
-      "f_topk_global" -> "global top-k → TakeOrderedAndProject")
+      "f_topk_global" -> "global top-k → TakeOrderedAndProject",
+      "h_contamination" -> "eval shingles broadcast → corpus scan stays map-side",
+      "h_pack_sequences" -> "sequence packing: per-shard running sum, no global sort",
+      "h_source_overlap" -> "cross-source overlap: one digest-keyed shuffle, in-bucket pairs")
     val sb = new StringBuilder
     sb.append("# PLANS — final executed plans of representative queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001; AQE settled\n")
