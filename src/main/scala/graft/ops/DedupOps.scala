@@ -123,6 +123,15 @@ object DedupOps {
     * pairs span languages — exactly the two oracle contracts.
     */
   private def minhashNearDupPairs(s: SparkSession, d: String,
+      byLang: Boolean): DataFrame =
+    // memoized per variant: the j >= 0.9 pair table feeds
+    // h_minhash_lsh_dedup + h_incremental_dedup (byLang=false) and
+    // h_jaccard_pairs (byLang=true); materialize it once per corpus.
+    Q.memoized(s, d, s"minhashPairs:$byLang") {
+      minhashNearDupPairsBuild(s, d, byLang).localCheckpoint(true)
+    }
+
+  private def minhashNearDupPairsBuild(s: SparkSession, d: String,
       byLang: Boolean): DataFrame = {
     val numHashes = 64; val bands = 16; val rowsPerBand = numHashes / bands
     graft.functions.MinHashSig.register(s)
@@ -475,6 +484,68 @@ object DedupOps {
         |SELECT cluster_rep, CAST(n_members AS BIGINT) AS n_members,
         |  doc_id AS best_doc, quality AS best_quality
         |FROM best WHERE rn = 1 ORDER BY cluster_rep""".stripMargin))),
+
+    // Incremental dedup: the daily-ingest shape — dedup a NEW batch
+    // against the historical corpus, never the corpus against itself.
+    // History = doc_id % 10 < 8 (stand-in for the existing corpus),
+    // increment = the rest. Two tiers per increment doc:
+    //   exact  — normalized-text hash seen in history (one equi-join on
+    //            the content digest; at 100 TB the history side is a
+    //            bucketed hash index, the increment a small batch);
+    //   near   — token-set Jaccard >= 0.9 against ANY history doc, via
+    //            the shared banded-MinHash pair table (the increment
+    //            never cross-joins history — candidates come from the
+    //            same (band, hash) buckets as the batch dedup, and the
+    //            DuckDB oracle recomputes them brute force, so recall
+    //            against history is parity-checked too).
+    // Verdict: 'exact' > 'near' > 'keep', with the minimum matching
+    // history doc as provenance.
+    Q("h_incremental_dedup", (s, d) => {
+      val isHist = (c: Column) => c % 10 < 8
+      val t = Io.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          sha2(trim(lower(col("text"))), 256).as("eh"))
+      val exactM = t.filter(isHist(col("doc_id")))
+        .groupBy(col("eh")).agg(min(col("doc_id")).as("exact_match"))
+      val p = minhashNearDupPairs(s, d, byLang = false).select("doc_a", "doc_b")
+      val nearM = p.filter(isHist(col("doc_a")) && !isHist(col("doc_b")))
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("h"))
+        .union(p.filter(isHist(col("doc_b")) && !isHist(col("doc_a")))
+          .select(col("doc_a").as("doc_id"), col("doc_b").as("h")))
+        .groupBy(col("doc_id")).agg(min(col("h")).as("near_match"))
+      t.filter(!isHist(col("doc_id")))
+        .join(exactM, Seq("eh"), "left")
+        .join(nearM, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(col("exact_match").isNotNull, "exact")
+            .when(col("near_match").isNotNull, "near")
+            .otherwise("keep").as("status"),
+          coalesce(col("exact_match"), col("near_match")).as("matched_history_doc"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks,
+        |    sha256(TRIM(LOWER(text))) AS eh
+        |  FROM documents),
+        |hist AS (SELECT * FROM t WHERE doc_id % 10 < 8),
+        |inc AS (SELECT * FROM t WHERE doc_id % 10 >= 8),
+        |ex AS (
+        |  SELECT i.doc_id, MIN(h.doc_id) AS m
+        |  FROM inc i JOIN hist h ON i.eh = h.eh GROUP BY i.doc_id),
+        |nr AS (
+        |  SELECT i.doc_id, MIN(h.doc_id) AS m
+        |  FROM inc i JOIN hist h
+        |    ON len(list_intersect(i.toks, h.toks))
+        |       / CAST(len(list_distinct(i.toks || h.toks)) AS DOUBLE) >= 0.9
+        |  GROUP BY i.doc_id)
+        |SELECT i.doc_id, i.lang,
+        |  CASE WHEN ex.m IS NOT NULL THEN 'exact'
+        |       WHEN nr.m IS NOT NULL THEN 'near'
+        |       ELSE 'keep' END AS status,
+        |  COALESCE(ex.m, nr.m) AS matched_history_doc
+        |FROM inc i LEFT JOIN ex ON i.doc_id = ex.doc_id
+        |           LEFT JOIN nr ON i.doc_id = nr.doc_id
+        |ORDER BY i.doc_id""".stripMargin)),
 
     // SimHash near-dup: 32-bit signatures, pairs at hamming <= 2 via
     // 4-band blocking (exact by pigeonhole for hamming <= 3).
