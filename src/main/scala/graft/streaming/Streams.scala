@@ -58,6 +58,22 @@ object Streams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
 
+  /** Streaming ingest filter (h_incremental_dedup's exact tier as a
+    * live pipeline): documents stream in, anything whose normalized
+    * content digest already exists in the static history index is
+    * dropped (left_anti stream-static join — broadcast at dim scale,
+    * shuffled hash lookup at 100 TB), then the stream dedups against
+    * itself on the digest (state-store keyed by digest; production
+    * bounds it with dropDuplicatesWithinWatermark once docs carry an
+    * ingest time). Identical code runs on a batch frame — the parity
+    * test's oracle.
+    */
+  def ingestFilter(docs: DataFrame, historyDigests: DataFrame): DataFrame =
+    docs.withColumn("eh", sha2(trim(lower(col("text"))), 256))
+      .join(historyDigests, Seq("eh"), "left_anti")
+      .dropDuplicates("eh")
+      .select(col("doc_id"), col("lang"), col("eh"))
+
   /** stream-static enrichment against the nation dim
     * (g_stream_static_join twin). */
   def staticEnrich(events: DataFrame, nation: DataFrame): DataFrame =
@@ -179,6 +195,8 @@ object Streams {
     * per partition, library handle initialized once per partition — the
     * decoder itself is a deterministic stub here; the container has no
     * media libs). */
+  case class Doc(doc_id: Long, lang: String, text: String)
+
   case class Media(doc_id: Long, media: Array[Byte])
   case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int, checksum: Long)
 

@@ -78,6 +78,37 @@ class StreamParitySpec extends AnyFunSuite {
     assert(rows(stream) === rows(batch))
   }
 
+  test("streaming ingest filter: anti-join history + self-dedup == batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import Streams.Doc
+    val docRows = Io.table(spark, sf, "documents")
+      .selectExpr("doc_id", "lang", "text").as[Doc].collect().toSeq
+    val (hist, inc) = docRows.partition(_.doc_id % 10 < 8)
+    val histDigests = hist.toDF()
+      .select(org.apache.spark.sql.functions
+        .sha2(org.apache.spark.sql.functions.expr("TRIM(LOWER(text))"), 256).as("eh"))
+      .distinct()
+    val mem = MemoryStream[Doc]
+    mem.addData(inc)
+    val q = Streams.ingestFilter(mem.toDF(), histDigests)
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val stream = spark.table("ingest")
+    val batch = Streams.ingestFilter(inc.toDF(), histDigests)
+    // dropDuplicates picks an arbitrary representative per digest on
+    // both engines — parity holds on the surviving digest set.
+    assert(rows(stream.select("eh")) === rows(batch.select("eh")))
+    assert(stream.count() > 0)
+    // survivors must also agree with the checked batch query's 'keep'
+    // verdicts on the exact tier: every kept digest is absent from
+    // history (sanity — the anti-join actually filtered).
+    val histSet = histDigests.as[String].collect().toSet
+    val kept = stream.select("eh").as[String].collect()
+    assert(kept.forall(e => !histSet.contains(e)))
+  }
+
   test("stream-stream time-bounded join: stream == batch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
