@@ -69,4 +69,40 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("dynamicpruning"),
       "no dynamic partition pruning filter reached the partitioned scan")
   }
+
+  test("identical shuffle subtrees are computed once (ReusedExchange in self-join)") {
+    // h_source_overlap's a/b branches scan+digest the same corpus and
+    // shuffle on the same key: Catalyst must plan ONE exchange and reuse
+    // it, or every self-join pattern doubles its scan + shuffle cost.
+    // At test scale AQE would broadcast one side (no exchange to reuse),
+    // so pin the at-scale shape by disabling broadcast.
+    withConfs(Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
+      val df = Registry.queries("h_source_overlap")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+        "self-join branches each recomputed the digest shuffle:\n" + p.take(2000))
+    }
+  }
+
+  test("writes respect maxRecordsPerFile (bounded output file size)") {
+    // the sink-side 100 TB lever: without a per-file record bound a
+    // 32-partition write of a huge table produces 32 unsplittable giant
+    // files; with it, output file count scales with data volume.
+    val dir = java.nio.file.Files.createTempDirectory("graft_maxrec").toString
+    withConfs(Seq("spark.sql.files.maxRecordsPerFile" -> "1000")) {
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+    }
+    val n = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    val files = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val expected = Math.ceil(n / 1000.0).toInt
+    assert(files === expected,
+      s"$n rows at 1000 rows/file should yield $expected files, got $files")
+  }
 }
