@@ -208,10 +208,19 @@ object DedupOps {
     val t = docMasks(s, d)
     val nodes = t.groupBy(col("lang"), col("mask"))
       .agg(min(col("doc_id")).as("nid")).localCheckpoint(true)
-    val a = nodes.select(col("nid").as("na"), col("lang"), col("mask").as("ma"))
-    val b = nodes.select(col("nid").as("nb"), col("lang").as("lang_b"), col("mask").as("mb"))
-    val pairs = a.join(b, col("lang") === col("lang_b") && col("na") < col("nb"))
-      .filter(maskJaccard("ma", "mb") >= 0.9)
+    // CC edges come from the SAME memoized banded-MinHash pair table the
+    // checked pair queries run on (node contraction there groups by
+    // (lang, mask) with nid = min doc_id — the identical node set), cut
+    // back to representative-representative pairs. This replaces an
+    // all-pairs contracted-node join with two semi-join-shaped cuts of
+    // an already-materialized table, and means the cluster graph is by
+    // construction the verified j >= 0.9 pair set.
+    val pairs = minhashNearDupPairs(s, d, byLang = true)
+      .select(col("doc_a").as("na"), col("doc_b").as("nb"))
+      .join(nodes.select(col("nid").as("na")), "na")
+      .join(nodes.select(col("nid").as("nb")), "nb")
+      // USING joins move the key column first — re-fix the order, since
+      // the symmetrizing union below matches columns BY POSITION
       .select(col("na"), col("nb"))
     val edges = pairs.union(pairs.select(col("nb"), col("na")))
       .toDF("src", "dst").localCheckpoint(true)
