@@ -235,6 +235,46 @@ object AnalyticsOps {
          |FROM events WHERE user_id < 20
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
          |ORDER BY user_id, ts_us, event_id""".stripMargin
-    })
+    }),
+
+    // Robust outlier detection: median / MAD (not mean / stddev — one
+    // wild value shifts a mean, not a median) per event type; events
+    // whose |value − median| exceeds 3×MAD are flagged. Both medians
+    // are exact (Spark `median`, interpolated on even counts, same as
+    // DuckDB over DOUBLE); two grouped aggregates + one broadcast join
+    // back — the second pass is over the same shuffle key, so at scale
+    // this is two map-reduce rounds on event_type, no sort of the
+    // whole stream.
+    Q("g_anomaly_mad", (s, d) => {
+      val ev = Io.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(median(col("value")).as("med"))
+      val withDev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = withDev.groupBy(col("event_type"))
+        .agg(median(col("dev")).as("mad"))
+      withDev.join(broadcast(mad), "event_type")
+        .filter(col("dev") > col("mad") * 3.0)
+        .select(col("event_type"), col("event_id"), col("value"),
+          r6(col("med")).as("med"), r6(col("mad")).as("mad"),
+          r6(col("dev") / col("mad")).as("mad_score"))
+        .orderBy("event_type", "event_id")
+    }, Some(
+      """WITH med AS (
+        |  SELECT event_type, MEDIAN(CAST(value AS DOUBLE)) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, e.event_id, e.value, med.med,
+        |    ABS(e.value - med.med) AS dev
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, MEDIAN(dev) AS mad FROM dev GROUP BY event_type)
+        |SELECT d.event_type, d.event_id, d.value,
+        |  ROUND(d.med, 6) AS med, ROUND(m.mad, 6) AS mad,
+        |  ROUND(d.dev / m.mad, 6) AS mad_score
+        |FROM dev d JOIN mad m USING (event_type)
+        |WHERE d.dev > m.mad * 3.0
+        |ORDER BY d.event_type, d.event_id""".stripMargin))
   )
 }

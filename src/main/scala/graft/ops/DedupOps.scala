@@ -131,6 +131,13 @@ object DedupOps {
       minhashNearDupPairsBuild(s, d, byLang).localCheckpoint(true)
     }
 
+  /** The un-checkpointed pair pipeline, for plan-shape tests: the
+    * memoized value's lineage is truncated by localCheckpoint, so the
+    * candidate-join shape (native minhash_sig, (band, hash) equi-join,
+    * no cartesian) is only visible on the build plan. */
+  private[graft] def minhashPairsBuildForPlan(s: SparkSession, d: String,
+      byLang: Boolean): DataFrame = minhashNearDupPairsBuild(s, d, byLang)
+
   private def minhashNearDupPairsBuild(s: SparkSession, d: String,
       byLang: Boolean): DataFrame = {
     val numHashes = 64; val bands = 16; val rowsPerBand = numHashes / bands

@@ -273,6 +273,38 @@ object MixOps {
         |                 AND a.source <> b.source
         |GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin)),
 
+    // Tokenizer-vocabulary coverage: fix the vocab at the corpus's
+    // top-16 tokens by frequency (count desc, token asc — a stand-in
+    // for a real tokenizer's vocab list) and score every doc's
+    // out-of-vocabulary occurrence rate. The vocab is bounded →
+    // broadcast; the scan is one explode + hash aggregate. High-OOV
+    // docs are what a tokenizer-aware quality filter drops first.
+    Q("h_oov_rate", (s, d) => {
+      val tok = Io.table(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("token"))
+      val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(16)
+        .select(col("token"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tok"), col("n_oov"),
+          snap6(col("n_oov") / col("n_tok")).as("oov_rate"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH tok AS (
+         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+         |vocab AS (
+         |  SELECT token FROM tok GROUP BY token
+         |  ORDER BY COUNT(*) DESC, token LIMIT 16)
+         |SELECT t.doc_id, COUNT(*) AS n_tok,
+         |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  ${dSnap6("SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)")}
+         |    AS oov_rate
+         |FROM tok t LEFT JOIN vocab v USING (token)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
     // Corpus length histogram: token counts in width-10 buckets with doc
     // share — the composition dashboard's first panel. One hash
     // aggregate; bucket cardinality is bounded by max doc length.

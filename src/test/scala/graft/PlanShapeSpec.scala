@@ -90,7 +90,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("minhash candidate join keys on (band, hash), never a cartesian") {
-    val p = plan("h_minhash_lsh_dedup")
+    // the pair table is memoized + localCheckpoint'ed (its lineage is
+    // truncated in consumer queries), so pin the BUILD pipeline's plan.
+    val df = graft.ops.DedupOps.minhashPairsBuildForPlan(spark, sf, byLang = false)
+    val p = executedPlan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("minhash_sig"), "native one-pass signature expression missing")
   }
