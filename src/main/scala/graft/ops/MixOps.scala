@@ -305,6 +305,44 @@ object MixOps {
          |FROM tok t LEFT JOIN vocab v USING (token)
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
 
+    // Per-doc token entropy (−Σ p·log₂p over within-doc token
+    // frequencies): low entropy = repetitive/templated text, a standard
+    // quality-filter signal next to the repetition ratios
+    // (h_repetition_filter). Two hash aggregates on (doc, token) →
+    // (doc); per-term entropy snaps to DECIMAL(38,12) after log2 (last-
+    // ulp safety, same discipline as h_rarity_bucket) and the per-doc
+    // sum is an exact decimal sum.
+    Q("h_token_entropy", (s, d) => {
+      val tok = Io.table(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+      tf.withColumn("term",
+          (-(col("cnt") / col("n").cast("double"))
+            * log2(col("cnt") / col("n").cast("double")))
+            .cast(DecimalType(38, 12)))
+        .groupBy(col("doc_id"))
+        .agg(snap6(sum(col("term")).cast("double")).as("entropy"),
+          countDistinct(col("token")).as("n_types"),
+          first(col("n")).as("n_tok"))
+        .select(col("doc_id"), col("n_tok"), col("n_types"), col("entropy"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS cnt
+         |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+         |        FROM documents)
+         |  GROUP BY doc_id, token),
+         |tn AS (
+         |  SELECT doc_id, token, cnt, SUM(cnt) OVER (PARTITION BY doc_id) AS n
+         |  FROM tf)
+         |SELECT doc_id, CAST(MIN(n) AS BIGINT) AS n_tok,
+         |  CAST(COUNT(*) AS BIGINT) AS n_types,
+         |  ${dSnap6("CAST(SUM(CAST(-(cnt / CAST(n AS DOUBLE)) * log2(cnt / CAST(n AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE)")}
+         |    AS entropy
+         |FROM tn GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Corpus length histogram: token counts in width-10 buckets with doc
     // share — the composition dashboard's first panel. One hash
     // aggregate; bucket cardinality is bounded by max doc length.
