@@ -37,32 +37,6 @@ object DedupOps {
     Io.table(s, d, "documents")
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
 
-  /** Contiguous 0-based ids for a small distinct-key table WITHOUT a
-    * data-sized single-partition sort: hash keys into P buckets, rank
-    * within each bucket (partitioned window), then add the exclusive
-    * prefix count of earlier buckets. The only single-partition stage is
-    * the bucket-count running sum — P rows, bounded by a constant, never
-    * by the data. Ids are distinct and contiguous in [0, n); their order
-    * (bucket-major) is irrelevant to every caller: Jaccard over bitmasks
-    * only reads popcounts of AND/OR, which any bijective bit assignment
-    * preserves.
-    */
-  private def denseIds(df: DataFrame, key: String): DataFrame = {
-    val buckets = 32
-    val ranked = df
-      .withColumn("_bk", pmod(xxhash64(col(key)), lit(buckets)).cast("int"))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("_bk")).orderBy(col(key))))
-    val offs = ranked.groupBy(col("_bk")).agg(count(lit(1)).as("_cnt"))
-      .withColumn("_off", coalesce(sum(col("_cnt")).over(
-        Window.orderBy(col("_bk")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("_bk"), col("_off"))
-    ranked.join(broadcast(offs), "_bk")
-      .withColumn("bit", (col("_off") + col("_rn") - 1).cast("int"))
-      .drop("_bk", "_rn", "_off")
-  }
-
   /** Token sets as 64-bit vocabulary bitmasks. The corpus vocabulary is
     * tiny (31 words at every sf), so set intersect/union collapse to
     * codegen'd long AND/OR + bit_count — this is what turned the O(n²)
@@ -92,13 +66,13 @@ object DedupOps {
     // rank → offset-join pipeline — three fewer shuffles, and docMasks
     // is on the critical path of four dedup queries. The final collect
     // reducer is bounded by the vocabulary domain, never by the data;
-    // wide-vocabulary tables (ngram bigrams, 961 types) keep the
-    // denseIds + broadcast-hash-join path, where a per-row linear array
-    // scan would not pay.
+    // wide-vocabulary tables (ngram bigrams, 961 types) use the native
+    // ngram_set_mask expression (binary search against the broadcast
+    // sorted vocab), see h_ngram_jaccard.
     // Guard the mask path's validity domain: shiftleft silently wraps
     // mod 64, so a >64-token vocabulary would corrupt masks with no
-    // error. Fail loudly instead (wide vocabularies take the denseIds
-    // array<long> path, see h_ngram_jaccard).
+    // error. Fail loudly instead (wide vocabularies take the
+    // ngram_set_mask array<long> path).
     val vocabArr = tok.agg(sort_array(collect_set(col("token"))).as("varr0"))
       .select(when(size(col("varr0")) <= 64, col("varr0"))
         .otherwise(raise_error(concat(lit("docMasks: vocabulary exceeds 64 tokens ("),
@@ -352,31 +326,25 @@ object DedupOps {
     // pair join with a 16-long bit loop per pair).
     Q("h_ngram_jaccard", (s, d) => {
       graft.functions.ExplodeNgrams.register(s)
-      // Native explode_ngrams generator instead of an interpreted
-      // zip_with/slice/concat lambda (same rewrite as h_contamination);
-      // per-doc bigram dedup becomes the partial-aggregated distinct.
-      // Repartition for the same 1-task-scan reason as docMasks: the
-      // bigram build should run on all cores.
-      val bg = Io.table(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("lang"), expr("explode_ngrams(text, 2)").as("b"))
-        .distinct()
-        .localCheckpoint(true)
-      val vocab = denseIds(bg.select(col("b")).distinct(), "b")
-        .localCheckpoint(true)
+      graft.functions.NgramSetMask.register(s)
       val nWords = 16 // ceil(961 / 64); vocab is ≤ 31 words → ≤ 961 bigrams
-      // One codegen'd conditional sum per mask word (bits are distinct,
-      // so sum == bitwise OR) — replaces an interpreted
-      // transform/filter/aggregate lambda nest over a collected list.
-      val wordSums = (0 until nWords).map { w0 =>
-        sum(when(expr(s"bit DIV 64 = $w0"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))")).otherwise(0L)).as(s"m$w0")
-      }
-      val masks = bg.join(broadcast(vocab), "b")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(wordSums.head, wordSums.tail: _*)
+      // The bigram vocabulary is ONE sorted array row (bounded by the
+      // 31-word token domain → ≤961 bigrams): explode_ngrams →
+      // collect_set, partially aggregated per partition, so the shuffle
+      // carries at most |vocab| rows per mapper. Masks are then built
+      // map-side by the native ngram_set_mask (binary search against
+      // the broadcast vocabulary) — the former explode → per-doc
+      // distinct → vocab join → 16 conditional sums pipeline collapsed
+      // into one generated-code scan per doc.
+      val vocabRow = Io.table(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(expr("explode_ngrams(text, 2)").as("b"))
+        .agg(sort_array(collect_set(col("b"))).as("varr"))
+      val masks = Io.table(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(vocabRow))
         .select(col("doc_id"), col("lang"),
-          array((0 until nWords).map(w0 => col(s"m$w0")): _*).as("mask"))
+          expr(s"ngram_set_mask(text, varr, 2, $nWords)").as("mask"))
         .localCheckpoint(true)
       // Pair enumeration is the blocked triangle equi-join (PairJoins):
       // exact low-threshold (j ≥ 0.3) set similarity is Ω(n²) on this

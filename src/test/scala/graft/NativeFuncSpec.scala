@@ -184,4 +184,38 @@ class NativeFuncSpec extends AnyFunSuite {
     val g = spark.sql(globalEmpty).head
     assert(g.getLong(0) == 0L && g.isNullAt(1))
   }
+
+  test("ngram_set_mask equals the explode + vocab-join + conditional-sum masks") {
+    graft.functions.NgramSetMask.register(spark)
+    graft.functions.ExplodeNgrams.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val vocabRow = docs.select(expr("explode_ngrams(text, 2)").as("b"))
+      .agg(sort_array(collect_set(col("b"))).as("varr"))
+    val native = docs.crossJoin(broadcast(vocabRow))
+      .select(col("doc_id"), expr("ngram_set_mask(text, varr, 2, 16)").as("mask"))
+    // relational long form: per-doc distinct bigrams joined to the
+    // sorted-vocab position, OR'd into the same 16-long layout
+    val vocab = vocabRow.select(posexplode(col("varr")).as(Seq("bit0", "b")))
+    val wordSums = (0 until 16).map { w =>
+      sum(when(expr(s"bit0 DIV 64 = $w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit0 % 64 AS INT))")).otherwise(0L)).as(s"m$w")
+    }
+    val relational = docs
+      .select(col("doc_id"), expr("explode_ngrams(text, 2)").as("b")).distinct()
+      .join(broadcast(vocab), "b")
+      .groupBy(col("doc_id"))
+      .agg(wordSums.head, wordSums.tail: _*)
+      .select(col("doc_id"), array((0 until 16).map(w => col(s"m$w")): _*).as("mask"))
+    val joined = native.as("n").join(relational.as("r"), "doc_id")
+      .filter(expr("n.mask <> r.mask"))
+    assert(joined.count() === 0)
+    // unknown n-gram → loud failure, not a silently wrong mask
+    val err = intercept[Exception] {
+      docs.limit(1)
+        .select(expr("ngram_set_mask('zzz-not-in-vocab zzz2', array('a b'), 2, 1)"))
+        .collect()
+    }
+    assert(err.getMessage.contains("not in vocabulary")
+      || Option(err.getCause).exists(_.getMessage.contains("not in vocabulary")))
+  }
 }
