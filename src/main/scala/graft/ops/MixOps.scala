@@ -343,6 +343,65 @@ object MixOps {
          |    AS entropy
          |FROM tn GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Composite quality gate: the signals a corpus filter actually
+    // combines — token entropy, top-token repetition ratio, and OOV
+    // rate against the top-16 vocab — computed in ONE token-level
+    // pipeline (per-(doc, token) counts + broadcast vocab join + one
+    // doc-level aggregate), not one pass per signal. The verdict
+    // thresholds are illustrative; the shape is the point: at 100 TB
+    // this is two map-reduce rounds over the corpus, the vocab side is
+    // bounded + broadcast, and every signal shares the same shuffle.
+    Q("h_quality_gate", (s, d) => {
+      val tok = Io.table(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("token"))
+      val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(16)
+        .select(col("token"), lit(1).as("in_vocab"))
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(broadcast(vocab), Seq("token"), "left")
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+      val p = col("cnt") / col("n").cast("double")
+      val scored = tf
+        .withColumn("term", (-p * log2(p)).cast(DecimalType(38, 12)))
+        .groupBy(col("doc_id"))
+        .agg(first(col("n")).as("n_tok"),
+          snap6(sum(col("term")).cast("double")).as("entropy"),
+          snap6(max(col("cnt")) / first(col("n")).cast("double")).as("top_tok_ratio"),
+          snap6(sum(when(col("in_vocab").isNull, col("cnt")).otherwise(0L))
+            / first(col("n")).cast("double")).as("oov_rate"))
+      scored.select(col("doc_id"), col("n_tok"), col("entropy"),
+          col("top_tok_ratio"), col("oov_rate"),
+          (col("entropy") > 4.0 && col("top_tok_ratio") < 0.10
+            && col("oov_rate") < 0.55).as("keep"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH tok AS (
+         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+         |vocab AS (
+         |  SELECT token FROM tok GROUP BY token
+         |  ORDER BY COUNT(*) DESC, token LIMIT 16),
+         |tf AS (
+         |  SELECT t.doc_id, t.token, COUNT(*) AS cnt,
+         |    MAX(CASE WHEN v.token IS NOT NULL THEN 1 END) AS in_vocab
+         |  FROM tok t LEFT JOIN vocab v USING (token)
+         |  GROUP BY t.doc_id, t.token),
+         |tn AS (
+         |  SELECT doc_id, token, cnt, in_vocab,
+         |    SUM(cnt) OVER (PARTITION BY doc_id) AS n
+         |  FROM tf),
+         |scored AS (
+         |  SELECT doc_id, CAST(MIN(n) AS BIGINT) AS n_tok,
+         |    ${dSnap6("CAST(SUM(CAST(-(cnt / CAST(n AS DOUBLE)) * log2(cnt / CAST(n AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE)")}
+         |      AS entropy,
+         |    ${dSnap6("MAX(cnt) / CAST(MIN(n) AS DOUBLE)")} AS top_tok_ratio,
+         |    ${dSnap6("SUM(CASE WHEN in_vocab IS NULL THEN cnt ELSE 0 END) / CAST(MIN(n) AS DOUBLE)")}
+         |      AS oov_rate
+         |  FROM tn GROUP BY doc_id)
+         |SELECT doc_id, n_tok, entropy, top_tok_ratio, oov_rate,
+         |  (entropy > 4.0 AND top_tok_ratio < 0.10 AND oov_rate < 0.55) AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin)),
+
     // Corpus length histogram: token counts in width-10 buckets with doc
     // share — the composition dashboard's first panel. One hash
     // aggregate; bucket cardinality is bounded by max doc length.
