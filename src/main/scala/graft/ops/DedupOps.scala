@@ -213,6 +213,9 @@ object DedupOps {
     // One propagation step: relax labels across edges, then pointer-jump
     // (rep := rep's rep) so label distance doubles per step —
     // O(log diameter) materialized rounds instead of O(diameter).
+    // (A double jump was tried and did not reduce the round count on
+    // this graph — min-label relaxation over edges, not rep-chain
+    // depth, is what binds convergence here.)
     def step(l: DataFrame): DataFrame = {
       val viaNbr = edges.join(l, edges("dst") === l("nid"))
         .select(col("src").as("nid"), col("rep"))

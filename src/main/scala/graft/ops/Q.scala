@@ -56,7 +56,21 @@ object Q {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]
   def memoized(s: SparkSession, dir: String, name: String)
-      (build: => DataFrame): DataFrame =
-    memo.computeIfAbsent(
-      (System.identityHashCode(s), dir, name), _ => build)
+      (build: => DataFrame): DataFrame = {
+    // NOT computeIfAbsent: artifacts nest (the CC labels build consumes
+    // the memoized pair table), and a nested computeIfAbsent on the
+    // same map throws IllegalStateException("Recursive update"). Plain
+    // get / build / putIfAbsent allows the nesting; a concurrent
+    // warm-up may rarely build the same artifact twice, which is
+    // wasteful but correct (first put wins, both values are equivalent
+    // materialized tables).
+    val k = (System.identityHashCode(s), dir, name)
+    val hit = memo.get(k)
+    if (hit != null) hit
+    else {
+      val v = build
+      val prev = memo.putIfAbsent(k, v)
+      if (prev != null) prev else v
+    }
+  }
 }
