@@ -237,6 +237,39 @@ object AnalyticsOps {
          |ORDER BY user_id, ts_us, event_id""".stripMargin
     }),
 
+    // Hourly OHLC bars per event type — the classic time-series
+    // downsample (open/high/low/close/volume). Open and close are the
+    // first/last value by (ts, event_id) inside the bar: one window
+    // per direction over the same (event_type, hour) partitioning —
+    // one shuffle, two in-partition sorts — then a hash aggregate
+    // picks the rn=1 rows and folds min/max/count in the same pass.
+    // At 100 TB bars are keyed shuffle groups; nothing is global.
+    Q("g_ohlc", (s, d) => {
+      val hour = (col("ts_us") - col("ts_us") % 3600000000L).as("hour_us")
+      val ev = Io.events(s, d).select(col("event_id"), col("ts_us"),
+        col("event_type"), col("value"), hour)
+      val asc = Window.partitionBy(col("event_type"), col("hour_us"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val desc = Window.partitionBy(col("event_type"), col("hour_us"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      ev.withColumn("rn_a", row_number().over(asc))
+        .withColumn("rn_d", row_number().over(desc))
+        .groupBy(col("event_type"), col("hour_us"))
+        .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n_ticks"))
+        .orderBy("event_type", "hour_us")
+    }, Some(
+      """SELECT event_type,
+        |  epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+        |  FIRST(value ORDER BY epoch_us(ts), event_id) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  LAST(value ORDER BY epoch_us(ts), event_id) AS close,
+        |  COUNT(*) AS n_ticks
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_us""".stripMargin)),
+
     // Robust outlier detection: median / MAD (not mean / stddev — one
     // wild value shifts a mean, not a median) per event type; events
     // whose |value − median| exceeds 3×MAD are flagged. Both medians

@@ -595,6 +595,42 @@ object DedupOps {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
-         |ORDER BY doc_a, doc_b""".stripMargin))
+         |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Duplication inflation per source: how much of each source's
+    // volume is near-duplicate mass — the census a crawl-mix owner
+    // reads before assigning sampling weights (a source that is 40%
+    // dup contributes far fewer effective tokens than its row count
+    // suggests). Reuses the memoized CC labels: docs in a cluster of
+    // size > 1 are dup members; effective docs = distinct clusters
+    // touched by the source. Cost on top of the shared CC artifact is
+    // one broadcast-sized join + one aggregate on source.
+    Q("h_dup_inflation", (s, d) => {
+      val sizes = ccDocLabels(s, d).groupBy(col("rep"))
+        .agg(count(lit(1)).as("csize"))
+      val src = Io.table(s, d, "documents").select(col("doc_id"), col("source"))
+      ccDocLabels(s, d).join(sizes, "rep").join(src, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_dup_members"),
+          countDistinct(col("rep")).as("n_clusters"))
+        .select(col("source"), col("n_docs"), col("n_dup_members"),
+          col("n_clusters"),
+          (col("n_dup_members") / col("n_docs"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6))
+            .cast("double").as("dup_frac"))
+        .orderBy("source")
+    }, Some(ccOracle(
+      s"""SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN sz.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_members,
+         |  CAST(COUNT(DISTINCT rep.cluster_rep) AS BIGINT) AS n_clusters,
+         |  CAST(CAST(SUM(CASE WHEN sz.n > 1 THEN 1 ELSE 0 END)
+         |       / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS dup_frac
+         |FROM rep
+         |JOIN (SELECT cluster_rep, COUNT(*) AS n FROM rep GROUP BY cluster_rep) sz
+         |  USING (cluster_rep)
+         |JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin)))
   )
 }

@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.io.Io
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Q._
+
+/** Data-quality rule engine — the validation pass an ETL workflow runs
+  * before publishing a batch: row-local constraint checks (range,
+  * positivity) and cross-table referential-integrity checks, all
+  * reported as one (rule, n_checked, n_viol, viol_rate) table.
+  *
+  * Scale notes: every row-local rule family over a table is ONE scan —
+  * the per-rule counters are parallel `sum(when(...))` aggregates that
+  * partial-aggregate map-side, then the wide one-row result unpivots to
+  * rule rows (driver-sized, not data-sized). Referential checks are
+  * left joins against the distinct key set of the parent table —
+  * at 100 TB the parent key sides here are dimension-sized
+  * (broadcastable); a fact-fact FK check (lineitem→orders) shuffles
+  * both sides once on the key, the standard co-partitioned layout.
+  */
+object DqOps {
+
+  private def snap6(c: Column) = c.cast(DecimalType(38, 6)).cast("double")
+  private def dSnap6(x: String) = s"CAST(CAST($x AS DECIMAL(38,6)) AS DOUBLE)"
+
+  /** (rule name, violation predicate) → one counter pair per rule. */
+  private def ruleAggs(rules: Seq[(String, Column)]): Seq[Column] =
+    rules.flatMap { case (name, viol) =>
+      Seq(count(lit(1)).as(s"${name}__n"),
+        sum(when(viol, 1L).otherwise(0L)).as(s"${name}__v"))
+    }
+
+  /** Unpivot the one-row counter frame to (rule, n_checked, n_viol). */
+  private def unpivotRules(df: DataFrame, rules: Seq[String]): DataFrame = {
+    val stackArgs = rules.map(r => s"'$r', ${r}__n, ${r}__v").mkString(", ")
+    df.select(expr(
+      s"stack(${rules.size}, $stackArgs) AS (rule, n_checked, n_viol)"))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // The full rule run: 4 row-local rules (2 that trip on this data,
+    // 2 that hold) + 3 referential rules (one orphan-parent check that
+    // trips). A DQ engine must report clean rules as confidently as
+    // dirty ones — both outcomes are hash-checked.
+    Q("e_dq_rules", (s, d) => {
+      val li = Io.table(s, d, "lineitem")
+      val ord = Io.table(s, d, "orders")
+      val cust = Io.table(s, d, "customer")
+      val liRules = Seq(
+        "li_quantity_le_45" -> (col("l_quantity") > 45),
+        "li_discount_le_8pct" -> (col("l_discount") > 0.08),
+        "li_price_positive" -> (col("l_extendedprice") <= 0))
+      val ordRules = Seq(
+        "ord_price_positive" -> (col("o_totalprice") <= 0))
+      val rowLocal =
+        unpivotRules(li.agg(ruleAggs(liRules).head, ruleAggs(liRules).tail: _*),
+          liRules.map(_._1))
+          .union(unpivotRules(
+            ord.agg(ruleAggs(ordRules).head, ruleAggs(ordRules).tail: _*),
+            ordRules.map(_._1)))
+      // Referential: child key must exist in parent (left join + null
+      // count); parent must have ≥1 child (orders with no lineitem).
+      def fkViolations(name: String, child: DataFrame, childKey: String,
+          parentKeys: DataFrame, parentKey: String): DataFrame =
+        child.join(parentKeys.withColumn("_hit", lit(1)),
+            child(childKey) === parentKeys(parentKey), "left")
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_viol"))
+          .select(lit(name).as("rule"), col("n_checked"), col("n_viol"))
+      val refRules =
+        fkViolations("li_orderkey_fk", li, "l_orderkey",
+            ord.select(col("o_orderkey")).distinct(), "o_orderkey")
+          .union(fkViolations("ord_custkey_fk", ord, "o_custkey",
+            cust.select(col("c_custkey")).distinct(), "c_custkey"))
+          .union(fkViolations("ord_has_lineitem", ord, "o_orderkey",
+            li.select(col("l_orderkey")).distinct(), "l_orderkey"))
+      rowLocal.union(refRules)
+        .select(col("rule"), col("n_checked"), col("n_viol"),
+          snap6(col("n_viol") / col("n_checked")).as("viol_rate"))
+        .orderBy("rule")
+    }, Some(
+      s"""WITH r AS (
+         |  SELECT 'li_quantity_le_45' AS rule, COUNT(*) AS n_checked,
+         |    SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS n_viol FROM lineitem
+         |  UNION ALL SELECT 'li_discount_le_8pct', COUNT(*),
+         |    SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) FROM lineitem
+         |  UNION ALL SELECT 'li_price_positive', COUNT(*),
+         |    SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) FROM lineitem
+         |  UNION ALL SELECT 'ord_price_positive', COUNT(*),
+         |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) FROM orders
+         |  UNION ALL SELECT 'li_orderkey_fk', COUNT(*),
+         |    SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+         |    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+         |      ON l.l_orderkey = o.o_orderkey
+         |  UNION ALL SELECT 'ord_custkey_fk', COUNT(*),
+         |    SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+         |    FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+         |      ON o.o_custkey = c.c_custkey
+         |  UNION ALL SELECT 'ord_has_lineitem', COUNT(*),
+         |    SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+         |    FROM orders o LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+         |      ON o.o_orderkey = l.l_orderkey)
+         |SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+         |  CAST(n_viol AS BIGINT) AS n_viol,
+         |  ${dSnap6("n_viol / CAST(n_checked AS DOUBLE)")} AS viol_rate
+         |FROM r ORDER BY rule""".stripMargin))
+  )
+}

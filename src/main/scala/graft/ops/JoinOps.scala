@@ -193,6 +193,42 @@ object JoinOps {
       r.crossJoin(n).orderBy("r_name", "n_name")
     }, Some(
       """SELECT r_name, n_name FROM region CROSS JOIN nation
-        |ORDER BY r_name, n_name""".stripMargin))
+        |ORDER BY r_name, n_name""".stripMargin)),
+
+    // Skew-salted join: the manual mitigation for a join key where one
+    // value holds most of the rows (AQE skew split is the automatic
+    // complement — pinned in PlanShapeSpec). The fact side derives a
+    // deliberately skewed key (`least(user_id, 10)` sends ~93% of
+    // events to key 10); a plain equi-join would put that entire key
+    // in ONE shuffle partition. Instead the tiny aggregate side
+    // replicates ×16 (one row per salt) and every fact row picks a
+    // deterministic salt from its event_id hash — the hot key spreads
+    // over 16 partitions, per-task input drops ~16×, and the final
+    // re-aggregation by sk is over 16 partial rows per key. The
+    // oracle runs the unsalted join: same result, proving salting is
+    // pure layout.
+    Q("c_join_skew_salted", (s, d) => {
+      val salts = 16
+      val ev = Io.events(s, d)
+        .select(least(col("user_id"), lit(10L)).as("sk"),
+          col("event_id"), col("value"))
+      val grp = ev.groupBy(col("sk"))
+        .agg((decSum(col("value")) / count(lit(1))).as("avg_v"))
+      val grpSalted = grp.withColumn("salt",
+        explode(sequence(lit(0), lit(salts - 1))))
+      ev.withColumn("salt", pmod(xxhash64(col("event_id")), lit(salts)).cast("int"))
+        .join(grpSalted, Seq("sk", "salt"))
+        .groupBy(col("sk"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("value") > col("avg_v"), 1L).otherwise(0L)).as("n_above_avg"))
+        .orderBy("sk")
+    }, Some(
+      s"""WITH f AS (SELECT LEAST(user_id, 10) AS sk, value FROM events),
+         |g AS (SELECT sk, ${dSum("value")} / COUNT(*) AS avg_v
+         |      FROM f GROUP BY sk)
+         |SELECT f.sk, COUNT(*) AS n_events,
+         |  CAST(SUM(CASE WHEN f.value > g.avg_v THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_above_avg
+         |FROM f JOIN g USING (sk) GROUP BY f.sk ORDER BY f.sk""".stripMargin))
   )
 }

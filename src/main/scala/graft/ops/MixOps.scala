@@ -419,6 +419,44 @@ object MixOps {
          |  COUNT(*) AS n_docs,
          |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot_tokens,
          |  ${dSnap6("COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)")} AS doc_share
-         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin))
+         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Per-language quantile gate: keep a doc iff its quality score
+    // (h_quality_score's formula) reaches its language's p75 — the
+    // relative-threshold filter a multilingual corpus needs (an
+    // absolute cut would empty low-resource languages). Thresholds are
+    // one language-bounded aggregate (exact interpolated percentile
+    // over 1e-6-snapped scores, so the cut point is engine-identical)
+    // broadcast back over the corpus: one shuffle on lang + one
+    // map-side join at any scale.
+    Q("h_quality_quantile", (s, d) => {
+      val rt = split(col("text"), " ")
+      val nTok = size(rt).cast("double")
+      val q = (lit(0.3) * (size(array_distinct(rt)) / nTok) +
+        lit(0.4) * (lit(1.0) - size(filter(rt, x => x === "the" || x === "a")) / nTok) +
+        lit(0.3) * least(nTok / 100.0, lit(1.0)))
+        .cast(DecimalType(38, 6)).cast("double")
+      val scored = Io.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), q.as("quality"))
+      val thr = scored.groupBy(col("lang"))
+        .agg(percentile(col("quality"), lit(0.75)).as("lang_p75"))
+      scored.join(broadcast(thr), "lang")
+        .select(col("doc_id"), col("lang"), col("quality"),
+          snap6(col("lang_p75")).as("lang_p75"),
+          (col("quality") >= col("lang_p75")).as("keep"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH m AS (
+         |  SELECT doc_id, lang,
+         |    ${dSnap6("0.3 * (len(list_distinct(rt)) / CAST(len(rt) AS DOUBLE)) " +
+             "+ 0.4 * (1.0 - len(list_filter(rt, x -> x = 'the' OR x = 'a')) " +
+             "/ CAST(len(rt) AS DOUBLE)) + 0.3 * LEAST(len(rt) / 100.0, 1.0)")} AS quality
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS rt FROM documents)),
+         |thr AS (SELECT lang, QUANTILE_CONT(quality, 0.75) AS lang_p75
+         |        FROM m GROUP BY lang)
+         |SELECT m.doc_id, m.lang, m.quality,
+         |  ${dSnap6("thr.lang_p75")} AS lang_p75,
+         |  m.quality >= thr.lang_p75 AS keep
+         |FROM m JOIN thr USING (lang) ORDER BY m.doc_id""".stripMargin))
   )
 }
