@@ -108,6 +108,37 @@ object EtlOps {
         |  LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id
         |                              ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
         |FROM events WHERE user_id < 20
-        |ORDER BY user_id, ts_us, event_id""".stripMargin))
+        |ORDER BY user_id, ts_us, event_id""".stripMargin)),
+
+    // Gaps & islands: maximal runs of consecutive ACTIVE days per user
+    // (a day is active if it has ≥1 event) — the continuity/missing-data
+    // detector of an ETL audit. The classic day − ROW_NUMBER grouping
+    // constant: consecutive days share it, a gap breaks it. One distinct
+    // on (user, day) + one user-keyed window + one hash aggregate; at
+    // 100 TB each stage shuffles on user_id only.
+    Q("e_gap_islands", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      Io.events(s, d)
+        .select(col("user_id"), expr("CAST(ts_us DIV 86400000000 AS BIGINT)").as("day"))
+        .distinct()
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+          count(lit(1)).as("n_days"))
+        .drop("grp")
+        .orderBy("user_id", "start_day")
+    }, Some(
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM a)
+        |SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+        |  COUNT(*) AS n_days
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, start_day""".stripMargin))
   )
 }

@@ -233,4 +233,32 @@ class PlanShapeSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("salted skew join shuffles on (sk, salt), not sk alone") {
+    // At test scale AQE would broadcast the tiny salted side and hide
+    // the property; disable broadcasts to pin the 100 TB layout — the
+    // hot key's rows spread over 16 salt partitions.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val p = plan("c_join_skew_salted")
+      assert("hashpartitioning\\(sk#\\d+L?, salt#".r.findFirstIn(p).isDefined,
+        "join shuffle key does not include the salt:\n" + p.take(2000))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("OHLC bars: both window directions and the aggregate share one shuffle") {
+    // AdaptiveSparkPlan.toString prints the final plan followed by the
+    // initial plan — count exchanges in the final section only.
+    val p = plan("g_ohlc").split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected a single hash exchange (asc window, desc window and " +
+        s"groupBy all partition by (event_type, hour)), got $exchanges:\n" +
+        p.take(2000))
+  }
 }
