@@ -457,6 +457,61 @@ object MixOps {
          |SELECT m.doc_id, m.lang, m.quality,
          |  ${dSnap6("thr.lang_p75")} AS lang_p75,
          |  m.quality >= thr.lang_p75 AS keep
-         |FROM m JOIN thr USING (lang) ORDER BY m.doc_id""".stripMargin))
+         |FROM m JOIN thr USING (lang) ORDER BY m.doc_id""".stripMargin)),
+
+    // Distribution-drift monitor: Population Stability Index between
+    // two corpus batches (doc_id parity stands in for yesterday/today)
+    // over width-20 doc-length buckets. Laplace-smoothed shares keep
+    // ln() defined when a bucket is empty on one side; each ln term
+    // snaps to DECIMAL(38,12) (libm last-ulp differences) and the PSI
+    // total is an exact decimal window sum. Shape at 100 TB: one scan,
+    // one hash aggregate on (bucket, batch) — bucket cardinality is
+    // bounded, so the drift report is dimension-sized.
+    Q("e_drift_psi", (s, d) => {
+      val n = size(toks).cast("long")
+      val b = Io.table(s, d, "documents")
+        .select(((n / 20).cast("long") * 20).cast("int").as("bucket"),
+          (col("doc_id") % 2 === 0).as("is_a"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+      val wAll = Window.partitionBy()
+      val nb = count(lit(1)).over(wAll)
+      val p = (col("n_a") + 1).cast("double") / (sum(col("n_a")).over(wAll) + nb)
+      val q = (col("n_b") + 1).cast("double") / (sum(col("n_b")).over(wAll) + nb)
+      // snap ln() itself at 1e-12 BEFORE the multiply: Math.log and
+      // libm differ in the last ulp, and a term can land exactly on a
+      // 1e-6 half boundary (seen at sf0.01), flipping the final round.
+      val lnpq = log(p / q).cast(DecimalType(38, 12)).cast("double")
+      val term = ((p - q) * lnpq).cast(DecimalType(38, 12))
+      b.withColumn("p", p).withColumn("q", q)
+        .withColumn("psi_term", term.cast("double"))
+        .withColumn("psi_total",
+          snap6(sum(term).over(wAll).cast("double")))
+        .select(col("bucket"), col("n_a"), col("n_b"),
+          snap6(col("p")).as("p"), snap6(col("q")).as("q"),
+          snap6(col("psi_term")).as("psi_term"), col("psi_total"))
+        .orderBy("bucket")
+    }, Some(
+      s"""WITH b AS (
+         |  SELECT CAST(len(string_split(text, ' ')) // 20 * 20 AS INT) AS bucket,
+         |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |  FROM documents GROUP BY bucket),
+         |t AS (
+         |  SELECT bucket, n_a, n_b,
+         |    (n_a + 1) / CAST(SUM(n_a) OVER () + COUNT(*) OVER () AS DOUBLE) AS p,
+         |    (n_b + 1) / CAST(SUM(n_b) OVER () + COUNT(*) OVER () AS DOUBLE) AS q
+         |  FROM b),
+         |s AS (
+         |  SELECT bucket, n_a, n_b, p, q,
+         |    CAST((p - q) * CAST(CAST(ln(p / q) AS DECIMAL(38,12)) AS DOUBLE)
+         |         AS DECIMAL(38,12)) AS term
+         |  FROM t)
+         |SELECT bucket, n_a, n_b,
+         |  ${dSnap6("p")} AS p, ${dSnap6("q")} AS q,
+         |  ${dSnap6("CAST(term AS DOUBLE)")} AS psi_term,
+         |  ${dSnap6("CAST(SUM(term) OVER () AS DOUBLE)")} AS psi_total
+         |FROM s ORDER BY bucket""".stripMargin))
   )
 }
