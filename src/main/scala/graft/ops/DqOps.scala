@@ -106,6 +106,36 @@ object DqOps {
          |SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
          |  CAST(n_viol AS BIGINT) AS n_viol,
          |  ${dSnap6("n_viol / CAST(n_checked AS DOUBLE)")} AS viol_rate
-         |FROM r ORDER BY rule""".stripMargin))
+         |FROM r ORDER BY rule""".stripMargin)),
+
+    // Quarantine split: the rows the rules reject, each tagged with the
+    // sorted list of rules it violated — what lands in the dead-letter
+    // table while the clean rows flow on. Pure map-side: every rule is
+    // a row-local predicate evaluated in one scan; no shuffle except
+    // the output ordering.
+    Q("e_dq_quarantine", (s, d) => {
+      val viol = array_sort(filter(array(
+        when(col("l_quantity") > 45, lit("li_quantity_le_45")),
+        when(col("l_discount") > 0.08, lit("li_discount_le_8pct")),
+        when(col("l_tax") > 0.07, lit("li_tax_le_7pct"))),
+        x => x.isNotNull))
+      Io.table(s, d, "lineitem")
+        .withColumn("violations", concat_ws(",", viol))
+        .filter(col("violations") =!= "")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_tax"), col("violations"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_tax", "violations")
+    }, Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax,
+        |  array_to_string(list_sort(list_filter([
+        |    CASE WHEN l_quantity > 45 THEN 'li_quantity_le_45' END,
+        |    CASE WHEN l_discount > 0.08 THEN 'li_discount_le_8pct' END,
+        |    CASE WHEN l_tax > 0.07 THEN 'li_tax_le_7pct' END],
+        |    x -> x IS NOT NULL)), ',') AS violations
+        |FROM lineitem
+        |WHERE l_quantity > 45 OR l_discount > 0.08 OR l_tax > 0.07
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount,
+        |  l_tax, violations""".stripMargin))
   )
 }

@@ -424,11 +424,14 @@ object MixOps {
     // Per-language quantile gate: keep a doc iff its quality score
     // (h_quality_score's formula) reaches its language's p75 — the
     // relative-threshold filter a multilingual corpus needs (an
-    // absolute cut would empty low-resource languages). Thresholds are
-    // one language-bounded aggregate (exact interpolated percentile
-    // over 1e-6-snapped scores, so the cut point is engine-identical)
-    // broadcast back over the corpus: one shuffle on lang + one
-    // map-side join at any scale.
+    // absolute cut would empty low-resource languages). The threshold
+    // is the DISCRETE p75 (smallest member value with cume_dist ≥
+    // 0.75): an actual member of the snapped-score set, so it is
+    // engine-identical by construction — interpolated percentiles
+    // differ across engines by 1 ulp and can land on a 1e-6 half
+    // boundary (seen at sf0.001). Thresholds are one language-keyed
+    // window + aggregate, broadcast back over the corpus: one shuffle
+    // on lang + one map-side join at any scale.
     Q("h_quality_quantile", (s, d) => {
       val rt = split(col("text"), " ")
       val nTok = size(rt).cast("double")
@@ -438,11 +441,14 @@ object MixOps {
         .cast(DecimalType(38, 6)).cast("double")
       val scored = Io.table(s, d, "documents")
         .select(col("doc_id"), col("lang"), q.as("quality"))
-      val thr = scored.groupBy(col("lang"))
-        .agg(percentile(col("quality"), lit(0.75)).as("lang_p75"))
+      val thr = scored
+        .withColumn("cd", cume_dist().over(
+          Window.partitionBy(col("lang")).orderBy(col("quality"))))
+        .filter(col("cd") >= 0.75)
+        .groupBy(col("lang")).agg(min(col("quality")).as("lang_p75"))
       scored.join(broadcast(thr), "lang")
         .select(col("doc_id"), col("lang"), col("quality"),
-          snap6(col("lang_p75")).as("lang_p75"),
+          col("lang_p75"),
           (col("quality") >= col("lang_p75")).as("keep"))
         .orderBy("doc_id")
     }, Some(
@@ -452,10 +458,12 @@ object MixOps {
              "+ 0.4 * (1.0 - len(list_filter(rt, x -> x = 'the' OR x = 'a')) " +
              "/ CAST(len(rt) AS DOUBLE)) + 0.3 * LEAST(len(rt) / 100.0, 1.0)")} AS quality
          |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS rt FROM documents)),
-         |thr AS (SELECT lang, QUANTILE_CONT(quality, 0.75) AS lang_p75
-         |        FROM m GROUP BY lang)
-         |SELECT m.doc_id, m.lang, m.quality,
-         |  ${dSnap6("thr.lang_p75")} AS lang_p75,
+         |cd AS (SELECT lang, quality,
+         |         CUME_DIST() OVER (PARTITION BY lang ORDER BY quality) AS cd
+         |       FROM m),
+         |thr AS (SELECT lang, MIN(quality) AS lang_p75
+         |        FROM cd WHERE cd >= 0.75 GROUP BY lang)
+         |SELECT m.doc_id, m.lang, m.quality, thr.lang_p75,
          |  m.quality >= thr.lang_p75 AS keep
          |FROM m JOIN thr USING (lang) ORDER BY m.doc_id""".stripMargin)),
 

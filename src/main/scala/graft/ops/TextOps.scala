@@ -264,6 +264,65 @@ object TextOps {
         |  CAST(least(8, len(toks) - st) AS INT) AS n_tokens,
         |  array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS chunk
         |FROM t, LATERAL UNNEST(generate_series(0, len(toks) - 1, 6)) AS u(st)
-        |ORDER BY doc_id, chunk_id""".stripMargin))
+        |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // PMI collocations: the top-20 statistically-associated bigrams,
+    // pmi = ln(p(ab) / (p(a)·p(b))) with a min-count support filter —
+    // the classic collocation extractor (and the MWE signal a tokenizer
+    // pipeline feeds on). Bigram counts come from the native
+    // explode_ngrams generator; the unigram table and both totals are
+    // vocabulary-bounded → broadcast. ln snaps to 1e-12 (libm ulp) and
+    // the ranking key is the snapped value with the bigram string as
+    // tiebreak, so the top-20 cut is engine-identical.
+    Q("h_bigram_pmi", (s, d) => {
+      graft.functions.ExplodeNgrams.register(s)
+      val docs = Io.table(s, d, "documents")
+      val uni = docs.select(explode(toks).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
+      val uniTot = uni.agg(sum(col("c_t")).as("n_uni"))
+      val bg = docs.select(expr("explode_ngrams(text, 2)").as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val bgTot = bg.agg(sum(col("c_ab")).as("n_bg"))
+      val withToks = bg
+        .withColumn("tok_a", split(col("g"), " ").getItem(0))
+        .withColumn("tok_b", split(col("g"), " ").getItem(1))
+        .join(broadcast(uni.select(col("tok").as("tok_a"), col("c_t").as("c_a"))), "tok_a")
+        .join(broadcast(uni.select(col("tok").as("tok_b"), col("c_t").as("c_b"))), "tok_b")
+        .crossJoin(broadcast(uniTot)).crossJoin(broadcast(bgTot))
+      val pmi = log((col("c_ab") / col("n_bg").cast("double")) /
+          ((col("c_a") / col("n_uni").cast("double")) *
+            (col("c_b") / col("n_uni").cast("double"))))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 12)).cast("double")
+      withToks.withColumn("pmi", pmi)
+        .select(col("g").as("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+          col("pmi").cast(org.apache.spark.sql.types.DecimalType(38, 6))
+            .cast("double").as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(20)
+    }, Some(
+      """WITH tok AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |uni AS (SELECT tok, COUNT(*) AS c_t FROM tok GROUP BY tok),
+        |ut AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_uni FROM uni),
+        |bgr AS (
+        |  SELECT UNNEST(list_transform(generate_series(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i + 1])) AS g
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 2),
+        |bg AS (SELECT g, COUNT(*) AS c_ab FROM bgr GROUP BY g HAVING COUNT(*) >= 5),
+        |bt AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bg FROM bg),
+        |j AS (
+        |  SELECT bg.g, bg.c_ab, ua.c_t AS c_a, ub.c_t AS c_b,
+        |    CAST(CAST(ln((bg.c_ab / CAST(bt.n_bg AS DOUBLE)) /
+        |      ((ua.c_t / CAST(ut.n_uni AS DOUBLE)) * (ub.c_t / CAST(ut.n_uni AS DOUBLE))))
+        |      AS DECIMAL(38,12)) AS DOUBLE) AS pmi
+        |  FROM bg CROSS JOIN ut CROSS JOIN bt
+        |  JOIN uni ua ON ua.tok = string_split(bg.g, ' ')[1]
+        |  JOIN uni ub ON ub.tok = string_split(bg.g, ' ')[2])
+        |SELECT g AS bigram, c_ab, CAST(c_a AS BIGINT) AS c_a,
+        |  CAST(c_b AS BIGINT) AS c_b,
+        |  CAST(CAST(pmi AS DECIMAL(38,6)) AS DOUBLE) AS pmi
+        |FROM j ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin))
   )
 }
