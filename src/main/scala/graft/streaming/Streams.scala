@@ -50,6 +50,24 @@ object Streams {
         max(col("ts_us")).as("sess_end_us"))
       .select(col("user_id"), col("n_events"), col("sess_start_us"), col("sess_end_us"))
 
+  /** 1-hour OHLC bars per event type (g_ohlc twin). The batch side
+    * derives open/close via asc/desc row_number windows; streaming
+    * windows can't sort inside a group, so the twin uses min_by/max_by
+    * over the (ts_us, event_id) ordering struct — same tie-break, same
+    * bars. Watermarked tumbling window: state is one bar per
+    * (type, hour), emitted complete when the watermark passes. */
+  def ohlc1h(events: DataFrame): DataFrame =
+    withTime(events)
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+      .agg(min_by(col("value"), struct(col("ts_us"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("event_type"), unix_micros(col("w.start")).as("hour_us"),
+        col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+
   /** streaming dedup on (user_id, event_type) within the watermark
     * (g_stream_dedup twin; batch twin keeps the earliest by ts). */
   def dedupWithinWatermark(events: DataFrame): DataFrame =

@@ -62,6 +62,15 @@ class StreamParitySpec extends AnyFunSuite {
     assert(rows(stream) === rows(batch))
   }
 
+  test("hourly OHLC bars: stream min_by/max_by == batch row_number windows") {
+    val stream = runStream("ohlc", OutputMode.Complete())(Streams.ohlc1h)
+    // the checked batch query derives open/close via asc/desc
+    // row_number with the same (ts_us, event_id) tie-break
+    val batch = Registry.queries("g_ohlc")(spark, sf)
+      .select("event_type", "hour_us", "open", "high", "low", "close", "n_ticks")
+    assert(rows(stream) === rows(batch))
+  }
+
   test("dropDuplicatesWithinWatermark: stream keys == batch dedup keys") {
     val stream = runStream("dedup", OutputMode.Append())(Streams.dedupWithinWatermark)
     val batch = Registry.queries("g_stream_dedup")(spark, sf)
