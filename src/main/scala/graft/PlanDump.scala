@@ -29,7 +29,10 @@ object PlanDump {
       "f_topk_global" -> "global top-k → TakeOrderedAndProject",
       "h_contamination" -> "eval shingles broadcast → corpus scan stays map-side",
       "h_pack_sequences" -> "sequence packing: per-shard running sum, no global sort",
-      "h_source_overlap" -> "cross-source overlap: one digest-keyed shuffle, in-bucket pairs")
+      "h_source_overlap" -> "cross-source overlap: one digest-keyed shuffle, in-bucket pairs",
+      "c_join_skew_salted" -> "hot-key join: ×16 salt replication spreads one key over 16 partitions",
+      "g_ohlc" -> "OHLC bars: asc/desc windows + aggregate share ONE hash exchange",
+      "e_dq_rules" -> "DQ rules: row-local counters in one scan/table + FK left-join checks")
     val sb = new StringBuilder
     sb.append("# PLANS — final executed plans of representative queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001; AQE settled\n")
