@@ -100,9 +100,25 @@ object DedupOps {
       byLang: Boolean): DataFrame =
     // memoized per variant: the j >= 0.9 pair table feeds
     // h_minhash_lsh_dedup + h_incremental_dedup (byLang=false) and
-    // h_jaccard_pairs (byLang=true); materialize it once per corpus.
+    // h_jaccard_pairs + the CC family (byLang=true); materialize once
+    // per corpus. The same-lang variant never re-runs the banding:
+    // token-set Jaccard ignores language, so it is EXACTLY the
+    // language-agnostic pair set filtered to language agreement — one
+    // broadcast-sized doc→lang join on an already-materialized table
+    // instead of a second signature+candidate+verify pipeline (the
+    // single most expensive artifact in the dedup chain).
     Q.memoized(s, d, s"minhashPairs:$byLang") {
-      minhashNearDupPairsBuild(s, d, byLang).localCheckpoint(true)
+      if (!byLang) minhashNearDupPairsBuild(s, d, byLang = false).localCheckpoint(true)
+      else {
+        val langs = graft.io.Io.table(s, d, "documents")
+          .select(col("doc_id"), col("lang"))
+        minhashNearDupPairs(s, d, byLang = false)
+          .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("la")), "doc_a")
+          .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lb")), "doc_b")
+          .filter(col("la") === col("lb"))
+          .select(col("doc_a"), col("doc_b"), col("jaccard"), col("la").as("lang"))
+          .localCheckpoint(true)
+      }
     }
 
   /** The un-checkpointed pair pipeline, for plan-shape tests: the
