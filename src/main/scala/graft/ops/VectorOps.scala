@@ -308,6 +308,52 @@ object VectorOps {
          |            JOIN embeddings b ON b.vec_id = c.id_b
          |ORDER BY sim DESC, id_a, id_b LIMIT 10""".stripMargin)),
 
+    // ANN recall report — "measure, don't guess" as a first-class
+    // query: recall@10 of the banded-LSH candidate path against the
+    // exact blocked-triangle top-10. Both paths are themselves
+    // oracle-replicated (duckSig re-derives every signature bit), so
+    // the recall NUMBER is parity-checked, not just asserted in a
+    // test. On this gap-less corpus 4×4-bit banding recalls ~3/10 —
+    // exactly why the exact op stays in the inventory; at 100 TB this
+    // query is the cheap canary run before trusting an ANN index.
+    Q("h_ann_recall", (s, d) => {
+      val e = withDoubles(s, d)
+        .select(col("vec_id"), col("dv"), sqrt(dot(col("dv"), col("dv"))).as("nrm"))
+      val exact = PairJoins.trianglePairs(e, Nil, "vec_id", 8)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          r6(dot(col("a.dv"), col("b.dv")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+        .orderBy(col("sim").desc, col("id_a"), col("id_b")).limit(10)
+      val sig = lshSigs(s, d)
+      val cand = sig.select(col("vec_id").as("id_a"), col("band"), col("band_val"))
+        .join(sig.select(col("vec_id").as("id_b"), col("band"), col("band_val")),
+          Seq("band", "band_val"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      exact.join(cand.withColumn("_hit", lit(1)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("_hit"), lit(0))).as("n_hits"))
+        .select(col("n_exact"), col("n_hits"),
+          (col("n_hits") / col("n_exact"))
+            .cast(DecimalType(38, 6)).cast("double").as("recall_at_10"))
+    }, Some(
+      s"""WITH $duckSig,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM sig x JOIN sig y
+         |    ON x.band = y.band AND x.band_val = y.band_val AND x.vec_id < y.vec_id),
+         |exact AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND($duckCos, 6) AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  ORDER BY sim DESC, id_a, id_b LIMIT 10)
+         |SELECT COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  CAST(CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+         |       / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)
+         |    AS recall_at_10
+         |FROM exact e LEFT JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b"""
+        .stripMargin)),
+
     // Embedding-cosine near-dedup: LSH-candidate pairs verified at
     // cosine >= 0.4 (this corpus's vectors are near-orthogonal — max
     // pair cosine ~0.51 — so the threshold sits where near-dups exist).
