@@ -25,6 +25,7 @@ import Q._
 object VectorOps {
 
   private val dec12 = DecimalType(38, 12)
+  private val dec6 = DecimalType(38, 6)
 
   /** exact order-independent sum at 1e-12 — for averaging raw embedding
     * values (magnitude ~0.1; DECIMAL(38,6) would be too coarse). */
@@ -234,6 +235,73 @@ object VectorOps {
          |FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id <> b.vec_id
          |WHERE a.vec_id < 20
          |QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+
+    // Lloyd's k-means, the IVF index BUILD step made explicit: K=4
+    // centroids seeded from vec_id < 4 (deterministic init — rand()
+    // init is unreproducible across engines and retries), one full
+    // assign→update round, then the final assignment. Every stage is
+    // the 100 TB shape: centroids broadcast (K·dim values), distance
+    // is the map-side native sq_dist_dec, the update is one shuffle of
+    // (cid, pos, value) partial sums. Centroid means are exact decimal
+    // sums and distances accumulate in DECIMAL(38,12), so the argmin
+    // (tie-break cid) is engine-identical — the oracle re-derives both
+    // iterations relationally.
+    Q("h_kmeans_lloyd", (s, d) => {
+      graft.functions.SqDistDec.register(s)
+      val e = Io.table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val cent0 = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cid"), dvec(col("embedding")).as("carr"))
+      def assign(cent: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+        e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            expr("sq_dist_dec(embedding, carr)").as("d2"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid"), col("d2"))
+      }
+      def update(a: DataFrame): DataFrame =
+        a.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg((decSum12(col("v").cast("double")) / count(lit(1))).as("c"))
+          .groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("carr"))
+      assign(update(assign(cent0)))
+        .select(col("vec_id"), col("cid").as("cluster"),
+          col("d2").cast(dec6).cast("double").as("d2"))
+        .orderBy("vec_id")
+    }, Some(
+      s"""WITH dims AS (SELECT UNNEST(generate_series(1, 64)) AS pos),
+         |c0 AS (
+         |  SELECT CAST(vec_id AS INT) AS cid, pos,
+         |    CAST(embedding[pos] AS DOUBLE) AS c
+         |  FROM embeddings, dims WHERE vec_id < 4),
+         |d1 AS (
+         |  SELECT e.vec_id, c0.cid,
+         |    CAST(SUM(CAST((CAST(e.embedding[c0.pos] AS DOUBLE) - c0.c)
+         |                  * (CAST(e.embedding[c0.pos] AS DOUBLE) - c0.c)
+         |             AS DECIMAL(38,12))) AS DOUBLE) AS d2
+         |  FROM embeddings e, c0 GROUP BY e.vec_id, c0.cid),
+         |a1 AS (
+         |  SELECT vec_id, cid FROM d1
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+         |c1 AS (
+         |  SELECT a1.cid, dims.pos,
+         |    ${dSum12("CAST(e.embedding[dims.pos] AS DOUBLE)")} / COUNT(*) AS c
+         |  FROM embeddings e JOIN a1 USING (vec_id), dims
+         |  GROUP BY a1.cid, dims.pos),
+         |d2t AS (
+         |  SELECT e.vec_id, c1.cid,
+         |    CAST(SUM(CAST((CAST(e.embedding[c1.pos] AS DOUBLE) - c1.c)
+         |                  * (CAST(e.embedding[c1.pos] AS DOUBLE) - c1.c)
+         |             AS DECIMAL(38,12))) AS DOUBLE) AS d2
+         |  FROM embeddings e, c1 GROUP BY e.vec_id, c1.cid),
+         |a2 AS (
+         |  SELECT vec_id, cid, d2 FROM d2t
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1)
+         |SELECT vec_id, cid AS cluster,
+         |  CAST(CAST(d2 AS DECIMAL(38,6)) AS DOUBLE) AS d2
+         |FROM a2 ORDER BY vec_id""".stripMargin)),
 
     // LSH-bucketed ANN (the second scale path next to IVF): top-3
     // neighbors per query among vectors sharing >= 1 signature band.
