@@ -139,6 +139,54 @@ object EtlOps {
         |SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
         |  COUNT(*) AS n_days
         |FROM g GROUP BY user_id, grp
-        |ORDER BY user_id, start_day""".stripMargin))
+        |ORDER BY user_id, start_day""".stripMargin)),
+
+    // Snapshot diff: the day-over-day table comparison an ETL publish
+    // step emits (added / removed / changed / same + value drift).
+    // Yesterday = orders minus the %13 rows; today = orders minus the
+    // %11 rows with the %7 rows' totalprice restated +10% — both
+    // derived deterministically so the diff is oracle-checkable. One
+    // full outer join on the PK (at 100 TB: both snapshots shuffle
+    // once on o_orderkey, or zero shuffle if both are bucketed on it),
+    // then a status classification and one status-keyed aggregate with
+    // an exact decimal drift sum.
+    Q("e_snapshot_diff", (s, d) => {
+      val base = Io.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val yday = base.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey").as("k_a"), col("o_totalprice").as("p_a"))
+      val today = base.filter(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey").as("k_b"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")).as("p_b"))
+      yday.join(today, col("k_a") === col("k_b"), "full_outer")
+        .select(
+          when(col("k_a").isNull, "added")
+            .when(col("k_b").isNull, "removed")
+            .when(col("p_a") =!= col("p_b"), "changed")
+            .otherwise("same").as("status"),
+          coalesce(col("p_b"), lit(0.0)) - coalesce(col("p_a"), lit(0.0)))
+        .toDF("status", "delta")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_rows"), decSum(col("delta")).as("price_drift"))
+        .orderBy("status")
+    }, Some(
+      s"""WITH a AS (
+         |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+         |  WHERE o_orderkey % 13 <> 0),
+         |b AS (
+         |  SELECT o_orderkey AS k,
+         |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+         |         ELSE o_totalprice END AS p
+         |  FROM orders WHERE o_orderkey % 11 <> 0),
+         |j AS (
+         |  SELECT CASE WHEN a.k IS NULL THEN 'added'
+         |              WHEN b.k IS NULL THEN 'removed'
+         |              WHEN a.p <> b.p THEN 'changed'
+         |              ELSE 'same' END AS status,
+         |    COALESCE(b.p, 0.0) - COALESCE(a.p, 0.0) AS delta
+         |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+         |SELECT status, COUNT(*) AS n_rows, ${dSum("delta")} AS price_drift
+         |FROM j GROUP BY status ORDER BY status""".stripMargin))
   )
 }
