@@ -237,6 +237,48 @@ object AnalyticsOps {
          |ORDER BY user_id, ts_us, event_id""".stripMargin
     }),
 
+    // Winsorization: clip each event's value at its type's discrete
+    // p5/p95 (smallest member with cume_dist ≥ threshold — actual
+    // members of the value set, so the clip points are engine-identical
+    // with no interpolation ulp risk), and report per-type how much
+    // mass clipping removed. The robust-preprocessing step before any
+    // mean-based aggregate. One type-keyed window for the thresholds
+    // (broadcast back: event_type is dimension-sized) + one scan.
+    Q("g_winsorize", (s, d) => {
+      val ev = Io.events(s, d).select(col("event_type"), col("event_id"), col("value"))
+      val wcd = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val cd = ev.withColumn("cd", cume_dist().over(wcd))
+      val lo = cd.filter(col("cd") >= 0.05).groupBy(col("event_type"))
+        .agg(min(col("value")).as("p5"))
+      val hi = cd.filter(col("cd") >= 0.95).groupBy(col("event_type"))
+        .agg(min(col("value")).as("p95"))
+      ev.join(broadcast(lo), "event_type").join(broadcast(hi), "event_type")
+        .withColumn("clipped", least(greatest(col("value"), col("p5")), col("p95")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          r6(first(col("p5"))).as("p5"), r6(first(col("p95"))).as("p95"),
+          sum(when(col("value") < col("p5") || col("value") > col("p95"), 1L)
+            .otherwise(0L)).as("n_clipped"),
+          decSum(col("value") - col("clipped")).as("mass_removed"))
+        .orderBy("event_type")
+    }, Some(
+      s"""WITH cd AS (
+         |  SELECT event_type, value,
+         |    CUME_DIST() OVER (PARTITION BY event_type ORDER BY value) AS cd
+         |  FROM events),
+         |lo AS (SELECT event_type, MIN(value) AS p5 FROM cd
+         |       WHERE cd >= 0.05 GROUP BY event_type),
+         |hi AS (SELECT event_type, MIN(value) AS p95 FROM cd
+         |       WHERE cd >= 0.95 GROUP BY event_type)
+         |SELECT e.event_type, COUNT(*) AS n,
+         |  ROUND(MIN(lo.p5), 6) AS p5, ROUND(MIN(hi.p95), 6) AS p95,
+         |  CAST(SUM(CASE WHEN e.value < lo.p5 OR e.value > hi.p95
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+         |  ${dSum("e.value - LEAST(GREATEST(e.value, lo.p5), hi.p95)")}
+         |    AS mass_removed
+         |FROM events e JOIN lo USING (event_type) JOIN hi USING (event_type)
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
     // Hourly OHLC bars per event type — the classic time-series
     // downsample (open/high/low/close/volume). Open and close are the
     // first/last value by (ts, event_id) inside the bar: one window
