@@ -167,6 +167,39 @@ object JoinOps {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p_id""".stripMargin)),
 
+    // As-of join WITH TOLERANCE (the pandas merge_asof contract): the
+    // latest prior click matches only if it is at most 1 hour stale —
+    // a stale quote must not price a trade. Filtering the top-1 match
+    // afterward equals restricting candidates (any earlier candidate
+    // is staler still). The native single-pass AsOfJoinExec carries
+    // the same tolerance parameter; AsOfJoinSpec pins equivalence.
+    Q("c_join_asof_tol", (s, d) => {
+      val tolUs = 3600000000L
+      val ev = Io.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts_us").as("c_us"))
+      val w = Window.partitionBy(col("p_id")).orderBy(col("c_us").desc, col("c_id").desc)
+      p.join(c, col("user_id") === col("c_user") && col("c_us") <= col("p_us"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("p_us") - col("c_us") <= tolUs)
+        .select(col("p_id"), col("user_id"), col("p_us"), col("c_id"), col("c_us"),
+          (col("p_us") - col("c_us")).as("staleness_us"))
+        .orderBy("p_id")
+    }, Some(
+      """WITH j AS (
+        |  SELECT p.event_id AS p_id, p.user_id, epoch_us(p.ts) AS p_us,
+        |    c.event_id AS c_id, epoch_us(c.ts) AS c_us,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY epoch_us(c.ts) DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |SELECT p_id, user_id, p_us, c_id, c_us, p_us - c_us AS staleness_us
+        |FROM j WHERE rn = 1 AND p_us - c_us <= 3600000000
+        |ORDER BY p_id""".stripMargin)),
+
     // Interval self-join: pairs of events of the same user within 30 min.
     // Equi on user_id (shuffle key) + bounded range predicate.
     Q("c_join_interval", (s, d) => {

@@ -23,7 +23,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    toleranceUs: Long) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoin =
     copy(left = l, right = r)
@@ -32,6 +33,7 @@ case class AsOfJoin(
 case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
+    toleranceUs: Long,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -61,6 +63,7 @@ case class AsOfJoinExec(
       var rCur: InternalRow = null
       var candValid = false // best match so far for the current key
       var candKey = 0L
+      var candTs = 0L
       var cand: InternalRow = null
 
       def advanceRight(lkV: Long, ltV: Long): Unit = {
@@ -74,7 +77,7 @@ case class AsOfJoinExec(
             rValid = true
           }
           if (rKeyV < lkV || (rKeyV == lkV && rTsV <= ltV)) {
-            if (rKeyV == lkV) { cand = rCur; candKey = rKeyV; candValid = true }
+            if (rKeyV == lkV) { cand = rCur; candKey = rKeyV; candTs = rTsV; candValid = true }
             rValid = false // consumed
           } else done = true
         }
@@ -84,7 +87,10 @@ case class AsOfJoinExec(
         val kt = lProj(lRow)
         val lkV = kt.getLong(0); val ltV = kt.getLong(1)
         advanceRight(lkV, ltV)
-        if (candValid && candKey == lkV) Iterator.single[InternalRow](outProj(joined(lRow, cand)))
+        // tolerance: the best candidate must also be RECENT enough —
+        // the pandas merge_asof contract (stale quotes never match).
+        if (candValid && candKey == lkV && ltV - candTs <= toleranceUs)
+          Iterator.single[InternalRow](outProj(joined(lRow, cand)))
         else Iterator.empty
       }
     }
@@ -100,8 +106,8 @@ case class AsOfJoinExec(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -112,7 +118,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 object AsOf {
   def join(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      toleranceUs: Long = Long.MaxValue): DataFrame = {
     val spark: SparkSession = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -124,6 +131,7 @@ object AsOf {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
     GraftBridge.ofRows(spark,
-      AsOfJoin(lp, rp, attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTs), attr(rp, rightTs)))
+      AsOfJoin(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
+        attr(lp, leftTs), attr(rp, rightTs), toleranceUs))
   }
 }

@@ -39,6 +39,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("tolerance: native exec == composed DuckDB-checked query") {
+    val native = AsOf.join(purchases, clicks, "p_user", "c_user", "p_us", "c_us",
+        toleranceUs = 3600000000L)
+      .select("p_id", "c_id", "p_us", "c_us")
+    val composed = Registry.queries("c_join_asof_tol")(spark, sf)
+      .select(col("p_id"), col("c_id"), col("p_us"), col("c_us"))
+    val n = native.collect().map(_.toSeq).toSet
+    val c = composed.collect().map(_.toSeq).toSet
+    assert(n === c)
+    assert(n.nonEmpty)
+    // the tolerance must actually bite on this data
+    val unlimited = AsOf.join(purchases, clicks, "p_user", "c_user", "p_us", "c_us")
+    assert(unlimited.count() > n.size)
+  }
+
   test("left rows with no prior right row are dropped (inner semantics)") {
     import spark.implicits._
     val l = Seq((1L, 100L, "a"), (1L, 50L, "b"), (2L, 10L, "c"))
