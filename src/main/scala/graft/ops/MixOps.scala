@@ -520,6 +520,55 @@ object MixOps {
          |  ${dSnap6("p")} AS p, ${dSnap6("q")} AS q,
          |  ${dSnap6("CAST(term AS DOUBLE)")} AS psi_term,
          |  ${dSnap6("CAST(SUM(term) OVER () AS DOUBLE)")} AS psi_total
-         |FROM s ORDER BY bucket""".stripMargin))
+         |FROM s ORDER BY bucket""".stripMargin)),
+
+    // Dataset card: the one-row corpus summary a data release ships —
+    // volume, composition, dedup rate, quality centers. One scan with
+    // parallel aggregates (countDistinct compiles to the expand+
+    // two-phase distinct aggregate — still a single pass over the
+    // corpus at 100 TB); the mean quality reuses h_quality_score's
+    // formula with exact decimal summation.
+    Q("h_dataset_card", (s, d) => {
+      val rt = split(col("text"), " ")
+      val nTok = size(rt).cast("double")
+      val q = (lit(0.3) * (size(array_distinct(rt)) / nTok) +
+        lit(0.4) * (lit(1.0) - size(filter(rt, x => x === "the" || x === "a")) / nTok) +
+        lit(0.3) * least(nTok / 100.0, lit(1.0)))
+        .cast(DecimalType(38, 6)).cast("double")
+      Io.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(rt).cast("long").as("n_tok"),
+          sha2(trim(lower(col("text"))), 256).as("h"), q.as("q"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("h")).as("n_unique_texts"),
+          snap6((count(lit(1)) - countDistinct(col("h")))
+            / count(lit(1)).cast("double")).as("exact_dup_rate"),
+          snap6(sum(col("q").cast(DecimalType(38, 12))).cast("double")
+            / count(lit(1))).as("mean_quality"),
+          min(col("n_tok")).as("min_len"), max(col("n_tok")).as("max_len"))
+    }, Some(
+      s"""WITH m AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(rt) AS BIGINT) AS n_tok,
+         |    sha256(TRIM(LOWER(text))) AS h,
+         |    CAST(CAST(0.3 * (len(list_distinct(rt)) / CAST(len(rt) AS DOUBLE))
+         |      + 0.4 * (1.0 - len(list_filter(rt, x -> x = 'the' OR x = 'a'))
+         |               / CAST(len(rt) AS DOUBLE))
+         |      + 0.3 * LEAST(len(rt) / 100.0, 1.0) AS DECIMAL(38,6)) AS DOUBLE) AS q
+         |  FROM (SELECT *, string_split(text, ' ') AS rt FROM documents))
+         |SELECT COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts,
+         |  ${dSnap6("(COUNT(*) - COUNT(DISTINCT h)) / CAST(COUNT(*) AS DOUBLE)")}
+         |    AS exact_dup_rate,
+         |  ${dSnap6("CAST(SUM(CAST(q AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)")}
+         |    AS mean_quality,
+         |  MIN(n_tok) AS min_len, MAX(n_tok) AS max_len
+         |FROM m""".stripMargin))
   )
 }
