@@ -187,6 +187,47 @@ object EtlOps {
          |    COALESCE(b.p, 0.0) - COALESCE(a.p, 0.0) AS delta
          |  FROM a FULL OUTER JOIN b ON a.k = b.k)
          |SELECT status, COUNT(*) AS n_rows, ${dSum("delta")} AS price_drift
-         |FROM j GROUP BY status ORDER BY status""".stripMargin))
+         |FROM j GROUP BY status ORDER BY status""".stripMargin)),
+
+    // Point-in-time join — the feature-store pattern that keeps ML
+    // training data leak-free: each fact (purchase) joins the dimension
+    // VERSION that was valid at the fact's event time, never a later
+    // one. Versions are SCD2 ranges derived from clicks (valid_from =
+    // click ts, valid_to = next click's ts per user); the join is equi
+    // on user + half-open interval containment. At 100 TB both sides
+    // shuffle once on user_id and ranges are per-user sorted — the
+    // standard PIT layout (same semantics as the native as-of join,
+    // shipped here as the materialized-interval implementation).
+    Q("e_pit_join", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Io.events(s, d)
+      val w = Window.partitionBy(col("v_user")).orderBy(col("valid_from_us"), col("v_id"))
+      val versions = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+          col("ts_us").as("valid_from_us"), col("value").as("feature"))
+        .withColumn("valid_to_us",
+          coalesce(lead(col("valid_from_us"), 1).over(w), lit(Long.MaxValue)))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_us"))
+      facts.join(versions, col("user_id") === col("v_user") &&
+          col("p_us") >= col("valid_from_us") && col("p_us") < col("valid_to_us"))
+        .select(col("p_id"), col("user_id"), col("p_us"),
+          col("v_id"), col("valid_from_us"), col("feature"))
+        .orderBy("p_id")
+    }, Some(
+      """WITH v AS (
+        |  SELECT user_id AS v_user, event_id AS v_id,
+        |    epoch_us(ts) AS valid_from_us, value AS feature,
+        |    COALESCE(LEAD(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+        |      9223372036854775807) AS valid_to_us
+        |  FROM events WHERE event_type = 'click'),
+        |f AS (
+        |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.p_id, f.user_id, f.p_us, v.v_id, v.valid_from_us, v.feature
+        |FROM f JOIN v ON f.user_id = v.v_user
+        |  AND f.p_us >= v.valid_from_us AND f.p_us < v.valid_to_us
+        |ORDER BY f.p_id""".stripMargin))
   )
 }

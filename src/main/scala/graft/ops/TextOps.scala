@@ -323,6 +323,62 @@ object TextOps {
         |SELECT g AS bigram, c_ab, CAST(c_a AS BIGINT) AS c_a,
         |  CAST(c_b AS BIGINT) AS c_b,
         |  CAST(CAST(pmi AS DECIMAL(38,6)) AS DOUBLE) AS pmi
-        |FROM j ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin))
+        |FROM j ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin)),
+
+    // Corpus bigram language model scoring — the perplexity-proxy
+    // quality signal: per-doc mean log P(b|a) under an add-1-smoothed
+    // bigram LM estimated on the corpus itself. P(b|a) =
+    // (c(ab)+1)/(c(a·)+V) with c(a·) = bigrams starting with a and V =
+    // unigram vocab size. Corpus tables are vocabulary-bounded →
+    // broadcast; scoring is one scan + one doc-keyed aggregate. Each
+    // ln term snaps to 1e-12 (libm ulp) and the per-doc mean is an
+    // exact decimal sum, so ranking thresholds are engine-identical.
+    Q("h_ngram_lm_score", (s, d) => {
+      graft.functions.ExplodeNgrams.register(s)
+      val docs = Io.table(s, d, "documents")
+      val bg = docs.select(expr("explode_ngrams(text, 2)").as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
+      val hist = bg.groupBy(split(col("g"), " ").getItem(0).as("tok_a"))
+        .agg(sum(col("c_ab")).as("c_a"))
+      val vocab = docs.select(explode(toks).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      val docBg = docs.select(col("doc_id"), expr("explode_ngrams(text, 2)").as("g"))
+      val lp = log((col("c_ab") + 1).cast("double") / (col("c_a") + col("v")))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 12))
+      docBg.join(broadcast(bg), "g")
+        .withColumn("tok_a", split(col("g"), " ").getItem(0))
+        .join(broadcast(hist), "tok_a")
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(lp).cast("double") / count(lit(1)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6))
+            .cast("double").as("avg_logprob"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH bgr AS (
+        |  SELECT doc_id, UNNEST(list_transform(generate_series(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i + 1])) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 2),
+        |bg AS (SELECT g, COUNT(*) AS c_ab FROM bgr GROUP BY g),
+        |hist AS (SELECT string_split(g, ' ')[1] AS tok_a, SUM(c_ab) AS c_a
+        |         FROM bg GROUP BY 1),
+        |vocab AS (
+        |  SELECT COUNT(DISTINCT t.tok) AS v
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+        |       LATERAL UNNEST(toks) AS t(tok)),
+        |terms AS (
+        |  SELECT d.doc_id,
+        |    CAST(CAST(ln((bg.c_ab + 1) / CAST(hist.c_a + vocab.v AS DOUBLE))
+        |         AS DECIMAL(38,12)) AS DOUBLE) AS lp
+        |  FROM bgr d
+        |  JOIN bg USING (g)
+        |  JOIN hist ON hist.tok_a = string_split(d.g, ' ')[1]
+        |  CROSS JOIN vocab)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(CAST(CAST(SUM(CAST(lp AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+        |       AS DECIMAL(38,6)) AS DOUBLE) AS avg_logprob
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
