@@ -16,6 +16,13 @@ object AnalyticsOps {
   /** epoch day from the canonical epoch-micros event time. */
   private val day = expr("CAST(ts_us DIV 86400000000 AS BIGINT)")
 
+  /** Deterministic 1e-6 snap (HALF_UP in both engines when fed a
+    * DOUBLE; DuckDB's decimal→decimal cast truncates — never feed it
+    * a DECIMAL). */
+  private def snap6(c: org.apache.spark.sql.Column) =
+    c.cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double")
+  private def dSnap6(x: String) = s"CAST(CAST($x AS DECIMAL(38,6)) AS DOUBLE)"
+
   val all: Seq[Q] = Seq(
     // Pivot (statuses are a fixed domain → stable column names).
     Q("d_pivot", (s, d) => {
@@ -236,6 +243,62 @@ object AnalyticsOps {
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
          |ORDER BY user_id, ts_us, event_id""".stripMargin
     }),
+
+    // Event-type transition matrix: first-order Markov counts over each
+    // user's time-ordered event sequence, with row-normalized
+    // probabilities — the behavior-model input (and the user_path
+    // aggregate's dual). One user-keyed window (LEAD) + one hash
+    // aggregate on (from, to): bounded output (|types|²), shuffle only
+    // on user then on the tiny key.
+    Q("g_markov_transitions", (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Io.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", snap6(col("n") /
+          sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double")))
+        .orderBy("from_type", "to_type")
+    }, Some(
+      s"""WITH seq AS (
+         |  SELECT event_type AS from_type,
+         |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS to_type
+         |  FROM events),
+         |c AS (
+         |  SELECT from_type, to_type, COUNT(*) AS n
+         |  FROM seq WHERE to_type IS NOT NULL
+         |  GROUP BY from_type, to_type)
+         |SELECT from_type, to_type, n,
+         |  ${dSnap6("n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)")} AS p
+         |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
+    // Inactivity / churn census: per user, last-seen time, days silent
+    // relative to the corpus watermark (max ts), and a churned flag at
+    // the 7-day threshold. One aggregate on user + one broadcast of
+    // the single-row watermark — the retention dashboard's denominator.
+    Q("g_churn_inactive", (s, d) => {
+      val lastSeen = Io.events(s, d).groupBy(col("user_id"))
+        .agg(max(col("ts_us")).as("last_us"), count(lit(1)).as("n_events"))
+      val wm = Io.events(s, d).agg(max(col("ts_us")).as("wm_us"))
+      lastSeen.crossJoin(broadcast(wm))
+        .select(col("user_id"), col("n_events"), col("last_us"),
+          ((col("wm_us") - col("last_us")) / lit(86400000000L)).cast("long")
+            .as("days_silent"),
+          (col("wm_us") - col("last_us") > 7L * 86400000000L).as("churned"))
+        .orderBy("user_id")
+    }, Some(
+      """WITH ls AS (
+        |  SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS n_events
+        |  FROM events GROUP BY user_id),
+        |wm AS (SELECT MAX(epoch_us(ts)) AS wm_us FROM events)
+        |SELECT user_id, n_events, last_us,
+        |  (wm_us - last_us) // 86400000000 AS days_silent,
+        |  wm_us - last_us > 7 * 86400000000 AS churned
+        |FROM ls CROSS JOIN wm ORDER BY user_id""".stripMargin)),
 
     // Winsorization: clip each event's value at its type's discrete
     // p5/p95 (smallest member with cume_dist ≥ threshold — actual
