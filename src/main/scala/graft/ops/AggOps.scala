@@ -151,6 +151,57 @@ object AggOps {
          |        (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_price_disc
          |FROM m ORDER BY l_returnflag""".stripMargin)),
 
+    // Higher moments: population skewness and excess kurtosis from raw
+    // decimal power sums (built-in skewness/kurtosis are accumulation-
+    // order-dependent; raw moments partial-aggregate map-side and the
+    // central-moment algebra runs on engine-identical inputs). Output
+    // snaps via the decimal cast, not ROUND (half-boundary discipline).
+    Q("d_agg_moments", (s, d) => {
+      val x = col("l_quantity")
+      val snap = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double")
+      Io.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          decSum(x).as("s1"), decSum(x * x).as("s2"),
+          decSum(x * x * x).as("s3"), decSum(x * x * x * x).as("s4"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n_rows"), {
+          val n = col("n"); val mu = col("s1") / n
+          val m2 = col("s2") / n - mu * mu
+          val m3 = col("s3") / n - lit(3.0) * mu * (col("s2") / n) + lit(2.0) * mu * mu * mu
+          val m4 = col("s4") / n - lit(4.0) * mu * (col("s3") / n) +
+            lit(6.0) * mu * mu * (col("s2") / n) - lit(3.0) * mu * mu * mu * mu
+          // m2 * sqrt(m2), not pow(m2, 1.5): sqrt is correctly rounded
+          // in IEEE-754 on both engines, pow is libm-dependent.
+          struct(snap(mu).as("mean_qty"),
+            snap(m3 / (m2 * sqrt(m2))).as("skewness"),
+            snap(m4 / (m2 * m2) - 3.0).as("excess_kurtosis"))
+        }.as("m"))
+        .select(col("l_returnflag"), col("n_rows"),
+          col("m.mean_qty"), col("m.skewness"), col("m.excess_kurtosis"))
+        .orderBy("l_returnflag")
+    }, Some(
+      s"""WITH m AS (
+         |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${dSum("l_quantity")} AS s1,
+         |    ${dSum("l_quantity * l_quantity")} AS s2,
+         |    ${dSum("l_quantity * l_quantity * l_quantity")} AS s3,
+         |    ${dSum("l_quantity * l_quantity * l_quantity * l_quantity")} AS s4
+         |  FROM lineitem GROUP BY l_returnflag),
+         |c AS (
+         |  SELECT l_returnflag, n, s1 / n AS mu,
+         |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+         |    s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         |    s4 / n - 4.0 * (s1 / n) * (s3 / n)
+         |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+         |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+         |  FROM m)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+         |  CAST(CAST(mu AS DECIMAL(38,6)) AS DOUBLE) AS mean_qty,
+         |  CAST(CAST(m3 / (m2 * SQRT(m2)) AS DECIMAL(38,6)) AS DOUBLE) AS skewness,
+         |  CAST(CAST(m4 / (m2 * m2) - 3.0 AS DECIMAL(38,6)) AS DOUBLE) AS excess_kurtosis
+         |FROM c ORDER BY l_returnflag""".stripMargin)),
+
     // l_quantity is integral-valued double → exact percentile interpolation.
     Q("d_agg_percentile", (s, d) => {
       Io.table(s, d, "lineitem")

@@ -647,6 +647,23 @@ object DedupOps {
          |JOIN (SELECT cluster_rep, COUNT(*) AS n FROM rep GROUP BY cluster_rep) sz
          |  USING (cluster_rep)
          |JOIN documents d USING (doc_id)
-         |GROUP BY d.source ORDER BY d.source""".stripMargin)))
+         |GROUP BY d.source ORDER BY d.source""".stripMargin))),
+
+    // Dup-cluster size distribution: how duplicate mass is shaped —
+    // many small clusters vs a few giant ones decides dedup strategy
+    // (giant clusters are boilerplate; pairs-based thresholds melt
+    // down on them). One aggregate on the memoized CC labels; output
+    // is bounded by max cluster size.
+    Q("h_cluster_size_hist", (s, d) => {
+      ccDocLabels(s, d).groupBy(col("rep")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * col("csize")).as("n_docs"))
+        .orderBy("csize")
+    }, Some(ccOracle(
+      """SELECT csize, COUNT(*) AS n_clusters,
+        |  CAST(COUNT(*) * csize AS BIGINT) AS n_docs
+        |FROM (SELECT cluster_rep, COUNT(*) AS csize FROM rep GROUP BY cluster_rep)
+        |GROUP BY csize ORDER BY csize""".stripMargin)))
   )
 }
