@@ -72,10 +72,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Per-query map first (for humans / logs), then a SHORT final line the
-    // driver can parse from a bounded stdout tail (the full 130-entry map
-    // pushed the line start outside the driver's capture window in r1/r2).
-    println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query map goes to a file artifact (the driver's stdout
+    // tail is bounded — a 175-entry map on stdout pushed earlier lines
+    // out of its capture window in r1/r2 and truncated itself in r4);
+    // stdout keeps only the short parseable headline line below.
+    try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("bench_full.json"),
+        s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     val headline = Seq("t_q01", "t_q05", "t_q18", "c_join_5way",
       "h_minhash_lsh_dedup", "h_cosine_topk", "h_ngram_jaccard", "g_session_30m")
     val hq = results.filter { case (k, _) => headline.contains(k) }

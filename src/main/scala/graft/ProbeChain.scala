@@ -2,8 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 object ProbeChain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+    // args: [dataRoot] [cpus] — dev probe, but portable like Bench:
+    // the data root and parallelism come from args/env, not hardcoded.
+    val dataRoot = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_DATA_ROOT", "/root/testdata"))
+    val cpus = args.lift(1).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
@@ -15,11 +20,11 @@ object ProbeChain {
     }
     // warm codegen at sf0.001 (fresh memo keys there)
     for (q <- Seq("h_dedup_best", "h_jaccard_pairs", "h_minhash_lsh_dedup", "h_incremental_dedup"))
-      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      SparkEntry.queries(q)(spark, s"$dataRoot/sf0.001").count()
     // timed chain at sf0.1, bench order
     for (q <- Seq("h_dedup_best", "h_dedup_clusters", "h_incremental_dedup",
         "h_jaccard_pairs", "h_minhash_lsh_dedup"))
-      t(q) { SparkEntry.queries(q)(spark, "/root/testdata/sf0.1").count() }
+      t(q) { SparkEntry.queries(q)(spark, s"$dataRoot/sf0.1").count() }
     spark.stop()
   }
 }

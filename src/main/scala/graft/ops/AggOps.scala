@@ -173,9 +173,12 @@ object AggOps {
             lit(6.0) * mu * mu * (col("s2") / n) - lit(3.0) * mu * mu * mu * mu
           // m2 * sqrt(m2), not pow(m2, 1.5): sqrt is correctly rounded
           // in IEEE-754 on both engines, pow is libm-dependent.
+          // Zero-variance guard: a constant group has m2 = 0, where the
+          // ratio is Inf/NaN and decimal-cast/NULL behavior diverges
+          // between engines — emit NULL (skewness/kurtosis undefined).
           struct(snap(mu).as("mean_qty"),
-            snap(m3 / (m2 * sqrt(m2))).as("skewness"),
-            snap(m4 / (m2 * m2) - 3.0).as("excess_kurtosis"))
+            snap(when(m2 > 0, m3 / (m2 * sqrt(m2)))).as("skewness"),
+            snap(when(m2 > 0, m4 / (m2 * m2) - 3.0)).as("excess_kurtosis"))
         }.as("m"))
         .select(col("l_returnflag"), col("n_rows"),
           col("m.mean_qty"), col("m.skewness"), col("m.excess_kurtosis"))
@@ -198,17 +201,22 @@ object AggOps {
          |  FROM m)
          |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
          |  CAST(CAST(mu AS DECIMAL(38,6)) AS DOUBLE) AS mean_qty,
-         |  CAST(CAST(m3 / (m2 * SQRT(m2)) AS DECIMAL(38,6)) AS DOUBLE) AS skewness,
-         |  CAST(CAST(m4 / (m2 * m2) - 3.0 AS DECIMAL(38,6)) AS DOUBLE) AS excess_kurtosis
+         |  CAST(CAST(CASE WHEN m2 > 0 THEN m3 / (m2 * SQRT(m2)) END
+         |       AS DECIMAL(38,6)) AS DOUBLE) AS skewness,
+         |  CAST(CAST(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END
+         |       AS DECIMAL(38,6)) AS DOUBLE) AS excess_kurtosis
          |FROM c ORDER BY l_returnflag""".stripMargin)),
 
     // l_quantity is integral-valued double → exact percentile interpolation.
+    // Computed via Q.exactPercentiles (windowed two-pass selection), not
+    // the holistic `percentile`/`median` aggregates whose single buffer
+    // holds every group value — same interpolation, mergeable plan.
     Q("d_agg_percentile", (s, d) => {
-      Io.table(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(median(col("l_quantity")).as("med_qty"),
-          percentile(col("l_quantity"), lit(0.25)).as("p25_qty"),
-          percentile(col("l_quantity"), lit(0.75)).as("p75_qty"))
+      Q.exactPercentiles(
+        Io.table(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity",
+        Seq((0.5, "med_qty"), (0.25, "p25_qty"), (0.75, "p75_qty")))
+        .select(col("l_returnflag"), col("med_qty"), col("p25_qty"), col("p75_qty"))
         .orderBy("l_returnflag")
     }, Some(
       """SELECT l_returnflag, MEDIAN(l_quantity) AS med_qty,
@@ -258,10 +266,15 @@ object AggOps {
     // sketch (approx_percentile / approx_quantile) is asserted within 5%
     // of it — deterministic per engine, identical flags across engines.
     Q("d_agg_approx_pctl", (s, d) => {
-      Io.table(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_quantity, 0.5)").as("exact_med"),
-          expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_med"))
+      val li = Io.table(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+      // exact reference via the mergeable windowed selection (no
+      // holistic buffer); the sketch side stays approx_percentile —
+      // KLL-style sketches merge, so that aggregate already scales.
+      val exact = Q.exactPercentiles(li, "l_returnflag", "l_quantity",
+        Seq((0.5, "exact_med")))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_med"))
+      exact.join(approx, "l_returnflag")
         .select(col("l_returnflag"), col("exact_med"),
           (abs(col("approx_med") - col("exact_med")) <=
             col("exact_med") * 0.05).as("approx_ok"))

@@ -378,20 +378,20 @@ object AnalyticsOps {
     // Robust outlier detection: median / MAD (not mean / stddev — one
     // wild value shifts a mean, not a median) per event type; events
     // whose |value − median| exceeds 3×MAD are flagged. Both medians
-    // are exact (Spark `median`, interpolated on even counts, same as
-    // DuckDB over DOUBLE); two grouped aggregates + one broadcast join
-    // back — the second pass is over the same shuffle key, so at scale
-    // this is two map-reduce rounds on event_type, no sort of the
-    // whole stream.
+    // are exact with the same even-count interpolation as DuckDB's
+    // MEDIAN, but computed via Q.exactPercentiles — sort-based windowed
+    // selection, spillable — rather than the holistic `median`
+    // aggregate, whose single buffer would swallow an entire skewed
+    // event type at 100 TB. Two windowed passes + broadcast joins back
+    // (the per-type median tables are type-cardinality-sized).
     Q("g_anomaly_mad", (s, d) => {
       val ev = Io.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
-      val med = ev.groupBy(col("event_type"))
-        .agg(median(col("value")).as("med"))
+      val med = Q.exactPercentiles(ev, "event_type", "value", Seq((0.5, "med")))
       val withDev = ev.join(broadcast(med), "event_type")
         .withColumn("dev", abs(col("value") - col("med")))
-      val mad = withDev.groupBy(col("event_type"))
-        .agg(median(col("dev")).as("mad"))
+      val mad = Q.exactPercentiles(withDev.select(col("event_type"), col("dev")),
+        "event_type", "dev", Seq((0.5, "mad")))
       withDev.join(broadcast(mad), "event_type")
         .filter(col("dev") > col("mad") * 3.0)
         .select(col("event_type"), col("event_id"), col("value"),

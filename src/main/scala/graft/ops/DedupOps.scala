@@ -124,7 +124,11 @@ object DedupOps {
   /** The un-checkpointed pair pipeline, for plan-shape tests: the
     * memoized value's lineage is truncated by localCheckpoint, so the
     * candidate-join shape (native minhash_sig, (band, hash) equi-join,
-    * no cartesian) is only visible on the build plan. */
+    * no cartesian) is only visible on the build plan. Note: production
+    * same-lang pairs are derived by lang-filtering the byLang=false
+    * table (see minhashNearDupPairs); the byLang=true BUILD path is
+    * retained here solely so plan tests can pin the shape of a
+    * language-carrying banding pipeline. */
   private[graft] def minhashPairsBuildForPlan(s: SparkSession, d: String,
       byLang: Boolean): DataFrame = minhashNearDupPairsBuild(s, d, byLang)
 

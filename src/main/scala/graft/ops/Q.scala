@@ -42,6 +42,48 @@ object Q {
   def dSum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE)"
   def dAvg(x: String): String = s"(${dSum(x)} / COUNT(*))"
 
+  /** Exact interpolated percentiles (QUANTILE_CONT semantics — identical
+    * interpolation to Spark's holistic `percentile`/`median` and
+    * DuckDB's `quantile_cont`) WITHOUT a holistic aggregation buffer.
+    *
+    * Spark's `percentile(x, p)` is an ImperativeAggregate that buffers
+    * every group value in one aggregation buffer — an OOM at 100 TB, and
+    * skewed groups funnel entirely into one buffer. This helper is the
+    * mergeable two-pass form: row_number + count over a key-partitioned
+    * window (sort-based, spillable — the shuffle is one exchange on the
+    * group key), then ONE hash aggregate picks the two boundary ranks
+    * per percentile and the interpolation `lo + (hi − lo)·frac` is plain
+    * arithmetic. Value-identical to the holistic form: the kth smallest
+    * of a sorted multiset does not depend on tie order, and the
+    * interpolation expression is the same double arithmetic both engines
+    * run.
+    *
+    * `ps` maps fraction → output column name; output is one row per key.
+    */
+  def exactPercentiles(df: DataFrame, key: String, v: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(v))
+    val wc = Window.partitionBy(col(key))
+    val ranked = df.select(col(key), col(v))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wc))
+    val aggs = ps.flatMap { case (p, name) =>
+      val lo = floor((col("_n") - 1) * lit(p)) + 1
+      Seq(max(when(col("_rn") === lo, col(v))).as(s"_lo_$name"),
+        max(when(col("_rn") === lo + 1, col(v))).as(s"_hi_$name"))
+    }
+    val g = ranked.groupBy(col(key)).agg(count(lit(1)).as("_cnt"), aggs: _*)
+    val outs = ps.map { case (p, name) =>
+      val pos = (col("_cnt") - 1) * lit(p)
+      val frac = pos - floor(pos)
+      (col(s"_lo_$name") +
+        (coalesce(col(s"_hi_$name"), col(s"_lo_$name")) - col(s"_lo_$name")) * frac)
+        .as(name)
+    }
+    g.select(col(key) +: outs: _*)
+  }
+
   /** Session-scoped memo for pipeline-shared materialized intermediates
     * (doc token masks, near-dup cluster labels): several checked queries
     * consume the same derived table, and a production pipeline

@@ -159,6 +159,39 @@ object StreamBatchOps {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND epoch_us(p.ts) >= epoch_us(c.ts)
         | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
-        |ORDER BY c.user_id, click_id, purch_id""".stripMargin))
+        |ORDER BY c.user_id, click_id, purch_id""".stripMargin)),
+
+    // Batch twin of the stream-stream LEFT OUTER time-bounded join
+    // (streaming.Streams.purchaseClickLeftOuter, StreamParitySpec):
+    // every purchase emits, matched to same-user clicks in the
+    // preceding hour or with NULL click columns if none exist — in
+    // streaming that null row is emitted only once the watermark
+    // proves no match can arrive. Null sort keys coalesce to -1 so
+    // row order is engine-independent (Spark sorts nulls first,
+    // DuckDB last). Scale shape: equi-join on user_id with a residual
+    // time band — one shuffle of each stream, state bounded by the
+    // 1-hour window.
+    Q("g_click_purchase_outer", (s, d) => {
+      val ev = Io.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purch_id"), col("ts_us").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts_us").as("c_ts"))
+      p.join(c, col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - 3600000000L && col("c_ts") <= col("p_ts"),
+          "left_outer")
+        .select(col("user_id"), col("purch_id"), col("click_id"),
+          (col("p_ts") - col("c_ts")).as("lag_us"))
+        .orderBy(col("user_id"), col("purch_id"), coalesce(col("click_id"), lit(-1L)))
+    }, Some(
+      """SELECT p.user_id, p.event_id AS purch_id, c.event_id AS click_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |ORDER BY p.user_id, purch_id, COALESCE(c.event_id, -1)""".stripMargin))
   )
 }

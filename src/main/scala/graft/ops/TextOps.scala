@@ -280,10 +280,12 @@ object TextOps {
       val uni = docs.select(explode(toks).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
       val uniTot = uni.agg(sum(col("c_t")).as("n_uni"))
-      val bg = docs.select(expr("explode_ngrams(text, 2)").as("g"))
+      val bgAll = docs.select(expr("explode_ngrams(text, 2)").as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
-        .filter(col("c_ab") >= 5)
-      val bgTot = bg.agg(sum(col("c_ab")).as("n_bg"))
+      // p(ab) normalizes by the FULL bigram count (standard PMI); the
+      // support filter only prunes which bigrams are scored.
+      val bgTot = bgAll.agg(sum(col("c_ab")).as("n_bg"))
+      val bg = bgAll.filter(col("c_ab") >= 5)
       val withToks = bg
         .withColumn("tok_a", split(col("g"), " ").getItem(0))
         .withColumn("tok_b", split(col("g"), " ").getItem(1))
@@ -310,8 +312,9 @@ object TextOps {
         |         i -> toks[i] || ' ' || toks[i + 1])) AS g
         |  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
         |  WHERE len(toks) >= 2),
-        |bg AS (SELECT g, COUNT(*) AS c_ab FROM bgr GROUP BY g HAVING COUNT(*) >= 5),
-        |bt AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bg FROM bg),
+        |bgall AS (SELECT g, COUNT(*) AS c_ab FROM bgr GROUP BY g),
+        |bg AS (SELECT * FROM bgall WHERE c_ab >= 5),
+        |bt AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bg FROM bgall),
         |j AS (
         |  SELECT bg.g, bg.c_ab, ua.c_t AS c_a, ub.c_t AS c_b,
         |    CAST(CAST(ln((bg.c_ab / CAST(bt.n_bg AS DOUBLE)) /
@@ -329,10 +332,15 @@ object TextOps {
     // quality signal: per-doc mean log P(b|a) under an add-1-smoothed
     // bigram LM estimated on the corpus itself. P(b|a) =
     // (c(ab)+1)/(c(a·)+V) with c(a·) = bigrams starting with a and V =
-    // unigram vocab size. Corpus tables are vocabulary-bounded →
-    // broadcast; scoring is one scan + one doc-keyed aggregate. Each
-    // ln term snaps to 1e-12 (libm ulp) and the per-doc mean is an
-    // exact decimal sum, so ranking thresholds are engine-identical.
+    // unigram vocab size. The bigram/histogram model tables carry NO
+    // broadcast hint: on a bounded-vocabulary corpus AQE broadcasts
+    // them at runtime (their post-aggregate size is known by then),
+    // while an open-vocabulary corpus whose bigram table outgrows the
+    // threshold degrades gracefully to a shuffle join instead of
+    // hard-failing a forced broadcast build — pinned in PlanShapeSpec.
+    // Scoring is one scan + one doc-keyed aggregate. Each ln term
+    // snaps to 1e-12 (libm ulp) and the per-doc mean is an exact
+    // decimal sum, so ranking thresholds are engine-identical.
     Q("h_ngram_lm_score", (s, d) => {
       graft.functions.ExplodeNgrams.register(s)
       val docs = Io.table(s, d, "documents")
@@ -345,9 +353,9 @@ object TextOps {
       val docBg = docs.select(col("doc_id"), expr("explode_ngrams(text, 2)").as("g"))
       val lp = log((col("c_ab") + 1).cast("double") / (col("c_a") + col("v")))
         .cast(org.apache.spark.sql.types.DecimalType(38, 12))
-      docBg.join(broadcast(bg), "g")
+      docBg.join(bg, "g")
         .withColumn("tok_a", split(col("g"), " ").getItem(0))
-        .join(broadcast(hist), "tok_a")
+        .join(hist, "tok_a")
         .crossJoin(broadcast(vocab))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),

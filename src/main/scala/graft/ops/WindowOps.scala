@@ -54,14 +54,62 @@ object WindowOps {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         |QUALIFY rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
 
+    // Global ntile/percent_rank/cume_dist WITHOUT a global window: a
+    // `Window.orderBy` with no partitionBy funnels every row through one
+    // task — the 100 TB scale-killer. Instead, the classic two-pass
+    // range-partitioned rank (what global sort itself does): (1)
+    // repartitionByRange on the sort key samples boundaries and spreads
+    // rows; (2) row_number per range partition (window partitioned by
+    // pid — every partition ranks in parallel); (3) per-partition counts
+    // (one row per partition, cluster-sized not data-sized) prefix-sum
+    // into offsets; (4) global rn = local rn + offset. ntile /
+    // percent_rank / cume_dist are then pure arithmetic on (rn, n) and
+    // the tie-group min/max rn (one value-keyed aggregate) — no ranking
+    // function ever sees a single-partition exchange. Pinned in
+    // PlanShapeSpec.
     Q("e_win_ntile_pct", (s, d) => {
-      val wUniq = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      val wTies = Window.orderBy(col("c_acctbal"))
-      Io.table(s, d, "customer")
+      val parts = s.sparkContext.defaultParallelism
+      val cust = Io.table(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val wLocal = Window.partitionBy(col("pid"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val local = cust
+        .repartitionByRange(parts, col("c_acctbal"), col("c_custkey"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(wLocal))
+      // partition offsets: |cluster partitions| rows — the global window
+      // here is over the metadata-sized count table, never the data.
+      val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("off"))
+      val nTot = cust.agg(count(lit(1)).as("n_total"))
+      val ranked = local.join(broadcast(offs), "pid")
+        .withColumn("rn", col("lrn") + col("off"))
+        .crossJoin(broadcast(nTot))
+      // tie groups on the ranking value: rank = min rn, cume numerator =
+      // max rn — contiguous in the global order, so one aggregate keyed
+      // on the value recovers both (shuffle on c_acctbal, no sort).
+      val ties = ranked.groupBy(col("c_acctbal").as("tv"))
+        .agg(min(col("rn")).as("rk"), max(col("rn")).as("mxrn"))
+      // NTILE(4) in exact integer arithmetic: the first n%4 buckets get
+      // one extra row; ceil(a/b) = (a+b-1) DIV b keeps it overflow- and
+      // rounding-safe at any n.
+      val quartile = expr(
+        """CAST(CASE
+          |  WHEN rn <= (n_total % 4) * (n_total DIV 4 + 1)
+          |    THEN (rn + n_total DIV 4) DIV (n_total DIV 4 + 1)
+          |  ELSE (n_total % 4)
+          |    + (rn - (n_total % 4) * (n_total DIV 4 + 1) + n_total DIV 4 - 1)
+          |      DIV (n_total DIV 4)
+          |END AS INT)""".stripMargin)
+      ranked.join(ties, col("c_acctbal") === col("tv"))
         .select(col("c_custkey"), col("c_acctbal"),
-          ntile(4).over(wUniq).as("quartile"),
-          r6(percent_rank().over(wTies)).as("pct_rank"),
-          r6(cume_dist().over(wTies)).as("cume"))
+          quartile.as("quartile"),
+          r6(when(col("n_total") > 1,
+            (col("rk") - 1).cast("double") / (col("n_total") - 1))
+            .otherwise(0.0)).as("pct_rank"),
+          r6(col("mxrn").cast("double") / col("n_total")).as("cume"))
         .orderBy("c_custkey")
     }, Some(
       """SELECT c_custkey, c_acctbal,

@@ -251,6 +251,56 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("exact percentiles run without a holistic aggregation buffer") {
+    // d_agg_percentile / g_anomaly_mad / d_agg_approx_pctl's exact side
+    // must go through the windowed two-pass selection
+    // (Q.exactPercentiles): no `percentile`/`median` ImperativeAggregate
+    // (which buffers every group value in one aggregation buffer) may
+    // appear in the executed plan. approx_percentile is allowed — the
+    // sketch is mergeable.
+    for (q <- Seq("d_agg_percentile", "g_anomaly_mad", "d_agg_approx_pctl")) {
+      val p = plan(q)
+      assert("(?<!approx_)percentile\\(".r.findFirstIn(p).isEmpty
+        && "\\bmedian\\(".r.findFirstIn(p).isEmpty,
+        s"$q: holistic percentile/median aggregate in executed plan:\n" + p.take(2000))
+    }
+  }
+
+  test("global ntile/pct_rank query has no single-partition window over the data") {
+    // e_win_ntile_pct's two-pass rewrite: the data-sized window must be
+    // partitioned by the range-partition id; the ranking functions
+    // themselves (which would force a global Window.orderBy) must be
+    // gone from the plan — quartile/pct_rank/cume are arithmetic over
+    // (rn, n, tie min/max). The only global window left runs over the
+    // per-partition count table (one row per cluster partition).
+    val p = plan("e_win_ntile_pct")
+    assert(!p.contains("ntile(") && !p.contains("percent_rank(")
+      && !p.contains("cume_dist("),
+      "global ranking window resurfaced:\n" + p.take(2000))
+    assert(p.contains("windowspecdefinition(pid"),
+      "local rank window not partitioned by range partition id:\n" + p.take(2000))
+  }
+
+  test("bigram LM model join degrades to a shuffle join (no forced broadcast)") {
+    // h_ngram_lm_score carries no broadcast hint on the corpus bigram /
+    // histogram tables: on an open-vocabulary corpus those are
+    // data-sized, and a forced broadcast would hard-fail the build.
+    // With broadcast thresholds disabled the model join must plan as a
+    // shuffle join — proving the graceful-degradation path exists and
+    // only AQE's runtime size estimate ever chooses broadcast.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val p = plan("h_ngram_lm_score")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "model join did not degrade to a shuffle join:\n" + p.take(2000))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("OHLC bars: both window directions and the aggregate share one shuffle") {
     // AdaptiveSparkPlan.toString prints the final plan followed by the
     // initial plan — count exchanges in the final section only.
