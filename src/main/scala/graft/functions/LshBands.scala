@@ -8,7 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
-/** Random-hyperplane LSH band values for a 64-dim float vector, one pass.
+/** Random-hyperplane LSH band values for a float vector, one pass —
+  * dimension-generic: the plane family is derived from the vector's own
+  * length, so a dim-8 table and a dim-64 table each get consistent,
+  * engine-reproducible signatures with no code change.
   *
   * Semantically identical to the relational long form (posexplode →
   * broadcast-join a 16×64 plane table → DECIMAL(38,12) projection sums →
@@ -52,23 +55,33 @@ case class LshBands(child: Expression) extends UnaryExpression {
 object LshBands {
   private val Planes = 16
   private val BandBits = 4
-  private val MaxDim = 64
 
-  /** Plane weights, precomputed: w(p, i) for p ∈ [0,16), i ∈ [1,64]. */
-  private val weights: Array[Double] = {
-    val w = new Array[Double](Planes * MaxDim)
-    var p = 0
-    while (p < Planes) {
-      var i = 1
-      while (i <= MaxDim) {
-        w(p * MaxDim + i - 1) =
-          (((p * 64 + i) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
-        i += 1
+  /** Plane weights per dimension, derived from the DATA's vector length
+    * (not a hardcoded dim): w(p, i | dim) = hash(p·dim + i) scaled to
+    * [−0.5, 0.5) via exact integer arithmetic (multiplicative hash mod a
+    * prime — never libm). Cached per dim; a table of dim-d vectors costs
+    * one 16×d array once per JVM. Mixed-length vectors in one column
+    * would each draw their own plane family — the oracle (and any sane
+    * embedding table) assumes a uniform dim.
+    */
+  private val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]
+
+  private def weightsFor(dim: Int): Array[Double] =
+    weightCache.computeIfAbsent(dim, d => {
+      val w = new Array[Double](Planes * d)
+      var p = 0
+      while (p < Planes) {
+        var i = 1
+        while (i <= d) {
+          w(p * d + i - 1) =
+            (((p.toLong * d + i) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+          i += 1
+        }
+        p += 1
       }
-      p += 1
-    }
-    w
-  }
+      w
+    })
 
   /** Exact DECIMAL(38,12) value of x as a scaled long — what both
     * engines hold after `CAST(x AS DECIMAL(38,12))` (decimal-string
@@ -95,12 +108,13 @@ object LshBands {
   }
 
   def compute(arr: ArrayData): ArrayData = {
-    val n = math.min(arr.numElements(), MaxDim)
+    val n = arr.numElements()
+    val weights = weightsFor(n)
     val bands = new Array[Long](Planes / BandBits)
     var p = 0
     while (p < Planes) {
       var acc = 0L
-      val base = p * MaxDim
+      val base = p * n
       var i = 0
       while (i < n) {
         acc += scaled12(arr.getFloat(i).toDouble * weights(base + i))

@@ -49,7 +49,7 @@ object DedupOps {
   private def docMasks(s: SparkSession, d: String): DataFrame =
     Q.memoized(s, d, "docMasks") { docMasksBuild(s, d) }
 
-  private def docMasksBuild(s: SparkSession, d: String): DataFrame = {
+  private def docMasksBuild(s: SparkSession, d: String): DataFrame = Q.materialize(s, d, "docMasks") {
     // The bench corpus is one parquet file → a 1-task scan, so the
     // explode/join would run single-threaded without the repartition
     // (at 100 TB the scan itself is parallel and this is a no-op cost-
@@ -83,7 +83,6 @@ object DedupOps {
       .agg(sum(expr(
         "shiftleft(CAST(1 AS BIGINT), CAST(array_position(varr, token) AS INT) - 1)"))
         .as("mask"))
-      .localCheckpoint(true)
   }
 
   /** Banded-MinHash near-duplicate pairs at token-set Jaccard ≥ 0.9 —
@@ -108,8 +107,11 @@ object DedupOps {
     // instead of a second signature+candidate+verify pipeline (the
     // single most expensive artifact in the dedup chain).
     Q.memoized(s, d, s"minhashPairs:$byLang") {
-      if (!byLang) minhashNearDupPairsBuild(s, d, byLang = false).localCheckpoint(true)
-      else {
+      if (!byLang)
+        Q.materialize(s, d, "minhashPairsAll") {
+          minhashNearDupPairsBuild(s, d, byLang = false)
+        }
+      else Q.materialize(s, d, "minhashPairsLang") {
         val langs = graft.io.Io.table(s, d, "documents")
           .select(col("doc_id"), col("lang"))
         minhashNearDupPairs(s, d, byLang = false)
@@ -117,7 +119,6 @@ object DedupOps {
           .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lb")), "doc_b")
           .filter(col("la") === col("lb"))
           .select(col("doc_a"), col("doc_b"), col("jaccard"), col("la").as("lang"))
-          .localCheckpoint(true)
       }
     }
 
@@ -203,12 +204,15 @@ object DedupOps {
     // memoized: h_dedup_clusters and h_dedup_best both consume the same
     // cluster-label table; the iterative CC (the expensive part) runs
     // once per (session, corpus) and the final table is materialized.
-    Q.memoized(s, d, "ccDocLabels") { ccDocLabelsBuild(s, d).localCheckpoint(true) }
+    Q.memoized(s, d, "ccDocLabels") {
+      Q.materialize(s, d, "ccDocLabels") { ccDocLabelsBuild(s, d) }
+    }
 
   private def ccDocLabelsBuild(s: SparkSession, d: String): DataFrame = {
     val t = docMasks(s, d)
-    val nodes = t.groupBy(col("lang"), col("mask"))
-      .agg(min(col("doc_id")).as("nid")).localCheckpoint(true)
+    val nodes = Q.materialize(s, d, "cc_nodes") {
+      t.groupBy(col("lang"), col("mask")).agg(min(col("doc_id")).as("nid"))
+    }
     // CC edges come from the SAME memoized banded-MinHash pair table the
     // checked pair queries run on (node contraction there groups by
     // (lang, mask) with nid = min doc_id — the identical node set), cut
@@ -223,10 +227,12 @@ object DedupOps {
       // USING joins move the key column first — re-fix the order, since
       // the symmetrizing union below matches columns BY POSITION
       .select(col("na"), col("nb"))
-    val edges = pairs.union(pairs.select(col("nb"), col("na")))
-      .toDF("src", "dst").localCheckpoint(true)
-    var labels = nodes.select(col("nid")).withColumn("rep", col("nid"))
-      .localCheckpoint(true)
+    val edges = Q.materialize(s, d, "cc_edges") {
+      pairs.union(pairs.select(col("nb"), col("na"))).toDF("src", "dst")
+    }
+    var labels = Q.materialize(s, d, "cc_labels_0") {
+      nodes.select(col("nid")).withColumn("rep", col("nid"))
+    }
     var prevSum = labels.agg(sum(col("rep"))).head.getLong(0)
     var converged = false
     var iter = 0
@@ -247,7 +253,10 @@ object DedupOps {
         .select(col("nid"), coalesce(col("r_rep"), col("rep")).as("rep"))
     }
     while (!converged && iter < 30) {
-      labels = step(labels).localCheckpoint(true)
+      // per-round materialization truncates the iterative lineage; in
+      // parquet mode each round's labels land in the store, so a lost
+      // executor replays at most one propagation round.
+      labels = Q.materialize(s, d, s"cc_labels_${iter + 1}") { step(labels) }
       // the sum-of-reps action is pure convergence detection — cheap
       // (the labels table is already materialized) next to a wasted
       // propagation round, so check every round: near-dup components
@@ -363,12 +372,13 @@ object DedupOps {
         .repartition(s.sparkContext.defaultParallelism)
         .select(expr("explode_ngrams(text, 2)").as("b"))
         .agg(sort_array(collect_set(col("b"))).as("varr"))
-      val masks = Io.table(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .crossJoin(broadcast(vocabRow))
-        .select(col("doc_id"), col("lang"),
-          expr(s"ngram_set_mask(text, varr, 2, $nWords)").as("mask"))
-        .localCheckpoint(true)
+      val masks = Q.materialize(s, d, "ngramMasks") {
+        Io.table(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(vocabRow))
+          .select(col("doc_id"), col("lang"),
+            expr(s"ngram_set_mask(text, varr, 2, $nWords)").as("mask"))
+      }
       // Pair enumeration is the blocked triangle equi-join (PairJoins):
       // exact low-threshold (j ≥ 0.3) set similarity is Ω(n²) on this
       // corpus — measured: prefix filtering yields 2.3M candidates and
@@ -422,6 +432,83 @@ object DedupOps {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.toks, b.toks))
         |      / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // WIDE-VOCABULARY banded-MinHash near-dedup — the general-corpus
+    // form of h_minhash_lsh_dedup, with NO vocabulary bound anywhere on
+    // the path. The shingle space is word BIGRAMS (961 types on this
+    // corpus — 15× past the 64-token single-long mask domain): documents
+    // shingle to distinct bigram ARRAYS, node contraction groups on the
+    // sorted array itself (set equality, no mask), MinHash signatures
+    // hash the string shingles directly, and the exact-Jaccard verify on
+    // band collisions runs codegen'd array_intersect/array_union — so no
+    // raise_error guard is reachable and an open-vocabulary crawl runs
+    // this exact plan. Same banding math as the token-set op (64 hashes,
+    // 16 bands × 4 rows → P[miss | j ≥ 0.9] ≈ 3.6e-8); the DuckDB oracle
+    // recomputes ALL bigram-Jaccard pairs brute force, so LSH recall
+    // over the wide shingle space is itself parity-checked. 100 TB
+    // shape: shingling and signatures are map-side, the only shuffles
+    // are the set-contraction groupBy and the (band, hash) equi-join —
+    // candidate pairs carry their shingle arrays through the join,
+    // which is the verify stage's input locality trade documented on
+    // minhashNearDupPairs.
+    Q("h_minhash_widevocab", (s, d) => {
+      graft.functions.MinHashSig.register(s)
+      val numHashes = 64; val bands = 16; val rowsPerBand = numHashes / bands
+      val toksC = split(col("text"), " ")
+      val bgRaw = when(size(toksC) >= 2,
+        transform(sequence(lit(1), size(toksC) - 1),
+          i => concat(element_at(toksC, i), lit(" "), element_at(toksC, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      // canonical set form: distinct + sorted, so the array IS the set key
+      val docsBg = Io.table(s, d, "documents")
+        .select(col("doc_id"), array_sort(array_distinct(bgRaw)).as("bg"))
+        .filter(size(col("bg")) > 0)
+      val nodeIds = docsBg.groupBy(col("bg")).agg(min(col("doc_id")).as("nid"))
+      val docNode = docsBg.join(nodeIds, "bg").select(col("doc_id"), col("nid"))
+      val bandHashes = array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*),
+          lit(b))
+      }: _*)
+      val reps = nodeIds
+        .withColumn("sig", expr(s"minhash_sig(bg, $numHashes)"))
+        .select(col("nid"), col("bg"), posexplode(bandHashes).as(Seq("band", "bh")))
+      val aSide = reps.select(col("nid").as("na"), col("bg").as("ba"),
+        col("band"), col("bh"))
+      val bSide = reps.select(col("nid").as("nb"), col("bg").as("bb"),
+        col("band").as("band_b"), col("bh").as("bh_b"))
+      val nodePairs = aSide.join(bSide,
+          col("band") === col("band_b") && col("bh") === col("bh_b") &&
+            col("na") < col("nb"))
+        .withColumn("j", size(array_intersect(col("ba"), col("bb"))).cast("double") /
+          size(array_union(col("ba"), col("bb"))))
+        .filter(col("j") >= 0.9)
+        .select(col("na"), col("nb"), r6(col("j")).as("jaccard"))
+        .distinct()
+      val memA = docNode.select(col("nid").as("na"), col("doc_id").as("da"))
+      val memB = docNode.select(col("nid").as("nb"), col("doc_id").as("db"))
+      val cross = nodePairs.join(memA, "na").join(memB, "nb")
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+      val within = docNode.select(col("nid"), col("doc_id").as("da"))
+        .join(docNode.select(col("nid"), col("doc_id").as("db")), "nid")
+        .filter(col("da") < col("db"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"), lit(1.0).as("jaccard"))
+      cross.union(within).orderBy("doc_a", "doc_b")
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 1),
+        |                                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |tt AS (SELECT * FROM t WHERE len(bg) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(len(list_intersect(a.bg, b.bg))
+        |        / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE), 6) AS jaccard
+        |FROM tt a JOIN tt b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.bg, b.bg))
+        |      / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Transitive dedup clusters: connected components over the exact

@@ -96,7 +96,7 @@ object Q {
     * Thread-safe: computeIfAbsent guards concurrent warm-up sweeps.
     */
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, String), DataFrame]
   def memoized(s: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     // NOT computeIfAbsent: artifacts nest (the CC labels build consumes
@@ -105,8 +105,10 @@ object Q {
     // get / build / putIfAbsent allows the nesting; a concurrent
     // warm-up may rarely build the same artifact twice, which is
     // wasteful but correct (first put wins, both values are equivalent
-    // materialized tables).
-    val k = (System.identityHashCode(s), dir, name)
+    // materialized tables). The store mode is part of the key so a
+    // mode switch mid-session rebuilds rather than serving the other
+    // store's table.
+    val k = (System.identityHashCode(s), storeMode(s), dir, name)
     val hit = memo.get(k)
     if (hit != null) hit
     else {
@@ -115,4 +117,39 @@ object Q {
       if (prev != null) prev else v
     }
   }
+
+  private def storeMode(s: SparkSession): String =
+    try s.conf.get("spark.graft.artifactStore", "local")
+    catch { case _: Throwable => "local" }
+
+  /** Materialize a pipeline-shared artifact (pair table, CC labels,
+    * token masks). Two stores, chosen by the session conf
+    * `spark.graft.artifactStore`:
+    *
+    *  - `local` (default): `localCheckpoint(eager = true)` — blocks on
+    *    executor block managers. Fastest, right for single-JVM runs,
+    *    but the truncated lineage is unrecoverable if an executor dies:
+    *    NOT the cluster story.
+    *  - `parquet`: write-and-reread under `spark.graft.artifactDir`
+    *    (shared storage on a real cluster — HDFS/object store). Any
+    *    executor can re-read a lost partition from the store, the
+    *    artifact survives the session, and a downstream job (or a
+    *    fresh session — see ArtifactStoreSpec) can consume it without
+    *    recomputing the chain. The write is one extra pass over a
+    *    table that is already bounded (pairs/labels/masks are
+    *    corpus-artifact-sized, not input-sized).
+    *
+    * The artifact file name folds in the input dir so two corpora never
+    * collide under one artifact root.
+    */
+  def materialize(s: SparkSession, dir: String, name: String)(df: DataFrame): DataFrame =
+    storeMode(s) match {
+      case "parquet" =>
+        val base = s.conf.get("spark.graft.artifactDir",
+          sys.props("java.io.tmpdir") + "/graft-artifacts")
+        val path = s"$base/${Integer.toHexString(dir.hashCode)}_$name"
+        df.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      case _ => df.localCheckpoint(true)
+    }
 }

@@ -69,12 +69,16 @@ object VectorOps {
         posexplode(expr("lsh_bands(embedding)")).as(Seq("band", "band_val")))
   }
 
-  /** DuckDB twin of [[lshSigs]] (CTE prefix `planes`/`proj`/`sig`). */
+  /** DuckDB twin of [[lshSigs]] (CTE prefix `dim`/`planes`/`proj`/`sig`).
+    * The dimension is derived from the data (`max(len(embedding))`), the
+    * same way the native expression reads it off each vector — no
+    * hardcoded 64 anywhere in the vector family. */
   private val duckSig =
-    """planes AS (
-      |  SELECT p, i, ((p * 64 + i) * 2654435761 % 1000003) / 1000003.0 - 0.5 AS w
-      |  FROM (SELECT UNNEST(generate_series(0, 15)) AS p),
-      |       (SELECT UNNEST(generate_series(1, 64)) AS i)),
+    """dim AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
+      |planes AS (
+      |  SELECT p, i, ((p * d + i) * 2654435761 % 1000003) / 1000003.0 - 0.5 AS w
+      |  FROM dim, (SELECT UNNEST(generate_series(0, 15)) AS p),
+      |       (SELECT UNNEST(generate_series(1, (SELECT d FROM dim))) AS i)),
       |proj AS (
       |  SELECT e.vec_id, pl.p,
       |    CAST(SUM(CAST(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w AS DECIMAL(38,12))) AS DOUBLE) AS pr
@@ -168,7 +172,9 @@ object VectorOps {
     }, Some(
       s"""SELECT label, CAST(i AS INT) AS pos, COUNT(*) AS n,
          |  ROUND(${dSum12("CAST(embedding[i] AS DOUBLE)")} / COUNT(*), 6) AS centroid
-         |FROM embeddings, (SELECT UNNEST(generate_series(1, 64)) AS i)
+         |FROM embeddings,
+         |  (SELECT UNNEST(generate_series(1,
+         |     (SELECT MAX(len(embedding)) FROM embeddings))) AS i)
          |GROUP BY label, i ORDER BY label, pos""".stripMargin)),
 
     // IVF-style ANN: coarse-quantize every vector to its nearest label
@@ -213,7 +219,9 @@ object VectorOps {
       s"""WITH cent AS (
          |  SELECT label AS c_label, i AS pos,
          |    ${dSum12("CAST(embedding[i] AS DOUBLE)")} / COUNT(*) AS c
-         |  FROM embeddings, (SELECT UNNEST(generate_series(1, 64)) AS i)
+         |  FROM embeddings,
+         |    (SELECT UNNEST(generate_series(1,
+         |       (SELECT MAX(len(embedding)) FROM embeddings))) AS i)
          |  GROUP BY label, i),
          |dist AS (
          |  SELECT e.vec_id, cent.c_label,
@@ -271,7 +279,8 @@ object VectorOps {
           col("d2").cast(dec6).cast("double").as("d2"))
         .orderBy("vec_id")
     }, Some(
-      s"""WITH dims AS (SELECT UNNEST(generate_series(1, 64)) AS pos),
+      s"""WITH dims AS (SELECT UNNEST(generate_series(1,
+         |  (SELECT MAX(len(embedding)) FROM embeddings))) AS pos),
          |c0 AS (
          |  SELECT CAST(vec_id AS INT) AS cid, pos,
          |    CAST(embedding[pos] AS DOUBLE) AS c

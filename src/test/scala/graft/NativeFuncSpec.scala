@@ -53,6 +53,42 @@ class NativeFuncSpec extends AnyFunSuite {
     assert(longForm.count() == native.count())
   }
 
+  test("lsh_bands is dimension-generic: a dim-8 table matches the long form") {
+    // the plane family derives from the vector's own length (w(p,i|dim)
+    // = hash(p·dim + i)), so a non-64-dim embedding table gets valid
+    // signatures with no code change — pinned against the same
+    // relational decimal-sum long form the DuckDB oracle runs, on a
+    // synthetic deterministic dim-8 table.
+    import org.apache.spark.sql.types.DecimalType
+    val dim = 8
+    val vecs = spark.range(0, 50).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)), i =>
+        ((pmod(col("id") * 31 + i.cast("long") * 17, lit(97)).cast("double") / 97.0)
+          - 0.5).cast("float")).as("embedding"))
+    val planes = spark.range(0, 16).select(col("id").cast("int").as("p"))
+      .crossJoin(spark.range(1, dim + 1).select(col("id").cast("int").as("pos")))
+      .withColumn("w",
+        (((col("p") * dim + col("pos")) * lit(2654435761L)) % 1000003L)
+          .cast("double") / 1000003.0 - 0.5)
+    val longForm = vecs
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .withColumn("pos", col("pos0") + 1)
+      .join(broadcast(planes), "pos")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum((col("v").cast("double") * col("w")).cast(DecimalType(38, 12)))
+        .cast("double").as("pr"))
+      .withColumn("band", expr("p div 4"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(expr("sum(CAST(CASE WHEN pr >= 0.0 THEN shiftleft(1, p % 4) ELSE 0 END AS BIGINT))")
+        .as("band_val"))
+    graft.functions.LshBands.register(spark)
+    val native = vecs.select(col("vec_id"),
+      posexplode(expr("lsh_bands(embedding)")).as(Seq("band", "band_val")))
+    assert(native.except(
+      longForm.select(col("vec_id"), col("band").cast("int"), col("band_val"))).isEmpty)
+    assert(longForm.count() == native.count())
+  }
+
   test("sq_dist_dec equals the posexplode + decimal-sum distance") {
     import org.apache.spark.sql.types.DecimalType
     val dec12 = DecimalType(38, 12)

@@ -251,6 +251,32 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("wide-vocabulary near-dedup: no vocabulary guard, no cartesian") {
+    // h_minhash_widevocab is the open-vocabulary dedup path: the
+    // 64-token mask guard (raise_error in docMasks) must be unreachable
+    // — the plan shingles to arrays and verifies with
+    // array_intersect/array_union — and candidates must come from the
+    // (band, hash) equi-join, never an all-pairs join.
+    // expression-level assertions read the OPTIMIZED plan: the physical
+    // HashAggregate fuses minhash_sig into its result expressions and
+    // prints only output names, and long projection lists truncate at
+    // the 25-field default — raise the limit so nothing hides.
+    val saved = spark.conf.getOption("spark.sql.debug.maxToStringFields")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "4000")
+    try {
+      val df = Registry.queries("h_minhash_widevocab")(spark, sf)
+      df.collect()
+      val opt = df.queryExecution.optimizedPlan.toString
+      val p = df.queryExecution.executedPlan.toString
+      assert(!opt.contains("raise_error") && !p.contains("raise_error"),
+        "vocabulary-bound mask guard reachable in the wide-vocab plan")
+      assert(opt.contains("minhash_sig"), "native signature expression missing")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "candidate stage fell back to an all-pairs join:\n" + p.take(2000))
+    } finally saved.fold(spark.conf.unset("spark.sql.debug.maxToStringFields"))(
+      spark.conf.set("spark.sql.debug.maxToStringFields", _))
+  }
+
   test("exact percentiles run without a holistic aggregation buffer") {
     // d_agg_percentile / g_anomaly_mad / d_agg_approx_pctl's exact side
     // must go through the windowed two-pass selection
