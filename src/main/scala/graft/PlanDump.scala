@@ -32,13 +32,22 @@ object PlanDump {
       "h_source_overlap" -> "cross-source overlap: one digest-keyed shuffle, in-bucket pairs",
       "c_join_skew_salted" -> "hot-key join: ×16 salt replication spreads one key over 16 partitions",
       "g_ohlc" -> "OHLC bars: asc/desc windows + aggregate share ONE hash exchange",
-      "e_dq_rules" -> "DQ rules: row-local counters in one scan/table + FK left-join checks")
+      "e_dq_rules" -> "DQ rules: row-local counters in one scan/table + FK left-join checks",
+      "e_win_ntile_pct" -> "global ranking WITHOUT a global window: range-partitioned two-pass rank",
+      "d_agg_percentile" -> "exact percentiles via windowed selection, no holistic buffer",
+      "h_minhash_widevocab" -> "open-vocabulary MinHash dedup BUILD: adaptive-width masks, no vocab guard")
+    // the checked widevocab query serves its memoized pair table
+    // (truncated lineage) — dump the BUILD pipeline instead, where the
+    // shingling/mask/signature/band-join shape is visible.
+    val custom: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
+      "h_minhash_widevocab" ->
+        (() => graft.ops.DedupOps.widevocabPairsBuildForPlan(spark, sfDir)))
     val sb = new StringBuilder
     sb.append("# PLANS — final executed plans of representative queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001; AQE settled\n")
     sb.append(s"by executing each query first). Full inventory: SURVEY.md §2.\n")
     for ((name, why) <- picks) {
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = custom.get(name).map(_()).getOrElse(SparkEntry.queries(name)(spark, sfDir))
       df.collect()
       sb.append(s"\n## $name — $why\n\n```\n")
       sb.append(df.queryExecution.executedPlan.toString.linesIterator

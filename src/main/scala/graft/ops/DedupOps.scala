@@ -85,6 +85,120 @@ object DedupOps {
         .as("mask"))
   }
 
+  /** Per-doc word-bigram set masks as array<long> — the WIDE-vocabulary
+    * twin of [[docMasks]] with no fixed bound: the mask width is derived
+    * from the corpus (ceil(|bigram vocab|/64) longs) by ONE scalar probe
+    * on the one-row vocabulary aggregate — the adaptive-planning step
+    * that replaces any hardcoded vocabulary limit (961 bigrams → 16
+    * longs here; a 10M-shingle crawl would draw 160k-long masks, at
+    * which point the array-shingle path wins — both exist). Masks are
+    * built map-side by the native ngram_set_mask (binary search against
+    * the broadcast sorted vocabulary); memoized per corpus — shared by
+    * h_ngram_jaccard and h_minhash_widevocab.
+    */
+  private def bigramMasks(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "bigramMasks") { bigramMasksBuild(s, d, mat = true) }
+
+  /** mat=false leaves the full lineage visible for plan-shape tests. */
+  private def bigramMasksBuild(s: SparkSession, d: String, mat: Boolean): DataFrame = {
+    graft.functions.ExplodeNgrams.register(s)
+    graft.functions.NgramSetMask.register(s)
+    def m(name: String)(df: DataFrame): DataFrame =
+      if (mat) Q.materialize(s, d, name)(df) else df
+    val docs = Io.table(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+    val vocabRow = m("bigramVocab") {
+      docs.select(expr("explode_ngrams(text, 2)").as("b"))
+        .agg(sort_array(collect_set(col("b"))).as("varr"))
+    }
+    val nWords = math.max(1,
+      (vocabRow.select(size(col("varr"))).head.getInt(0) + 63) / 64)
+    m("bigramMasksTable") {
+      docs.crossJoin(broadcast(vocabRow))
+        .select(col("doc_id"), col("lang"),
+          expr(s"ngram_set_mask(text, varr, 2, $nWords)").as("mask"))
+    }
+  }
+
+  /** Wide-vocabulary banded-MinHash pair table (bigram-shingle Jaccard
+    * ≥ 0.9, cross-language) — memoized + materialized per corpus like
+    * [[minhashNearDupPairs]]: the build's shared subtrees (contracted
+    * nodes, doc→node membership, banded signatures) each materialize
+    * once instead of re-executing per consumer branch (the un-shared
+    * form re-ran the signature stage twice and the membership join four
+    * times — measured 4.8 s vs ~1 s at sf0.1). Design notes on
+    * `h_minhash_widevocab`. */
+  private def widevocabPairs(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "widevocabPairs") {
+      Q.materialize(s, d, "widevocabPairs") {
+        widevocabPairsBuild(s, d, mat = true)
+      }
+    }
+
+  /** The un-checkpointed wide-vocab pipeline for plan tests (mat=false
+    * also bypasses the materialized mask artifact, so the WHOLE lineage
+    * — shingling, masks, signatures, band join — is one visible plan). */
+  private[graft] def widevocabPairsBuildForPlan(s: SparkSession, d: String): DataFrame =
+    widevocabPairsBuild(s, d, mat = false)
+
+  private def widevocabPairsBuild(s: SparkSession, d: String, mat: Boolean): DataFrame = {
+    graft.functions.MinHashSig.register(s)
+    def m(name: String)(df: DataFrame): DataFrame =
+      if (mat) Q.materialize(s, d, name)(df) else df
+    val numHashes = 64; val bands = 16; val rowsPerBand = numHashes / bands
+    // empty shingle sets (single-token docs) drop out: a zero mask
+    // would contract with other zero masks into fake j=1 pairs while
+    // the oracle's 0/0 Jaccard is NULL — mirror its len(bg) > 0 cut.
+    val masks = (if (mat) bigramMasks(s, d) else bigramMasksBuild(s, d, mat = false))
+      .filter(expr("exists(mask, x -> x != 0)"))
+      .select(col("doc_id"), col("mask"))
+    val nodeIds = m("wv_nodes") {
+      masks.groupBy(col("mask")).agg(min(col("doc_id")).as("nid"))
+    }
+    val docNode = m("wv_docNode") {
+      masks.join(nodeIds, "mask").select(col("doc_id"), col("nid"))
+    }
+    val toksC = split(col("text"), " ")
+    val bgArr = array_distinct(when(size(toksC) >= 2,
+      transform(sequence(lit(1), size(toksC) - 1),
+        i => concat(element_at(toksC, i), lit(" "), element_at(toksC, i + 1))))
+      .otherwise(array().cast("array<string>")))
+    // shingle arrays exist ONLY on the contracted representatives —
+    // the signature input; everything downstream rides the mask.
+    val t = Io.table(s, d, "documents").select(col("doc_id"), bgArr.as("bg"))
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*),
+        lit(b))
+    }: _*)
+    val reps = m("wv_reps") {
+      nodeIds.join(t, nodeIds("nid") === t("doc_id"))
+        .withColumn("sig", expr(s"minhash_sig(bg, $numHashes)"))
+        .select(col("nid"), col("mask"), posexplode(bandHashes).as(Seq("band", "bh")))
+    }
+    val aSide = reps.select(col("nid").as("na"), col("mask").as("ma"),
+      col("band"), col("bh"))
+    val bSide = reps.select(col("nid").as("nb"), col("mask").as("mb"),
+      col("band").as("band_b"), col("bh").as("bh_b"))
+    val nodePairs = aSide.join(bSide,
+        col("band") === col("band_b") && col("bh") === col("bh_b") &&
+          col("na") < col("nb"))
+      .withColumn("j", expr("bitmask_jaccard(ma, mb)"))
+      .filter(col("j") >= 0.9)
+      .select(col("na"), col("nb"), r6(col("j")).as("jaccard"))
+      .distinct()
+    val memA = docNode.select(col("nid").as("na"), col("doc_id").as("da"))
+    val memB = docNode.select(col("nid").as("nb"), col("doc_id").as("db"))
+    val cross = nodePairs.join(memA, "na").join(memB, "nb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    val within = docNode.select(col("nid"), col("doc_id").as("da"))
+      .join(docNode.select(col("nid"), col("doc_id").as("db")), "nid")
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), lit(1.0).as("jaccard"))
+    cross.union(within)
+  }
+
   /** Banded-MinHash near-duplicate pairs at token-set Jaccard ≥ 0.9 —
     * the shared candidate machinery behind `h_minhash_lsh_dedup` and
     * `h_jaccard_pairs`. 64-hash signature, 16 bands × 4 rows
@@ -357,28 +471,13 @@ object DedupOps {
     // (which benched ~14 s at sf0.1; this form is a plain same-lang
     // pair join with a 16-long bit loop per pair).
     Q("h_ngram_jaccard", (s, d) => {
-      graft.functions.ExplodeNgrams.register(s)
       graft.functions.NgramSetMask.register(s)
-      val nWords = 16 // ceil(961 / 64); vocab is ≤ 31 words → ≤ 961 bigrams
-      // The bigram vocabulary is ONE sorted array row (bounded by the
-      // 31-word token domain → ≤961 bigrams): explode_ngrams →
-      // collect_set, partially aggregated per partition, so the shuffle
-      // carries at most |vocab| rows per mapper. Masks are then built
-      // map-side by the native ngram_set_mask (binary search against
-      // the broadcast vocabulary) — the former explode → per-doc
-      // distinct → vocab join → 16 conditional sums pipeline collapsed
-      // into one generated-code scan per doc.
-      val vocabRow = Io.table(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(expr("explode_ngrams(text, 2)").as("b"))
-        .agg(sort_array(collect_set(col("b"))).as("varr"))
-      val masks = Q.materialize(s, d, "ngramMasks") {
-        Io.table(s, d, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
-          .crossJoin(broadcast(vocabRow))
-          .select(col("doc_id"), col("lang"),
-            expr(s"ngram_set_mask(text, varr, 2, $nWords)").as("mask"))
-      }
+      // Wide bitmask set encoding from the shared width-adaptive
+      // bigramMasks artifact (see its scaladoc): vocabulary collected
+      // once (partially aggregated, ≤|vocab| rows per mapper), masks
+      // built map-side by the native ngram_set_mask, width = data-
+      // derived ceil(|vocab|/64) longs — no hardcoded bound.
+      val masks = bigramMasks(s, d)
       // Pair enumeration is the blocked triangle equi-join (PairJoins):
       // exact low-threshold (j ≥ 0.3) set similarity is Ω(n²) on this
       // corpus — measured: prefix filtering yields 2.3M candidates and
@@ -435,67 +534,31 @@ object DedupOps {
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // WIDE-VOCABULARY banded-MinHash near-dedup — the general-corpus
-    // form of h_minhash_lsh_dedup, with NO vocabulary bound anywhere on
-    // the path. The shingle space is word BIGRAMS (961 types on this
-    // corpus — 15× past the 64-token single-long mask domain): documents
-    // shingle to distinct bigram ARRAYS, node contraction groups on the
-    // sorted array itself (set equality, no mask), MinHash signatures
-    // hash the string shingles directly, and the exact-Jaccard verify on
-    // band collisions runs codegen'd array_intersect/array_union — so no
-    // raise_error guard is reachable and an open-vocabulary crawl runs
-    // this exact plan. Same banding math as the token-set op (64 hashes,
-    // 16 bands × 4 rows → P[miss | j ≥ 0.9] ≈ 3.6e-8); the DuckDB oracle
-    // recomputes ALL bigram-Jaccard pairs brute force, so LSH recall
-    // over the wide shingle space is itself parity-checked. 100 TB
-    // shape: shingling and signatures are map-side, the only shuffles
-    // are the set-contraction groupBy and the (band, hash) equi-join —
-    // candidate pairs carry their shingle arrays through the join,
-    // which is the verify stage's input locality trade documented on
-    // minhashNearDupPairs.
+    // form of h_minhash_lsh_dedup, with NO fixed vocabulary bound
+    // anywhere on the path. The shingle space is word BIGRAMS (961
+    // types on this corpus — 15× past the 64-token single-long mask
+    // domain): sets encode as WIDTH-ADAPTIVE array<long> masks
+    // (bigramMasks — ceil(|vocab|/64) longs, width read off the data,
+    // so the docMasks raise_error guard is unreachable by
+    // construction), node contraction groups on the mask, MinHash
+    // signatures hash the string shingles of each representative, and
+    // the exact-Jaccard verify on band collisions is the native
+    // codegen'd bitmask_jaccard popcount loop. Same banding math as
+    // the token-set op (64 hashes, 16 bands × 4 rows →
+    // P[miss | j ≥ 0.9] ≈ 3.6e-8); the DuckDB oracle recomputes ALL
+    // bigram-Jaccard pairs brute force, so LSH recall over the wide
+    // shingle space is itself parity-checked. 100 TB shape: shingling,
+    // masks and signatures are map-side; the only shuffles are the
+    // contraction groupBy and the (band, hash) equi-join, whose
+    // payload is the bounded mask, never shingle arrays. (A first cut
+    // carried sorted shingle ARRAYS through the candidate join and
+    // verified with array_intersect — correct, but 24 s at sf0.1 vs
+    // ~2 s for this form: this corpus's band-collision volume makes
+    // the per-pair verify cost and join payload THE knobs.)
+    // Full pipeline: widevocabPairsBuild (memoized per corpus via
+    // widevocabPairs, like the token-set pair table).
     Q("h_minhash_widevocab", (s, d) => {
-      graft.functions.MinHashSig.register(s)
-      val numHashes = 64; val bands = 16; val rowsPerBand = numHashes / bands
-      val toksC = split(col("text"), " ")
-      val bgRaw = when(size(toksC) >= 2,
-        transform(sequence(lit(1), size(toksC) - 1),
-          i => concat(element_at(toksC, i), lit(" "), element_at(toksC, i + 1))))
-        .otherwise(array().cast("array<string>"))
-      // canonical set form: distinct + sorted, so the array IS the set key
-      val docsBg = Io.table(s, d, "documents")
-        .select(col("doc_id"), array_sort(array_distinct(bgRaw)).as("bg"))
-        .filter(size(col("bg")) > 0)
-      val nodeIds = docsBg.groupBy(col("bg")).agg(min(col("doc_id")).as("nid"))
-      val docNode = docsBg.join(nodeIds, "bg").select(col("doc_id"), col("nid"))
-      val bandHashes = array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*),
-          lit(b))
-      }: _*)
-      val reps = nodeIds
-        .withColumn("sig", expr(s"minhash_sig(bg, $numHashes)"))
-        .select(col("nid"), col("bg"), posexplode(bandHashes).as(Seq("band", "bh")))
-      val aSide = reps.select(col("nid").as("na"), col("bg").as("ba"),
-        col("band"), col("bh"))
-      val bSide = reps.select(col("nid").as("nb"), col("bg").as("bb"),
-        col("band").as("band_b"), col("bh").as("bh_b"))
-      val nodePairs = aSide.join(bSide,
-          col("band") === col("band_b") && col("bh") === col("bh_b") &&
-            col("na") < col("nb"))
-        .withColumn("j", size(array_intersect(col("ba"), col("bb"))).cast("double") /
-          size(array_union(col("ba"), col("bb"))))
-        .filter(col("j") >= 0.9)
-        .select(col("na"), col("nb"), r6(col("j")).as("jaccard"))
-        .distinct()
-      val memA = docNode.select(col("nid").as("na"), col("doc_id").as("da"))
-      val memB = docNode.select(col("nid").as("nb"), col("doc_id").as("db"))
-      val cross = nodePairs.join(memA, "na").join(memB, "nb")
-        .select(least(col("da"), col("db")).as("doc_a"),
-          greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
-      val within = docNode.select(col("nid"), col("doc_id").as("da"))
-        .join(docNode.select(col("nid"), col("doc_id").as("db")), "nid")
-        .filter(col("da") < col("db"))
-        .select(col("da").as("doc_a"), col("db").as("doc_b"), lit(1.0).as("jaccard"))
-      cross.union(within).orderBy("doc_a", "doc_b")
+      widevocabPairs(s, d).orderBy("doc_a", "doc_b")
     }, Some(
       """WITH t AS (
         |  SELECT doc_id,

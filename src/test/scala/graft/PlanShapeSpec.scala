@@ -257,22 +257,38 @@ class PlanShapeSpec extends AnyFunSuite {
     // — the plan shingles to arrays and verifies with
     // array_intersect/array_union — and candidates must come from the
     // (band, hash) equi-join, never an all-pairs join.
-    // expression-level assertions read the OPTIMIZED plan: the physical
-    // HashAggregate fuses minhash_sig into its result expressions and
-    // prints only output names, and long projection lists truncate at
-    // the 25-field default — raise the limit so nothing hides.
+    // the checked query serves the memoized pair table (truncated
+    // lineage), so pin the BUILD pipeline — mat=false keeps the whole
+    // lineage (shingling → masks → signatures → band join) in one
+    // visible plan. Expression-level assertions read the OPTIMIZED
+    // plan: the physical HashAggregate fuses expressions into its
+    // result list and prints only output names, and long projection
+    // lists truncate at the 25-field default — raise the limit so
+    // nothing hides.
     val saved = spark.conf.getOption("spark.sql.debug.maxToStringFields")
     spark.conf.set("spark.sql.debug.maxToStringFields", "4000")
     try {
-      val df = Registry.queries("h_minhash_widevocab")(spark, sf)
+      val df = graft.ops.DedupOps.widevocabPairsBuildForPlan(spark, sf)
       df.collect()
       val opt = df.queryExecution.optimizedPlan.toString
       val p = df.queryExecution.executedPlan.toString
       assert(!opt.contains("raise_error") && !p.contains("raise_error"),
         "vocabulary-bound mask guard reachable in the wide-vocab plan")
       assert(opt.contains("minhash_sig"), "native signature expression missing")
-      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-        "candidate stage fell back to an all-pairs join:\n" + p.take(2000))
+      assert(opt.contains("ngram_set_mask"), "native wide-mask expression missing")
+      assert(!p.contains("CartesianProduct"),
+        "candidate stage fell back to a cartesian:\n" + p.take(2000))
+      // the only nested-loop joins allowed are Cross broadcasts of the
+      // ONE-ROW vocabulary aggregate (a deliberate scalar broadcast;
+      // pushed filters may ride on them as conditions). An all-pairs
+      // pair-enumeration would surface as an Inner/Outer BNLJ between
+      // two data-sized relations.
+      val badBnlj = p.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin"))
+        .filterNot(_.contains(", Cross"))
+        .toList
+      assert(badBnlj.isEmpty,
+        "conditioned nested-loop join in the wide-vocab plan:\n" + badBnlj.mkString("\n"))
     } finally saved.fold(spark.conf.unset("spark.sql.debug.maxToStringFields"))(
       spark.conf.set("spark.sql.debug.maxToStringFields", _))
   }
