@@ -569,6 +569,86 @@ object MixOps {
          |  ${dSnap6("CAST(SUM(CAST(q AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)")}
          |    AS mean_quality,
          |  MIN(n_tok) AS min_len, MAX(n_tok) AS max_len
-         |FROM m""".stripMargin))
+         |FROM m""".stripMargin)),
+
+    // Weighted sampling WITHOUT replacement, without rand(): the
+    // Efraimidis–Spirakis A-Res scheme with deterministic hash coins —
+    // top-20 docs per language by key = u^(1/w), u the multiplicative-
+    // hash uniform, w = doc length in tokens (longer docs proportionally
+    // likelier — the token-weighted corpus subsample). Ordering uses the
+    // monotone form ln(u)/w (descending), snapped to DECIMAL(38,12)
+    // after the ln (libm last-ulp), so the cut is engine-identical and
+    // reproducible under retries/speculation. Shape at 100 TB: one scan
+    // + one per-lang top-k window (WindowGroupLimit keeps k rows per
+    // mapper) — no global sort, no rand() nondeterminism.
+    Q("h_weighted_sample", (s, d) => {
+      val n = size(toks).cast("double")
+      val key = (log((expr(coin).cast("double") + 1.0) / 4294967296.0) / n)
+        .cast(DecimalType(38, 12)).cast("double")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("ares_key").desc, col("doc_id"))
+      Io.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), n.cast("long").as("n_tok"),
+          key.as("ares_key"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("doc_id"), col("n_tok"),
+          snap6(col("ares_key")).as("ares_key"))
+        .orderBy("lang", "rn")
+    }, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(CAST(ln((CAST($coin AS DOUBLE) + 1.0) / 4294967296.0)
+         |          / CAST(len(string_split(text, ' ')) AS DOUBLE)
+         |        AS DECIMAL(38,12)) AS DOUBLE) AS ares_key
+         |  FROM documents)
+         |SELECT lang, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY lang ORDER BY ares_key DESC, doc_id) AS INT) AS rn,
+         |  doc_id, n_tok, ${dSnap6("ares_key")} AS ares_key
+         |FROM t QUALIFY rn <= 20 ORDER BY lang, rn""".stripMargin)),
+
+    // Token-budget greedy fill: per language, admit docs in quality
+    // order (best first) until a 2000-token budget is exhausted — the
+    // "give me the best N tokens per language" mix-planning primitive.
+    // Quality is the corpus-standard formula snapped at 1e-6 (ties
+    // break on doc_id), the running token total is exact long
+    // arithmetic, and a doc is kept only if it fits WHOLLY within the
+    // remaining budget of the greedy prefix. One per-lang window over a
+    // quality sort — keyed shuffle, sort-based, spillable.
+    Q("h_token_budget_fill", (s, d) => {
+      val rt = toks
+      val nTok = size(rt).cast("double")
+      val q = (lit(0.3) * (size(array_distinct(rt)) / nTok) +
+        lit(0.4) * (lit(1.0) - size(filter(rt, x => x === "the" || x === "a")) / nTok) +
+        lit(0.3) * least(nTok / 100.0, lit(1.0)))
+        .cast(DecimalType(38, 6)).cast("double")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Io.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tok"),
+          q.as("quality"))
+        .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+        .filter(col("cum_tokens") <= 2000L)
+        .select(col("lang"), col("doc_id"), col("quality"), col("n_tok"),
+          col("cum_tokens"))
+        .orderBy("lang", "cum_tokens", "doc_id")
+    }, Some(
+      s"""WITH m AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(rt) AS BIGINT) AS n_tok,
+         |    ${dSnap6("0.3 * (len(list_distinct(rt)) / CAST(len(rt) AS DOUBLE)) " +
+             "+ 0.4 * (1.0 - len(list_filter(rt, x -> x = 'the' OR x = 'a')) " +
+             "/ CAST(len(rt) AS DOUBLE)) + 0.3 * LEAST(len(rt) / 100.0, 1.0)")} AS quality
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS rt FROM documents)),
+         |r AS (
+         |  SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY lang
+         |      ORDER BY quality DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM m)
+         |SELECT lang, doc_id, quality, n_tok, cum_tokens
+         |FROM r WHERE cum_tokens <= 2000
+         |ORDER BY lang, cum_tokens, doc_id""".stripMargin))
   )
 }

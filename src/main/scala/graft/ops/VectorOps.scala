@@ -475,6 +475,58 @@ object VectorOps {
          |  CAST(COALESCE(edges.n_dup_lower, 0) AS BIGINT) AS n_dup_lower,
          |  edges.dup_of IS NULL AS survives
          |FROM embeddings e LEFT JOIN edges ON e.vec_id = edges.id_b
-         |ORDER BY e.vec_id""".stripMargin))
+         |ORDER BY e.vec_id""".stripMargin)),
+
+    // Scalar int8 quantization of the embedding column + reconstruction-
+    // error report — the storage decision every 100 TB vector corpus
+    // makes (float32 → int8 is 4× smaller; is the recall cost
+    // acceptable?). Per-dim min/max (dim-sized → broadcast) define the
+    // affine code q = floor((v−mn)/(mx−mn)·255 + 0.5) (floor(x+0.5)
+    // instead of round(): floor is IEEE-exact on both engines, round's
+    // half-rule is not); the report is per-label max / mean absolute
+    // reconstruction error with identical double arithmetic on both
+    // engines (operand order matches the oracle text, error terms
+    // decimal-snapped before the mean). Shape: one posexplode scan +
+    // one broadcast join + one hash aggregate — map-side at any scale.
+    // Constant-dimension guard: mx = mn dequantizes to mn exactly.
+    Q("h_embed_quantize", (s, d) => {
+      val e = Io.table(s, d, "embeddings")
+      val long = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "f")))
+        .select(col("label"), (col("pos0") + 1).as("pos"), col("f").cast("double").as("v"))
+      val mm = long.groupBy(col("pos"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val qcode = floor((col("v") - col("mn")) / (col("mx") - col("mn")) * 255.0 + 0.5)
+      val vq = when(col("mx") > col("mn"),
+        col("mn") + qcode / 255.0 * (col("mx") - col("mn"))).otherwise(col("mn"))
+      long.join(broadcast(mm), "pos")
+        .withColumn("err", abs(col("v") - vq))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_values"),
+          r6(max(col("err"))).as("max_abs_err"),
+          (sum(col("err").cast(dec12)).cast("double") / count(lit(1)))
+            .cast(dec6).cast("double").as("mean_abs_err"))
+        .orderBy("label")
+    }, Some(
+      """WITH mm AS (
+        |  SELECT i AS pos, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |         MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings,
+        |    (SELECT UNNEST(generate_series(1,
+        |       (SELECT MAX(len(embedding)) FROM embeddings))) AS i)
+        |  GROUP BY i),
+        |t AS (
+        |  SELECT e.label, CAST(e.embedding[mm.pos] AS DOUBLE) AS v, mm.mn, mm.mx
+        |  FROM embeddings e, mm),
+        |qt AS (
+        |  SELECT label, v,
+        |    CASE WHEN mx > mn
+        |      THEN mn + FLOOR((v - mn) / (mx - mn) * 255.0 + 0.5) / 255.0 * (mx - mn)
+        |      ELSE mn END AS vq
+        |  FROM t)
+        |SELECT label, COUNT(*) AS n_values,
+        |  ROUND(MAX(ABS(v - vq)), 6) AS max_abs_err,
+        |  CAST(CAST(CAST(SUM(CAST(ABS(v - vq) AS DECIMAL(38,12))) AS DOUBLE)
+        |       / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS mean_abs_err
+        |FROM qt GROUP BY label ORDER BY label""".stripMargin))
   )
 }
