@@ -151,6 +151,45 @@ object AggOps {
          |        (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_price_disc
          |FROM m ORDER BY l_returnflag""".stripMargin)),
 
+    // Weighted mean / population variance: quantity-weighted discount
+    // statistics (each lineitem counts `l_quantity` times) — the
+    // weighted-aggregate surface (sample weighting is how a training
+    // pipeline reweights its mixture). All three power sums are exact
+    // decimal (map-side partials, order-independent); the variance
+    // algebra runs on engine-identical doubles and snaps at 1e-6.
+    // The weighted variable is the small-magnitude l_discount: the
+    // per-row decimal cast is only engine-identical while the double's
+    // ulp sits below the 1e-6 cast grid (a price² product at ~5e11 has
+    // ulp 6e-5 — there the engines' double→decimal digits diverge,
+    // measured as a 1e-6 hash mismatch).
+    Q("d_agg_weighted_stats", (s, d) => {
+      val x = col("l_discount"); val wt = col("l_quantity")
+      val snap = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double")
+      Io.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(decSum(wt).as("sw"), decSum(wt * x).as("swx"),
+          decSum(wt * x * x).as("swx2"))
+        .select(col("l_returnflag"),
+          snap(col("sw")).as("sum_weight"),
+          snap(col("swx") / col("sw")).as("w_mean_disc"),
+          snap(col("swx2") / col("sw") -
+            (col("swx") / col("sw")) * (col("swx") / col("sw"))).as("w_var_disc"))
+        .orderBy("l_returnflag")
+    }, Some(
+      s"""WITH m AS (
+         |  SELECT l_returnflag,
+         |    ${dSum("l_quantity")} AS sw,
+         |    ${dSum("l_quantity * l_discount")} AS swx,
+         |    ${dSum("l_quantity * l_discount * l_discount")} AS swx2
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  CAST(CAST(sw AS DECIMAL(38,6)) AS DOUBLE) AS sum_weight,
+         |  CAST(CAST(swx / sw AS DECIMAL(38,6)) AS DOUBLE) AS w_mean_disc,
+         |  CAST(CAST(swx2 / sw - (swx / sw) * (swx / sw)
+         |       AS DECIMAL(38,6)) AS DOUBLE) AS w_var_disc
+         |FROM m ORDER BY l_returnflag""".stripMargin)),
+
     // Higher moments: population skewness and excess kurtosis from raw
     // decimal power sums (built-in skewness/kurtosis are accumulation-
     // order-dependent; raw moments partial-aggregate map-side and the

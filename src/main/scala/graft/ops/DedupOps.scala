@@ -820,6 +820,36 @@ object DedupOps {
         |FROM (SELECT cluster_rep, COUNT(*) AS csize FROM rep GROUP BY cluster_rep)
         |GROUP BY csize ORDER BY csize""".stripMargin))),
 
+    // Cross-language near-duplicate census: how much near-dup mass
+    // (token-set Jaccard ≥ 0.9) CROSSES language tags — the
+    // mix-planning red flag for machine-translated or boilerplate
+    // content that double-counts effective tokens under several
+    // languages. One bounded aggregate over the memoized
+    // language-agnostic pair table joined to the doc→lang dimension;
+    // the oracle recomputes the cross-language pairs brute force.
+    Q("h_crosslang_neardup", (s, d) => {
+      val langs = Io.table(s, d, "documents").select(col("doc_id"), col("lang"))
+      minhashNearDupPairs(s, d, byLang = false)
+        .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("la")), "doc_a")
+        .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lb")), "doc_b")
+        .filter(col("la") =!= col("lb"))
+        .select(least(col("la"), col("lb")).as("lang_a"),
+          greatest(col("la"), col("lb")).as("lang_b"))
+        .groupBy(col("lang_a"), col("lang_b"))
+        .agg(count(lit(1)).as("n_near_dup_pairs"))
+        .orderBy("lang_a", "lang_b")
+    }, Some(
+      """WITH t AS (SELECT doc_id, lang,
+        |             list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents)
+        |SELECT LEAST(a.lang, b.lang) AS lang_a,
+        |  GREATEST(a.lang, b.lang) AS lang_b,
+        |  COUNT(*) AS n_near_dup_pairs
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id AND a.lang <> b.lang
+        |WHERE len(list_intersect(a.toks, b.toks))
+        |      / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.9
+        |GROUP BY 1, 2 ORDER BY lang_a, lang_b""".stripMargin)),
+
     // THE END-TO-END PREPROCESSING VERDICT — what a production corpus
     // pipeline actually ships: one row per document with every gate's
     // flag (eval-holdout membership, exact-dup loser, near-dup

@@ -649,6 +649,7 @@ object MixOps {
          |  FROM m)
          |SELECT lang, doc_id, quality, n_tok, cum_tokens
          |FROM r WHERE cum_tokens <= 2000
-         |ORDER BY lang, cum_tokens, doc_id""".stripMargin))
+         |ORDER BY lang, cum_tokens, doc_id""".stripMargin)),
+
   )
 }

@@ -192,6 +192,41 @@ object StreamBatchOps {
         |  ON p.user_id = c.user_id
         | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
         | AND epoch_us(c.ts) <= epoch_us(p.ts)
-        |ORDER BY p.user_id, purch_id, COALESCE(c.event_id, -1)""".stripMargin))
+        |ORDER BY p.user_id, purch_id, COALESCE(c.event_id, -1)""".stripMargin)),
+
+    // Last-touch attribution: each purchase credited to the MOST RECENT
+    // same-user click in the preceding hour (the standard conversion-
+    // attribution rule) — the time-bounded join reduced to one winner
+    // per purchase via a purchase-keyed row_number (WindowGroupLimit
+    // bounds the shuffle to one row per purchase per mapper). Ties on
+    // the click timestamp break on the higher click id — a total order,
+    // so the credited click is engine-identical.
+    Q("g_attribution_last_touch", (s, d) => {
+      val ev = Io.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purch_id"), col("ts_us").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts_us").as("c_ts"))
+      val w = Window.partitionBy(col("purch_id"))
+        .orderBy(col("c_ts").desc, col("click_id").desc)
+      p.join(c, col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - 3600000000L && col("c_ts") <= col("p_ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("purch_id"), col("click_id"),
+          (col("p_ts") - col("c_ts")).as("lag_us"))
+        .orderBy("user_id", "purch_id")
+    }, Some(
+      """SELECT p.user_id, p.event_id AS purch_id, c.event_id AS click_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |    ORDER BY epoch_us(c.ts) DESC, c.event_id DESC) = 1
+        |ORDER BY p.user_id, purch_id""".stripMargin))
   )
 }

@@ -76,17 +76,18 @@ object WindowOps {
         .repartitionByRange(parts, col("c_acctbal"), col("c_custkey"))
         .withColumn("pid", spark_partition_id())
         .withColumn("lrn", row_number().over(wLocal))
-      // partition offsets: |cluster partitions| rows — the global window
-      // here is over the metadata-sized count table, never the data.
+      // partition offsets AND the global count, both from the same
+      // |cluster partitions|-row table (no second scan of the data):
+      // the global windows here run over metadata-sized input only.
       val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
         .withColumn("off", coalesce(sum(col("cnt")).over(
           Window.orderBy(col("pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("pid"), col("off"))
-      val nTot = cust.agg(count(lit(1)).as("n_total"))
+        .withColumn("n_total", sum(col("cnt")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("pid"), col("off"), col("n_total"))
       val ranked = local.join(broadcast(offs), "pid")
         .withColumn("rn", col("lrn") + col("off"))
-        .crossJoin(broadcast(nTot))
       // tie groups on the ranking value: rank = min rn, cume numerator =
       // max rn — contiguous in the global order, so one aggregate keyed
       // on the value recovers both (shuffle on c_acctbal, no sort).
