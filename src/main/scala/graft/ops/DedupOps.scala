@@ -878,9 +878,7 @@ object DedupOps {
         .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("is_exact_dup"))
       val near = ccDocLabels(s, d)
         .select(col("doc_id"), (col("rep") =!= col("doc_id")).as("is_near_dup"))
-      val sh = docs.repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), expr("explode_ngrams(text, 5)").as("g"))
-        .distinct()
+      val sh = ContaminationOps.docShingles(s, d)
       val evalSet = sh.filter(col("doc_id") % 97 === 0)
         .select(col("g")).distinct().withColumn("hit", lit(1))
       val contam = sh.filter(col("doc_id") % 97 =!= 0)
