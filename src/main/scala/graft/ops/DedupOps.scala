@@ -164,8 +164,13 @@ object DedupOps {
         i => concat(element_at(toksC, i), lit(" "), element_at(toksC, i + 1))))
       .otherwise(array().cast("array<string>")))
     // shingle arrays exist ONLY on the contracted representatives —
-    // the signature input; everything downstream rides the mask.
-    val t = Io.table(s, d, "documents").select(col("doc_id"), bgArr.as("bg"))
+    // the signature input; everything downstream rides the mask. The
+    // repartition spreads the shingle-array projection across cores:
+    // it evaluates BELOW the join exchange, i.e. in the scan task, and
+    // the bench corpus is one parquet file (a no-op at real scale).
+    val t = Io.table(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), bgArr.as("bg"))
     val bandHashes = array((0 until bands).map { b =>
       xxhash64(concat_ws(",",
         (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*),

@@ -343,6 +343,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline verdict: broadcast gates, no cartesian, doc_id-keyed joins only") {
+    // the end-to-end verdict composes five gates; its scale shape is
+    // doc_id equi-joins + broadcast dimensions (eval shingles, quality
+    // thresholds) — an accidental cartesian or a shuffled dimension
+    // would be the 100 TB regression.
+    val p = plan("h_pipeline_verdict")
+    assert(!p.contains("CartesianProduct"),
+      "cartesian in the verdict plan:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "no broadcast gate join in the verdict plan:\n" + p.take(2000))
+  }
+
   test("OHLC bars: both window directions and the aggregate share one shuffle") {
     // AdaptiveSparkPlan.toString prints the final plan followed by the
     // initial plan — count exchanges in the final section only.

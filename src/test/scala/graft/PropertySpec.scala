@@ -18,6 +18,27 @@ class PropertySpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int = 100): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("Q.exactPercentiles equals the holistic percentile aggregate") {
+    // the windowed two-pass selection (what the checked queries run —
+    // no single aggregation buffer) must be VALUE-identical to Spark's
+    // holistic percentile at every requested fraction, on data with
+    // ties, uneven groups, and non-integral values.
+    import TestSpark._
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 2000).select(
+      (col("id") % 7).as("k"),
+      (pmod(col("id") * 2654435761L, lit(997)).cast("double") / 8.0).as("v"))
+    val windowed = graft.ops.Q.exactPercentiles(df, "k", "v",
+      Seq((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90")))
+    val holistic = df.groupBy(col("k")).agg(
+      percentile(col("v"), lit(0.25)).as("p25"),
+      percentile(col("v"), lit(0.5)).as("p50"),
+      percentile(col("v"), lit(0.75)).as("p75"),
+      percentile(col("v"), lit(0.9)).as("p90"))
+    assert(windowed.except(holistic).isEmpty && holistic.except(windowed).isEmpty)
+    assert(windowed.count() == 7)
+  }
+
   test("jaccard is symmetric, in [0,1], and 1 on self") {
     samples(Gen.zip(sentence, sentence)).foreach { case (a, b) =>
       val j = ExtOps.jaccardStr(a, b)
