@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.io.Io
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -189,6 +190,68 @@ object AggOps {
          |  CAST(CAST(swx2 / sw - (swx / sw) * (swx / sw)
          |       AS DECIMAL(38,6)) AS DOUBLE) AS w_var_disc
          |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // Boxplot (five-number + Tukey fences + outlier census) per group —
+    // the distribution report a dashboard draws. Quartiles come from
+    // Q.exactPercentiles (mergeable windowed selection, no holistic
+    // buffer); fences are plain arithmetic on engine-identical doubles;
+    // the outlier count is a second pass joining the tiny per-group
+    // fence table back (broadcast). Two keyed shuffles total.
+    Q("d_agg_boxplot", (s, d) => {
+      val li = Io.table(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      // quartiles snap at 1e-6 BEFORE the fence algebra: on
+      // non-integral data the two engines' QUANTILE_CONT interpolation
+      // differs in the last ulps (different formula association), so
+      // the derived fences must start from the snapped common value.
+      val snap = (c: Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double")
+      val qs = Q.exactPercentiles(li, "l_returnflag", "l_extendedprice",
+        Seq((0.25, "q1r"), (0.5, "medr"), (0.75, "q3r")))
+        .select(col("l_returnflag"), snap(col("q1r")).as("q1"),
+          snap(col("medr")).as("med"), snap(col("q3r")).as("q3"))
+        .withColumn("iqr", col("q3") - col("q1"))
+        .withColumn("lo_fence", col("q1") - lit(1.5) * col("iqr"))
+        .withColumn("hi_fence", col("q3") + lit(1.5) * col("iqr"))
+      val outliers = li.join(broadcast(qs), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("l_extendedprice") < col("lo_fence") ||
+            col("l_extendedprice") > col("hi_fence"), 1L).otherwise(0L))
+            .as("n_outliers"))
+      // quartiles/fences ship UNrounded: they are bit-identical doubles
+      // on both engines (selection + the same IEEE arithmetic, no
+      // accumulation-order variance), while ROUND would not be —
+      // 1.5×iqr constructs exact half-boundary values (…59875 at 1e-4,
+      // observed) where the engines' rounding rules disagree.
+      qs.join(outliers, "l_returnflag")
+        .select(col("l_returnflag"), col("n_rows"),
+          col("q1"), col("med"), col("q3"), col("iqr"),
+          col("lo_fence"), col("hi_fence"), col("n_outliers"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH qs AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(quantile_cont(l_extendedprice, 0.25)
+        |         AS DECIMAL(38,6)) AS DOUBLE) AS q1,
+        |    CAST(CAST(quantile_cont(l_extendedprice, 0.5)
+        |         AS DECIMAL(38,6)) AS DOUBLE) AS med,
+        |    CAST(CAST(quantile_cont(l_extendedprice, 0.75)
+        |         AS DECIMAL(38,6)) AS DOUBLE) AS q3
+        |  FROM lineitem GROUP BY l_returnflag),
+        |f AS (SELECT *, q3 - q1 AS iqr FROM qs),
+        |g AS (SELECT *, q1 - 1.5 * iqr AS lo_fence, q3 + 1.5 * iqr AS hi_fence
+        |      FROM f),
+        |o AS (
+        |  SELECT l.l_returnflag, COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN l.l_extendedprice < g.lo_fence
+        |                    OR l.l_extendedprice > g.hi_fence
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |  FROM lineitem l JOIN g USING (l_returnflag) GROUP BY 1)
+        |SELECT g.l_returnflag, o.n_rows,
+        |  q1, med, q3, iqr, lo_fence, hi_fence, o.n_outliers
+        |FROM g JOIN o USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin)),
 
     // Higher moments: population skewness and excess kurtosis from raw
     // decimal power sums (built-in skewness/kurtosis are accumulation-

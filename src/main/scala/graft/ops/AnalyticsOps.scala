@@ -140,6 +140,31 @@ object AnalyticsOps {
         |  COUNT(*) AS n, MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
         |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // Equi-DEPTH histogram (the pair to f_histogram's equi-width): 8
+    // quantile buckets of o_totalprice per order priority — bucket =
+    // ceil(cume_dist × 8), so each bucket holds ~n/8 rows (ties share a
+    // bucket). cume_dist is the exact rational k/n evaluated with the
+    // same IEEE ops on both engines; the window is priority-keyed (no
+    // global sort), and the output is bucket-bounded.
+    Q("f_histogram_eqdepth", (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+      Io.table(s, d, "orders")
+        .withColumn("bucket", ceil(cume_dist().over(w) * 8).cast("int"))
+        .groupBy(col("o_orderpriority"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          r4(min(col("o_totalprice"))).as("lo"),
+          r4(max(col("o_totalprice"))).as("hi"))
+        .orderBy("o_orderpriority", "bucket")
+    }, Some(
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    CAST(CEIL(CUME_DIST() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice) * 8) AS INT) AS bucket
+        |  FROM orders)
+        |SELECT o_orderpriority, bucket, COUNT(*) AS n,
+        |  ROUND(MIN(o_totalprice), 4) AS lo, ROUND(MAX(o_totalprice), 4) AS hi
+        |FROM t GROUP BY 1, 2 ORDER BY o_orderpriority, bucket""".stripMargin)),
+
     // Time-series resample + gap fill: daily event counts per type with
     // missing days filled as 0 over the observed [min_day, max_day] span.
     Q("g_resample_gapfill", (s, d) => {

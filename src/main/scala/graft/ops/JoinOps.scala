@@ -228,6 +228,37 @@ object JoinOps {
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin)),
 
+    // Fuzzy self-join (entity resolution): distinct part-name pairs
+    // within Levenshtein distance 2 — the near-duplicate-catalog-entry
+    // matcher. The pair space is the distinct NAME domain, not the
+    // table: names contract to one node each (min partkey = node id,
+    // row count carried), and the quadratic over the domain runs as
+    // the blocked-triangle equi-join (PairJoins — shuffle, bounded
+    // per-task memory, no BNLJ). At 100 TB the name domain grows far
+    // slower than rows, and the verify is the codegen'd levenshtein
+    // on canonical-order pairs. The oracle recomputes all pairs brute
+    // force, so the blocking is recall-checked every round.
+    Q("c_join_fuzzy", (s, d) => {
+      val names = Io.table(s, d, "part")
+        .groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("nid"), count(lit(1)).as("n_parts"))
+      PairJoins.trianglePairs(names, Nil, "nid", 4)
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("edit_dist"),
+          col("a.n_parts").as("n_parts_a"), col("b.n_parts").as("n_parts_b"))
+        .filter(col("edit_dist") <= 2)
+        .orderBy("name_a", "name_b")
+    }, Some(
+      """WITH n AS (
+        |  SELECT p_name, MIN(p_partkey) AS nid, COUNT(*) AS n_parts
+        |  FROM part GROUP BY p_name)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+        |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        |FROM n a JOIN n b ON a.nid < b.nid
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin)),
+
     // Skew-salted join: the manual mitigation for a join key where one
     // value holds most of the rows (AQE skew split is the automatic
     // complement — pinned in PlanShapeSpec). The fact side derives a
