@@ -45,6 +45,37 @@ object TpchOps {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
 
+    // q2 adapted: the trimmed schema has no partsupp, so the
+    // supplier-part catalog is DERIVED from observed lineitems —
+    // ps_supplycost = min observed unit price per (part, supplier).
+    // The shape q2 exists to test survives intact: a multi-dim join
+    // fanning out from part, with a correlated min-cost scalar
+    // subquery re-traversing the same dims. Scale: the ps build is one
+    // lineitem shuffle; dims broadcast; the correlated MIN decorrelates
+    // to a per-part aggregate joined back (no per-row re-execution).
+    q("t_q02",
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    MIN(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT ROUND(s_acctbal, 4) AS s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  CAST(CAST(ps_supplycost AS DECIMAL(38,6)) AS DOUBLE) AS supplycost
+        |FROM part
+        |  JOIN ps ON p_partkey = ps_partkey
+        |  JOIN supplier ON s_suppkey = ps_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (
+        |    SELECT MIN(ps2.ps_supplycost)
+        |    FROM ps ps2
+        |      JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin),
+
     q("t_q03",
       s"""SELECT l_orderkey,
          |  ROUND($revenue, 4) AS revenue,
@@ -132,6 +163,30 @@ object TpchOps {
         |GROUP BY o_year
         |ORDER BY o_year""".stripMargin),
 
+    // q9 adapted: profit's ps_supplycost comes from the derived
+    // catalog (min observed unit price — see t_q02). Money sums route
+    // through DECIMAL(38,6) so the nation×year totals are accumulation-
+    // order-independent. Scale: the ps table joins the fact on its own
+    // grain (l_partkey, l_suppkey) — co-partitioned shuffle, dims
+    // broadcast, one final hash-agg on (nation, year).
+    q("t_q09",
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    MIN(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT n_name AS nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity
+        |       AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_profit
+        |FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin),
+
     q("t_q10",
       s"""SELECT c_custkey, c_name,
          |  ROUND($revenue, 4) AS revenue,
@@ -145,6 +200,50 @@ object TpchOps {
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
          |ORDER BY revenue DESC, c_custkey
          |LIMIT 20""".stripMargin),
+
+    // q11 adapted: "stock value" over the derived catalog —
+    // availqty = total observed quantity, supplycost as in t_q02; the
+    // nation group is the EUROPE five (the synthetic n_name domain).
+    // The signature shape survives: grouped value vs a scalar-subquery
+    // fraction of the grand total. The grand total sums DECIMAL(38,6)
+    // (exact, order-independent) so the > threshold is engine-identical.
+    // Scale: v is one shuffle; the scalar total is a one-row broadcast.
+    q("t_q11",
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS ps_availqty
+        |  FROM lineitem GROUP BY 1, 2),
+        |v AS (
+        |  SELECT ps_partkey,
+        |    CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6))) AS DOUBLE) AS value
+        |  FROM ps
+        |    JOIN supplier ON s_suppkey = ps_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_13', 'NATION_18', 'NATION_23')
+        |  GROUP BY ps_partkey)
+        |SELECT ps_partkey, ROUND(value, 4) AS value
+        |FROM v
+        |WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 0.001 FROM v)
+        |ORDER BY value DESC, ps_partkey""".stripMargin),
+
+    // q12 adapted: no l_shipmode/l_commitdate/l_receiptdate —
+    // l_returnflag stands in for the shipping channel and "late" is
+    // shipped >60 days after the order date (q4's convention). The
+    // tested shape is intact: fact-fact join + dual CASE-sum pivot on
+    // order priority. Scale: one equi-join shuffle on orderkey, then a
+    // 3-group hash-agg; both CASE sums partial-aggregate map-side.
+    q("t_q12",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL '60' DAY
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
 
     q("t_q13",
       """SELECT c_count, COUNT(*) AS custdist
@@ -176,6 +275,25 @@ object TpchOps {
         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin),
+
+    // q16 adapted: supplier-part relationships derive from lineitem
+    // (no partsupp); the "customer complaints" supplier exclusion
+    // becomes negative account balance (the schema has no comment
+    // column). Shape intact: NOT IN anti-join + COUNT(DISTINCT) over
+    // a three-column group. Scale: the distinct-pair build is one
+    // shuffle, part broadcasts, the NOT IN side is a tiny broadcast
+    // anti-join, and distinct-count expands then re-aggregates once.
+    q("t_q16",
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |  FROM lineitem)
+        |SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
 
     // q17 adapted: no container column; brand + the correlated
     // 20%-of-average-quantity subquery carry the shape.
@@ -213,6 +331,61 @@ object TpchOps {
         |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+
+    // q20 adapted: "excess stock" over the derived catalog —
+    // availqty = total observed quantity per (part, supplier), and the
+    // correlated half-of-year-shipments threshold keeps q20's nested
+    // IN + correlated-scalar shape. AMERICA's five nations filter the
+    // supplier side. Scale: both subqueries decorrelate to aggregates
+    // on the (part, supplier) grain — same key as ps, co-partitioned,
+    // no per-row re-execution; the part-name IN list broadcasts.
+    q("t_q20",
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS ps_availqty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, ROUND(s_acctbal, 4) AS s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11', 'NATION_16', 'NATION_21')
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM ps
+        |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |      AND ps_availqty > (
+        |        SELECT 0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |        FROM lineitem
+        |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |          AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'))
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // q21 adapted: "kept orders waiting" uses q4's lateness convention
+    // (shipped >30 days after order date; the schema has no commit/
+    // receipt dates), with the inner l3 scan re-joining orders to keep
+    // every correlation an equality (decorrelation-friendly on both
+    // engines). The EXISTS/NOT EXISTS pair — the shape q21 exists to
+    // test — is intact: another supplier participated, and no other
+    // supplier was late. Scale: both rewrite to semi/anti hash joins
+    // keyed on l_orderkey, the fact's natural key; ASIA's five nations
+    // prune the supplier side before the fan-out.
+    q("t_q21",
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |  JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL '30' DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL '30' DAY)
+        |  AND n_name IN ('NATION_2', 'NATION_7', 'NATION_12', 'NATION_17', 'NATION_22')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin),
 
     // q22 adapted: no c_phone (cntrycode = c_nationkey mod 10), and this
     // synthetic data gives every customer at least one order, so the
