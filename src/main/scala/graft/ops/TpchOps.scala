@@ -205,9 +205,13 @@ object TpchOps {
     // availqty = total observed quantity, supplycost as in t_q02; the
     // nation group is the EUROPE five (the synthetic n_name domain).
     // The signature shape survives: grouped value vs a scalar-subquery
-    // fraction of the grand total. The grand total sums DECIMAL(38,6)
-    // (exact, order-independent) so the > threshold is engine-identical.
-    // Scale: v is one shuffle; the scalar total is a one-row broadcast.
+    // threshold over the whole distribution. TPC-H's fixed fraction
+    // (0.0001/SF) is scale-DEPENDENT — at 10× the parts each share
+    // shrinks below it and the result empties — so the threshold here
+    // is 1.5× the mean part value, which selects the same "important
+    // stock" tail at every SF. The mean sums DECIMAL(38,6) (exact,
+    // order-independent) so the > cut is engine-identical.
+    // Scale: v is one shuffle; the scalar mean is a one-row broadcast.
     q("t_q11",
       """WITH ps AS (
         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
@@ -224,7 +228,7 @@ object TpchOps {
         |  GROUP BY ps_partkey)
         |SELECT ps_partkey, ROUND(value, 4) AS value
         |FROM v
-        |WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 0.001 FROM v)
+        |WHERE value > (SELECT 1.5 * CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) FROM v)
         |ORDER BY value DESC, ps_partkey""".stripMargin),
 
     // q12 adapted: no l_shipmode/l_commitdate/l_receiptdate —
