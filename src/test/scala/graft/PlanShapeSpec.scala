@@ -355,6 +355,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "no broadcast gate join in the verdict plan:\n" + p.take(2000))
   }
 
+  test("q21's EXISTS/NOT-EXISTS pair settles to semi/anti hash joins, no cartesian") {
+    val p = plan("t_q21")
+    assert(p.contains("LeftSemi"), "EXISTS did not decorrelate to a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS did not decorrelate to an anti join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "waiting-supplier correlation planned as a product join")
+  }
+
+  test("q02's correlated min-cost subquery decorrelates to an aggregate joined back") {
+    // the rewrite computes one MIN per part and equi-joins it to the
+    // outer side — the plan must contain a join keyed on the min value
+    // (floating-point-normalized supplycost) and NO per-row subquery.
+    val p = plan("t_q02")
+    assert(p.contains("knownfloatingpointnormalized"),
+      "no join on the decorrelated min-supplycost value")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("OHLC bars: both window directions and the aggregate share one shuffle") {
     // AdaptiveSparkPlan.toString prints the final plan followed by the
     // initial plan — count exchanges in the final section only.
