@@ -438,6 +438,114 @@ object AnalyticsOps {
         |  ROUND(d.dev / m.mad, 6) AS mad_score
         |FROM dev d JOIN mad m USING (event_type)
         |WHERE d.dev > m.mad * 3.0
-        |ORDER BY d.event_type, d.event_id""".stripMargin))
+        |ORDER BY d.event_type, d.event_id""".stripMargin)),
+
+    // Welch's t-test between two event arms (purchase vs click values)
+    // — the A/B-test read-out. Each arm reduces to (n, Σx, Σx²) exact
+    // decimal power sums (one partial-aggregating shuffle over a
+    // 2-group key); mean/var/t/df are scalar IEEE arithmetic on those,
+    // written in the SAME association order in both engines, snapped
+    // at 1e-6. At 100 TB this is a map-side-combined scan — the
+    // statistic costs no more than a count.
+    Q("g_ab_welch", (s, d) => {
+      val m = Io.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum(col("value")).as("s1"),
+          decSum(col("value") * col("value")).as("s2"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("vr", (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      val w = m.agg(
+        max(when(col("event_type") === "purchase", col("n"))).as("n_a"),
+        max(when(col("event_type") === "click", col("n"))).as("n_b"),
+        max(when(col("event_type") === "purchase", col("mean"))).as("mean_a"),
+        max(when(col("event_type") === "click", col("mean"))).as("mean_b"),
+        max(when(col("event_type") === "purchase", col("vr"))).as("var_a"),
+        max(when(col("event_type") === "click", col("vr"))).as("var_b"))
+        .withColumn("sea", col("var_a") / col("n_a"))
+        .withColumn("seb", col("var_b") / col("n_b"))
+        .withColumn("se2", col("sea") + col("seb"))
+        .withColumn("t_stat", (col("mean_a") - col("mean_b")) / sqrt(col("se2")))
+        .withColumn("df", col("se2") * col("se2") /
+          (col("sea") * col("sea") / (col("n_a") - 1) +
+           col("seb") * col("seb") / (col("n_b") - 1)))
+      w.select(col("n_a"), col("n_b"),
+        snap6(col("mean_a")).as("mean_a"), snap6(col("mean_b")).as("mean_b"),
+        snap6(col("var_a")).as("var_a"), snap6(col("var_b")).as("var_b"),
+        snap6(col("t_stat")).as("t_stat"), snap6(col("df")).as("df"),
+        (abs(col("t_stat")) > 1.96).as("significant"))
+    }, Some(
+      s"""WITH m AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    ${dSum("value")} AS s1, ${dSum("value * value")} AS s2
+         |  FROM events WHERE event_type IN ('purchase', 'click')
+         |  GROUP BY event_type),
+         |st AS (
+         |  SELECT event_type, n, s1 / n AS mean,
+         |    (s2 - s1 * s1 / n) / (n - 1) AS vr FROM m),
+         |w AS (
+         |  SELECT
+         |    MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n_a,
+         |    MAX(CASE WHEN event_type = 'click' THEN n END) AS n_b,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN mean END) AS mean_a,
+         |    MAX(CASE WHEN event_type = 'click' THEN mean END) AS mean_b,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN vr END) AS var_a,
+         |    MAX(CASE WHEN event_type = 'click' THEN vr END) AS var_b
+         |  FROM st),
+         |e AS (
+         |  SELECT *, var_a / n_a AS sea, var_b / n_b AS seb,
+         |    var_a / n_a + var_b / n_b AS se2 FROM w)
+         |SELECT n_a, n_b,
+         |  ${dSnap6("mean_a")} AS mean_a, ${dSnap6("mean_b")} AS mean_b,
+         |  ${dSnap6("var_a")} AS var_a, ${dSnap6("var_b")} AS var_b,
+         |  ${dSnap6("(mean_a - mean_b) / SQRT(se2)")} AS t_stat,
+         |  ${dSnap6("se2 * se2 / (sea * sea / (n_a - 1) + seb * seb / (n_b - 1))")} AS df,
+         |  ABS((mean_a - mean_b) / SQRT(se2)) > 1.96 AS significant
+         |FROM e""".stripMargin)),
+
+    // Chi-square test of independence (lang × source contingency over
+    // documents) + Cramér's V — the "is my corpus mix confounded"
+    // check. Observed cells are one 2-key hash-agg; expected counts
+    // come from broadcast row/column marginals (cluster-sized, never
+    // data-sized); the statistic sums per-cell terms through
+    // DECIMAL(38,6) so it is accumulation-order-independent.
+    Q("h_chisq_lang_source", (s, d) => {
+      val cell = Io.table(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+      val rt = cell.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+      val ct = cell.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+      val tot = cell.agg(sum(col("o")).as("n"),
+        countDistinct(col("lang")).as("r"), countDistinct(col("source")).as("c"))
+      cell.join(broadcast(rt), "lang").join(broadcast(ct), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("e", col("rt") * col("ct") / col("n"))
+        .agg(count(lit(1)).as("n_cells"),
+          decSum((col("o") - col("e")) * (col("o") - col("e")) / col("e")).as("chi2r"),
+          max((col("r") - 1) * (col("c") - 1)).as("df"),
+          max(col("n")).as("n"), max(col("r")).as("r"), max(col("c")).as("c"))
+        .select(col("n_cells"), snap6(col("chi2r")).as("chi2"), col("df"),
+          snap6(sqrt(col("chi2r") /
+            (col("n") * least(col("r") - 1, col("c") - 1)))).as("cramers_v"))
+    }, Some(
+      s"""WITH cell AS (
+         |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+         |rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM cell GROUP BY 1),
+         |ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM cell GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS c FROM cell),
+         |t AS (
+         |  SELECT o, rt.rt * ct.ct / tot.n AS e, tot.n AS n, tot.r AS r, tot.c AS c
+         |  FROM cell JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot),
+         |agg AS (
+         |  SELECT COUNT(*) AS n_cells,
+         |    ${dSum("(o - e) * (o - e) / e")} AS chi2r,
+         |    MAX((r - 1) * (c - 1)) AS df,
+         |    MAX(n) AS n, MAX(r) AS r, MAX(c) AS c
+         |  FROM t)
+         |SELECT n_cells, ${dSnap6("chi2r")} AS chi2, df,
+         |  ${dSnap6("SQRT(chi2r / (n * LEAST(r - 1, c - 1)))")} AS cramers_v
+         |FROM agg""".stripMargin))
   )
 }

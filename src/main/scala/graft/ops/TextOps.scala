@@ -387,6 +387,33 @@ object TextOps {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  CAST(CAST(CAST(SUM(CAST(lp AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
         |       AS DECIMAL(38,6)) AS DOUBLE) AS avg_logprob
-        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Within-document co-occurrence (market-basket association over
+    // tokens): top-20 unordered token pairs by the number of documents
+    // containing both. The pair space is doc-keyed — each doc expands
+    // to its OWN distinct-token pairs (bounded by per-doc vocabulary,
+    // not corpus size), so the self-join shuffles on doc_id and never
+    // goes quadratic in the corpus. Complements h_bigram_pmi, which
+    // only sees ADJACENT pairs.
+    Q("h_cooccur_pairs", (s, d) => {
+      val t = Io.table(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      t.as("a").join(t.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+        .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("tok_a"), col("tok_b"))
+        .limit(20)
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents)
+        |SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_docs
+        |FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |GROUP BY 1, 2
+        |ORDER BY n_docs DESC, tok_a, tok_b
+        |LIMIT 20""".stripMargin))
   )
 }
