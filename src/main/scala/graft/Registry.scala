@@ -13,7 +13,7 @@ object Registry {
       WindowOps.all ++ FuncOps.all ++ StreamBatchOps.all ++ TextOps.all ++
       VectorOps.all ++ DedupOps.all ++ ExtOps.all ++ AnalyticsOps.all ++
       FuncExtraOps.all ++ EtlOps.all ++ TpchOps.all ++ EngineSurfaceOps.all ++
-      ContaminationOps.all ++ MixOps.all ++ DqOps.all
+      ContaminationOps.all ++ MixOps.all ++ DqOps.all ++ GraphOps.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

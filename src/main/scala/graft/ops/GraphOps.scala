@@ -1,0 +1,172 @@
+package graft.ops
+
+import graft.io.Io
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph analytics over a data-derived graph: the co-purchase graph on
+  * `part` (two parts are adjacent iff some order contains both). The
+  * projection is order-keyed — each order expands to C(items, 2) pairs,
+  * bounded by the per-order line count (≤ 7 in TPC-H-shaped data), so
+  * the edge build shuffles once on `l_orderkey` and never goes
+  * quadratic in parts. Degree distribution, ordered triangle counting
+  * and fixed-iteration PageRank are all equi-join + hash-agg shapes on
+  * the shared, memoized edge table — no broadcast of anything
+  * data-sized, no driver-side iteration state beyond the 5-step loop.
+  */
+object GraphOps {
+
+  /** Accumulation-order-independent sum for PageRank mass (values are
+    * O(1/n) — DECIMAL(38,18) keeps 18 fractional digits exactly, so the
+    * merge order of partial aggregates cannot perturb the result). */
+  private def decSum18(c: Column): Column =
+    sum(c.cast(DecimalType(38, 18))).cast("double")
+  private def dSum18(x: String) =
+    s"CAST(SUM(CAST($x AS DECIMAL(38,18))) AS DOUBLE)"
+
+  /** Per-iteration 1e-12 snap: keeps the two engines bit-identical
+    * across iterations (HALF_UP from DOUBLE on both). */
+  private def snap12(c: Column): Column =
+    c.cast(DecimalType(38, 12)).cast("double")
+  private def dSnap12(x: String) = s"CAST(CAST($x AS DECIMAL(38,12)) AS DOUBLE)"
+
+  private def snap6(c: Column): Column =
+    c.cast(DecimalType(38, 6)).cast("double")
+  private def dSnap6(x: String) = s"CAST(CAST($x AS DECIMAL(38,6)) AS DOUBLE)"
+
+  /** Distinct undirected co-purchase edges (pa < pb), memoized per
+    * corpus: one distinct-projection shuffle on `l_orderkey`, one
+    * order-keyed self-join (per-key fanout bounded by order size), one
+    * distinct on the pair. All three graph queries consume this one
+    * artifact — built once per Verify/Bench session. */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "copurchaseEdges") {
+      val e0 = Io.table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      e0.as("a").join(e0.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .distinct()
+    }
+
+  /** Oracle twin of [[copurchaseEdges]] (CTE prefix `pairs`). */
+  private val pairsSql =
+    """WITH e0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM e0 a JOIN e0 b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Both-direction edge list + per-node degree, as DataFrames. */
+  private def degrees(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val p = copurchaseEdges(s, d)
+    val edges = p.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(p.select(col("pb").as("src"), col("pa").as("dst")))
+    (edges, edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+  }
+
+  private val degSql =
+    s"""$pairsSql,
+       |edges AS (SELECT pa AS src, pb AS dst FROM pairs
+       |          UNION ALL SELECT pb, pa FROM pairs),
+       |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Degree distribution of the co-purchase graph: how many parts have
+    // each co-purchase degree. Two hash-aggs over the shared edge
+    // artifact — at 100 TB this is the standard two-shuffle degree
+    // histogram (node key, then degree key), both with map-side combine.
+    Q("i_graph_degree", (s, d) => {
+      val (_, deg) = degrees(s, d)
+      deg.groupBy(col("deg").as("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    }, Some(
+      s"""$degSql
+         |SELECT deg AS degree, COUNT(*) AS n_nodes FROM deg
+         |GROUP BY 1 ORDER BY degree""".stripMargin)),
+
+    // Ordered triangle counting + global clustering coefficient. The
+    // (a<b<c) orientation makes each triangle counted exactly once:
+    // wedges join the pair table to itself on the SMALLEST vertex
+    // (per-task fanout = C(higher-degree, 2) of the pivot, the classic
+    // distributed triangle scheme), then one equi-join against the pair
+    // table closes them. Wedge totals come from the degree table alone.
+    // Everything is an equi-join on graph keys — shuffle, not
+    // broadcast, so it holds when the edge table is data-sized.
+    Q("i_graph_triangles", (s, d) => {
+      val p = copurchaseEdges(s, d)
+      val (_, deg) = degrees(s, d)
+      val tri = p.as("e1").join(p.as("e2"),
+          col("e1.pa") === col("e2.pa") && col("e1.pb") < col("e2.pb"))
+        .select(col("e1.pb").as("pa"), col("e2.pb").as("pb"))
+        .join(p, Seq("pa", "pb"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"),
+        (sum(col("deg")) / 2).cast("long").as("n_edges"))
+      stats.crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          snap6(lit(3.0) * col("n_triangles") / col("n_wedges")).as("global_cc"))
+    }, Some(
+      s"""$degSql,
+         |w AS (SELECT col1.pb AS pa, col2.pb AS pb
+         |      FROM pairs col1 JOIN pairs col2
+         |        ON col1.pa = col2.pa AND col1.pb < col2.pb),
+         |tri AS (SELECT COUNT(*) AS n_triangles
+         |        FROM w JOIN pairs USING (pa, pb)),
+         |st AS (SELECT COUNT(*) AS n_nodes,
+         |         CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges,
+         |         CAST(SUM(deg) / 2 AS BIGINT) AS n_edges
+         |       FROM deg)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |  ${dSnap6("3.0 * n_triangles / n_wedges")} AS global_cc
+         |FROM st CROSS JOIN tri""".stripMargin)),
+
+    // PageRank, 5 fixed iterations, damping 0.85, on the (symmetric)
+    // co-purchase graph — top 20 hubs. Each iteration is ONE join
+    // (rank/deg mass along edges) + ONE hash-agg (sum incoming mass):
+    // the canonical distributed PageRank step, shuffling on graph keys
+    // only. Determinism across engines: mass sums go through
+    // DECIMAL(38,18) (order-independent) and each iteration's rank is
+    // snapped at 1e-12, so 5 rounds cannot drift apart; the scalar
+    // update (0.15/n + 0.85*s) is written in the same association order
+    // in both engines. Every graph node has degree ≥ 1 (it exists
+    // because of an edge), so the inner join loses no mass.
+    Q("i_graph_pagerank", (s, d) => {
+      val (edges, deg) = degrees(s, d)
+      val nDf = deg.agg(count(lit(1)).cast("double").as("n"))
+      var pr = deg.crossJoin(broadcast(nDf))
+        .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("pr"))
+      for (_ <- 1 to 5) {
+        val contrib = pr.join(edges, pr("node") === edges("src"))
+          .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
+        pr = contrib.groupBy(col("node")).agg(decSum18(col("c")).as("s"))
+          .join(deg, "node").crossJoin(broadcast(nDf))
+          .select(col("node"), col("deg"),
+            snap12(lit(0.15) / col("n") + lit(0.85) * col("s")).as("pr"))
+      }
+      pr.orderBy(col("pr").desc, col("node")).limit(20)
+        .select(col("node"), col("deg"), col("pr"))
+    }, Some {
+      val iter = (k: Int) =>
+        s"""p$k AS (
+           |  SELECT c.node, deg.deg,
+           |    ${dSnap12(s"0.15 / (SELECT n FROM nn) + 0.85 * c.s")} AS pr
+           |  FROM (SELECT e.dst AS node, ${dSum18("p.pr / p.deg")} AS s
+           |        FROM p${k - 1} p JOIN edges e ON p.node = e.src
+           |        GROUP BY e.dst) c
+           |  JOIN deg ON deg.node = c.node)""".stripMargin
+      s"""$degSql,
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+         |p0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, deg, pr FROM p5
+         |ORDER BY pr DESC, node LIMIT 20""".stripMargin
+    })
+  )
+}
