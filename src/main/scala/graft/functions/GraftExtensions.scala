@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SqDistDec].getName, "sq_dist_dec"),
       (children: Seq[Expression]) => SqDistDec(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (children: Seq[Expression]) => SimHash32(children.head)))

@@ -546,6 +546,63 @@ object AnalyticsOps {
          |  FROM t)
          |SELECT n_cells, ${dSnap6("chi2r")} AS chi2, df,
          |  ${dSnap6("SQRT(chi2r / (n * LEAST(r - 1, c - 1)))")} AS cramers_v
-         |FROM agg""".stripMargin))
+         |FROM agg""".stripMargin)),
+
+    // Sample autocorrelation of the daily event-count series at lags
+    // 1..7 — the seasonality probe a pipeline runs before picking a
+    // resample interval. The series is CALENDAR-sized (one row per
+    // day), so pairing t with t+k is a tiny equi-join on (day + lag),
+    // never a global window over data-sized rows; the data-sized work
+    // is exactly one map-side-combined count per day. Pearson r comes
+    // from exact integer power sums: per-pair products of daily counts
+    // fit BIGINT below ~3e9 rows/day, but their year-long SUMS do not
+    // at 100 TB — hence the sums run through DECIMAL(38,0). The final
+    // Pearson expression is the same double arithmetic on both
+    // engines, snapped at 1e-6.
+    Q("g_autocorr", (s, d) => {
+      val daily = Io.events(s, d).groupBy(day.as("dd"))
+        .agg(count(lit(1)).as("cnt"))
+      val lags = s.range(1, 8).select(col("id").as("lag"))
+      val paired = daily.crossJoin(broadcast(lags))
+        .select(col("lag"), (col("dd") + col("lag")).as("dk"), col("cnt").as("x"))
+        .join(daily.select(col("dd").as("dk"), col("cnt").as("y")), "dk")
+      val dec = (c: org.apache.spark.sql.Column) =>
+        sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double")
+      paired.groupBy(col("lag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dec(col("x")).as("sx"), dec(col("y")).as("sy"),
+          dec(col("x") * col("y")).as("sxy"),
+          dec(col("x") * col("x")).as("sxx"),
+          dec(col("y") * col("y")).as("syy"))
+        .select(col("lag"), col("n").cast("long").as("n_pairs"),
+          snap6(when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+                     (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+               sqrt(col("n") * col("syy") - col("sy") * col("sy")))))
+            .as("acf"))
+        .orderBy("lag")
+    }, Some {
+      val dec = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(38,0))) AS DOUBLE)"
+      s"""WITH daily AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS dd, COUNT(*) AS cnt
+         |  FROM events GROUP BY 1),
+         |paired AS (
+         |  SELECT l.lag, a.cnt AS x, b.cnt AS y
+         |  FROM daily a CROSS JOIN (SELECT UNNEST(range(1, 8)) AS lag) l
+         |  JOIN daily b ON a.dd + l.lag = b.dd),
+         |ps AS (
+         |  SELECT lag, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${dec("x")} AS sx, ${dec("y")} AS sy, ${dec("x * y")} AS sxy,
+         |    ${dec("x * x")} AS sxx, ${dec("y * y")} AS syy
+         |  FROM paired GROUP BY lag)
+         |SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+         |  ${dSnap6(
+             """CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+               |  THEN (n * sxy - sx * sy)
+               |       / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+               |  END""".stripMargin)} AS acf
+         |FROM ps ORDER BY lag""".stripMargin
+    })
   )
 }

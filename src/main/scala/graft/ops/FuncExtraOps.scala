@@ -189,6 +189,35 @@ object FuncExtraOps {
         |  CAST((generate_series(1, CAST(l_linenumber AS BIGINT)))[5] AS INT) AS fifth
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, safe_ratio NULLS FIRST,
-        |  maybe_num NULLS FIRST, fifth NULLS FIRST""".stripMargin))
+        |  maybe_num NULLS FIRST, fifth NULLS FIRST""".stripMargin)),
+
+    // Jaro-Winkler name matching — the record-linkage complement to
+    // c_join_fuzzy's edit distance (JW weights shared prefixes, the
+    // right bias for entity names). Same blocked-triangle pair layout
+    // (per-task fanout 2n/B, equi-join shuffle — no BNLJ, no
+    // broadcast of a data-sized side); the similarity itself is the
+    // native codegen `jaro_winkler` expression, bit-identical to
+    // DuckDB's `jaro_winkler_similarity`, snapped at 1e-6 on both
+    // sides before the threshold so the cut cannot knife-edge.
+    Q("f_str_jarowinkler", (s, d) => {
+      graft.functions.JaroWinkler.register(s)
+      val names = Io.table(s, d, "part")
+        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("nid"))
+      PairJoins.trianglePairs(names, Nil, "nid", 4)
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+        .withColumn("jw_sim",
+          expr("jaro_winkler(name_a, name_b)")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double"))
+        .filter(col("jw_sim") >= 0.9)
+        .orderBy("name_a", "name_b")
+    }, Some(
+      """WITH n AS (SELECT p_name, MIN(p_partkey) AS nid FROM part GROUP BY 1),
+        |p AS (
+        |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |    CAST(CAST(jaro_winkler_similarity(a.p_name, b.p_name)
+        |         AS DECIMAL(38,6)) AS DOUBLE) AS jw_sim
+        |  FROM n a JOIN n b ON a.nid < b.nid)
+        |SELECT * FROM p WHERE jw_sim >= 0.9
+        |ORDER BY name_a, name_b""".stripMargin))
   )
 }

