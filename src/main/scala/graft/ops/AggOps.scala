@@ -446,6 +446,84 @@ object AggOps {
         |  bool_or(o_totalprice > 400000.0) AS any_over_400k,
         |  CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
         |  COUNT(*) AS n
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Pairwise Pearson correlation matrix over lineitem's numeric
+    // measures — the feature-selection pre-pass, as ONE scan: every
+    // power sum (Σx, Σx², Σxy for all 6 pairs) is a parallel
+    // map-side-combined aggregate; the matrix itself is a driver-sized
+    // stack of scalar expressions. Products are taken IN DECIMAL
+    // (cast each factor to DECIMAL(18,6) first): price² ~1e10 has a
+    // double ulp above the 1e-6 grid, so a double product cast to
+    // decimal would not be engine-exact, while the decimal product is
+    // exact by construction (the d_agg_weighted_stats lesson applied).
+    Q("d_agg_corr_matrix", (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val vars = Seq(
+        "quantity" -> col("l_quantity"),
+        "extprice" -> col("l_extendedprice"),
+        "discount" -> col("l_discount"),
+        "tax" -> col("l_tax"))
+      val d18 = (c: Column) => c.cast(DecimalType(18, 6))
+      val sums = vars.flatMap { case (nm, c) =>
+        Seq(sum(d18(c)).cast("double").as(s"s_$nm"),
+          sum(d18(c) * d18(c)).cast("double").as(s"ss_$nm"))
+      }
+      val pairs = for {
+        ((na, ca), i) <- vars.zipWithIndex
+        (nb, cb) <- vars.drop(i + 1)
+      } yield (na, nb, ca, cb)
+      val prods = pairs.map { case (na, nb, ca, cb) =>
+        sum(d18(ca) * d18(cb)).cast("double").as(s"sp_${na}_$nb")
+      }
+      val a = Io.table(s, d, "lineitem")
+        .agg(count(lit(1)).cast("double").as("n"), (sums ++ prods): _*)
+      val corrCols = pairs.map { case (na, nb, _, _) =>
+        ((col("n") * col(s"sp_${na}_$nb") - col(s"s_$na") * col(s"s_$nb")) /
+          (sqrt(col("n") * col(s"ss_$na") - col(s"s_$na") * col(s"s_$na")) *
+           sqrt(col("n") * col(s"ss_$nb") - col(s"s_$nb") * col(s"s_$nb"))))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double")
+          .as(s"c_${na}_$nb")
+      }
+      val stackArgs = pairs.map { case (na, nb, _, _) =>
+        s"'$na', '$nb', c_${na}_$nb"
+      }.mkString(", ")
+      a.select(col("n") +: corrCols: _*)
+        .select(expr(s"stack(${pairs.size}, $stackArgs) AS (var_a, var_b, corr)"),
+          col("n").cast("long").as("n_rows"))
+        .orderBy("var_a", "var_b")
+    }, Some {
+      val vars = Seq("quantity" -> "l_quantity", "extprice" -> "l_extendedprice",
+        "discount" -> "l_discount", "tax" -> "l_tax")
+      // first product factor widens to DECIMAL(19,6): DuckDB multiplies
+      // two DECIMAL(18)s in int64 and overflows on price sums; 19 digits
+      // forces the int128 path with identical (exact) values.
+      val dec = (x: String) => s"CAST($x AS DECIMAL(18,6))"
+      val decW = (x: String) => s"CAST($x AS DECIMAL(19,6))"
+      val sums = vars.flatMap { case (nm, c) =>
+        Seq(s"CAST(SUM(${dec(c)}) AS DOUBLE) AS s_$nm",
+          s"CAST(SUM(${decW(c)} * ${dec(c)}) AS DOUBLE) AS ss_$nm")
+      }
+      val pairs = for {
+        ((na, ca), i) <- vars.zipWithIndex
+        (nb, cb) <- vars.drop(i + 1)
+      } yield (na, nb, ca, cb)
+      val prods = pairs.map { case (na, nb, ca, cb) =>
+        s"CAST(SUM(${decW(ca)} * ${dec(cb)}) AS DOUBLE) AS sp_${na}_$nb"
+      }
+      val rows = pairs.map { case (na, nb, _, _) =>
+        val corr = s"(n * sp_${na}_$nb - s_$na * s_$nb) / " +
+          s"(SQRT(n * ss_$na - s_$na * s_$na) * SQRT(n * ss_$nb - s_$nb * s_$nb))"
+        s"SELECT '$na' AS var_a, '$nb' AS var_b, " +
+          s"CAST(CAST($corr AS DECIMAL(38,6)) AS DOUBLE) AS corr, " +
+          "CAST(n AS BIGINT) AS n_rows FROM a"
+      }
+      s"""WITH a AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${(sums ++ prods).mkString(",\n    ")}
+         |  FROM lineitem)
+         |${rows.mkString("\nUNION ALL\n")}
+         |ORDER BY var_a, var_b""".stripMargin
+    })
   )
 }

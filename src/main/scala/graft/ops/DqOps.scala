@@ -136,6 +136,52 @@ object DqOps {
         |FROM lineitem
         |WHERE l_quantity > 45 OR l_discount > 0.08 OR l_tax > 0.07
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount,
-        |  l_tax, violations""".stripMargin))
+        |  l_tax, violations""".stripMargin)),
+
+    // Join-key skew census — the pre-join diagnostic that decides
+    // between a plain shuffle join, AQE skew split and manual salting
+    // (c_join_skew_salted is the mitigation this report triggers).
+    // Reports the 10 heaviest o_custkey values with their share and
+    // ratio-to-mean, plus the domain-wide count CV. One per-key count
+    // (map-side combined), one metadata-sized stats row broadcast back
+    // onto the top keys; integer power sums run through DECIMAL(38,0)
+    // because squared per-key counts sum past BIGINT at 100 TB.
+    Q("e_skew_census", (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val c = Io.table(s, d, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      val stats = c.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total"),
+        sum(col("cnt").cast(DecimalType(38, 0)) * col("cnt").cast(DecimalType(38, 0)))
+          .cast("double").as("sc2"))
+        .withColumn("mean", col("total").cast("double") / col("n_keys"))
+        .withColumn("cv",
+          sqrt(col("sc2") / col("n_keys") - col("mean") * col("mean")) / col("mean"))
+      c.orderBy(col("cnt").desc, col("o_custkey")).limit(10)
+        .crossJoin(broadcast(stats))
+        .select(col("o_custkey"), col("cnt"), col("n_keys"),
+          snap6(col("cnt") / col("total").cast("double")).as("share"),
+          snap6(col("cnt") / col("mean")).as("ratio_to_mean"),
+          snap6(col("cv")).as("cv"))
+        .orderBy(col("cnt").desc, col("o_custkey"))
+    }, Some(
+      s"""WITH c AS (
+         |  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1),
+         |st AS (
+         |  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total,
+         |    CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0)))
+         |         AS DOUBLE) AS sc2
+         |  FROM c),
+         |st2 AS (
+         |  SELECT *, CAST(total AS DOUBLE) / n_keys AS mean FROM st),
+         |top AS (
+         |  SELECT o_custkey, cnt FROM c ORDER BY cnt DESC, o_custkey LIMIT 10)
+         |SELECT t.o_custkey, t.cnt, s.n_keys,
+         |  ${dSnap6("t.cnt / CAST(s.total AS DOUBLE)")} AS share,
+         |  ${dSnap6("t.cnt / s.mean")} AS ratio_to_mean,
+         |  ${dSnap6("SQRT(s.sc2 / s.n_keys - s.mean * s.mean) / s.mean")} AS cv
+         |FROM top t CROSS JOIN st2 s
+         |ORDER BY t.cnt DESC, t.o_custkey""".stripMargin))
   )
 }
