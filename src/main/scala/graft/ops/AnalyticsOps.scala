@@ -651,6 +651,59 @@ object AnalyticsOps {
          |  k - 1 AS df1, nt - k AS df2,
          |  ${dSnap6("(ssb / (k - 1)) / (ssw / (nt - k))")} AS f_stat,
          |  ${dSnap6("ssb / (ssb + ssw)")} AS eta_sq
-         |FROM b""".stripMargin))
+         |FROM b""".stripMargin)),
+
+    // Two-sample Kolmogorov-Smirnov drift statistic (purchase vs click
+    // value distributions) on a FIXED 100-bin grid — the distributional
+    // complement to e_drift_psi. Binning makes it scale-safe: the
+    // data-sized pass is one (arm, bin) hash-agg; the CDF window runs
+    // over ≤100 grid rows (grid-sized, not data-sized — the same
+    // argument as g_autocorr's calendar series). The binned statistic
+    // is a deterministic lower bound of the exact KS (exact needs a
+    // global sort); bin width 5 over [0,500) covers the value domain.
+    Q("g_ks_drift", (s, d) => {
+      val binned = Io.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"),
+          least(floor(col("value") / 5.0), lit(99.0)).cast("int").as("bin"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cb"))
+      val w = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = binned.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      binned
+        .withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumb", sum(col("cb")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("dd",
+          abs(col("cuma") / col("na").cast("double") -
+              col("cumb") / col("nb").cast("double")))
+        .orderBy(col("dd").desc, col("bin"))
+        .limit(1)
+        .select(col("na"), col("nb"), col("bin").as("ks_bin"),
+          snap6(col("dd")).as("ks_stat"))
+    }, Some(
+      s"""WITH b AS (
+         |  SELECT CAST(LEAST(FLOOR(value / 5.0), 99.0) AS INT) AS bin,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS ca,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS cb
+         |  FROM events WHERE event_type IN ('purchase', 'click')
+         |  GROUP BY 1),
+         |c AS (
+         |  SELECT bin,
+         |    SUM(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cuma,
+         |    SUM(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cumb,
+         |    (SELECT CAST(SUM(ca) AS BIGINT) FROM b) AS na,
+         |    (SELECT CAST(SUM(cb) AS BIGINT) FROM b) AS nb
+         |  FROM b),
+         |dd AS (
+         |  SELECT na, nb, bin,
+         |    ABS(cuma / CAST(na AS DOUBLE) - cumb / CAST(nb AS DOUBLE)) AS dd
+         |  FROM c)
+         |SELECT na, nb, bin AS ks_bin, ${dSnap6("dd")} AS ks_stat
+         |FROM dd ORDER BY dd DESC, bin LIMIT 1""".stripMargin))
   )
 }

@@ -182,6 +182,73 @@ object DqOps {
          |  ${dSnap6("t.cnt / s.mean")} AS ratio_to_mean,
          |  ${dSnap6("SQRT(s.sc2 / s.n_keys - s.mean * s.mean) / s.mean")} AS cv
          |FROM top t CROSS JOIN st2 s
-         |ORDER BY t.cnt DESC, t.o_custkey""".stripMargin))
+         |ORDER BY t.cnt DESC, t.o_custkey""".stripMargin)),
+
+    // Benford first-digit census over o_totalprice — the fraud/synthetic
+    // -data smoke test. The first significant digit comes from the
+    // STRING form (first [1-9] character), never from log10 arithmetic
+    // whose libm rounding can flip a power-of-ten boundary between
+    // engines; the Benford expectations are shared double literals.
+    // One scan + one 9-row aggregate; the chi-square statistic sums the
+    // 9 per-digit terms through DECIMAL(38,6) and rides every row.
+    Q("e_benford_digits", (s, d) => {
+      val benford = Seq(
+        1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+        3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+        5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+        7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+        9 -> 0.04575749056067514)
+      val pb = benford.tail.foldLeft(
+        when(col("digit") === benford.head._1, benford.head._2)) {
+        case (acc, (dg, p)) => acc.when(col("digit") === dg, p)
+      }
+      val c = Io.table(s, d, "orders")
+        .select(regexp_extract(col("o_totalprice").cast("string"), "[1-9]", 0)
+          .cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        .withColumn("p_benford", pb)
+      val tot = c.agg(sum(col("n_obs")).as("n"))
+      val terms = c.crossJoin(broadcast(tot))
+        .withColumn("e", col("n") * col("p_benford"))
+        .withColumn("term",
+          (col("n_obs") - col("e")) * (col("n_obs") - col("e")) / col("e"))
+      val chi2 = terms.agg(decSum(col("term")).as("chi2r"))
+      terms.crossJoin(broadcast(chi2))
+        .select(col("digit"), col("n_obs"),
+          snap6(col("n_obs") / col("n").cast("double")).as("p_obs"),
+          col("p_benford"), snap6(col("chi2r")).as("chi2"))
+        .orderBy("digit")
+    }, Some {
+      val cases = Seq(
+        1 -> "0.3010299956639812", 2 -> "0.17609125905568124",
+        3 -> "0.12493873660829992", 4 -> "0.09691001300805642",
+        5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+        7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
+        9 -> "0.04575749056067514")
+        .map { case (dg, p) => s"WHEN $dg THEN $p" }.mkString(" ")
+      s"""WITH c AS (
+         |  SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]', 0)
+         |              AS INT) AS digit,
+         |    COUNT(*) AS n_obs
+         |  FROM orders GROUP BY 1),
+         |-- cast: DuckDB types bare numeric literals DECIMAL, and the
+         |-- decimal CASE result would drag the chi-square arithmetic
+         |-- into overflowing DECIMAL(38) multiplies; Spark's lit() is
+         |-- DOUBLE, and decimal->double rounds to the same nearest
+         |-- double the literal parse produces.
+         |cb AS (SELECT *, CAST(CASE digit $cases END AS DOUBLE) AS p_benford
+         |       FROM c),
+         |t AS (SELECT *, (SELECT CAST(SUM(n_obs) AS BIGINT) FROM c) AS n FROM cb),
+         |tt AS (
+         |  SELECT *,
+         |    (n_obs - n * p_benford) * (n_obs - n * p_benford) / (n * p_benford)
+         |      AS term
+         |  FROM t),
+         |x AS (SELECT ${dSum("term")} AS chi2r FROM tt)
+         |SELECT digit, n_obs,
+         |  ${dSnap6("n_obs / CAST(n AS DOUBLE)")} AS p_obs, p_benford,
+         |  ${dSnap6("chi2r")} AS chi2
+         |FROM tt CROSS JOIN x ORDER BY digit""".stripMargin
+    })
   )
 }

@@ -373,6 +373,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("graph family: triangles and pagerank stay on keyed equi-joins") {
+    // the co-purchase edge table is data-sized — a fallback to
+    // cartesian/nested-loop in the wedge-close join or the rank-mass
+    // join is the 100 TB scale-killer. The only legitimate broadcasts
+    // are the one-row count frames (pagerank's n, triangles' stats).
+    for (q <- Seq("i_graph_triangles", "i_graph_pagerank")) {
+      // final-plan section only: AQE's toString appends the initial
+      // plan, which would double every BNLJ count.
+      val p = plan(q).split("== Initial Plan ==").head
+      assert(!p.contains("CartesianProduct"),
+        s"$q: a data-sized cartesian appeared")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      // crossJoin(broadcast(one-row stats)) legitimately plans as BNLJ;
+      // anything beyond those scalar attachments is a regression.
+      // pagerank: 1 initial + 5 per-iteration scalar-n attachments
+      val crossLimit = if (q == "i_graph_triangles") 1 else 6
+      assert(bnlj <= crossLimit,
+        s"$q: $bnlj nested-loop joins (> $crossLimit scalar cross joins):\n" +
+          p.take(1500))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+        s"$q: no keyed join found in the executed plan")
+    }
+  }
+
   test("OHLC bars: both window directions and the aggregate share one shuffle") {
     // AdaptiveSparkPlan.toString prints the final plan followed by the
     // initial plan — count exchanges in the final section only.
