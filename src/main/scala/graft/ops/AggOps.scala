@@ -524,6 +524,34 @@ object AggOps {
          |  FROM lineitem)
          |${rows.mkString("\nUNION ALL\n")}
          |ORDER BY var_a, var_b""".stripMargin
-    })
+    }),
+
+    // Mode with an explicit tie policy (most frequent l_quantity per
+    // return flag, smallest value on frequency ties) — the distributed
+    // complement to d_agg_mode's builtin mode() (whose checked setup
+    // dodges ties). Windowless two-agg shape: value-keyed counts,
+    // per-group max joined back, min-value tiebreak — every step is a
+    // hash-agg or a keyed join on grouped (already bounded) data, so no
+    // per-group buffer ever holds raw rows. The max-count table is
+    // groups-sized → AQE broadcasts it.
+    Q("d_agg_mode_qty", (s, d) => {
+      val c = Io.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n_obs"))
+      val m = c.groupBy(col("l_returnflag")).agg(max(col("n_obs")).as("n_obs"))
+      c.join(m, Seq("l_returnflag", "n_obs"))
+        .groupBy(col("l_returnflag"), col("n_obs"))
+        .agg(min(col("l_quantity")).as("mode_qty"))
+        .select(col("l_returnflag"), col("mode_qty"), col("n_obs"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS n_obs
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT l_returnflag, MAX(n_obs) AS n_obs FROM c GROUP BY 1)
+        |SELECT c.l_returnflag, MIN(c.l_quantity) AS mode_qty, c.n_obs
+        |FROM c JOIN m ON c.l_returnflag = m.l_returnflag AND c.n_obs = m.n_obs
+        |GROUP BY c.l_returnflag, c.n_obs
+        |ORDER BY c.l_returnflag""".stripMargin))
   )
 }

@@ -704,6 +704,119 @@ object AnalyticsOps {
          |    ABS(cuma / CAST(na AS DOUBLE) - cumb / CAST(nb AS DOUBLE)) AS dd
          |  FROM c)
          |SELECT na, nb, bin AS ks_bin, ${dSnap6("dd")} AS ks_stat
-         |FROM dd ORDER BY dd DESC, bin LIMIT 1""".stripMargin))
+         |FROM dd ORDER BY dd DESC, bin LIMIT 1""".stripMargin)),
+
+    // Revenue concentration: Gini coefficient + top-1%/top-10% share of
+    // per-customer spend. Gini uses the rank formula
+    // G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n, which needs a GLOBAL rank of
+    // every customer — produced by the same two-pass range-partitioned
+    // ranking as e_win_ntile_pct (repartitionByRange → per-partition
+    // row_number → prefix offsets), never a single-partition window.
+    // All sums ride DECIMAL(38,6) (order-independent); ranks and the
+    // top-k thresholds are exact integer arithmetic (k = max(1, n÷100)
+    // resp. n÷10), so both engines pick the same customer sets.
+    Q("g_gini_spend", (s, d) => {
+      val parts = s.sparkContext.defaultParallelism
+      val spend = Io.table(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(decSum(col("o_totalprice")).as("spend"))
+      val wLocal = Window.partitionBy(col("pid"))
+        .orderBy(col("spend"), col("o_custkey"))
+      val local = spend
+        .repartitionByRange(parts, col("spend"), col("o_custkey"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(wLocal))
+      // cluster-partitions-sized offset table (same scale argument as
+      // e_win_ntile_pct: the global window below runs over ≤|partitions|
+      // rows, not data)
+      val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("off"))
+      val ranked = local.join(broadcast(offs), "pid")
+        .withColumn("rn", col("lrn") + col("off"))
+      val tot = ranked.agg(count(lit(1)).as("n"),
+        decSum(col("spend")).as("ts"),
+        decSum(col("rn") * col("spend")).as("rx"))
+      val tops = ranked.crossJoin(broadcast(tot))
+        .agg(decSum(when(
+            col("rn") > col("n") - greatest(lit(1L), expr("n DIV 100")),
+            col("spend")).otherwise(lit(0.0))).as("t1"),
+          decSum(when(
+            col("rn") > col("n") - greatest(lit(1L), expr("n DIV 10")),
+            col("spend")).otherwise(lit(0.0))).as("t10"))
+      tot.crossJoin(tops)
+        .select(col("n").as("n_cust"), snap6(col("ts")).as("total_spend"),
+          snap6(lit(2.0) * col("rx") / (col("n") * col("ts")) -
+            (col("n") + lit(1L)) / col("n").cast("double")).as("gini"),
+          snap6(col("t1") / col("ts")).as("top1_share"),
+          snap6(col("t10") / col("ts")).as("top10_share"))
+    }, Some(
+      s"""WITH sp AS (
+         |  SELECT o_custkey, ${dSum("o_totalprice")} AS spend
+         |  FROM orders GROUP BY 1),
+         |r AS (
+         |  SELECT spend,
+         |    ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS rn
+         |  FROM sp),
+         |t AS (
+         |  SELECT COUNT(*) AS n, ${dSum("spend")} AS ts,
+         |    ${dSum("rn * spend")} AS rx
+         |  FROM r),
+         |tk AS (
+         |  SELECT
+         |    ${dSum("CASE WHEN rn > n - GREATEST(1, n // 100) THEN spend ELSE 0.0 END")} AS t1,
+         |    ${dSum("CASE WHEN rn > n - GREATEST(1, n // 10) THEN spend ELSE 0.0 END")} AS t10
+         |  FROM r CROSS JOIN t)
+         |SELECT n AS n_cust, ${dSnap6("ts")} AS total_spend,
+         |  ${dSnap6("2.0 * rx / (n * ts) - (n + 1) / CAST(n AS DOUBLE)")} AS gini,
+         |  ${dSnap6("t1 / ts")} AS top1_share,
+         |  ${dSnap6("t10 / ts")} AS top10_share
+         |FROM t CROSS JOIN tk""".stripMargin)),
+
+    // Day-of-week seasonality per event type: mean value per (type,
+    // dow) against the type's overall mean. The data-sized pass is one
+    // (type, dow) hash-agg; the normalizing window runs over ≤ 7 rows
+    // per type (grid-sized). dow is pure integer arithmetic on the
+    // epoch day — (day + 3) % 7 makes 0 = Monday (1970-01-01 was a
+    // Thursday) — identical in both engines, no calendar functions.
+    // Determinism note: the outputs are RAW doubles, not decimal-
+    // snapped. Every input (sv via exact decimal sum, counts, the
+    // decimal-summed window totals) is bit-identical across engines and
+    // the quotient chain is written in the same association order, so
+    // the doubles agree exactly — whereas snapping a quotient that can
+    // land on a 1e-6 midpoint (1695.17/32 = 52.9740625 does, at this
+    // very data) hits DuckDB's mis-rounded double→decimal cast near
+    // midpoints. Mirrored arithmetic beats snapping when nothing
+    // upstream can diverge.
+    Q("g_seasonality_dow", (s, d) => {
+      val wType = Window.partitionBy(col("event_type"))
+      val decW = (c: org.apache.spark.sql.Column) =>
+        sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .over(wType).cast("double")
+      Io.events(s, d)
+        .select(col("event_type"), ((day + 3) % 7).as("dow"), col("value"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sv"))
+        .withColumn("mean_value", col("sv") / col("n_events"))
+        .withColumn("seasonal_index",
+          (col("sv") / col("n_events")) /
+            (decW(col("sv")) / sum(col("n_events")).over(wType)))
+        .select(col("event_type"), col("dow"), col("n_events"),
+          col("mean_value"), col("seasonal_index"))
+        .orderBy("event_type", "dow")
+    }, Some(
+      s"""WITH g AS (
+         |  SELECT event_type,
+         |    (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+         |    COUNT(*) AS n_events, ${dSum("value")} AS sv
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, dow, n_events,
+         |  sv / n_events AS mean_value,
+         |  (sv / n_events) /
+         |    (CAST(SUM(CAST(sv AS DECIMAL(38,6))) OVER (PARTITION BY event_type) AS DOUBLE)
+         |     / SUM(n_events) OVER (PARTITION BY event_type)) AS seasonal_index
+         |FROM g ORDER BY event_type, dow""".stripMargin))
   )
 }

@@ -249,6 +249,45 @@ object DqOps {
          |  ${dSnap6("n_obs / CAST(n AS DOUBLE)")} AS p_obs, p_benford,
          |  ${dSnap6("chi2r")} AS chi2
          |FROM tt CROSS JOIN x ORDER BY digit""".stripMargin
+    }),
+
+    // Referential-integrity census: per FK relation, child row count and
+    // orphan count (child key with no parent row). Each relation is one
+    // left join on the FK key + one global agg — at 100 TB the parent
+    // key side is dimension-sized (broadcast) or shuffles on the key;
+    // never more than one pass over each child table per relation.
+    Q("e_fk_orphans", (s, d) => {
+      def census(rel: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String): DataFrame =
+        child.select(col(key))
+          .join(parent.select(col(pkey).as(key)).distinct()
+            .withColumn("hit", lit(1)), Seq(key), "left")
+          .agg(count(lit(1)).as("n_child_rows"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(rel).as("relation"), col("n_child_rows"), col("n_orphans"))
+      val li = Io.table(s, d, "lineitem")
+      census("lineitem->orders", li, "l_orderkey",
+          Io.table(s, d, "orders"), "o_orderkey")
+        .union(census("lineitem->part", li, "l_partkey",
+          Io.table(s, d, "part"), "p_partkey"))
+        .union(census("lineitem->supplier", li, "l_suppkey",
+          Io.table(s, d, "supplier"), "s_suppkey"))
+        .union(census("orders->customer", Io.table(s, d, "orders"),
+          "o_custkey", Io.table(s, d, "customer"), "c_custkey"))
+        .orderBy("relation")
+    }, Some {
+      def one(rel: String, child: String, key: String,
+          parent: String, pkey: String) =
+        s"""SELECT '$rel' AS relation, COUNT(*) AS n_child_rows,
+           |  CAST(SUM(CASE WHEN p.$pkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_orphans
+           |FROM $child c LEFT JOIN $parent p ON c.$key = p.$pkey""".stripMargin
+      Seq(
+        one("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        one("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        one("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        one("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+        .mkString("\nUNION ALL\n") + "\nORDER BY relation"
     })
   )
 }

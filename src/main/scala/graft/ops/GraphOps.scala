@@ -167,6 +167,135 @@ object GraphOps {
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT node, deg, pr FROM p5
          |ORDER BY pr DESC, node LIMIT 20""".stripMargin
-    })
+    }),
+
+    // Neighbor-set similarity: for every part pair sharing at least one
+    // co-purchase neighbor, Jaccard of neighbor sets = cn/(da+db-cn),
+    // top 20. The wedge join (edges ⋈ edges on the shared mid node) has
+    // the same per-task fanout bound as triangle counting — C(deg, 2)
+    // of the pivot — and everything downstream is a keyed hash-agg plus
+    // two degree joins. The ratio divides exact integers, so the
+    // doubles are engine-identical and the DESC order is stable; pa/pb
+    // break residual ties.
+    Q("i_graph_neighbor_sim", (s, d) => {
+      val (edges, deg) = degrees(s, d)
+      val cn = edges.as("x").join(edges.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .groupBy(col("x.dst").as("pa"), col("y.dst").as("pb"))
+        .agg(count(lit(1)).as("cn"))
+      cn.join(deg.select(col("node").as("pa"), col("deg").as("deg_a")), "pa")
+        .join(deg.select(col("node").as("pb"), col("deg").as("deg_b")), "pb")
+        .withColumn("jac", col("cn") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
+        .orderBy(col("jac").desc, col("pa"), col("pb")).limit(20)
+        .select(col("pa"), col("pb"), col("cn"), col("deg_a"), col("deg_b"),
+          snap6(col("jac")).as("jaccard"))
+    }, Some(
+      s"""$degSql,
+         |cn AS (SELECT x.dst AS pa, y.dst AS pb, COUNT(*) AS cn
+         |       FROM edges x JOIN edges y
+         |         ON x.src = y.src AND x.dst < y.dst
+         |       GROUP BY 1, 2)
+         |SELECT pa, pb, cn, da.deg AS deg_a, db.deg AS deg_b,
+         |  ${dSnap6("cn / CAST(da.deg + db.deg - cn AS DOUBLE)")} AS jaccard
+         |FROM cn JOIN deg da ON da.node = pa JOIN deg db ON db.node = pb
+         |ORDER BY cn / CAST(da.deg + db.deg - cn AS DOUBLE) DESC, pa, pb
+         |LIMIT 20""".stripMargin)),
+
+    // Connected components of the SUPPORTED co-purchase graph (pairs
+    // co-purchased in ≥ 2 distinct orders — the support filter prunes
+    // one-off co-occurrence noise and is what makes the component
+    // structure meaningful). Spark side is the general distributed CC:
+    // min-label propagation with pointer jumping, one keyed join + one
+    // hash-agg per round, per-round materialization truncating the
+    // iterative lineage (O(log diameter) rounds — scales to any graph
+    // the pair table itself fits). The oracle recomputes components by
+    // recursive-CTE transitive closure over the same (small, supported)
+    // edge set. Output is the component-size histogram — stable under
+    // any label assignment, so the iterative algorithm's internal
+    // nondeterminism cannot leak into the checked result.
+    Q("i_graph_cc", (s, d) => {
+      val labels = Q.memoized(s, d, "gccLabels") {
+        // Constraint propagation trips over the label/edge self-union:
+        // the checkpointed labels table carries an (rep = nid) equality
+        // constraint whose nid side is projected away in the relax
+        // union's second child, and Union's constraint rewrite then
+        // fails analysis with "key not found: nid#...". Every round is
+        // materialized anyway, so the optimizer loses nothing here —
+        // disable propagation for the build only and restore after.
+        val cpKey = "spark.sql.constraintPropagation.enabled"
+        val cpSaved = s.conf.getOption(cpKey)
+        s.conf.set(cpKey, "false")
+        try {
+        val e0 = Io.table(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val sup = e0.as("a").join(e0.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("support")).filter(col("support") >= 2)
+          .select(col("pa"), col("pb"))
+        val edges = Q.materialize(s, d, "gcc_edges") {
+          sup.union(sup.select(col("pb"), col("pa"))).toDF("src", "dst")
+        }
+        var l = Q.materialize(s, d, "gcc_labels_0") {
+          edges.select(col("src").as("nid")).distinct()
+            .withColumn("rep", col("nid"))
+        }
+        // coalesce: the supported graph may be empty at tiny SFs —
+        // sum over zero rows is NULL, not 0
+        var prevSum = l.agg(coalesce(sum(col("rep")), lit(0L)))
+          .head.getLong(0)
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 30) {
+          val viaNbr = edges.join(l, edges("dst") === l("nid"))
+            .select(col("src").as("nid"), col("rep"))
+          val relaxed = l.select(col("nid"), col("rep")).union(viaNbr)
+            .groupBy(col("nid")).agg(min(col("rep")).as("rep"))
+          val jumped = relaxed.as("x")
+            .join(relaxed.select(col("nid").as("rn"), col("rep").as("rr")),
+              col("rep") === col("rn"), "left")
+            .select(col("nid"), coalesce(col("rr"), col("rep")).as("rep"))
+          l = Q.materialize(s, d, s"gcc_labels_${iter + 1}")(jumped)
+          val sumRep = l.agg(coalesce(sum(col("rep")), lit(0L)))
+            .head.getLong(0)
+          converged = sumRep == prevSum
+          prevSum = sumRep
+          iter += 1
+        }
+        l
+        } finally {
+          cpSaved match {
+            case Some(v) => s.conf.set(cpKey, v)
+            case None => s.conf.unset(cpKey)
+          }
+        }
+      }
+      labels.groupBy(col("rep")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+        .orderBy("size")
+    }, Some(
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |sup AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM e0 a JOIN e0 b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |edges AS (SELECT pa AS src, pb AS dst FROM sup
+        |          UNION ALL SELECT pb, pa FROM sup),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |rep AS (
+        |  SELECT n.nid, LEAST(n.nid, MIN(r.b)) AS rep
+        |  FROM (SELECT DISTINCT src AS nid FROM edges) n
+        |  JOIN reach r ON r.a = n.nid
+        |  GROUP BY n.nid),
+        |comp AS (SELECT rep, COUNT(*) AS size FROM rep GROUP BY rep)
+        |SELECT size, COUNT(*) AS n_components FROM comp
+        |GROUP BY size ORDER BY size""".stripMargin))
   )
 }
