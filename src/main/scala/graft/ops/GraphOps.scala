@@ -35,27 +35,34 @@ object GraphOps {
     c.cast(DecimalType(38, 6)).cast("double")
   private def dSnap6(x: String) = s"CAST(CAST($x AS DECIMAL(38,6)) AS DOUBLE)"
 
-  /** Distinct undirected co-purchase edges (pa < pb), memoized per
-    * corpus: one distinct-projection shuffle on `l_orderkey`, one
-    * order-keyed self-join (per-key fanout bounded by order size), one
-    * distinct on the pair. All three graph queries consume this one
-    * artifact — built once per Verify/Bench session. */
-  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
-    Q.memoized(s, d, "copurchaseEdges") {
+  /** Undirected co-purchase pairs (pa < pb) WITH their support (number
+    * of distinct orders containing both), memoized per corpus: one
+    * distinct-projection shuffle on `l_orderkey`, one order-keyed
+    * self-join (per-key fanout bounded by order size), one pair-keyed
+    * count. Every graph query consumes this ONE artifact — the full
+    * graph (any support) for degree/triangles/pagerank/similarity, the
+    * support-pruned slice for connected components — so the expensive
+    * pair expansion is built once per Verify/Bench session. */
+  private def copurchasePairs(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "copurchasePairs") {
       val e0 = Io.table(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       e0.as("a").join(e0.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-        .distinct()
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("support"))
     }
 
-  /** Oracle twin of [[copurchaseEdges]] (CTE prefix `pairs`). */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    copurchasePairs(s, d).select(col("pa"), col("pb"))
+
+  /** Oracle twin of [[copurchasePairs]] (CTE prefix `pairs`; the
+    * `support` column is ignored by consumers of the full graph). */
   private val pairsSql =
     """WITH e0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |pairs AS (
-      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
       |  FROM e0 a JOIN e0 b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2)""".stripMargin
@@ -169,36 +176,47 @@ object GraphOps {
          |ORDER BY pr DESC, node LIMIT 20""".stripMargin
     }),
 
-    // Neighbor-set similarity: for every part pair sharing at least one
-    // co-purchase neighbor, Jaccard of neighbor sets = cn/(da+db-cn),
-    // top 20. The wedge join (edges ⋈ edges on the shared mid node) has
-    // the same per-task fanout bound as triangle counting — C(deg, 2)
-    // of the pivot — and everything downstream is a keyed hash-agg plus
-    // two degree joins. The ratio divides exact integers, so the
-    // doubles are engine-identical and the DESC order is stable; pa/pb
-    // break residual ties.
+    // Neighbor-set similarity on the SUPPORTED co-purchase graph
+    // (pairs co-bought in ≥ 2 distinct orders): Jaccard of repeat-
+    // co-purchase neighbor sets, top 20. Support pruning is what makes
+    // both the semantics and the scale work — the raw co-purchase
+    // graph is uniformly dense (avg degree ~100 at every SF here, no
+    // outlier hubs, 148M wedges at sf0.1), so one-off co-occurrence
+    // noise must go BEFORE the wedge census; on the pruned graph the
+    // wedge join is Σ C(deg,2) of support-filtered degrees, and the
+    // support threshold is the dial that bounds it on denser data.
+    // One keyed wedge equi-join + hash-agg + two degree joins; the
+    // ratio divides exact integers, so the doubles are engine-
+    // identical and the DESC order is stable.
     Q("i_graph_neighbor_sim", (s, d) => {
-      val (edges, deg) = degrees(s, d)
-      val cn = edges.as("x").join(edges.as("y"),
+      val sup = copurchasePairs(s, d).filter(col("support") >= 2)
+      val se = sup.select(col("pa").as("src"), col("pb").as("dst"))
+        .union(sup.select(col("pb").as("src"), col("pa").as("dst")))
+      val sdeg = se.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val cn = se.as("x").join(se.as("y"),
           col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
         .groupBy(col("x.dst").as("pa"), col("y.dst").as("pb"))
         .agg(count(lit(1)).as("cn"))
-      cn.join(deg.select(col("node").as("pa"), col("deg").as("deg_a")), "pa")
-        .join(deg.select(col("node").as("pb"), col("deg").as("deg_b")), "pb")
+      cn.join(sdeg.select(col("node").as("pa"), col("deg").as("deg_a")), "pa")
+        .join(sdeg.select(col("node").as("pb"), col("deg").as("deg_b")), "pb")
         .withColumn("jac", col("cn") /
           (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
         .orderBy(col("jac").desc, col("pa"), col("pb")).limit(20)
         .select(col("pa"), col("pb"), col("cn"), col("deg_a"), col("deg_b"),
           snap6(col("jac")).as("jaccard"))
     }, Some(
-      s"""$degSql,
+      s"""$pairsSql,
+         |sup AS (SELECT pa, pb FROM pairs WHERE support >= 2),
+         |se AS (SELECT pa AS src, pb AS dst FROM sup
+         |       UNION ALL SELECT pb, pa FROM sup),
+         |sdeg AS (SELECT src AS node, COUNT(*) AS deg FROM se GROUP BY 1),
          |cn AS (SELECT x.dst AS pa, y.dst AS pb, COUNT(*) AS cn
-         |       FROM edges x JOIN edges y
+         |       FROM se x JOIN se y
          |         ON x.src = y.src AND x.dst < y.dst
          |       GROUP BY 1, 2)
          |SELECT pa, pb, cn, da.deg AS deg_a, db.deg AS deg_b,
          |  ${dSnap6("cn / CAST(da.deg + db.deg - cn AS DOUBLE)")} AS jaccard
-         |FROM cn JOIN deg da ON da.node = pa JOIN deg db ON db.node = pb
+         |FROM cn JOIN sdeg da ON da.node = pa JOIN sdeg db ON db.node = pb
          |ORDER BY cn / CAST(da.deg + db.deg - cn AS DOUBLE) DESC, pa, pb
          |LIMIT 20""".stripMargin)),
 
@@ -227,13 +245,7 @@ object GraphOps {
         val cpSaved = s.conf.getOption(cpKey)
         s.conf.set(cpKey, "false")
         try {
-        val e0 = Io.table(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val sup = e0.as("a").join(e0.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-          .agg(count(lit(1)).as("support")).filter(col("support") >= 2)
+        val sup = copurchasePairs(s, d).filter(col("support") >= 2)
           .select(col("pa"), col("pb"))
         val edges = Q.materialize(s, d, "gcc_edges") {
           sup.union(sup.select(col("pb"), col("pa"))).toDF("src", "dst")
@@ -276,13 +288,8 @@ object GraphOps {
         .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
         .orderBy("size")
     }, Some(
-      """WITH RECURSIVE e0 AS (
-        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |sup AS (
-        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
-        |  FROM e0 a JOIN e0 b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      s"""${pairsSql.replace("WITH ", "WITH RECURSIVE ")},
+        |sup AS (SELECT pa, pb FROM pairs WHERE support >= 2),
         |edges AS (SELECT pa AS src, pb AS dst FROM sup
         |          UNION ALL SELECT pb, pa FROM sup),
         |reach(a, b) AS (
