@@ -19,17 +19,26 @@ object Bench {
     // generated source, so each query's operators must compile once).
     // Standard steady-state benchmarking; BASELINE.md documents it.
     val warmDir = "/root/testdata/sf0.001"
+    val nQueries = SparkEntry.queries.size
+    var warmed = 0
+    var deadlineHit = false
     if (new java.io.File(warmDir).isDirectory) {
       // bounded: never let warm-up push the whole bench past a harness
       // timeout — un-warmed queries just pay their own compile once.
       // The sweep runs CONCURRENTLY (Spark schedules jobs from many
       // driver threads fine): warm-up only needs each query's generated
       // code compiled once, and at sf0.001 execution is trivial, so 8
-      // in-flight queries overlap Janino compilation and the full
-      // 140-query sweep finishes well inside the deadline — round 3's
-      // serial sweep hit the deadline with the t_* family still cold,
-      // which showed up as +2–3 s of compile time on their timed runs.
-      val warmDeadline = System.nanoTime() + 240L * 1000000000L
+      // in-flight queries overlap Janino compilation. The deadline is
+      // sized per-query (deliberately generous — ~2.8 s/query at the
+      // 213-query inventory): round 3's serial sweep AND round 5's flat
+      // 240 s deadline both cut the sweep short as the inventory grew,
+      // and the un-warmed tail paid Janino compile inside its timed
+      // runs (t_q01/t_q03/t_q04 at ~4× their warmed cost in r5). The
+      // warmed/deadline_hit counters land in target/bench_full.json so
+      // a future regression separates compile tax from execution time
+      // without forensics.
+      val warmDeadline = System.nanoTime() +
+        math.max(300L, nQueries * 3L) * 1000000000L
       val queue = new java.util.concurrent.ConcurrentLinkedQueue[
         (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
       // heaviest families first, so if the deadline cuts the sweep short
@@ -39,17 +48,29 @@ object Bench {
           (if (n.startsWith("h_") || n.startsWith("t_")) 0 else 1, n)
         }
         .foreach { case (n, fn) => queue.add((n, fn)) }
+      val warmedCtr = new java.util.concurrent.atomic.AtomicInteger(0)
+      val deadlineFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
       val workers = (1 to 8).map { _ =>
         new Thread(() => {
           var next = queue.poll()
-          while (next != null && System.nanoTime() < warmDeadline) {
-            try next._2(spark, warmDir).count() catch { case _: Throwable => () }
-            next = queue.poll()
+          while (next != null) {
+            if (System.nanoTime() >= warmDeadline) {
+              deadlineFlag.set(true)
+              next = null
+            } else {
+              try next._2(spark, warmDir).count() catch { case _: Throwable => () }
+              warmedCtr.incrementAndGet()
+              next = queue.poll()
+            }
           }
         })
       }
       workers.foreach(_.start())
       workers.foreach(_.join())
+      warmed = warmedCtr.get()
+      deadlineHit = deadlineFlag.get()
+      System.err.println(
+        s"[bench] warmed $warmed/$nQueries (deadline_hit=$deadlineHit)")
     } else {
       try {
         SparkEntry.queries.get("c_join_5way").foreach(_(spark, sfDir).count())
@@ -80,7 +101,9 @@ object Bench {
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(dir.resolve("bench_full.json"),
-        s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}"""
+        (s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir",""" +
+          s""""warmed":$warmed,"n_queries":$nQueries,""" +
+          s""""deadline_hit":$deadlineHit}""")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     val headline = Seq("t_q01", "t_q05", "t_q18", "c_join_5way",

@@ -13,7 +13,7 @@ object ProbeTq {
     for (q <- Seq("t_q02", "t_q09", "t_q11", "t_q12", "t_q16", "t_q20", "t_q21")) {
       val df = SparkEntry.queries(q)(spark, d)
       val t0 = System.nanoTime(); val n = df.count()
-      println(s"== $q rows=$n  ${(System.nanoTime()-t0)/1e9}%.2f s")
+      println(f"== $q rows=$n  ${(System.nanoTime()-t0)/1e9}%.2f s")
       val plan = df.queryExecution.executedPlan.toString
       val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
       if (bad.nonEmpty) println(s"   ANTIPATTERN: ${bad.mkString(",")}")

@@ -349,44 +349,14 @@ object DedupOps {
     val edges = Q.materialize(s, d, "cc_edges") {
       pairs.union(pairs.select(col("nb"), col("na"))).toDF("src", "dst")
     }
-    var labels = Q.materialize(s, d, "cc_labels_0") {
+    // the propagation loop itself (relax + pointer jump + per-round
+    // materialization + batched convergence probe) lives in the shared
+    // CcEngine — the co-purchase graph components (GraphOps i_graph_cc)
+    // run the same code path on their own node/edge tables.
+    val labels0 = Q.materialize(s, d, "cc_labels_0") {
       nodes.select(col("nid")).withColumn("rep", col("nid"))
     }
-    var prevSum = labels.agg(sum(col("rep"))).head.getLong(0)
-    var converged = false
-    var iter = 0
-    // One propagation step: relax labels across edges, then pointer-jump
-    // (rep := rep's rep) so label distance doubles per step —
-    // O(log diameter) materialized rounds instead of O(diameter).
-    // (A double jump was tried and did not reduce the round count on
-    // this graph — min-label relaxation over edges, not rep-chain
-    // depth, is what binds convergence here.)
-    def step(l: DataFrame): DataFrame = {
-      val viaNbr = edges.join(l, edges("dst") === l("nid"))
-        .select(col("src").as("nid"), col("rep"))
-      val relaxed = l.select(col("nid"), col("rep")).union(viaNbr)
-        .groupBy(col("nid")).agg(min(col("rep")).as("rep"))
-      relaxed.as("x")
-        .join(relaxed.select(col("nid").as("r_nid"), col("rep").as("r_rep")),
-          col("rep") === col("r_nid"), "left")
-        .select(col("nid"), coalesce(col("r_rep"), col("rep")).as("rep"))
-    }
-    while (!converged && iter < 30) {
-      // per-round materialization truncates the iterative lineage; in
-      // parquet mode each round's labels land in the store, so a lost
-      // executor replays at most one propagation round.
-      labels = Q.materialize(s, d, s"cc_labels_${iter + 1}") { step(labels) }
-      // the sum-of-reps action is pure convergence detection — cheap
-      // (the labels table is already materialized) next to a wasted
-      // propagation round, so check every round: near-dup components
-      // are clique-like and typically converge after 1-2 pointer-jump
-      // rounds.
-      val sumRep = labels.agg(sum(col("rep"))).head.getLong(0)
-      converged = sumRep == prevSum
-      prevSum = sumRep
-      iter += 1
-      if (converged) System.err.println(s"[cc] converged after $iter rounds")
-    }
+    val labels = CcEngine.propagate(s, d, "cc", edges, labels0)
     t.join(nodes, Seq("lang", "mask")).join(labels, "nid")
       .select(col("doc_id"), col("rep"))
   }

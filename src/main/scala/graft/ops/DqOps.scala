@@ -281,7 +281,9 @@ object DqOps {
         s"""SELECT '$rel' AS relation, COUNT(*) AS n_child_rows,
            |  CAST(SUM(CASE WHEN p.$pkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            |    AS n_orphans
-           |FROM $child c LEFT JOIN $parent p ON c.$key = p.$pkey""".stripMargin
+           |FROM $child c
+           |LEFT JOIN (SELECT DISTINCT $pkey FROM $parent) p
+           |  ON c.$key = p.$pkey""".stripMargin
       Seq(
         one("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
         one("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),

@@ -10,10 +10,17 @@ import org.apache.spark.sql.types.DecimalType
   * projection is order-keyed — each order expands to C(items, 2) pairs,
   * bounded by the per-order line count (≤ 7 in TPC-H-shaped data), so
   * the edge build shuffles once on `l_orderkey` and never goes
-  * quadratic in parts. Degree distribution, ordered triangle counting
-  * and fixed-iteration PageRank are all equi-join + hash-agg shapes on
-  * the shared, memoized edge table — no broadcast of anything
-  * data-sized, no driver-side iteration state beyond the 5-step loop.
+  * quadratic in parts. Degree distribution and fixed-iteration PageRank
+  * run on the full graph; triangle counting, neighbor similarity and
+  * connected components run on the SUPPORTED graph (pairs co-purchased
+  * in ≥ 2 distinct orders) — the raw graph is uniformly dense one-off
+  * co-occurrence noise (avg degree ~100 at every SF here, 148M wedges
+  * at sf0.1), so support pruning is both the semantic filter AND the
+  * dial that bounds the wedge joins on denser data. All queries are
+  * equi-join + hash-agg shapes over shared, memoized AND materialized
+  * artifacts (the pair table builds once per session/corpus, each
+  * derived table at most once more) — no broadcast of anything
+  * data-sized, no driver-side iteration state beyond the loop counters.
   */
 object GraphOps {
 
@@ -36,24 +43,28 @@ object GraphOps {
   private def dSnap6(x: String) = s"CAST(CAST($x AS DECIMAL(38,6)) AS DOUBLE)"
 
   /** Undirected co-purchase pairs (pa < pb) WITH their support (number
-    * of distinct orders containing both), memoized per corpus: one
-    * distinct-projection shuffle on `l_orderkey`, one order-keyed
-    * self-join (per-key fanout bounded by order size), one pair-keyed
-    * count. Every graph query consumes this ONE artifact — the full
-    * graph (any support) for degree/triangles/pagerank/similarity, the
-    * support-pruned slice for connected components — so the expensive
-    * pair expansion is built once per Verify/Bench session. */
+    * of distinct orders containing both), memoized AND materialized per
+    * corpus: one distinct-projection shuffle on `l_orderkey`, one
+    * order-keyed self-join (per-key fanout bounded by order size), one
+    * pair-keyed count — then checkpointed, so the expensive pair
+    * expansion executes exactly once per Verify/Bench session and every
+    * downstream consumer (5 graph queries × their iterations) reads the
+    * stored table instead of re-running the self-join. */
   private def copurchasePairs(s: SparkSession, d: String): DataFrame =
     Q.memoized(s, d, "copurchasePairs") {
-      val e0 = Io.table(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      e0.as("a").join(e0.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-        .agg(count(lit(1)).as("support"))
+      Q.materialize(s, d, "copurchasePairs") {
+        val e0 = Io.table(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        e0.as("a").join(e0.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("support"))
+      }
     }
 
+  /** Full-graph (any support) undirected pairs — a narrow projection of
+    * the materialized pair table, cheap to recompute per consumer. */
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
     copurchasePairs(s, d).select(col("pa"), col("pb"))
 
@@ -67,13 +78,22 @@ object GraphOps {
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2)""".stripMargin
 
-  /** Both-direction edge list + per-node degree, as DataFrames. */
-  private def degrees(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** Both-direction full-graph edge list (narrow over the materialized
+    * pair table) + per-node degree (one shuffle, memoized+materialized
+    * — PageRank alone reads it 11 times across its iterations). */
+  private def fullEdges(s: SparkSession, d: String): DataFrame = {
     val p = copurchaseEdges(s, d)
-    val edges = p.select(col("pa").as("src"), col("pb").as("dst"))
+    p.select(col("pa").as("src"), col("pb").as("dst"))
       .union(p.select(col("pb").as("src"), col("pa").as("dst")))
-    (edges, edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
   }
+
+  private def fullDeg(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "gDeg") {
+      Q.materialize(s, d, "gDeg") {
+        fullEdges(s, d).groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+      }
+    }
 
   private val degSql =
     s"""$pairsSql,
@@ -81,32 +101,69 @@ object GraphOps {
        |          UNION ALL SELECT pb, pa FROM pairs),
        |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1)""".stripMargin
 
+  /** Supported-graph (support ≥ 2) artifacts shared by triangles,
+    * neighbor similarity and connected components: symmetric edge list
+    * (materialized — CC joins it every propagation round) and its
+    * degree table. */
+  private def supPairs(s: SparkSession, d: String): DataFrame =
+    copurchasePairs(s, d).filter(col("support") >= 2)
+      .select(col("pa"), col("pb"))
+
+  private def supEdges(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "gSupEdges") {
+      Q.materialize(s, d, "gSupEdges") {
+        val sp = supPairs(s, d)
+        sp.union(sp.select(col("pb"), col("pa"))).toDF("src", "dst")
+      }
+    }
+
+  private def supDeg(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "gSupDeg") {
+      Q.materialize(s, d, "gSupDeg") {
+        supEdges(s, d).groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+      }
+    }
+
+  /** Oracle twin of the supported-graph artifacts (CTEs `sup`,
+    * `sedges`, `sdeg`). */
+  private val supSql =
+    s"""$pairsSql,
+       |sup AS (SELECT pa, pb FROM pairs WHERE support >= 2),
+       |sedges AS (SELECT pa AS src, pb AS dst FROM sup
+       |           UNION ALL SELECT pb, pa FROM sup),
+       |sdeg AS (SELECT src AS node, COUNT(*) AS deg FROM sedges GROUP BY 1)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Degree distribution of the co-purchase graph: how many parts have
-    // each co-purchase degree. Two hash-aggs over the shared edge
+    // each co-purchase degree. Two hash-aggs over the shared degree
     // artifact — at 100 TB this is the standard two-shuffle degree
     // histogram (node key, then degree key), both with map-side combine.
     Q("i_graph_degree", (s, d) => {
-      val (_, deg) = degrees(s, d)
-      deg.groupBy(col("deg").as("degree")).agg(count(lit(1)).as("n_nodes"))
+      fullDeg(s, d).groupBy(col("deg").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
         .orderBy("degree")
     }, Some(
       s"""$degSql
          |SELECT deg AS degree, COUNT(*) AS n_nodes FROM deg
          |GROUP BY 1 ORDER BY degree""".stripMargin)),
 
-    // Ordered triangle counting + global clustering coefficient. The
+    // Ordered triangle counting + global clustering coefficient on the
+    // SUPPORTED co-purchase graph (repeat co-purchases only — one-off
+    // co-occurrence noise is pruned BEFORE the wedge join, which is
+    // what bounds it: wedges are Σ C(deg, 2) over support-filtered
+    // degrees, and the support threshold is the dial on denser data;
+    // the unpruned graph shuffles 148M wedges of noise at sf0.1). The
     // (a<b<c) orientation makes each triangle counted exactly once:
-    // wedges join the pair table to itself on the SMALLEST vertex
-    // (per-task fanout = C(higher-degree, 2) of the pivot, the classic
-    // distributed triangle scheme), then one equi-join against the pair
-    // table closes them. Wedge totals come from the degree table alone.
-    // Everything is an equi-join on graph keys — shuffle, not
-    // broadcast, so it holds when the edge table is data-sized.
+    // wedges join the pair table to itself on the SMALLEST vertex (the
+    // classic distributed triangle scheme), then one equi-join against
+    // the pair table closes them. Wedge totals come from the degree
+    // table alone. Everything is an equi-join on graph keys — shuffle,
+    // not broadcast, so it holds when the edge table is data-sized.
     Q("i_graph_triangles", (s, d) => {
-      val p = copurchaseEdges(s, d)
-      val (_, deg) = degrees(s, d)
+      val p = supPairs(s, d)
+      val deg = supDeg(s, d)
       val tri = p.as("e1").join(p.as("e2"),
           col("e1.pa") === col("e2.pa") && col("e1.pb") < col("e2.pb"))
         .select(col("e1.pb").as("pa"), col("e2.pb").as("pb"))
@@ -120,16 +177,16 @@ object GraphOps {
           col("n_triangles"),
           snap6(lit(3.0) * col("n_triangles") / col("n_wedges")).as("global_cc"))
     }, Some(
-      s"""$degSql,
+      s"""$supSql,
          |w AS (SELECT col1.pb AS pa, col2.pb AS pb
-         |      FROM pairs col1 JOIN pairs col2
+         |      FROM sup col1 JOIN sup col2
          |        ON col1.pa = col2.pa AND col1.pb < col2.pb),
          |tri AS (SELECT COUNT(*) AS n_triangles
-         |        FROM w JOIN pairs USING (pa, pb)),
+         |        FROM w JOIN sup USING (pa, pb)),
          |st AS (SELECT COUNT(*) AS n_nodes,
          |         CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges,
          |         CAST(SUM(deg) / 2 AS BIGINT) AS n_edges
-         |       FROM deg)
+         |       FROM sdeg)
          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
          |  ${dSnap6("3.0 * n_triangles / n_wedges")} AS global_cc
          |FROM st CROSS JOIN tri""".stripMargin)),
@@ -143,9 +200,19 @@ object GraphOps {
     // snapped at 1e-12, so 5 rounds cannot drift apart; the scalar
     // update (0.15/n + 0.85*s) is written in the same association order
     // in both engines. Every graph node has degree ≥ 1 (it exists
-    // because of an edge), so the inner join loses no mass.
+    // because of an edge), so the inner join loses no mass. Accepted
+    // risk: the per-edge pr/deg double is cast to DECIMAL(38,18) before
+    // summing, and a quotient landing within a double ulp of a 1e-18
+    // midpoint could round apart in the two engines — snapping the
+    // contribution at a coarser grid was tried and merely MOVED the
+    // knife edge (it shifted the sums onto a 1e-12 half-up boundary and
+    // broke parity at sf0.01), so the 1e-18 accumulation stands: the
+    // per-iteration 1e-12 rank snap re-aligns both engines every round,
+    // making a persistent divergence require a midpoint hit in the
+    // final iteration specifically.
     Q("i_graph_pagerank", (s, d) => {
-      val (edges, deg) = degrees(s, d)
+      val edges = fullEdges(s, d)
+      val deg = fullDeg(s, d)
       val nDf = deg.agg(count(lit(1)).cast("double").as("n"))
       var pr = deg.crossJoin(broadcast(nDf))
         .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("pr"))
@@ -176,23 +243,14 @@ object GraphOps {
          |ORDER BY pr DESC, node LIMIT 20""".stripMargin
     }),
 
-    // Neighbor-set similarity on the SUPPORTED co-purchase graph
-    // (pairs co-bought in ≥ 2 distinct orders): Jaccard of repeat-
-    // co-purchase neighbor sets, top 20. Support pruning is what makes
-    // both the semantics and the scale work — the raw co-purchase
-    // graph is uniformly dense (avg degree ~100 at every SF here, no
-    // outlier hubs, 148M wedges at sf0.1), so one-off co-occurrence
-    // noise must go BEFORE the wedge census; on the pruned graph the
-    // wedge join is Σ C(deg,2) of support-filtered degrees, and the
-    // support threshold is the dial that bounds it on denser data.
-    // One keyed wedge equi-join + hash-agg + two degree joins; the
-    // ratio divides exact integers, so the doubles are engine-
-    // identical and the DESC order is stable.
+    // Neighbor-set similarity on the SUPPORTED co-purchase graph:
+    // Jaccard of repeat-co-purchase neighbor sets, top 20. One keyed
+    // wedge equi-join + hash-agg + two degree joins over the shared
+    // supported-graph artifacts; the ratio divides exact integers, so
+    // the doubles are engine-identical and the DESC order is stable.
     Q("i_graph_neighbor_sim", (s, d) => {
-      val sup = copurchasePairs(s, d).filter(col("support") >= 2)
-      val se = sup.select(col("pa").as("src"), col("pb").as("dst"))
-        .union(sup.select(col("pb").as("src"), col("pa").as("dst")))
-      val sdeg = se.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val se = supEdges(s, d)
+      val sdeg = supDeg(s, d)
       val cn = se.as("x").join(se.as("y"),
           col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
         .groupBy(col("x.dst").as("pa"), col("y.dst").as("pb"))
@@ -205,13 +263,9 @@ object GraphOps {
         .select(col("pa"), col("pb"), col("cn"), col("deg_a"), col("deg_b"),
           snap6(col("jac")).as("jaccard"))
     }, Some(
-      s"""$pairsSql,
-         |sup AS (SELECT pa, pb FROM pairs WHERE support >= 2),
-         |se AS (SELECT pa AS src, pb AS dst FROM sup
-         |       UNION ALL SELECT pb, pa FROM sup),
-         |sdeg AS (SELECT src AS node, COUNT(*) AS deg FROM se GROUP BY 1),
+      s"""$supSql,
          |cn AS (SELECT x.dst AS pa, y.dst AS pb, COUNT(*) AS cn
-         |       FROM se x JOIN se y
+         |       FROM sedges x JOIN sedges y
          |         ON x.src = y.src AND x.dst < y.dst
          |       GROUP BY 1, 2)
          |SELECT pa, pb, cn, da.deg AS deg_a, db.deg AS deg_b,
@@ -220,85 +274,36 @@ object GraphOps {
          |ORDER BY cn / CAST(da.deg + db.deg - cn AS DOUBLE) DESC, pa, pb
          |LIMIT 20""".stripMargin)),
 
-    // Connected components of the SUPPORTED co-purchase graph (pairs
-    // co-purchased in ≥ 2 distinct orders — the support filter prunes
-    // one-off co-occurrence noise and is what makes the component
-    // structure meaningful). Spark side is the general distributed CC:
-    // min-label propagation with pointer jumping, one keyed join + one
-    // hash-agg per round, per-round materialization truncating the
-    // iterative lineage (O(log diameter) rounds — scales to any graph
-    // the pair table itself fits). The oracle recomputes components by
-    // recursive-CTE transitive closure over the same (small, supported)
-    // edge set. Output is the component-size histogram — stable under
-    // any label assignment, so the iterative algorithm's internal
-    // nondeterminism cannot leak into the checked result.
+    // Connected components of the SUPPORTED co-purchase graph, via the
+    // shared CcEngine (the same min-label-propagation + pointer-jumping
+    // implementation the near-dup document clustering runs on — see
+    // CcEngine.scala for the scale analysis). The oracle recomputes
+    // components by recursive-CTE transitive closure over the same
+    // (small, supported) edge set. Output is the component-size
+    // histogram — stable under any label assignment, so the iterative
+    // algorithm's internal nondeterminism cannot leak into the checked
+    // result.
     Q("i_graph_cc", (s, d) => {
       val labels = Q.memoized(s, d, "gccLabels") {
-        // Constraint propagation trips over the label/edge self-union:
-        // the checkpointed labels table carries an (rep = nid) equality
-        // constraint whose nid side is projected away in the relax
-        // union's second child, and Union's constraint rewrite then
-        // fails analysis with "key not found: nid#...". Every round is
-        // materialized anyway, so the optimizer loses nothing here —
-        // disable propagation for the build only and restore after.
-        val cpKey = "spark.sql.constraintPropagation.enabled"
-        val cpSaved = s.conf.getOption(cpKey)
-        s.conf.set(cpKey, "false")
-        try {
-        val sup = copurchasePairs(s, d).filter(col("support") >= 2)
-          .select(col("pa"), col("pb"))
-        val edges = Q.materialize(s, d, "gcc_edges") {
-          sup.union(sup.select(col("pb"), col("pa"))).toDF("src", "dst")
-        }
-        var l = Q.materialize(s, d, "gcc_labels_0") {
+        val edges = supEdges(s, d)
+        val l0 = Q.materialize(s, d, "gcc_labels_0") {
           edges.select(col("src").as("nid")).distinct()
             .withColumn("rep", col("nid"))
         }
-        // coalesce: the supported graph may be empty at tiny SFs —
-        // sum over zero rows is NULL, not 0
-        var prevSum = l.agg(coalesce(sum(col("rep")), lit(0L)))
-          .head.getLong(0)
-        var converged = false
-        var iter = 0
-        while (!converged && iter < 30) {
-          val viaNbr = edges.join(l, edges("dst") === l("nid"))
-            .select(col("src").as("nid"), col("rep"))
-          val relaxed = l.select(col("nid"), col("rep")).union(viaNbr)
-            .groupBy(col("nid")).agg(min(col("rep")).as("rep"))
-          val jumped = relaxed.as("x")
-            .join(relaxed.select(col("nid").as("rn"), col("rep").as("rr")),
-              col("rep") === col("rn"), "left")
-            .select(col("nid"), coalesce(col("rr"), col("rep")).as("rep"))
-          l = Q.materialize(s, d, s"gcc_labels_${iter + 1}")(jumped)
-          val sumRep = l.agg(coalesce(sum(col("rep")), lit(0L)))
-            .head.getLong(0)
-          converged = sumRep == prevSum
-          prevSum = sumRep
-          iter += 1
-        }
-        l
-        } finally {
-          cpSaved match {
-            case Some(v) => s.conf.set(cpKey, v)
-            case None => s.conf.unset(cpKey)
-          }
-        }
+        CcEngine.propagate(s, d, "gcc", edges, l0)
       }
       labels.groupBy(col("rep")).agg(count(lit(1)).as("size"))
         .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
         .orderBy("size")
     }, Some(
-      s"""${pairsSql.replace("WITH ", "WITH RECURSIVE ")},
-        |sup AS (SELECT pa, pb FROM pairs WHERE support >= 2),
-        |edges AS (SELECT pa AS src, pb AS dst FROM sup
-        |          UNION ALL SELECT pb, pa FROM sup),
+      s"""${supSql.replace("WITH ", "WITH RECURSIVE ")},
         |reach(a, b) AS (
-        |  SELECT src, dst FROM edges
+        |  SELECT src, dst FROM sedges
         |  UNION
-        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |  SELECT r.a, e.dst FROM reach r JOIN sedges e ON r.b = e.src),
         |rep AS (
         |  SELECT n.nid, LEAST(n.nid, MIN(r.b)) AS rep
-        |  FROM (SELECT DISTINCT src AS nid FROM edges) n
+        |  FROM (SELECT DISTINCT src AS nid FROM sedges) n
         |  JOIN reach r ON r.a = n.nid
         |  GROUP BY n.nid),
         |comp AS (SELECT rep, COUNT(*) AS size FROM rep GROUP BY rep)
