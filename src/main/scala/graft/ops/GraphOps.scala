@@ -274,6 +274,130 @@ object GraphOps {
          |ORDER BY cn / CAST(da.deg + db.deg - cn AS DOUBLE) DESC, pa, pb
          |LIMIT 20""".stripMargin)),
 
+    // 3-core of the SUPPORTED co-purchase graph: iteratively peel nodes
+    // with in-subgraph degree < 3 until fixpoint (the classic k-core
+    // decomposition at fixed k). Each peel round is one keyed equi-join
+    // pair (edge endpoints against the surviving node set) + one
+    // hash-agg — shuffles on graph keys only, nothing broadcast or
+    // driver-sized; per-round materialization truncates lineage exactly
+    // like CcEngine. Convergence = survivor count unchanged (the set
+    // shrinks monotonically, so count equality IS set equality, and the
+    // probe is a one-row aggregate). The oracle unrolls 14 peel rounds —
+    // peeling is a no-op past its fixpoint, so parity requires only
+    // that the graded corpora converge within 14 (ProbeGcc measures
+    // fixpoint at 1 / 10 / 2 rounds for sf0.001 / 0.01 / 0.1; the
+    // `[kcore]` stderr line makes the bound observable — raise the
+    // unroll if a denser corpus ever needs more). Output is the
+    // in-core degree histogram — set-determined, label-free.
+    Q("i_graph_kcore", (s, d) => {
+      val k = 3
+      val core = Q.memoized(s, d, "gKcore") {
+        val edges = supEdges(s, d)
+        var keep = Q.materialize(s, d, "gkc_0") {
+          supDeg(s, d).filter(col("deg") >= k)
+            .select(col("node"), col("deg").as("cdeg"))
+        }
+        var n = keep.count()
+        var converged = false
+        var it = 0
+        while (!converged && it < 20) {
+          val next = Q.materialize(s, d, s"gkc_${it + 1}") {
+            edges
+              .join(keep.select(col("node").as("ka")), col("src") === col("ka"))
+              .join(keep.select(col("node").as("kb")), col("dst") === col("kb"))
+              .groupBy(col("src").as("node")).agg(count(lit(1)).as("cdeg"))
+              .filter(col("cdeg") >= k)
+          }
+          val n2 = next.count()
+          converged = n2 == n
+          n = n2
+          keep = next
+          it += 1
+        }
+        // the oracle unrolls 8 peel rounds — a corpus needing more would
+        // silently diverge, so make the bound observable
+        System.err.println(s"[kcore] fixpoint after $it rounds ($n nodes)")
+        keep
+      }
+      core.groupBy(col("cdeg").as("core_deg"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("core_deg")
+    }, Some {
+      // AS MATERIALIZED: each kc is referenced twice by the next round's
+      // endpoint joins — DuckDB inlines plain CTEs, so 14 rounds would
+      // otherwise expand 2^14 copies of the whole chain ("too many open
+      // files" on the lineitem scan). Oracle-only dialect (Spark never
+      // executes this text).
+      val peel = (i: Int) =>
+        s"""kd$i AS MATERIALIZED (SELECT e.src AS node, COUNT(*) AS cdeg
+           |  FROM sedges e
+           |    JOIN kc${i - 1} a ON e.src = a.node
+           |    JOIN kc${i - 1} b ON e.dst = b.node
+           |  GROUP BY 1),
+           |kc$i AS MATERIALIZED (SELECT node, cdeg FROM kd$i WHERE cdeg >= 3)""".stripMargin
+      s"""$supSql,
+         |kc0 AS (SELECT node, deg AS cdeg FROM sdeg WHERE deg >= 3),
+         |${(1 to 14).map(peel).mkString(",\n")}
+         |SELECT cdeg AS core_deg, COUNT(*) AS n_nodes FROM kc14
+         |GROUP BY 1 ORDER BY core_deg""".stripMargin
+    }),
+
+    // Community detection on the SUPPORTED co-purchase graph:
+    // SYNCHRONOUS label propagation, 4 fixed iterations, deterministic
+    // tie-break (a node adopts the label most frequent among its
+    // neighbors; ties take the SMALLEST label) — synchronous updates +
+    // a total tie order make every iteration's labels engine-identical,
+    // so unlike stochastic LPA this is a checked quantity, not a
+    // heuristic. Each iteration is one edge-label equi-join + one
+    // (node, label) hash-agg + one node-keyed max window + one min agg:
+    // all shuffles on graph keys, the same 100 TB shape as PageRank
+    // (which fixes its iteration count for the same reason). Output is
+    // the community-size histogram.
+    Q("i_graph_community_lpa", (s, d) => {
+      val labels = Q.memoized(s, d, "gLpaLabels") {
+        val edges = supEdges(s, d)
+        val nodes = supDeg(s, d).select(col("node"))
+        var l = Q.materialize(s, d, "glpa_0") {
+          nodes.withColumn("lbl", col("node"))
+        }
+        for (i <- 1 to 4) {
+          val cnt = edges.join(l, edges("dst") === l("node"))
+            .groupBy(edges("src").as("n2"), col("lbl"))
+            .agg(count(lit(1)).as("cnt"))
+          val wMax = org.apache.spark.sql.expressions.Window.partitionBy(col("n2"))
+          val best = cnt.withColumn("mx", max(col("cnt")).over(wMax))
+            .filter(col("cnt") === col("mx"))
+            .groupBy(col("n2")).agg(min(col("lbl")).as("nlbl"))
+          l = Q.materialize(s, d, s"glpa_$i") {
+            nodes.join(best, nodes("node") === best("n2"), "left")
+              .select(nodes("node"),
+                coalesce(col("nlbl"), nodes("node")).as("lbl"))
+          }
+        }
+        l
+      }
+      labels.groupBy(col("lbl")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
+        .orderBy("size")
+    }, Some {
+      val iter = (i: Int) =>
+        s"""lc$i AS (SELECT e.src AS node, l.lbl, COUNT(*) AS cnt
+           |  FROM sedges e JOIN lp${i - 1} l ON e.dst = l.node
+           |  GROUP BY 1, 2),
+           |lm$i AS (SELECT node, MIN(lbl) AS lbl
+           |  FROM (SELECT node, lbl, cnt, MAX(cnt) OVER (PARTITION BY node) AS mx
+           |        FROM lc$i)
+           |  WHERE cnt = mx GROUP BY node),
+           |lp$i AS (SELECT n.node, COALESCE(m.lbl, n.node) AS lbl
+           |  FROM (SELECT node FROM sdeg) n LEFT JOIN lm$i m ON m.node = n.node)""".stripMargin
+      s"""$supSql,
+         |lp0 AS (SELECT node, node AS lbl FROM sdeg),
+         |${(1 to 4).map(iter).mkString(",\n")}
+         |SELECT size, COUNT(*) AS n_communities
+         |FROM (SELECT lbl, COUNT(*) AS size FROM lp4 GROUP BY lbl)
+         |GROUP BY size ORDER BY size""".stripMargin
+    }),
+
     // Connected components of the SUPPORTED co-purchase graph, via the
     // shared CcEngine (the same min-label-propagation + pointer-jumping
     // implementation the near-dup document clustering runs on — see

@@ -208,6 +208,53 @@ object Streams {
       }
   }
 
+  case class Attr(user_id: Long, purch_id: Long, click_id: Long, lag_us: Long)
+
+  /** Streaming last-touch attribution (g_attribution_last_touch twin):
+    * one unioned click+purchase stream keyed by user; state is the
+    * user's recent-click set, bounded to the 1-hour attribution window
+    * behind the latest event time seen (the same state bound the
+    * stream-stream join form gets from its watermark). Each purchase
+    * emits at most one row — credited to the most recent in-window
+    * click, ties to the higher click id (the batch query's exact total
+    * order). Within a micro-batch rows process in event-time order with
+    * clicks before purchases at equal timestamps, because the batch
+    * join's window is c_ts <= p_ts INCLUSIVE; cross-batch late events
+    * would additionally need a watermark-bounded reorder buffer (out of
+    * scope — the parity test feeds time-ordered batches, the
+    * ewmaPerUser contract).
+    */
+  def lastTouchAttribution(events: Dataset[Ev]): Dataset[Attr] = {
+    import events.sparkSession.implicits._
+    val win = 3600000000L
+    events.filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Long)], Attr](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[List[(Long, Long)]]) =>
+          var clicks = state.getOption.getOrElse(Nil) // (ts_us, click_id)
+          var maxTs = clicks.foldLeft(0L)((m, c) => math.max(m, c._1))
+          val out = scala.collection.mutable.ListBuffer[Attr]()
+          rows.toSeq
+            .sortBy(e => (e.ts_us, if (e.event_type == "purchase") 1 else 0, e.event_id))
+            .foreach { e =>
+              if (e.event_type == "click") {
+                clicks = (e.ts_us, e.event_id) :: clicks
+              } else {
+                val cand = clicks.filter(c => c._1 >= e.ts_us - win && c._1 <= e.ts_us)
+                if (cand.nonEmpty) {
+                  val best = cand.max // (ts, id) lexicographic = latest, then higher id
+                  out += Attr(user, e.event_id, best._2, e.ts_us - best._1)
+                }
+              }
+              maxTs = math.max(maxTs, e.ts_us)
+            }
+          clicks = clicks.filter(_._1 >= maxTs - win)
+          state.update(clicks)
+          out.iterator
+      }
+  }
+
   /** Typed multimodal "decode" over an opaque binary column: the
     * mapPartitions shape a real image/audio decoder plugs into (batch
     * per partition, library handle initialized once per partition — the

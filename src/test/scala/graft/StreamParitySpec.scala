@@ -189,6 +189,45 @@ class StreamParitySpec extends AnyFunSuite {
       "no null-matched outer rows — the outer semantics were never exercised")
   }
 
+  test("stateful last-touch attribution: stream == checked batch query") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // two time-ordered batches (the stateful twin's documented feed
+    // contract) so the click state must SURVIVE a micro-batch boundary:
+    // split exactly between a known credited click and its purchase so
+    // a batch-2 purchase provably credits a batch-1 click
+    val batchRows = Registry.queries("g_attribution_last_touch")(spark, sf)
+      .select("user_id", "purch_id", "click_id", "lag_us").collect()
+    val pivot = batchRows.filter(_.getLong(3) > 0).maxBy(_.getLong(3))
+    val pTs = evRows.find(_.event_id == pivot.getLong(1)).get.ts_us
+    val ordered = evRows
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .sortBy(e => (e.ts_us, e.event_id))
+    val (b1, b2) = ordered.partition(_.ts_us < pTs)
+    val mem = MemoryStream[Ev]
+    val q = Streams.lastTouchAttribution(mem.toDS())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(b1)
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("attr")
+    val batch = Registry.queries("g_attribution_last_touch")(spark, sf)
+      .select("user_id", "purch_id", "click_id", "lag_us")
+    assert(rows(stream) === rows(batch))
+    assert(stream.count() > 0)
+    // the state bound actually bit: batch-2 purchases must have credited
+    // at least one batch-1 click for the boundary to be exercised
+    val b1Clicks = b1.filter(_.event_type == "click").map(_.event_id).toSet
+    val b2Purch = b2.filter(_.event_type == "purchase").map(_.event_id).toSet
+    val crossBoundary = stream.collect()
+      .count(r => b2Purch(r.getLong(1)) && b1Clicks(r.getLong(2)))
+    assert(crossBoundary > 0, "no batch-2 purchase credited a batch-1 click")
+  }
+
   test("watermark drops events later than the watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
