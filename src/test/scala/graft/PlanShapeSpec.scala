@@ -373,6 +373,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("derived ps catalog is a materialized artifact, not a per-reference rebuild") {
+    // q02 references ps twice (main block + correlated subquery) and
+    // q11 derives v from it twice (grouped value + scalar mean). With
+    // the catalog materialized once per corpus, NEITHER query's
+    // executed plan may rebuild it from lineitem — the references scan
+    // the artifact (ExistingRDD in local store mode, a parquet artifact
+    // scan in cluster mode; both spellings are store-dependent, so the
+    // pin is the absence of the lineitem scan).
+    for (q <- Seq("t_q02", "t_q11")) {
+      val p = plan(q)
+      assert(!p.contains("lineitem"), s"$q rebuilt the ps catalog from lineitem")
+    }
+  }
+
   test("graph family: triangles and pagerank stay on keyed equi-joins") {
     // the co-purchase edge table is data-sized — a fallback to
     // cartesian/nested-loop in the wedge-close join or the rank-mass
