@@ -34,5 +34,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the bench session holds the timed pass's memoized
+  // artifacts (checkpoint blocks) on top of 32-thread execution memory;
+  // 8g ran the r5 timed pass into GC/block-eviction pressure. The host
+  // has 128 GiB; a real cluster sizes executor memory the same way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Throughput collector: the bench is a batch workload (no latency
+  // SLO) and G1's concurrent cycles showed up as multi-second pauses
+  // scattered over individual timed queries (a 0.3 s windowed agg
+  // measuring 3.5 s). Parallel GC trades pause predictability for
+  // throughput, which is exactly the right trade here and on batch
+  // Spark executors generally.
+  "-XX:+UseParallelGC",
 )

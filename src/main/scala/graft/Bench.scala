@@ -77,10 +77,14 @@ object Bench {
         SparkEntry.queries.get("e_win_rank").foreach(_(spark, sfDir).count())
       } catch { case _: Throwable => () }
     }
-    // Settle before the timed pass: drain the warm-up's garbage and run
-    // one trivial job so the first timed query (alphabetically
-    // a_count_star) doesn't absorb post-warm-up GC/compilation residue
-    // — it has measured 1.7-2.0 s for a 600k-row count in noisy runs.
+    // Settle before the timed pass: release the warm-up sweep's memoized
+    // artifacts (their checkpoint blocks are dead weight the memo's
+    // strong refs keep alive — measured as ~2× across-the-board timed
+    // inflation in r5), drain garbage, and run one trivial job so the
+    // first timed query (alphabetically a_count_star) doesn't absorb
+    // post-warm-up GC/compilation residue — it has measured 1.7-2.0 s
+    // for a 600k-row count in noisy runs.
+    graft.ops.Q.releaseSession(spark)
     System.gc()
     try spark.range(1000).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -21,15 +21,16 @@ import org.apache.spark.sql.functions._
   *  - Per-round materialization (Q.materialize) bounds lineage; in
   *    parquet artifact-store mode a lost executor replays at most one
   *    propagation round from shared storage.
-  *  - The convergence probe (sum of labels) runs on rounds 1 and 2 and
-  *    then only every SECOND round: rep values are per-node monotone
-  *    nonincreasing under min-label relaxation, so the sum is monotone
-  *    nonincreasing and an unchanged sum across a probe window proves
-  *    no round inside it changed any label. The first two probes catch
-  *    the fast-converging case (near-dup components are clique-like and
-  *    settle in 1-2 rounds) without paying an extra propagation round;
-  *    the every-2nd-round cadence halves the driver-blocking scalar
-  *    jobs on graphs that genuinely need many rounds.
+  *  - Each materialized round applies TWO relax+jump steps (the fixed
+  *    per-round cost — checkpoint write, scheduling, probe — dominates
+  *    on support-pruned graphs with small label tables), and the
+  *    convergence probe (sum of labels) runs after every round: rep
+  *    values are per-node monotone nonincreasing under min-label
+  *    relaxation, so the sum is monotone nonincreasing and an unchanged
+  *    sum across consecutive rounds proves the fixpoint. The probe is a
+  *    one-row aggregate of the just-checkpointed table — an order of
+  *    magnitude cheaper than the extra 6-join round a lagged detection
+  *    would cost.
   *
   * The relax step is written as aggregate + LEFT JOIN, NOT as the
   * self-union + groupBy textbook form: the union form trips Spark's
@@ -63,28 +64,44 @@ object CcEngine {
     var prevSum = sumRep(l)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
+    // One relax + pointer-jump step, built lazily on top of `cur`.
+    def step(cur: DataFrame): DataFrame = {
       // relax: rep := min(rep, min over neighbors' reps)
-      val nbrMin = edges.join(l, edges("dst") === l("nid"))
+      val nbrMin = edges.join(cur, edges("dst") === cur("nid"))
         .groupBy(edges("src").as("n2")).agg(min(col("rep")).as("nrep"))
-      val relaxed = l.join(nbrMin, l("nid") === nbrMin("n2"), "left")
-        .select(l("nid"),
+      val relaxed = cur.join(nbrMin, cur("nid") === nbrMin("n2"), "left")
+        .select(cur("nid"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
       // pointer jump: rep := rep's rep (label distance doubles per step;
       // a double jump was tried on the near-dup graph and did not reduce
       // the round count — min-label relaxation over edges, not rep-chain
       // depth, is what binds convergence there)
-      val jumped = relaxed.as("x")
+      relaxed.as("x")
         .join(relaxed.select(col("nid").as("rn"), col("rep").as("rr")),
           col("rep") === col("rn"), "left")
         .select(col("nid"), coalesce(col("rr"), col("rep")).as("rep"))
-      l = Q.materialize(s, d, s"${prefix}_labels_${iter + 1}")(jumped)
+    }
+    while (!converged && iter < maxIter) {
+      // TWO relax+jump steps per materialized round: the round's fixed
+      // cost (checkpoint write + probe job + per-job scheduling) is the
+      // dominant term on support-pruned graphs whose label tables are
+      // tiny, so halving the materialized-round count at the same total
+      // join work is a straight win whenever convergence needs more
+      // than one round (the co-purchase graph at sf0.1 needed 8 single-
+      // step rounds; past the fixpoint an extra step is a no-op, so a
+      // possible half-round overshoot costs one cheap lazy step, not a
+      // correctness risk). Lineage stays bounded: 2 steps (= 6 joins)
+      // between checkpoints.
+      l = Q.materialize(s, d, s"${prefix}_labels_${iter + 1}")(step(step(l)))
       iter += 1
-      if (iter <= 2 || iter % 2 == 0 || iter >= maxIter) {
-        val sr = sumRep(l)
-        converged = sr == prevSum
-        prevSum = sr
-      }
+      // probe EVERY round: with two steps per round a missed-fixpoint
+      // round costs 6 joins + a checkpoint, an order of magnitude more
+      // than the one-row sum probe on the just-checkpointed table, so
+      // minimizing detection lag beats minimizing probe count (the
+      // opposite trade from the single-step engine this replaced).
+      val sr = sumRep(l)
+      converged = sr == prevSum
+      prevSum = sr
     }
     if (converged) System.err.println(s"[cc:$prefix] converged within $iter rounds")
     l

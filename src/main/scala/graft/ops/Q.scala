@@ -118,6 +118,25 @@ object Q {
     }
   }
 
+  /** Drop every memoized artifact of session `s` and unpersist all of
+    * its persistent RDDs. Bench calls this between the sf0.001 warm-up
+    * sweep and the timed pass: the memo's strong references keep every
+    * warm-up artifact's checkpoint blocks alive (ContextCleaner only
+    * reaps unreferenced RDDs), so without the release the timed queries
+    * run under the block-manager and GC pressure of hundreds of dead
+    * sf0.001 artifacts — measured as a ~2× across-the-board inflation
+    * of the r5 bench. Correctness-neutral: a released artifact simply
+    * rebuilds on next use.
+    */
+  def releaseSession(s: SparkSession): Unit = {
+    val sid = System.identityHashCode(s)
+    val it = memo.keySet.iterator()
+    while (it.hasNext) if (it.next()._1 == sid) it.remove()
+    // blocking: let the removal storm finish HERE, not asynchronously
+    // under the first timed queries
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   private def storeMode(s: SparkSession): String =
     try s.conf.get("spark.graft.artifactStore", "local")
     catch { case _: Throwable => "local" }
