@@ -10,9 +10,10 @@ import org.apache.spark.sql.types.DecimalType
   * projection is order-keyed — each order expands to C(items, 2) pairs,
   * bounded by the per-order line count (≤ 7 in TPC-H-shaped data), so
   * the edge build shuffles once on `l_orderkey` and never goes
-  * quadratic in parts. Degree distribution and fixed-iteration PageRank
-  * run on the full graph; triangle counting, neighbor similarity and
-  * connected components run on the SUPPORTED graph (pairs co-purchased
+  * quadratic in parts. Degree distribution runs on the full graph (one
+  * agg — cheap at any density); every ITERATIVE query — PageRank,
+  * triangle counting, neighbor similarity, k-core, LPA and connected
+  * components — runs on the SUPPORTED graph (pairs co-purchased
   * in ≥ 2 distinct orders) — the raw graph is uniformly dense one-off
   * co-occurrence noise (avg degree ~100 at every SF here, 148M wedges
   * at sf0.1), so support pruning is both the semantic filter AND the
@@ -192,10 +193,19 @@ object GraphOps {
          |FROM st CROSS JOIN tri""".stripMargin)),
 
     // PageRank, 5 fixed iterations, damping 0.85, on the (symmetric)
-    // co-purchase graph — top 20 hubs. Each iteration is ONE join
-    // (rank/deg mass along edges) + ONE hash-agg (sum incoming mass):
-    // the canonical distributed PageRank step, shuffling on graph keys
-    // only. Determinism across engines: mass sums go through
+    // SUPPORTED co-purchase graph — top 20 hubs. Support pruning is the
+    // same semantic filter the other five iterative rows apply (one-off
+    // co-occurrence noise is not signal a hub ranking should reward),
+    // and it is what bounds the per-iteration join at scale: the full
+    // graph's avg degree ~100 of noise made this the family's dominant
+    // cost (8.5 s at sf0.1, 5 iterations × a 2M-row edge join); the
+    // supported graph's edge table is ~50× smaller for the same checked
+    // shape. The full graph remains available by swapping the two
+    // artifact calls below — the iteration is support-agnostic. Each
+    // iteration is ONE join (rank/deg mass along edges) + ONE hash-agg
+    // (sum incoming mass): the canonical distributed PageRank step,
+    // shuffling on graph keys only. Determinism across engines: mass
+    // sums go through
     // DECIMAL(38,18) (order-independent) and each iteration's rank is
     // snapped at 1e-12, so 5 rounds cannot drift apart; the scalar
     // update (0.15/n + 0.85*s) is written in the same association order
@@ -211,8 +221,8 @@ object GraphOps {
     // making a persistent divergence require a midpoint hit in the
     // final iteration specifically.
     Q("i_graph_pagerank", (s, d) => {
-      val edges = fullEdges(s, d)
-      val deg = fullDeg(s, d)
+      val edges = supEdges(s, d)
+      val deg = supDeg(s, d)
       val nDf = deg.agg(count(lit(1)).cast("double").as("n"))
       var pr = deg.crossJoin(broadcast(nDf))
         .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("pr"))
