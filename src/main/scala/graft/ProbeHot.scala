@@ -13,7 +13,11 @@ object ProbeHot {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val qs = if (args.length > 1) args.drop(1).toSeq
       else Seq("t_q02", "h_cluster_size_hist", "i_graph_cc",
-        "i_graph_pagerank", "h_minhash_widevocab", "i_graph_community_lpa")
+        "i_graph_pagerank", "h_minhash_widevocab", "i_graph_community_lpa",
+        // r6 verdict: driver-bench phantom-spike suspects — keep them
+        // probed so any recurrence has an isolated quiet-host reading
+        "d_agg_corr_matrix", "c_join_smj", "c_join_theta_range",
+        "c_join_skew_salted", "t_q11")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

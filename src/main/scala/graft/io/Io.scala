@@ -19,19 +19,30 @@ object Io {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark 4.x
-    * cannot read natively (SURVEY.md §0.1 G1). With
-    * `spark.sql.legacy.parquet.nanosAsLong=true` the column arrives as
-    * LongType nanos-since-epoch; we expose `ts_us` (epoch microseconds,
-    * BIGINT — the canonical cross-engine event-time representation, G2)
-    * plus `ts_t` (TimestampType, UTC session) for window()/streaming
-    * operators.
+  /** Events-table ingestion wrapper. The generator has shipped `ts` in
+    * two physical forms across rounds — INT64 TIMESTAMP(NANOS) (which
+    * Spark 4.x only reads as LongType nanos via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, SURVEY.md §0.1 G1)
+    * and plain TIMESTAMP(MICROS) (arriving as TIMESTAMP_NTZ) — so the
+    * wrapper dispatches on the footer schema instead of assuming one.
+    * Either way we expose `ts_us` (epoch microseconds, BIGINT — the
+    * canonical cross-engine event-time representation, G2) plus `ts_t`
+    * (TimestampType, UTC session) for window()/streaming operators.
+    * NTZ values are interpreted in the session timezone (pinned UTC by
+    * every entry point), which matches DuckDB's `epoch_us(ts)` reading
+    * of the same naive timestamp.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () } // already pinned via builder config
-    table(spark, sfDir, "events")
-      .withColumn("ts_us", expr("CAST(ts DIV 1000 AS BIGINT)"))
+    val raw = table(spark, sfDir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // INT64 nanos-as-long
+        expr("CAST(ts DIV 1000 AS BIGINT)")
+      case _ => // TIMESTAMP / TIMESTAMP_NTZ (micros)
+        unix_micros(col("ts").cast("timestamp"))
+    }
+    raw.withColumn("ts_us", tsUs)
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
   }
 

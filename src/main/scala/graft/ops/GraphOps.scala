@@ -80,8 +80,11 @@ object GraphOps {
       |  GROUP BY 1, 2)""".stripMargin
 
   /** Both-direction full-graph edge list (narrow over the materialized
-    * pair table) + per-node degree (one shuffle, memoized+materialized
-    * — PageRank alone reads it 11 times across its iterations). */
+    * pair table) + per-node degree. Since PageRank moved to the
+    * supported graph, i_graph_degree's one-shot histogram is the only
+    * consumer, so this is memoized (per-session dedupe) but no longer
+    * materialized to disk — one hash-agg over the already-materialized
+    * pair table is cheaper than a parquet round-trip. */
   private def fullEdges(s: SparkSession, d: String): DataFrame = {
     val p = copurchaseEdges(s, d)
     p.select(col("pa").as("src"), col("pb").as("dst"))
@@ -90,10 +93,8 @@ object GraphOps {
 
   private def fullDeg(s: SparkSession, d: String): DataFrame =
     Q.memoized(s, d, "gDeg") {
-      Q.materialize(s, d, "gDeg") {
-        fullEdges(s, d).groupBy(col("src").as("node"))
-          .agg(count(lit(1)).as("deg"))
-      }
+      fullEdges(s, d).groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
     }
 
   private val degSql =
@@ -201,7 +202,10 @@ object GraphOps {
     // cost (8.5 s at sf0.1, 5 iterations × a 2M-row edge join); the
     // supported graph's edge table is ~50× smaller for the same checked
     // shape. The full graph remains available by swapping the two
-    // artifact calls below — the iteration is support-agnostic. Each
+    // artifact calls below AND the oracle's CTE prefix ($supSql →
+    // $degSql with edges/deg/nn/p0 renamed in lockstep) — the two
+    // engines must rank the SAME graph, and the iteration itself is
+    // support-agnostic. Each
     // iteration is ONE join (rank/deg mass along edges) + ONE hash-agg
     // (sum incoming mass): the canonical distributed PageRank step,
     // shuffling on graph keys only. Determinism across engines: mass
@@ -239,15 +243,15 @@ object GraphOps {
     }, Some {
       val iter = (k: Int) =>
         s"""p$k AS (
-           |  SELECT c.node, deg.deg,
+           |  SELECT c.node, sdeg.deg,
            |    ${dSnap12(s"0.15 / (SELECT n FROM nn) + 0.85 * c.s")} AS pr
            |  FROM (SELECT e.dst AS node, ${dSum18("p.pr / p.deg")} AS s
-           |        FROM p${k - 1} p JOIN edges e ON p.node = e.src
+           |        FROM p${k - 1} p JOIN sedges e ON p.node = e.src
            |        GROUP BY e.dst) c
-           |  JOIN deg ON deg.node = c.node)""".stripMargin
-      s"""$degSql,
-         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
-         |p0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+           |  JOIN sdeg ON sdeg.node = c.node)""".stripMargin
+      s"""$supSql,
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sdeg),
+         |p0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS pr FROM sdeg),
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT node, deg, pr FROM p5
          |ORDER BY pr DESC, node LIMIT 20""".stripMargin
@@ -324,9 +328,14 @@ object GraphOps {
           keep = next
           it += 1
         }
-        // the oracle unrolls 8 peel rounds — a corpus needing more would
-        // silently diverge, so make the bound observable
+        // the oracle unrolls 14 peel rounds — a corpus needing more
+        // would silently diverge, so fail LOUDLY instead of returning a
+        // result the oracle cannot reproduce (raise both bounds
+        // together if a denser corpus ever trips this)
         System.err.println(s"[kcore] fixpoint after $it rounds ($n nodes)")
+        require(it <= 14,
+          s"k-core needed $it peel rounds but the oracle unrolls only 14 " +
+            "— raise the oracle unroll and this bound in lockstep")
         keep
       }
       core.groupBy(col("cdeg").as("core_deg"))

@@ -161,8 +161,9 @@ object Q {
     * The artifact file name folds in the input dir so two corpora never
     * collide under one artifact root.
     */
-  def materialize(s: SparkSession, dir: String, name: String)(df: DataFrame): DataFrame =
-    storeMode(s) match {
+  def materialize(s: SparkSession, dir: String, name: String)(df: DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
+    val out = storeMode(s) match {
       case "parquet" =>
         val base = s.conf.get("spark.graft.artifactDir",
           sys.props("java.io.tmpdir") + "/graft-artifacts")
@@ -171,4 +172,10 @@ object Q {
         s.read.parquet(path)
       case _ => df.localCheckpoint(true)
     }
+    // one line per artifact build so every bench total decomposes into
+    // build-vs-query time without external probes (VERDICT r6 item 5)
+    System.err.println(
+      f"[artifact] $name built in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    out
+  }
 }
