@@ -127,6 +127,20 @@ object GraphOps {
       }
     }
 
+  /** Weighted supported-graph edges: same support-pruned edge set as
+    * [[supEdges]] but carrying the co-purchase count as an integer edge
+    * weight (used by weighted label propagation — weights stay BIGINT
+    * end to end, so weighted votes are exact on both engines). */
+  private def supWEdges(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "gSupWEdges") {
+      Q.materialize(s, d, "gSupWEdges") {
+        val p = copurchasePairs(s, d).filter(col("support") >= 2)
+        p.select(col("pa").as("src"), col("pb").as("dst"), col("support").as("w"))
+          .union(p.select(col("pb").as("src"), col("pa").as("dst"),
+            col("support").as("w")))
+      }
+    }
+
   /** Oracle twin of the supported-graph artifacts (CTEs `sup`,
     * `sedges`, `sdeg`). */
   private val supSql =
@@ -135,6 +149,14 @@ object GraphOps {
        |sedges AS (SELECT pa AS src, pb AS dst FROM sup
        |           UNION ALL SELECT pb, pa FROM sup),
        |sdeg AS (SELECT src AS node, COUNT(*) AS deg FROM sedges GROUP BY 1)""".stripMargin
+
+  /** Oracle twin of [[supWEdges]] (CTE `swedges`), layered on $supSql. */
+  private val supWSql =
+    s"""$supSql,
+       |swedges AS (SELECT pa AS src, pb AS dst, support AS w
+       |            FROM pairs WHERE support >= 2
+       |            UNION ALL SELECT pb, pa, support
+       |            FROM pairs WHERE support >= 2)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -451,6 +473,113 @@ object GraphOps {
         |  GROUP BY n.nid),
         |comp AS (SELECT rep, COUNT(*) AS size FROM rep GROUP BY rep)
         |SELECT size, COUNT(*) AS n_components FROM comp
-        |GROUP BY size ORDER BY size""".stripMargin))
+        |GROUP BY size ORDER BY size""".stripMargin)),
+
+    // Personalized (seeded) PageRank on the SUPPORTED co-purchase
+    // graph: teleport mass restarts only at a deterministic seed set
+    // (node % 10 == 0 — non-empty at every graded SF: 20/184/595 seeds
+    // at sf0.001/0.01/0.1) instead of uniformly, ranking proximity to
+    // the seeds. Same fixed-iteration + decimal-snap discipline as
+    // i_graph_pagerank (see its comment for the determinism argument);
+    // the only change is the teleport term, a per-row CASE on the node
+    // id — plan shape and 100 TB behavior are identical. Nodes beyond
+    // 5 hops of every seed hold exactly 0.0 mass in both engines
+    // (exact zeros propagate exactly), and the node-id tiebreak totals
+    // the order among them.
+    Q("i_graph_pagerank_seeded", (s, d) => {
+      val edges = supEdges(s, d)
+      val deg = supDeg(s, d)
+      val isSeed = col("node") % 10 === 0
+      val nsDf = deg.filter(isSeed).agg(count(lit(1)).cast("double").as("ns"))
+      var pr = deg.crossJoin(broadcast(nsDf))
+        .select(col("node"), col("deg"),
+          when(isSeed, lit(1.0) / col("ns")).otherwise(lit(0.0)).as("pr"))
+      for (_ <- 1 to 5) {
+        val contrib = pr.join(edges, pr("node") === edges("src"))
+          .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
+        pr = contrib.groupBy(col("node")).agg(decSum18(col("c")).as("s"))
+          .join(deg, "node").crossJoin(broadcast(nsDf))
+          .select(col("node"), col("deg"),
+            snap12(when(isSeed, lit(0.15) / col("ns")).otherwise(lit(0.0))
+              + lit(0.85) * col("s")).as("pr"))
+      }
+      pr.orderBy(col("pr").desc, col("node")).limit(20)
+        .select(col("node"), col("deg"), col("pr"))
+    }, Some {
+      val tele = "CASE WHEN c.node % 10 = 0" +
+        " THEN 0.15 / (SELECT ns FROM nn) ELSE CAST(0 AS DOUBLE) END"
+      val iter = (k: Int) =>
+        s"""p$k AS (
+           |  SELECT c.node, sdeg.deg,
+           |    ${dSnap12(s"$tele + 0.85 * c.s")} AS pr
+           |  FROM (SELECT e.dst AS node, ${dSum18("p.pr / p.deg")} AS s
+           |        FROM p${k - 1} p JOIN sedges e ON p.node = e.src
+           |        GROUP BY e.dst) c
+           |  JOIN sdeg ON sdeg.node = c.node)""".stripMargin
+      s"""$supSql,
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM sdeg WHERE node % 10 = 0),
+         |p0 AS (SELECT node, deg,
+         |         CASE WHEN node % 10 = 0 THEN 1.0 / (SELECT ns FROM nn)
+         |              ELSE CAST(0 AS DOUBLE) END AS pr
+         |       FROM sdeg),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, deg, pr FROM p5
+         |ORDER BY pr DESC, node LIMIT 20""".stripMargin
+    }),
+
+    // Support-WEIGHTED label propagation: neighbor votes are weighted
+    // by co-purchase support (an edge seen in 5 orders outvotes 4 seen
+    // once), which separates strong repeat-purchase communities from
+    // the topology-only LPA above. Same synchronous fixed-4-iteration
+    // scheme with the (MAX weight, then MIN label) deterministic
+    // tie-break; weights are BIGINT counts so every vote sum is exact
+    // on both engines, and the per-iteration shapes (edge-label
+    // equi-join, (node,label) hash-agg, node-keyed max window, min agg)
+    // shuffle only on graph keys — the identical 100 TB story as the
+    // unweighted row. Output is the community-size histogram.
+    Q("i_graph_community_lpa_weighted", (s, d) => {
+      val labels = Q.memoized(s, d, "gLpawLabels") {
+        val edges = supWEdges(s, d)
+        val nodes = supDeg(s, d).select(col("node"))
+        var l = Q.materialize(s, d, "glpaw_0") {
+          nodes.withColumn("lbl", col("node"))
+        }
+        for (i <- 1 to 4) {
+          val cnt = edges.join(l, edges("dst") === l("node"))
+            .groupBy(edges("src").as("n2"), col("lbl"))
+            .agg(sum(col("w")).as("wt"))
+          val wMax = org.apache.spark.sql.expressions.Window.partitionBy(col("n2"))
+          val best = cnt.withColumn("mx", max(col("wt")).over(wMax))
+            .filter(col("wt") === col("mx"))
+            .groupBy(col("n2")).agg(min(col("lbl")).as("nlbl"))
+          l = Q.materialize(s, d, s"glpaw_$i") {
+            nodes.join(best, nodes("node") === best("n2"), "left")
+              .select(nodes("node"),
+                coalesce(col("nlbl"), nodes("node")).as("lbl"))
+          }
+        }
+        l
+      }
+      labels.groupBy(col("lbl")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
+        .orderBy("size")
+    }, Some {
+      val iter = (i: Int) =>
+        s"""lc$i AS (SELECT e.src AS node, l.lbl, SUM(e.w) AS wt
+           |  FROM swedges e JOIN lp${i - 1} l ON e.dst = l.node
+           |  GROUP BY 1, 2),
+           |lm$i AS (SELECT node, MIN(lbl) AS lbl
+           |  FROM (SELECT node, lbl, wt, MAX(wt) OVER (PARTITION BY node) AS mx
+           |        FROM lc$i)
+           |  WHERE wt = mx GROUP BY node),
+           |lp$i AS (SELECT n.node, COALESCE(m.lbl, n.node) AS lbl
+           |  FROM (SELECT node FROM sdeg) n LEFT JOIN lm$i m ON m.node = n.node)""".stripMargin
+      s"""$supWSql,
+         |lp0 AS (SELECT node, node AS lbl FROM sdeg),
+         |${(1 to 4).map(iter).mkString(",\n")}
+         |SELECT size, COUNT(*) AS n_communities
+         |FROM (SELECT lbl, COUNT(*) AS size FROM lp4 GROUP BY lbl)
+         |GROUP BY size ORDER BY size""".stripMargin
+    })
   )
 }
