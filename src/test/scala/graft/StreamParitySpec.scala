@@ -228,6 +228,44 @@ class StreamParitySpec extends AnyFunSuite {
     assert(crossBoundary > 0, "no batch-2 purchase credited a batch-1 click")
   }
 
+  test("attribution state eviction: clicks behind the 1h bound are gone " +
+    "when a late batch regresses behind max event time") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // r6 verdict stretch #7: exercise the flatMapGroupsWithState state
+    // BOUND, not just its survival. Batch 1 stores two clicks; batch 2
+    // advances event time 2 h, pushing both behind the 1 h attribution
+    // bound (state eviction); batch 3 is LATE — a purchase 15 min after
+    // the evicted clicks that would credit one of them under unbounded
+    // state. The contract (state = clicks within 1 h of max event time
+    // seen) says the late purchase finds nothing, while a fresh
+    // purchase still credits the surviving click — both asserted.
+    val base = 1_000_000_000_000L // epoch micros
+    val u = 7L
+    val c1 = Ev(101L, base, u, "click", 0.0)
+    val c2 = Ev(102L, base + 600_000_000L, u, "click", 0.0) // +10 min
+    val c3 = Ev(103L, base + 7_200_000_000L, u, "click", 0.0) // +2 h
+    val pLate = Ev(201L, base + 900_000_000L, u, "purchase", 1.0) // +15 min
+    val pFresh = Ev(202L, base + 7_500_000_000L, u, "purchase", 1.0) // +2 h 5 min
+    val mem = MemoryStream[Ev]
+    val q = Streams.lastTouchAttribution(mem.toDS())
+      .writeStream.format("memory").queryName("attr_evict")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Seq(c1, c2))
+      q.processAllAvailable()
+      mem.addData(Seq(c3)) // max event time jumps to base+2h → c1,c2 evicted
+      q.processAllAvailable()
+      mem.addData(Seq(pLate, pFresh)) // late row regresses behind max ts
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("attr_evict").as[Streams.Attr].collect().toSeq
+    assert(!out.exists(_.purch_id == 201L),
+      "late purchase credited an evicted click — the 1h state bound leaked")
+    assert(out === Seq(Streams.Attr(u, 202L, 103L, 300_000_000L)),
+      s"fresh purchase should credit the surviving click exactly once: $out")
+  }
+
   test("watermark drops events later than the watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
