@@ -39,6 +39,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 8g ran the r5 timed pass into GC/block-eviction pressure. The host
   // has 128 GiB; a real cluster sizes executor memory the same way.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Pre-commit the whole heap: with a lazily-grown ParallelGC heap the
+  // r8 bench GC log showed 8.5 s / 6.0 s YOUNG pauses at ~8 GB
+  // committed (generation-resize thrash under 32-thread allocation),
+  // 30 s of total pause time across the run. -Xms = -Xmx sizes the
+  // generations once and removes the growth pauses entirely.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // Throughput collector: the bench is a batch workload (no latency
   // SLO) and G1's concurrent cycles showed up as multi-second pauses
   // scattered over individual timed queries (a 0.3 s windowed agg

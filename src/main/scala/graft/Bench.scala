@@ -87,16 +87,32 @@ object Bench {
     graft.ops.Q.releaseSession(spark)
     System.gc()
     try spark.range(1000).count() catch { case _: Throwable => () }
+    // JVM-wide GC pause time, for per-query attribution: a timed query
+    // whose wall time is mostly GC (r8 saw an 8.5 s young pause land on
+    // one query) should be diagnosable from bench_full.json alone.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $sec%8.2f s")
-      name -> sec
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val gcSec = (gcMillis() - g0) / 1e3
+      if (gcSec >= 0.5)
+        System.err.println(f"[bench] $name%-24s $sec%8.2f s  (gc $gcSec%.1f s)")
+      else
+        System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+      (name, sec, gcSec)
+    }.map { case (n, s, g) => (n, s, g) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val gcs = results.filter(_._3 >= 0.1)
+      .map { case (k, _, g) => s"\"" + k + "\":" + g }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val totalGc = results.map(_._3).sum
     // Full per-query map goes to a file artifact (the driver's stdout
     // tail is bounded — a 175-entry map on stdout pushed earlier lines
     // out of its capture window in r1/r2 and truncated itself in r4);
@@ -107,13 +123,14 @@ object Bench {
       java.nio.file.Files.write(dir.resolve("bench_full.json"),
         (s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir",""" +
           s""""warmed":$warmed,"n_queries":$nQueries,""" +
+          s""""gc_sec":$gcs,"gc_total_sec":$totalGc,""" +
           s""""deadline_hit":$deadlineHit}""")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     val headline = Seq("t_q01", "t_q05", "t_q18", "c_join_5way",
       "h_minhash_lsh_dedup", "h_cosine_topk", "h_ngram_jaccard", "g_session_30m")
-    val hq = results.filter { case (k, _) => headline.contains(k) }
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val hq = results.filter { case (k, _, _) => headline.contains(k) }
+      .map { case (k, v, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // "headline" (not "queries"): this line carries only 8 spotlight
     // timings — the full map is the per_query line above. A distinct key
     // keeps any consumer from mistaking the subset for the whole.

@@ -170,7 +170,17 @@ object Q {
         val path = s"$base/${Integer.toHexString(dir.hashCode)}_$name"
         df.write.mode("overwrite").parquet(path)
         s.read.parquet(path)
-      case _ => df.localCheckpoint(true)
+      case _ =>
+        // serialized blocks, not deserialized row objects: a bench run
+        // accumulates ~50 artifact checkpoints, and deserialized
+        // MEMORY_AND_DISK (the localCheckpoint default) keeps millions
+        // of live row objects in old gen — the r8 GC log showed 8-10 s
+        // young pauses copying them. MEMORY_AND_DISK_SER stores compact
+        // byte buffers (GC cost ~ number of blocks, not rows) at a
+        // small per-read deserialization cost on tables that are
+        // corpus-artifact-sized anyway.
+        df.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
     // one line per artifact build so every bench total decomposes into
     // build-vs-query time without external probes (VERDICT r6 item 5)
