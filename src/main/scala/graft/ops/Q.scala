@@ -97,24 +97,32 @@ object Q {
     */
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String, String), DataFrame]
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, String), Object]
   def memoized(s: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     // NOT computeIfAbsent: artifacts nest (the CC labels build consumes
     // the memoized pair table), and a nested computeIfAbsent on the
-    // same map throws IllegalStateException("Recursive update"). Plain
-    // get / build / putIfAbsent allows the nesting; a concurrent
-    // warm-up may rarely build the same artifact twice, which is
-    // wasteful but correct (first put wins, both values are equivalent
-    // materialized tables). The store mode is part of the key so a
-    // mode switch mid-session rebuilds rather than serving the other
-    // store's table.
+    // same map throws IllegalStateException("Recursive update"). A
+    // per-key monitor instead: nesting is fine (a thread holding lock A
+    // takes lock B for a dependency — artifact deps form a DAG, so no
+    // cyclic wait is possible), and the 8-thread warm-up sweep no
+    // longer builds the same artifact several times concurrently (the
+    // r8 bench log showed FOUR simultaneous 12-20 s cc_labels builds —
+    // pure duplicate work serializing on the scheduler). The store mode
+    // is part of the key so a mode switch mid-session rebuilds rather
+    // than serving the other store's table.
     val k = (System.identityHashCode(s), storeMode(s), dir, name)
     val hit = memo.get(k)
     if (hit != null) hit
-    else {
-      val v = build
-      val prev = memo.putIfAbsent(k, v)
-      if (prev != null) prev else v
+    else buildLocks.computeIfAbsent(k, _ => new Object).synchronized {
+      val h2 = memo.get(k)
+      if (h2 != null) h2
+      else {
+        val v = build
+        memo.put(k, v)
+        v
+      }
     }
   }
 
@@ -132,6 +140,8 @@ object Q {
     val sid = System.identityHashCode(s)
     val it = memo.keySet.iterator()
     while (it.hasNext) if (it.next()._1 == sid) it.remove()
+    val lit = buildLocks.keySet.iterator()
+    while (lit.hasNext) if (lit.next()._1 == sid) lit.remove()
     // blocking: let the removal storm finish HERE, not asynchronously
     // under the first timed queries
     s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
