@@ -387,6 +387,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q11's value CTE is computed once: neither reference replans its join chain") {
+    // v (per-part inventory value) is referenced twice — the main block
+    // and the global-average threshold subquery. Catalyst planned two
+    // full independent ps→supplier→nation join+aggregate chains for it
+    // (r7 ProbeTq plan; no ReusedExchange because column pruning gives
+    // the branches different schemas). With v materialized once per
+    // corpus, the executed plan must contain NO supplier/nation scan at
+    // all — both references scan the artifact.
+    val p = plan("t_q11")
+    assert(!p.contains("supplier") && !p.contains("nation"),
+      "t_q11 rebuilt the v CTE's join chain instead of scanning the artifact")
+  }
+
   test("graph family: triangles and pagerank stay on keyed equi-joins") {
     // the co-purchase edge table is data-sized — a fallback to
     // cartesian/nested-loop in the wedge-close join or the rank-mass
