@@ -104,6 +104,49 @@ object EngineSurfaceOps {
         |  ORDER BY o_totalprice DESC, o_orderkey DESC
         |  LIMIT 2) t
         |WHERE c.c_custkey % 20 = 0
-        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin),
+
+    // Recursive CTE (Spark 4.x WITH RECURSIVE), ONE shared SQL text:
+    // a 91-day date spine generated by linear recursion, left-joined
+    // against orders so empty days surface as zero — the calendar-fill
+    // shape (g_resample_gapfill covers the sequence() spelling; this
+    // row pins the recursive-query surface itself). Recursion depth is
+    // bounded by the constant date range (91 < Spark's default
+    // recursion level limit of 100), and each step is a one-row
+    // increment — the recursion generates a TINY spine table; the
+    // data-sized side joins it once by date. Both engines execute the
+    // identical text.
+    shared("f_recursive_cte",
+      """WITH RECURSIVE spine(day) AS (
+        |  SELECT DATE '1996-01-01'
+        |  UNION ALL
+        |  SELECT CAST(day + INTERVAL '1' DAY AS DATE) FROM spine
+        |  WHERE day < DATE '1996-03-31')
+        |SELECT s.day, COUNT(o.o_orderkey) AS n_orders
+        |FROM spine s LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = s.day
+        |GROUP BY s.day ORDER BY s.day""".stripMargin),
+
+    // VARIANT ingestion (Spark 4.x semi-structured type): parse the
+    // JSON props column once into VARIANT, extract a typed path, and
+    // aggregate — the open-schema ingestion pattern for logs whose
+    // fields drift (vs f_json_schema's fixed-schema from_json). The
+    // DuckDB twin extracts the same path with its JSON functions; the
+    // checked quantity is the typed values, not the storage format.
+    // Scale: parse_json is scan-parallel row-local work; the aggregate
+    // is one hash shuffle on event_type.
+    Q("f_variant_funcs", (s, d) => {
+      Io.views(s, d)
+      s.sql(
+        """SELECT event_type,
+          |  CAST(SUM(variant_get(parse_json(props), '$.k', 'int')) AS BIGINT) AS sum_k,
+          |  COUNT(CASE WHEN variant_get(parse_json(props), '$.k', 'int') > 50
+          |             THEN 1 END) AS n_big
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }, Some(
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50
+        |             THEN 1 END) AS n_big
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
