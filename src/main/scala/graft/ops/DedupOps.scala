@@ -569,6 +569,38 @@ object DedupOps {
         |               FROM rep GROUP BY cluster_rep) sz USING (cluster_rep)
         |ORDER BY doc_id""".stripMargin))),
 
+    // Leak-free train/val/test split: the coin hashes the near-dup
+    // CLUSTER representative, not the doc id, so a whole duplicate
+    // cluster always lands in one split — h_split_assign's per-doc coin
+    // is reproducible but lets near-duplicates of a train doc leak into
+    // test, the classic eval contamination. Reuses the memoized CC
+    // labels; one join + one hash aggregate on top. Output is the per
+    // (lang, split) census with the cluster count — train/val/test
+    // cluster ratios track 90/5/5 while doc ratios may not (big
+    // clusters move as blocks), which is exactly the point.
+    Q("h_split_leakfree", (s, d) => {
+      val repCoin = "(rep * 2654435761) % 4294967296 % 100"
+      val split3 = when(expr(repCoin) < 90, "train")
+        .when(expr(repCoin) < 95, "val")
+        .otherwise("test")
+      ccDocLabels(s, d)
+        .join(Io.table(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("split", split3)
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_clusters"))
+        .orderBy("lang", "split")
+    }, Some(ccOracle(
+      """, a AS (
+        |  SELECT d.lang, r.cluster_rep,
+        |    CASE WHEN (r.cluster_rep * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+        |         WHEN (r.cluster_rep * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents d JOIN rep r ON r.doc_id = d.doc_id)
+        |SELECT lang, split, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT cluster_rep) AS n_clusters
+        |FROM a GROUP BY lang, split ORDER BY lang, split""".stripMargin))),
+
     // Quality-aware representative selection: within each near-dup
     // cluster keep the HIGHEST-QUALITY member (h_quality_score's
     // formula), not the min-id one — what a production dedup actually
