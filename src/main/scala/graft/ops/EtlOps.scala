@@ -228,6 +228,45 @@ object EtlOps {
         |SELECT f.p_id, f.user_id, f.p_us, v.v_id, v.valid_from_us, v.feature
         |FROM f JOIN v ON f.user_id = v.v_user
         |  AND f.p_us >= v.valid_from_us AND f.p_us < v.valid_to_us
-        |ORDER BY f.p_id""".stripMargin))
+        |ORDER BY f.p_id""".stripMargin)),
+
+    // Incremental aggregate maintenance — the warehouse pattern that
+    // avoids full recompute at 100 TB: the historical partition's
+    // partial aggregate (built once, stored) MERGES with the fresh
+    // partition's partial aggregate instead of rescanning history.
+    // The Spark side computes the aggregate EXACTLY that way (two
+    // date-partition partial aggregates unioned and merged — counts
+    // add, exact DECIMAL(38,6) money sums add associatively, min/max
+    // combine); the ORACLE recomputes directly over all rows. The
+    // hash-match therefore PROVES the merge math, not just the plan:
+    // any non-associative step (e.g. merging rounded doubles) would
+    // break parity. Scale: each partial is one map-side-combined hash
+    // aggregate over its own partition scan — the historical side
+    // would be a stored table in production, and the merge touches
+    // only aggregate-sized rows.
+    Q("e_incremental_agg", (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val orders = Io.table(s, d, "orders")
+        .filter(col("o_custkey") % 20 === 0)
+      def partial(pred: org.apache.spark.sql.Column) = orders.filter(pred)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("o_totalprice").cast(DecimalType(38, 6))).as("ps"),
+          max(col("o_totalprice")).as("pmax"))
+      val cut = to_date(lit("1998-01-01"))
+      val hist = partial(col("o_orderdate") < cut)
+      val fresh = partial(col("o_orderdate") >= cut)
+      hist.union(fresh)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("pn")).as("n_orders"),
+          sum(col("ps")).cast("double").as("sum_total"),
+          max(col("pmax")).as("max_total"))
+        .orderBy("o_custkey")
+    }, Some(
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+         |  ${dSum("o_totalprice")} AS sum_total,
+         |  MAX(o_totalprice) AS max_total
+         |FROM orders WHERE o_custkey % 20 = 0
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
   )
 }
