@@ -22,35 +22,75 @@ object Bench {
     val nQueries = SparkEntry.queries.size
     var warmed = 0
     var deadlineHit = false
+    // per-query warm seconds — the r8 driver run warmed only 124/221
+    // inside its deadline and the warm phase was a black box (no way to
+    // tell WHICH queries ate the budget). Recorded into bench_full.json.
+    val warmSec = new java.util.concurrent.ConcurrentHashMap[String, Double]
+    val warmWall0 = System.nanoTime()
+    var warmWallSec = 0.0
     if (new java.io.File(warmDir).isDirectory) {
       // bounded: never let warm-up push the whole bench past a harness
       // timeout — un-warmed queries just pay their own compile once.
-      // The sweep runs CONCURRENTLY (Spark schedules jobs from many
-      // driver threads fine): warm-up only needs each query's generated
-      // code compiled once, and at sf0.001 execution is trivial, so 8
-      // in-flight queries overlap Janino compilation. The deadline is
-      // sized per-query (deliberately generous — ~2.8 s/query at the
-      // 213-query inventory): round 3's serial sweep AND round 5's flat
-      // 240 s deadline both cut the sweep short as the inventory grew,
-      // and the un-warmed tail paid Janino compile inside its timed
-      // runs (t_q01/t_q03/t_q04 at ~4× their warmed cost in r5). The
-      // warmed/deadline_hit counters land in target/bench_full.json so
-      // a future regression separates compile tax from execution time
-      // without forensics.
+      // Budget is per-query (~4 s each): r3's serial sweep, r5's flat
+      // 240 s deadline, and r8's 3 s/query (124/221 warmed on the
+      // slower driver host) each cut the sweep short as the inventory
+      // grew, and the un-warmed tail paid Janino compile inside its
+      // timed runs.
       val warmDeadline = System.nanoTime() +
-        math.max(300L, nQueries * 3L) * 1000000000L
+        math.max(300L, nQueries * 4L) * 1000000000L
+      def runWarm(name: String,
+          fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        warmSec.put(name, (System.nanoTime() - t0) / 1e9)
+      }
+      // Phase A — pre-build the shared artifact chains. Q.memoized
+      // serializes concurrent builders of one artifact behind a per-key
+      // monitor (correct: duplicate builds are pure waste), but that
+      // means a sweep thread that lands on a chain consumer parks until
+      // the chain is up. Building the chains FIRST, on a few dedicated
+      // threads, turns every later h_/t_/i_ warm run into a memo hit
+      // instead of a lock convoy (r8 driver: 8 warm threads, 663 s,
+      // only 124 queries — the h_-first queue put all 8 threads into
+      // the dedup/graph chains at once).
+      val chainHeads = Seq(
+        "h_dedup_clusters",     // docMasks -> MinHash pairs -> CC labels
+        "h_minhash_widevocab",  // bigramMasks -> widevocab pair table
+        "h_contamination",      // docShingles
+        "i_graph_cc",           // copurchasePairs -> supported edges -> CC
+        "i_graph_community_lpa", "i_graph_community_lpa_weighted",
+        "i_graph_kcore", "i_graph_pagerank",
+        "t_q02", "t_q11"        // tpchPsCat / tpchQ11V CTE artifacts
+      ).filter(SparkEntry.queries.contains)
+      val headQueue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      chainHeads.foreach(headQueue.add)
+      val headWorkers = (1 to 4).map { _ =>
+        new Thread(() => {
+          var n = headQueue.poll()
+          while (n != null && System.nanoTime() < warmDeadline) {
+            runWarm(n, SparkEntry.queries(n)); n = headQueue.poll()
+          }
+        })
+      }
+      headWorkers.foreach(_.start()); headWorkers.foreach(_.join())
+      // Phase B — everything else, 16 threads (r8's 8 demonstrably
+      // under-used the driver host: the sweep is compile-bound, and
+      // Janino compilation is embarrassingly parallel). Queue order =
+      // slowest-to-compile families first (f_/e_/g_ wide-expression
+      // queries measured 2-7 s cold compile; h_/t_ are protected by the
+      // already-built artifact chains), so a deadline cut costs the
+      // cheap tail, not the expensive head.
+      val famRank = Map("f" -> 0, "e" -> 1, "g" -> 2, "d" -> 3, "c" -> 4)
       val queue = new java.util.concurrent.ConcurrentLinkedQueue[
         (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
-      // heaviest families first, so if the deadline cuts the sweep short
-      // (shared noisy host) the queries that benefit most are warm
       SparkEntry.queries.toSeq
+        .filterNot { case (n, _) => warmSec.containsKey(n) }
         .sortBy { case (n, _) =>
-          (if (n.startsWith("h_") || n.startsWith("t_")) 0 else 1, n)
+          (famRank.getOrElse(n.take(1), 5), n)
         }
         .foreach { case (n, fn) => queue.add((n, fn)) }
-      val warmedCtr = new java.util.concurrent.atomic.AtomicInteger(0)
       val deadlineFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val workers = (1 to 8).map { _ =>
+      val workers = (1 to 16).map { _ =>
         new Thread(() => {
           var next = queue.poll()
           while (next != null) {
@@ -58,8 +98,7 @@ object Bench {
               deadlineFlag.set(true)
               next = null
             } else {
-              try next._2(spark, warmDir).count() catch { case _: Throwable => () }
-              warmedCtr.incrementAndGet()
+              runWarm(next._1, next._2)
               next = queue.poll()
             }
           }
@@ -67,10 +106,12 @@ object Bench {
       }
       workers.foreach(_.start())
       workers.foreach(_.join())
-      warmed = warmedCtr.get()
+      warmed = warmSec.size()
       deadlineHit = deadlineFlag.get()
+      warmWallSec = (System.nanoTime() - warmWall0) / 1e9
       System.err.println(
-        s"[bench] warmed $warmed/$nQueries (deadline_hit=$deadlineHit)")
+        s"[bench] warmed $warmed/$nQueries (deadline_hit=$deadlineHit, " +
+          f"wall $warmWallSec%.1f s)")
     } else {
       try {
         SparkEntry.queries.get("c_join_5way").foreach(_(spark, sfDir).count())
@@ -87,6 +128,21 @@ object Bench {
     graft.ops.Q.releaseSession(spark)
     System.gc()
     try spark.range(1000).count() catch { case _: Throwable => () }
+    // Pull the timed SF's parquet bytes through the OS page cache HERE,
+    // so cold file I/O bills to the settle phase and not to whichever
+    // query happens to scan each table first (r8 driver: a_count_star
+    // 16.8 s with zero attributed GC — first-query cold-read residue).
+    // A Spark count() is NOT enough: parquet count() is served from
+    // footer metadata without touching the column pages.
+    try {
+      val root = java.nio.file.Paths.get(sfDir)
+      val buf = new Array[Byte](1 << 20)
+      java.nio.file.Files.walk(root).filter(java.nio.file.Files.isRegularFile(_))
+        .forEach { p =>
+          val in = java.nio.file.Files.newInputStream(p)
+          try { while (in.read(buf) >= 0) () } finally in.close()
+        }
+    } catch { case _: Throwable => () }
     // JVM-wide GC pause time, for per-query attribution: a timed query
     // whose wall time is mostly GC (r8 saw an 8.5 s young pause land on
     // one query) should be diagnosable from bench_full.json alone.
@@ -106,7 +162,7 @@ object Bench {
       else
         System.err.println(f"[bench] $name%-24s $sec%8.2f s")
       (name, sec, gcSec)
-    }.map { case (n, s, g) => (n, s, g) }
+    }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val gcs = results.filter(_._3 >= 0.1)
@@ -118,12 +174,18 @@ object Bench {
     // out of its capture window in r1/r2 and truncated itself in r4);
     // stdout keeps only the short parseable headline line below.
     try {
+      import scala.jdk.CollectionConverters._
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
+      val ws = warmSec.entrySet().asScala.toSeq.sortBy(_.getKey)
+        .map(e => s"\"" + e.getKey + "\":" + f"${e.getValue}%.2f")
+        .mkString("{", ",", "}")
       java.nio.file.Files.write(dir.resolve("bench_full.json"),
         (s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir",""" +
           s""""warmed":$warmed,"n_queries":$nQueries,""" +
           s""""gc_sec":$gcs,"gc_total_sec":$totalGc,""" +
+          s""""warm_sec":$ws,""" +
+          s""""warm_wall_sec":$warmWallSec,""" +
           s""""deadline_hit":$deadlineHit}""")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }

@@ -16,8 +16,39 @@ object Io {
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
   val allTables: Seq[String] = starTables ++ Seq("events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Date-ish columns of the star tables, with their canonical read
+    * type pinned to what every checked query (and its DuckDB oracle
+    * text) was written against: TIMESTAMP-like micros. The generator
+    * has drifted physical types between rounds (r7: events ns → µs,
+    * silently breaking 70 queries), so these columns get the same
+    * footer-type dispatch as `events.ts`: INT64 nanos-as-long and
+    * DATE32 forms are normalized back to a timestamp on read, instead
+    * of poisoning every downstream `cast("date")`/DATE-literal
+    * comparison. TIMESTAMP/TIMESTAMP_NTZ forms pass through untouched
+    * (today's footers; all 221 queries are green against them).
+    */
+  private val dateishCols: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    dateishCols.get(name) match {
+      case None => raw
+      case Some(cols) => cols.filter(raw.columns.contains).foldLeft(raw) {
+        (df, c) =>
+          df.schema(c).dataType match {
+            case org.apache.spark.sql.types.LongType => // INT64 nanos-as-long
+              df.withColumn(c,
+                expr(s"CAST(timestamp_micros($c DIV 1000) AS TIMESTAMP_NTZ)"))
+            case org.apache.spark.sql.types.DateType => // DATE32
+              df.withColumn(c,
+                col(c).cast(org.apache.spark.sql.types.TimestampNTZType))
+            case _ => df // TIMESTAMP / TIMESTAMP_NTZ — canonical already
+          }
+      }
+    }
+  }
 
   /** Events-table ingestion wrapper. The generator has shipped `ts` in
     * two physical forms across rounds — INT64 TIMESTAMP(NANOS) (which

@@ -579,7 +579,13 @@ object DedupOps {
     // cluster ratios track 90/5/5 while doc ratios may not (big
     // clusters move as blocks), which is exactly the point.
     Q("h_split_leakfree", (s, d) => {
-      val repCoin = "(rep * 2654435761) % 4294967296 % 100"
+      // The multiply runs in DECIMAL(38,0), not BIGINT: with 64-bit doc
+      // ids `rep * 2654435761` would overflow Int64 above rep ~3.47e9,
+      // where Spark (non-ANSI) wraps silently negative while DuckDB
+      // raises — the decimal product is exact and identical in both
+      // engines at any id scale. Same spelling in the oracle below.
+      val repCoin =
+        "(CAST(rep AS DECIMAL(38,0)) * 2654435761) % 4294967296 % 100"
       val split3 = when(expr(repCoin) < 90, "train")
         .when(expr(repCoin) < 95, "val")
         .otherwise("test")
@@ -593,8 +599,8 @@ object DedupOps {
     }, Some(ccOracle(
       """, a AS (
         |  SELECT d.lang, r.cluster_rep,
-        |    CASE WHEN (r.cluster_rep * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
-        |         WHEN (r.cluster_rep * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+        |    CASE WHEN (CAST(r.cluster_rep AS DECIMAL(38,0)) * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+        |         WHEN (CAST(r.cluster_rep AS DECIMAL(38,0)) * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM documents d JOIN rep r ON r.doc_id = d.doc_id)
         |SELECT lang, split, COUNT(*) AS n_docs,

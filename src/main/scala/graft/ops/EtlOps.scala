@@ -269,4 +269,22 @@ object EtlOps {
          |FROM orders WHERE o_custkey % 20 = 0
          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
   )
+
+  /** Pipeline observability hook (the production monitoring surface the
+    * ETL family plugs into a scheduler): attach a named `observe()` to
+    * any query's output — row count plus the exact decimal sum of one
+    * numeric column — and read both from the returned Observation after
+    * an action. Zero extra pass: CollectMetrics aggregates map-side
+    * inside the SAME job, so the metrics are free at 100 TB where a
+    * separate `count()` would re-run the query. The exact-decimal sum
+    * uses the same accumulation-order-independent form as the checked
+    * queries (Q.decSum), so an alerting threshold compares stable
+    * values run-to-run. Asserted in ObserveSpec.
+    */
+  def observedRun(df: org.apache.spark.sql.DataFrame, sumCol: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    (df.observe(obs, count(lit(1)).as("n_rows"),
+      Q.decSum(col(sumCol)).as(s"sum_$sumCol")), obs)
+  }
 }

@@ -99,6 +99,16 @@ object Q {
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String, String), DataFrame]
   private val buildLocks =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String, String), Object]
+  // cycle guard: the per-key monitors are deadlock-free only while
+  // artifact dependencies form a DAG (a build takes other locks solely
+  // for its own dependencies). A violation — an artifact whose build
+  // re-enters itself through a dependency chain — would deadlock or
+  // infinitely recurse; this thread-local stack of in-flight builds
+  // makes it fail LOUDLY instead. (Cross-thread sideways cycles remain
+  // convention-enforced; this catches the same-thread form cheaply.)
+  private val buildStack = new ThreadLocal[List[(Int, String, String, String)]] {
+    override def initialValue: List[(Int, String, String, String)] = Nil
+  }
   def memoized(s: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     // NOT computeIfAbsent: artifacts nest (the CC labels build consumes
@@ -115,13 +125,19 @@ object Q {
     val k = (System.identityHashCode(s), storeMode(s), dir, name)
     val hit = memo.get(k)
     if (hit != null) hit
-    else buildLocks.computeIfAbsent(k, _ => new Object).synchronized {
-      val h2 = memo.get(k)
-      if (h2 != null) h2
-      else {
-        val v = build
-        memo.put(k, v)
-        v
+    else {
+      require(!buildStack.get.contains(k),
+        s"artifact build cycle: '$name' re-entered while building " +
+          buildStack.get.map(_._4).mkString(" -> "))
+      buildLocks.computeIfAbsent(k, _ => new Object).synchronized {
+        val h2 = memo.get(k)
+        if (h2 != null) h2
+        else {
+          buildStack.set(k :: buildStack.get)
+          val v = try build finally buildStack.set(buildStack.get.tail)
+          memo.put(k, v)
+          v
+        }
       }
     }
   }

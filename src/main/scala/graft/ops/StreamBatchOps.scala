@@ -194,6 +194,45 @@ object StreamBatchOps {
         | AND epoch_us(c.ts) <= epoch_us(p.ts)
         |ORDER BY p.user_id, purch_id, COALESCE(c.event_id, -1)""".stripMargin)),
 
+    // Batch twin of the stream-stream FULL OUTER time-bounded join
+    // (streaming.Streams.purchaseClickFullOuter, StreamParitySpec): the
+    // symmetric closure of g_click_purchase_outer — unmatched purchases
+    // AND unmatched clicks both emit null-padded rows; in streaming
+    // each side's null row is a watermark proof that its window closed
+    // with no partner. user_id coalesces across sides (a full-outer row
+    // has it on exactly one side when unmatched). Sort keys coalesce
+    // nulls to -1 for an engine-independent total order: matched rows
+    // are unique on (purch_id, click_id), unmatched ones on whichever
+    // id survives. Scale shape: same single user_id shuffle + residual
+    // time band as the inner/left forms — outer-ness costs no extra
+    // exchange.
+    Q("g_click_purchase_full", (s, d) => {
+      val ev = Io.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purch_id"),
+          col("ts_us").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts_us").as("c_ts"))
+      p.join(c, col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - 3600000000L && col("c_ts") <= col("p_ts"),
+          "full_outer")
+        .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
+          col("purch_id"), col("click_id"),
+          (col("p_ts") - col("c_ts")).as("lag_us"))
+        .orderBy(col("user_id"), coalesce(col("purch_id"), lit(-1L)),
+          coalesce(col("click_id"), lit(-1L)))
+    }, Some(
+      """SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+        |  p.event_id AS purch_id, c.event_id AS click_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |ORDER BY user_id, COALESCE(p.event_id, -1), COALESCE(c.event_id, -1)""".stripMargin)),
+
     // Last-touch attribution: each purchase credited to the MOST RECENT
     // same-user click in the preceding hour (the standard conversion-
     // attribution rule) — the time-bounded join reduced to one winner

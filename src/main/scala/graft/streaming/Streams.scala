@@ -147,6 +147,31 @@ object Streams {
       .select(col("p_id"), col("c_id"), col("p_us"), col("c_us"))
   }
 
+  /** Stream-stream FULL OUTER time-bounded join: the symmetric closure
+    * of [[purchaseClickLeftOuter]] — unmatched PURCHASES and unmatched
+    * CLICKS both emit null-padded rows, each only once the watermark
+    * has passed the end of its own join window (a click's window is
+    * [c_t, c_t + 1h] of candidate purchases; a purchase's is
+    * [p_t − 1h, p_t] of candidate clicks). State on both sides is
+    * evicted on the same watermark, so the join stays bounded at any
+    * stream rate. Same code runs on batch frames as the parity oracle.
+    */
+  def purchaseClickFullOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = withTime(purchases)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts_us").as("p_us"), col("ts_t").as("p_t"))
+      .withWatermark("p_t", "30 minutes")
+    val c = withTime(clicks)
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts_us").as("c_us"), col("ts_t").as("c_t"))
+      .withWatermark("c_t", "30 minutes")
+    p.join(c, expr(
+      """p_user = c_user AND
+        |c_t BETWEEN p_t - INTERVAL 1 HOUR AND p_t""".stripMargin),
+      "full_outer")
+      .select(col("p_id"), col("c_id"), col("p_us"), col("c_us"))
+  }
+
   // ---- arbitrary stateful processing -------------------------------
 
   case class Ev(event_id: Long, ts_us: Long, user_id: Long, event_type: String, value: Double)

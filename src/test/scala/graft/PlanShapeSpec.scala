@@ -425,6 +425,26 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("corr matrix is one scan + map-side-combined global aggregate (no expand)") {
+    // d_agg_corr_matrix has twice shown driver-bench readings >2× its
+    // quiet anchor (r6: 27.5 s, r8: 10.4 s vs 1.7-1.8 s isolated) with
+    // no attributed GC. Pin the plan shape so any future inflation is
+    // provably host noise, not a plan regression: ONE lineitem scan,
+    // a partial+final hash aggregate pair (all 15 power sums map-side
+    // combined), no Expand (the pair matrix is scalar arithmetic over
+    // one aggregate row, not a grouping-sets explosion), no join of any
+    // kind, and the scan stage inside whole-stage codegen.
+    val p = plan("d_agg_corr_matrix").split("== Initial Plan ==").head
+    val scans = "(FileScan|BatchScan|Scan parquet)".r.findAllIn(p).size
+    assert(scans == 1, s"expected one lineitem scan, got $scans:\n" + p.take(2000))
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, "no partial+final aggregate pair (map-side combine missing):\n"
+      + p.take(2000))
+    assert(!p.contains("Expand"), "grouping-sets expansion in the corr plan:\n" + p.take(2000))
+    assert(!p.contains("Join"), "a join appeared in a single-table aggregate plan")
+    assert(p.contains("*("), "scan/aggregate fell out of whole-stage codegen")
+  }
+
   test("OHLC bars: both window directions and the aggregate share one shuffle") {
     // AdaptiveSparkPlan.toString prints the final plan followed by the
     // initial plan — count exchanges in the final section only.

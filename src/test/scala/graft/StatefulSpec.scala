@@ -13,7 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class StatefulSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("flatMapGroupsWithState running counts converge to batch counts") {
+  private def runningCountsParity(queryName: String): Unit = {
     import spark.implicits._
     implicit val sql = spark.sqlContext
     val evs = Io.events(spark, sf)
@@ -22,16 +22,35 @@ class StatefulSpec extends AnyFunSuite {
     val (first, second) = evs.splitAt(evs.size / 2)
     val mem = MemoryStream[Ev]
     val q = Streams.runningUserCounts(mem.toDS()).writeStream
-      .format("memory").queryName("rc").outputMode(OutputMode.Update()).start()
+      .format("memory").queryName(queryName).outputMode(OutputMode.Update()).start()
     try {
       mem.addData(first); q.processAllAvailable()
       mem.addData(second); q.processAllAvailable()
     } finally q.stop()
     // last update per user == total events per user
-    val streamed = spark.table("rc").as[UserCount].collect()
+    val streamed = spark.table(queryName).as[UserCount].collect()
       .groupBy(_.user_id).view.mapValues(_.map(_.n).max).toMap
     val batch = evs.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
     assert(streamed === batch)
+  }
+
+  test("flatMapGroupsWithState running counts converge to batch counts") {
+    runningCountsParity("rc")
+  }
+
+  test("flatMapGroupsWithState counts hold under the RocksDB state store") {
+    // the bounded-memory state story for 100 TB streaming: HDFS-backed
+    // in-memory state (the default provider) holds every key's state on
+    // heap, while RocksDB spills to local disk with an LRU block cache —
+    // the provider a long-running production job with millions of keys
+    // actually runs. Same scenario, same parity assertion: the state
+    // store is an implementation detail the semantics must not see.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runningCountsParity("rc_rocksdb")
+    finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   test("stateful streaming EWMA equals the batch g_ewma query") {
