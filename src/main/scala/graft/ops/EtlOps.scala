@@ -287,4 +287,26 @@ object EtlOps {
     (df.observe(obs, count(lit(1)).as("n_rows"),
       Q.decSum(col(sumCol)).as(s"sum_$sumCol")), obs)
   }
+
+  /** Incremental DISTINCT maintenance via mergeable HLL sketches — the
+    * approximate twin of e_incremental_agg's exact merge. A 100 TB
+    * pipeline cannot re-scan history to refresh a distinct count; it
+    * stores one serialized DataSketches HLL per (key, partition) and
+    * merges sketches (bytes-sized, associative, commutative) when a new
+    * partition lands. `hllPartials` is the per-ingest job (one map-side
+    * combined aggregate over only the new partition); `hllMergedCounts`
+    * is the read path (union the stored sketches per key, estimate).
+    * SketchSpec proves the contract: merged-estimate == single-pass
+    * estimate EXACTLY (same deterministic sketch algorithm, so merge
+    * associativity is observable as bit-equality), and within 5% of the
+    * exact distinct count.
+    */
+  def hllPartials(df: org.apache.spark.sql.DataFrame, key: String,
+      value: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(col(key)).agg(hll_sketch_agg(col(value)).as("sketch"))
+
+  def hllMergedCounts(partials: org.apache.spark.sql.DataFrame,
+      key: String): org.apache.spark.sql.DataFrame =
+    partials.groupBy(col(key))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"))
 }
