@@ -37,7 +37,9 @@ object PlanDump {
       "d_agg_percentile" -> "exact percentiles via windowed selection, no holistic buffer",
       "h_minhash_widevocab" -> "open-vocabulary MinHash dedup BUILD: adaptive-width masks, no vocab guard",
       "t_q11" -> "q11: value CTE materialized ONCE — threshold subquery and main block both scan the artifact",
-      "i_graph_pagerank_seeded" -> "personalized PageRank iteration: one edge join + one decimal hash-agg per round")
+      "i_graph_pagerank_seeded" -> "personalized PageRank iteration: one edge join + one decimal hash-agg per round",
+      "d_agg_corr_matrix" -> "corr matrix: ONE scan, 15 power sums map-side combined, no Expand (pinned in PlanShapeSpec)",
+      "g_click_purchase_full" -> "stream-stream FULL OUTER batch twin: one user_id shuffle + residual time band")
     // the checked widevocab query serves its memoized pair table
     // (truncated lineage) — dump the BUILD pipeline instead, where the
     // shingling/mask/signature/band-join shape is visible.
