@@ -267,7 +267,125 @@ object EtlOps {
          |  ${dSum("o_totalprice")} AS sum_total,
          |  MAX(o_totalprice) AS max_total
          |FROM orders WHERE o_custkey % 20 = 0
-         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // Z-order (Morton) data layout: the multi-dimensional clustering a
+    // 100 TB table needs so parquet min/max (or Iceberg/Delta file
+    // stats) prune on MORE THAN ONE dimension. Each event's (user_id,
+    // event time) is bucketed to 8 bits per dimension (pure integer
+    // arithmetic against the broadcast corpus extremes), bit-interleaved
+    // into a 16-bit Morton code with the standard shift-or spread
+    // (x|x<<4 &0x0F0F, x|x<<2 &0x3333, x|x<<1 &0x5555 — codegen'd long
+    // ops, no UDF), and "files" are z-ranges (z DIV 1024 → an 8×8 grid).
+    // The checked output is the layout-quality metric a table optimizer
+    // reports: per-file min/max span of each dimension as a fraction of
+    // its domain, averaged over files, for the z-ordered layout vs the
+    // naive time-sorted layout. Time-sort gives avg_user_span ≈ 1.0 (a
+    // user-range predicate prunes NOTHING); z-order gives ≈ 1/8 on both
+    // dims (a predicate on either dimension skips ~7/8 of files). All
+    // arithmetic is exact BIGINT until one final double division, so
+    // the hash-compare is bit-stable cross-engine. Scale: one min/max
+    // scan-agg broadcast everywhere, then map-side bucketing + one hash
+    // aggregate per layout — the same shape `repartitionByRange(zcol)`
+    // + write would produce; no global sort, no window.
+    Q("e_zorder_locality", (s, d) => {
+      val e = Io.events(s, d).select(col("user_id"), col("ts_us"))
+      val ext = e.agg(min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
+        min(col("ts_us")).as("tlo"), max(col("ts_us")).as("thi"))
+      val b = e.crossJoin(broadcast(ext))
+        .withColumn("bu", expr("((user_id - ulo) * 256) DIV (uhi - ulo + 1)"))
+        .withColumn("bt", expr("((ts_us - tlo) * 256) DIV (thi - tlo + 1)"))
+      def spread(c: String, o: String) = Seq(
+        (s"_${o}1", s"($c | shiftleft($c, 4)) & 3855"),
+        (s"_${o}2", s"(_${o}1 | shiftleft(_${o}1, 2)) & 13107"),
+        (s"_${o}3", s"(_${o}2 | shiftleft(_${o}2, 1)) & 21845"))
+      val z = (spread("bu", "u") ++ spread("bt", "t"))
+        .foldLeft(b) { case (df, (n, ex)) => df.withColumn(n, expr(ex)) }
+        .withColumn("z", expr("_u3 | shiftleft(_t3, 1)"))
+      def layout(name: String, fileId: org.apache.spark.sql.Column) =
+        z.withColumn("file_id", fileId)
+          .groupBy(col("file_id"))
+          .agg((max(col("user_id")) - min(col("user_id")) + lit(1L)).cast("long").as("uw"),
+            (max(col("ts_us")) - min(col("ts_us")) + lit(1L)).cast("long").as("tw"),
+            min(col("uhi") - col("ulo") + 1).as("ud"),
+            min(col("thi") - col("tlo") + 1).as("td"))
+          .agg(count(lit(1)).as("n_files"),
+            r6(sum(col("uw")).cast("double") / (count(lit(1)) * min(col("ud"))))
+              .as("avg_user_span"),
+            r6(sum(col("tw")).cast("double") / (count(lit(1)) * min(col("td"))))
+              .as("avg_time_span"))
+          .select(lit(name).as("layout"), col("n_files"),
+            col("avg_user_span"), col("avg_time_span"))
+      layout("timesort", expr("bt DIV 4"))
+        .unionByName(layout("zorder", expr("z DIV 1024")))
+        .orderBy("layout")
+    }, Some {
+      def layoutSql(name: String, fileExpr: String) =
+        s"""SELECT '$name' AS layout, COUNT(*) AS n_files,
+           |  ROUND(CAST(SUM(uw) AS DOUBLE) / (COUNT(*) * MIN(ud)), 6) AS avg_user_span,
+           |  ROUND(CAST(SUM(tw) AS DOUBLE) / (COUNT(*) * MIN(td)), 6) AS avg_time_span
+           |FROM (SELECT $fileExpr AS file_id,
+           |        MAX(user_id) - MIN(user_id) + 1 AS uw,
+           |        MAX(ts_us) - MIN(ts_us) + 1 AS tw,
+           |        MIN(uhi - ulo + 1) AS ud, MIN(thi - tlo + 1) AS td
+           |      FROM m GROUP BY 1)
+           |GROUP BY 1""".stripMargin
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         |ext AS (SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+         |               MIN(ts_us) AS tlo, MAX(ts_us) AS thi FROM e),
+         |b AS (SELECT user_id, ts_us, ulo, uhi, tlo, thi,
+         |        ((user_id - ulo) * 256) // (uhi - ulo + 1) AS bu,
+         |        ((ts_us - tlo) * 256) // (thi - tlo + 1) AS bt
+         |      FROM e CROSS JOIN ext),
+         |s1 AS (SELECT *, (bu | (bu << 4)) & 3855 AS u1,
+         |                 (bt | (bt << 4)) & 3855 AS t1 FROM b),
+         |s2 AS (SELECT *, (u1 | (u1 << 2)) & 13107 AS u2,
+         |                 (t1 | (t1 << 2)) & 13107 AS t2 FROM s1),
+         |s3 AS (SELECT *, (u2 | (u2 << 1)) & 21845 AS u3,
+         |                 (t2 | (t2 << 1)) & 21845 AS t3 FROM s2),
+         |m AS (SELECT *, u3 | (t3 << 1) AS z FROM s3)
+         |${layoutSql("timesort", "bt // 4")}
+         |UNION ALL
+         |${layoutSql("zorder", "z // 1024")}
+         |ORDER BY layout""".stripMargin
+    }),
+
+    // Small-file compaction planning — the lakehouse OPTIMIZE step: a
+    // 100 TB table accumulates millions of under-sized files from
+    // streaming/incremental writes, and the compactor must group them
+    // into ~target-sized rewrite bins per partition WITHOUT reading any
+    // data (file METADATA only — this query's input is one row per
+    // file, here simulated by documents with n_chars as the file size
+    // and source as the table partition). Deterministic cumulative-
+    // threshold binning: bin = floor(bytes-before-this-file / target)
+    // within each partition in ingest (doc_id) order — the same
+    // single-pass plan a range-based bin packer emits; bins close
+    // within one file of the target. Scale: a window cumsum over
+    // metadata-sized input partitioned by the table partition key, then
+    // one hash aggregate; never touches file contents.
+    Q("e_compaction_bins", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Io.table(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars").as("sz"))
+        .withColumn("cum", coalesce(sum(col("sz")).over(w), lit(0L)))
+        .withColumn("bin_id", expr("cum DIV 4096"))
+        .groupBy(col("source"), col("bin_id"))
+        .agg(count(lit(1)).as("n_files"), sum(col("sz")).as("bin_bytes"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "bin_id")
+    }, Some(
+      """WITH f AS (SELECT source, doc_id, n_chars AS sz FROM documents),
+        |c AS (SELECT source, doc_id, sz,
+        |        CAST(COALESCE(SUM(sz) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |      FROM f)
+        |SELECT source, cum // 4096 AS bin_id, COUNT(*) AS n_files,
+        |  CAST(SUM(sz) AS BIGINT) AS bin_bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY source, bin_id
+        |ORDER BY source, bin_id""".stripMargin))
   )
 
   /** Pipeline observability hook (the production monitoring surface the
