@@ -39,7 +39,9 @@ object PlanDump {
       "t_q11" -> "q11: value CTE materialized ONCE — threshold subquery and main block both scan the artifact",
       "i_graph_pagerank_seeded" -> "personalized PageRank iteration: one edge join + one decimal hash-agg per round",
       "d_agg_corr_matrix" -> "corr matrix: ONE scan, 15 power sums map-side combined, no Expand (pinned in PlanShapeSpec)",
-      "g_click_purchase_full" -> "stream-stream FULL OUTER batch twin: one user_id shuffle + residual time band")
+      "g_click_purchase_full" -> "stream-stream FULL OUTER batch twin: one user_id shuffle + residual time band",
+      "e_zorder_locality" -> "z-order layout metric: broadcast extremes, map-side Morton bucketing, one agg per layout",
+      "e_compaction_bins" -> "compaction planner: metadata-sized window cumsum per partition, one hash agg")
     // the checked widevocab query serves its memoized pair table
     // (truncated lineage) — dump the BUILD pipeline instead, where the
     // shingling/mask/signature/band-join shape is visible.
