@@ -105,4 +105,43 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(files === expected,
       s"$n rows at 1000 rows/file should yield $expected files, got $files")
   }
+
+  test("z-ordered write tightens per-file stats on BOTH dimensions") {
+    // the write-path twin of e_zorder_locality's metric: actually write
+    // the events z-ordered (repartitionByRange on the Morton column +
+    // sortWithinPartitions — the exact layout recipe the helper's
+    // scaladoc prescribes) vs time-sorted, then measure each OUTPUT
+    // FILE's user_id min/max span. Time-sorted files each cover ~the
+    // whole user domain (a user predicate prunes nothing); z-ordered
+    // files must cover a small fraction of it on average — that span
+    // is precisely what parquet row-group / Iceberg file stats prune on.
+    val e = graft.io.Io.events(spark, sf).select(col("user_id"), col("ts_us"))
+    val z = graft.ops.EtlOps.withMortonZ(e, "user_id", "ts_us")
+      .select("user_id", "ts_us", "z")
+    def write(sortCol: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_z_$sortCol").toString
+      z.repartitionByRange(16, col(sortCol)).sortWithinPartitions(sortCol)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    def avgUserSpan(dir: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      assert(files.nonEmpty)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col("user_id")), max(col("user_id"))).head
+        (r.getLong(1) - r.getLong(0) + 1).toDouble
+      }
+      spans.sum / spans.length
+    }
+    val spanZ = avgUserSpan(write("z"))
+    val spanT = avgUserSpan(write("ts_us"))
+    // 16 z-range files = 4 leading Morton bits = 2 bits per dimension:
+    // each file covers ~1/4 of the user domain; time-sorted files cover
+    // ~all of it. Assert the order-of-magnitude relationship, not the
+    // exact grid (range-partition boundaries land mid-bucket).
+    assert(spanZ < 0.5 * spanT,
+      f"z-ordered avg user span $spanZ%.1f not materially tighter than time-sorted $spanT%.1f")
+  }
 }
