@@ -445,6 +445,48 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("*("), "scan/aggregate fell out of whole-stage codegen")
   }
 
+  test("ANALYZE statistics + CBO reorder a badly-written star join (fact attaches last)") {
+    // the statistics story for 100 TB: a production warehouse runs
+    // ANALYZE TABLE, and cost-based join reorder then fixes queries
+    // whose WRITTEN join order is wrong — here orders⋈lineitem (the
+    // biggest pair) is written FIRST and the selective filtered-nation
+    // chain last. With column stats but CBO off, Catalyst preserves the
+    // written order (outermost join = the nation attach); flipping
+    // spark.sql.cbo.{enabled,joinReorder.enabled} with the SAME stats
+    // must rebuild the tree so the filtered dim chain joins first and
+    // the big fact attaches last (outermost join = the lineitem
+    // attach). Probed deterministic on this build (ProbeCbo).
+    for (t <- Seq("lineitem", "orders", "customer", "nation"))
+      spark.read.parquet(s"$sf/$t.parquet")
+        .write.mode("overwrite").saveAsTable(s"cbo_$t")
+    for (t <- Seq("lineitem", "orders", "customer", "nation"))
+      spark.sql(s"ANALYZE TABLE cbo_$t COMPUTE STATISTICS FOR ALL COLUMNS")
+    val q =
+      """SELECT count(*) AS n
+        |FROM cbo_orders o
+        |JOIN cbo_lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN cbo_customer c ON c.c_custkey = o.o_custkey
+        |JOIN cbo_nation n ON n.n_nationkey = c.c_nationkey AND n.n_name = 'NATION_7'
+        |""".stripMargin
+    def outermostJoin(): String =
+      spark.sql(q).queryExecution.optimizedPlan.toString
+        .linesIterator.find(_.contains("Join")).getOrElse("<no join>")
+    val before = outermostJoin()
+    assert(before.contains("n_nationkey"),
+      s"stats alone should preserve the written join order, got: $before")
+    val keys = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val after = outermostJoin()
+      assert(after.contains("l_orderkey"),
+        s"CBO did not move the big fact to the outermost join, got: $after")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("OHLC bars: both window directions and the aggregate share one shuffle") {
     // AdaptiveSparkPlan.toString prints the final plan followed by the
     // initial plan — count exchanges in the final section only.
