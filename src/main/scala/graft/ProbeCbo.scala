@@ -31,9 +31,6 @@ object ProbeCbo {
         |JOIN cbo_nation n ON n.n_nationkey = c.c_nationkey AND n.n_name = 'NATION_7'
         |""".stripMargin
 
-    def leaves(plan: org.apache.spark.sql.execution.SparkPlan): String =
-      plan.collectLeaves().map(_.toString.linesIterator.next().take(60)).mkString(" | ")
-
     def show(tag: String): Unit = {
       val df = spark.sql(q)
       df.collect()
