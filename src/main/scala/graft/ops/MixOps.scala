@@ -140,6 +140,46 @@ object MixOps {
          |  ${dSnap6("n_accepted / CAST(SUM(n_accepted) OVER () AS DOUBLE)")} AS achieved_share
          |FROM acc ORDER BY lang""".stripMargin)),
 
+    // Temperature-based mixture weights — the standard multi-source LLM
+    // data recipe (sampling probability ∝ n_i^τ, τ < 1 upweights rare
+    // sources without the hard cap h_mix_reweight applies). τ = 0.5 so
+    // the weight is SQRT — exactly rounded per IEEE-754 in both engines
+    // (a general pow() would risk last-ulp libm divergence; sqrt cannot).
+    // Each source's sqrt-weight snaps to DECIMAL(38,6) before the exact
+    // decimal total (order-independent merge — the same Q.decSum
+    // argument), and every reported ratio is one double division of
+    // those exact inputs. `repeat_factor` = temp_share · n_total / n_i
+    // is the per-source oversampling rate a sampler must apply (>1 for
+    // rare sources = epochs repeated, <1 for dominant ones). Scale: one
+    // hash aggregate over the corpus + arithmetic on the source-count
+    // table (catalog-sized); the plan a 100 TB mixture scheduler runs
+    // nightly.
+    Q("h_mix_temperature", (s, d) => {
+      val counts = Io.table(s, d, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("n_total"),
+        sum(sqrt(col("n_docs")).cast(DecimalType(38, 6))).as("w_total"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("w", sqrt(col("n_docs")).cast(DecimalType(38, 6)).cast("double"))
+        .withColumn("temp_share_raw", col("w") / col("w_total").cast("double"))
+        .select(col("source"), col("n_docs"),
+          snap6(col("n_docs") / col("n_total").cast("double")).as("natural_share"),
+          snap6(col("temp_share_raw")).as("temp_share"),
+          snap6(col("temp_share_raw") * col("n_total") / col("n_docs"))
+            .as("repeat_factor"))
+        .orderBy("source")
+    }, Some(
+      s"""WITH counts AS (SELECT source, COUNT(*) AS n_docs
+         |               FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+         |               SUM(CAST(SQRT(n_docs) AS DECIMAL(38,6))) AS w_total
+         |        FROM counts)
+         |SELECT source, n_docs,
+         |  ${dSnap6("n_docs / CAST(n_total AS DOUBLE)")} AS natural_share,
+         |  ${dSnap6("CAST(CAST(SQRT(n_docs) AS DECIMAL(38,6)) AS DOUBLE) / CAST(w_total AS DOUBLE)")} AS temp_share,
+         |  ${dSnap6("CAST(CAST(SQRT(n_docs) AS DECIMAL(38,6)) AS DOUBLE) / CAST(w_total AS DOUBLE) * n_total / n_docs")} AS repeat_factor
+         |FROM counts, tot ORDER BY source""".stripMargin)),
+
     // Deterministic stratified train/val/test split: the hash coin mod
     // 100 buckets each doc 90/5/5 within its language — reproducible
     // assignment with zero cross-split leakage by construction (a doc's
