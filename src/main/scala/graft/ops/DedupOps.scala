@@ -607,6 +607,57 @@ object DedupOps {
         |  COUNT(DISTINCT cluster_rep) AS n_clusters
         |FROM a GROUP BY lang, split ORDER BY lang, split""".stripMargin))),
 
+    // Eval-leak CENSUS — the leak-free guarantee as a checked number:
+    // for every near-dup pair, do its two docs land in the same split?
+    // Under the naive per-doc hash split, near-dup twins routinely
+    // straddle train/val (the contamination channel h_split_leakfree
+    // exists to close); under the cluster-representative split the
+    // cross-split count is ZERO BY CONSTRUCTION (both members share the
+    // cluster rep, hence the coin, hence the split) — and this query
+    // makes the oracle PROVE both numbers rather than trust the
+    // argument. Scale: two broadcast-sized joins of the memoized pair
+    // table against the memoized CC labels + one aggregate; both
+    // artifacts already exist for the rest of the dedup family.
+    Q("h_split_leak_census", (s, d) => {
+      def docCoin(c: String) =
+        s"(CAST($c AS DECIMAL(38,0)) * 2654435761) % 4294967296 % 100"
+      def split3(c: String) = when(expr(docCoin(c)) < 90, "train")
+        .when(expr(docCoin(c)) < 95, "val").otherwise("test")
+      val labels = ccDocLabels(s, d)
+      val withReps = minhashNearDupPairs(s, d, byLang = true)
+        .select(col("doc_a"), col("doc_b"))
+        .join(labels.select(col("doc_id").as("doc_a"), col("rep").as("rep_a")), "doc_a")
+        .join(labels.select(col("doc_id").as("doc_b"), col("rep").as("rep_b")), "doc_b")
+      def census(scheme: String, ca: String, cb: String) =
+        withReps.agg(count(lit(1)).as("n_pairs"),
+          sum(when(split3(ca) =!= split3(cb), 1L).otherwise(0L)).as("n_cross_split"))
+          .select(lit(scheme).as("scheme"), col("n_pairs"), col("n_cross_split"))
+      census("naive_docid", "doc_a", "doc_b")
+        .unionByName(census("leakfree_cluster", "rep_a", "rep_b"))
+        .orderBy("scheme")
+    }, Some {
+      def sCase(c: String) =
+        s"""CASE WHEN (CAST($c AS DECIMAL(38,0)) * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+           |     WHEN (CAST($c AS DECIMAL(38,0)) * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+           |     ELSE 'test' END""".stripMargin
+      ccOracle(
+        s""", pr AS (
+           |  SELECT p.doc_a, p.doc_b, ra.cluster_rep AS rep_a, rb.cluster_rep AS rep_b
+           |  FROM pairs p
+           |    JOIN rep ra ON ra.doc_id = p.doc_a
+           |    JOIN rep rb ON rb.doc_id = p.doc_b)
+           |SELECT 'leakfree_cluster' AS scheme, COUNT(*) AS n_pairs,
+           |  CAST(SUM(CASE WHEN (${sCase("rep_a")}) <> (${sCase("rep_b")})
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_split
+           |FROM pr
+           |UNION ALL
+           |SELECT 'naive_docid' AS scheme, COUNT(*) AS n_pairs,
+           |  CAST(SUM(CASE WHEN (${sCase("doc_a")}) <> (${sCase("doc_b")})
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_split
+           |FROM pr
+           |ORDER BY scheme""".stripMargin)
+    }),
+
     // Quality-aware representative selection: within each near-dup
     // cluster keep the HIGHEST-QUALITY member (h_quality_score's
     // formula), not the min-id one — what a production dedup actually
