@@ -658,6 +658,39 @@ object DedupOps {
            |ORDER BY scheme""".stripMargin)
     }),
 
+    // Deletion-request propagation (GDPR/right-to-be-forgotten at
+    // 100 TB): removing a document invalidates derived artifacts beyond
+    // its own row — its near-dup cluster's membership must be revisited
+    // and, when the deleted doc IS the cluster representative (min-id),
+    // the cluster's rep (and every split/coin decision keyed on it) must
+    // be recomputed. This census quantifies the blast radius of a
+    // deterministic delete list (doc_id % 97 = 0): requests, affected
+    // clusters, surviving co-tenant docs, and rep-orphaned clusters.
+    // Scale: the delete list and affected-cluster set are request-sized
+    // (broadcast); one pass over the memoized metadata-sized CC labels —
+    // file contents are never touched, exactly like a production
+    // tombstone sweep.
+    Q("h_delete_propagation", (s, d) => {
+      val labels = ccDocLabels(s, d)
+      val affected = labels.filter(col("doc_id") % 97 === 0)
+        .select(col("rep")).distinct()
+      labels.join(broadcast(affected), "rep")
+        .withColumn("is_del", col("doc_id") % 97 === 0)
+        .agg(sum(when(col("is_del"), 1L).otherwise(0L)).as("n_delete_requests"),
+          countDistinct(col("rep")).as("n_affected_clusters"),
+          sum(when(!col("is_del"), 1L).otherwise(0L)).as("n_cotenant_docs"),
+          countDistinct(when(col("rep") % 97 === 0, col("rep")))
+            .as("n_rep_orphaned"))
+    }, Some(ccOracle(
+      """, aff AS (SELECT DISTINCT cluster_rep FROM rep WHERE doc_id % 97 = 0),
+        |m AS (SELECT r.doc_id, r.cluster_rep, (r.doc_id % 97 = 0) AS is_del
+        |      FROM rep r JOIN aff a ON a.cluster_rep = r.cluster_rep)
+        |SELECT CAST(SUM(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT) AS n_delete_requests,
+        |  COUNT(DISTINCT cluster_rep) AS n_affected_clusters,
+        |  CAST(SUM(CASE WHEN is_del THEN 0 ELSE 1 END) AS BIGINT) AS n_cotenant_docs,
+        |  COUNT(DISTINCT CASE WHEN cluster_rep % 97 = 0 THEN cluster_rep END) AS n_rep_orphaned
+        |FROM m""".stripMargin))),
+
     // Quality-aware representative selection: within each near-dup
     // cluster keep the HIGHEST-QUALITY member (h_quality_score's
     // formula), not the min-id one — what a production dedup actually
