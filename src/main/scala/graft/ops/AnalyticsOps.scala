@@ -817,6 +817,88 @@ object AnalyticsOps {
          |  (sv / n_events) /
          |    (CAST(SUM(CAST(sv AS DECIMAL(38,6))) OVER (PARTITION BY event_type) AS DOUBLE)
          |     / SUM(n_events) OVER (PARTITION BY event_type)) AS seasonal_index
-         |FROM g ORDER BY event_type, dow""".stripMargin))
+         |FROM g ORDER BY event_type, dow""".stripMargin)),
+
+    // RFM customer segmentation — the classic marketing-analytics
+    // operator: per-customer Recency (days since last order, vs the
+    // corpus max date), Frequency (order count) and Monetary (exact
+    // decimal spend), each scored 1-5 by which of the four exact
+    // quintile thresholds (quantile_cont at .2/.4/.6/.8) the value
+    // strictly exceeds; segment = R*100+F*10+M. Scoring by VALUE-vs-
+    // threshold (not by rank) is what makes the result engine-
+    // deterministic under heavy ties — every tied customer lands in
+    // the same bucket, no rank tiebreak needed. Output is the bounded
+    // ≤125-row segment census. Scale shape: one hash-agg over orders →
+    // customer-aggregate-sized table; the threshold pass is
+    // Q.exactPercentiles on a constant key (a single-partition window
+    // over CUSTOMER AGGREGATES — fine here, and the documented 100 TB
+    // swap is approx_percentile over the same rows, scores unchanged
+    // except at the 1e-? threshold epsilon); the 12 thresholds
+    // broadcast back, scoring is map-side, final agg is ≤125 groups.
+    Q("g_rfm_segments", (s, d) => {
+      val rfm = Io.table(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"),
+          col("o_totalprice"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("od")).as("last_d"), count(lit(1)).as("freq"),
+          decSum(col("o_totalprice")).as("monet"))
+      val mx = rfm.agg(max(col("last_d")).as("mxd"))
+      val base = rfm.crossJoin(broadcast(mx))
+        .withColumn("rec", datediff(col("mxd"), col("last_d")).cast("long"))
+        .withColumn("k", lit(1))
+      def th(v: String, pfx: String) = broadcast(
+        Q.exactPercentiles(base.select(col("k"), col(v)), "k", v,
+          Seq((0.2, s"${pfx}q20"), (0.4, s"${pfx}q40"),
+            (0.6, s"${pfx}q60"), (0.8, s"${pfx}q80"))).drop("k"))
+      def score(v: String, pfx: String) =
+        (col(v) > col(s"${pfx}q20")).cast("int") +
+          (col(v) > col(s"${pfx}q40")).cast("int") +
+          (col(v) > col(s"${pfx}q60")).cast("int") +
+          (col(v) > col(s"${pfx}q80")).cast("int")
+      base.crossJoin(th("rec", "r")).crossJoin(th("freq", "f"))
+        .crossJoin(th("monet", "m"))
+        .withColumn("rscore", lit(5) - score("rec", "r"))
+        .withColumn("fscore", lit(1) + score("freq", "f"))
+        .withColumn("mscore", lit(1) + score("monet", "m"))
+        .groupBy((col("rscore") * 100 + col("fscore") * 10 + col("mscore"))
+          .as("segment"))
+        .agg(count(lit(1)).as("n_cust"),
+          snap6(decAvg(col("rec"))).as("avg_recency"),
+          snap6(decAvg(col("freq"))).as("avg_freq"),
+          snap6(decSum(col("monet"))).as("total_spend"))
+        .orderBy("segment")
+    }, Some(
+      s"""WITH rfm AS (
+         |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d,
+         |    COUNT(*) AS freq, ${dSum("o_totalprice")} AS monet
+         |  FROM orders GROUP BY 1),
+         |mx AS (SELECT MAX(last_d) AS mxd FROM rfm),
+         |base AS (
+         |  SELECT o_custkey, CAST(mxd - last_d AS BIGINT) AS rec, freq, monet
+         |  FROM rfm CROSS JOIN mx),
+         |th AS (
+         |  SELECT
+         |    quantile_cont(rec, 0.2) AS rq20, quantile_cont(rec, 0.4) AS rq40,
+         |    quantile_cont(rec, 0.6) AS rq60, quantile_cont(rec, 0.8) AS rq80,
+         |    quantile_cont(freq, 0.2) AS fq20, quantile_cont(freq, 0.4) AS fq40,
+         |    quantile_cont(freq, 0.6) AS fq60, quantile_cont(freq, 0.8) AS fq80,
+         |    quantile_cont(monet, 0.2) AS mq20, quantile_cont(monet, 0.4) AS mq40,
+         |    quantile_cont(monet, 0.6) AS mq60, quantile_cont(monet, 0.8) AS mq80
+         |  FROM base),
+         |sc AS (
+         |  SELECT rec, freq, monet,
+         |    5 - ((rec > rq20)::INT + (rec > rq40)::INT
+         |         + (rec > rq60)::INT + (rec > rq80)::INT) AS rscore,
+         |    1 + ((freq > fq20)::INT + (freq > fq40)::INT
+         |         + (freq > fq60)::INT + (freq > fq80)::INT) AS fscore,
+         |    1 + ((monet > mq20)::INT + (monet > mq40)::INT
+         |         + (monet > mq60)::INT + (monet > mq80)::INT) AS mscore
+         |  FROM base CROSS JOIN th)
+         |SELECT rscore * 100 + fscore * 10 + mscore AS segment,
+         |  COUNT(*) AS n_cust,
+         |  ${dSnap6(s"${dSum("rec")} / COUNT(*)")} AS avg_recency,
+         |  ${dSnap6(s"${dSum("freq")} / COUNT(*)")} AS avg_freq,
+         |  ${dSnap6(dSum("monet"))} AS total_spend
+         |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin))
   )
 }

@@ -137,6 +137,41 @@ object ContaminationOps {
          |  ${dSnap6("bs.dup_bg / bs.n_bg")} AS dup_bg_frac,
          |  (ts.top_tok_cnt / ts.n_tok < 0.12 AND bs.dup_bg / bs.n_bg < 0.5) AS keep
          |FROM ts JOIN bs ON ts.doc_id = bs.doc_id
-         |ORDER BY ts.doc_id""".stripMargin))
+         |ORDER BY ts.doc_id""".stripMargin)),
+
+    // Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    // 5-gram shingles that occur in NO other document — the inverse
+    // signal of near-duplication, used to up-weight genuinely novel
+    // text in mixture recipes (a doc full of corpus-common shingles is
+    // boilerplate even if no single near-dup partner exists, which is
+    // exactly what pairwise dedup can't see). Reuses the memoized
+    // (doc_id, 5-gram) shingle table; the document-frequency side is a
+    // shingle-keyed partial-aggregated count — at 100 TB both shuffles
+    // key on the shingle, and the df table is shingle-vocab-sized, so
+    // nothing here is quadratic in docs or linear in the driver.
+    Q("h_ngram_novelty", (s, d) => {
+      val sh = docShingles(s, d)
+      val df = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      sh.join(df, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1).otherwise(0)).as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          snap6(col("n_unique") / col("n_shingles")).as("novelty_ratio"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    UNNEST(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+         |           i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |  WHERE len(toks) >= 5),
+         |df AS (SELECT g, COUNT(*) AS df FROM s GROUP BY g)
+         |SELECT s.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  ${dSnap6("SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) / COUNT(*)")} AS novelty_ratio
+         |FROM s JOIN df ON s.g = df.g
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin))
   )
 }

@@ -71,6 +71,46 @@ object FuncExtraOps {
         |  CAST(o_orderdate AS DATE) - 7 AS minus_week
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // Timezone conversion surface — the ETL corner every multi-region
+    // event pipeline hits: render a UTC instant as local wall-clock in
+    // named IANA zones (DST-correct), plus the live UTC offset. Spark:
+    // from_utc_timestamp (session pinned UTC by every entry point).
+    // DuckDB twin is written to be SESSION-TIMEZONE-INDEPENDENT:
+    // timezone('UTC', ts) pins the naive ts as a UTC instant, then
+    // timezone(zone, instant) yields that zone's naive wall time —
+    // verified to give identical results under TimeZone=UTC and
+    // TimeZone=Asia/Tokyo, so a driver-side DuckDB with any session
+    // setting reproduces it. Offsets emit as integer minutes (exact
+    // multiples of 60 s — no float rounding concern) and wall times as
+    // epoch-µs BIGINT per house rule G2. Pure per-row projection: at
+    // 100 TB this is map-side codegen, no shuffle at all (the ORDER BY
+    // is the check harness's, not the operator's).
+    Q("f_tz_funcs", (s, d) => {
+      val ny = from_utc_timestamp(col("ts_t"), "America/New_York")
+      val tk = from_utc_timestamp(col("ts_t"), "Asia/Tokyo")
+      Io.events(s, d)
+        .select(col("event_id"),
+          hour(col("ts_t")).as("hour_utc"),
+          unix_micros(ny).as("ny_wall_us"),
+          hour(ny).as("hour_ny"),
+          ny.cast("date").as("date_ny"),
+          ((unix_micros(ny) - col("ts_us")) / lit(60000000L)).cast("long")
+            .as("off_ny_min"),
+          hour(tk).as("hour_tokyo"),
+          ((unix_micros(tk) - col("ts_us")) / lit(60000000L)).cast("long")
+            .as("off_tokyo_min"))
+        .orderBy("event_id")
+    }, Some(
+      """SELECT event_id,
+        |  CAST(EXTRACT(hour FROM ts) AS INT) AS hour_utc,
+        |  epoch_us(timezone('America/New_York', timezone('UTC', ts))) AS ny_wall_us,
+        |  CAST(EXTRACT(hour FROM timezone('America/New_York', timezone('UTC', ts))) AS INT) AS hour_ny,
+        |  CAST(timezone('America/New_York', timezone('UTC', ts)) AS DATE) AS date_ny,
+        |  (epoch_us(timezone('America/New_York', timezone('UTC', ts))) - epoch_us(ts)) // 60000000 AS off_ny_min,
+        |  CAST(EXTRACT(hour FROM timezone('Asia/Tokyo', timezone('UTC', ts))) AS INT) AS hour_tokyo,
+        |  (epoch_us(timezone('Asia/Tokyo', timezone('UTC', ts))) - epoch_us(ts)) // 60000000 AS off_tokyo_min
+        |FROM events ORDER BY event_id""".stripMargin)),
+
     Q("f_math_funcs2", (s, d) => {
       Io.table(s, d, "part")
         .select(col("p_partkey"),

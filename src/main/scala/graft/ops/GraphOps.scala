@@ -580,6 +580,50 @@ object GraphOps {
          |SELECT size, COUNT(*) AS n_communities
          |FROM (SELECT lbl, COUNT(*) AS size FROM lp4 GROUP BY lbl)
          |GROUP BY size ORDER BY size""".stripMargin
-    })
+    }),
+
+    // Multi-source BFS on the SUPPORTED co-purchase graph: exact
+    // min-hop distance from the seed set {node % 50 = 0} out to 4 hops
+    // (-1 = unreached), reported as the distance histogram. This is the
+    // frontier-expansion shape every distributed shortest-path engine
+    // runs (Pregel supersteps as per-hop equi-joins): each hop joins
+    // ONLY the newest frontier against the edge list, dedups, and
+    // anti-joins the visited set — work per hop is O(frontier × avg
+    // degree), never |V|², and every shuffle keys on node ids. The
+    // fixed hop bound is what makes it a checked query (the oracle's
+    // recursive CTE unrolls the same 4 levels; UNION dedups (node, d)
+    // pairs so the walk is linear in |V|·hops, not degree^hops).
+    Q("i_graph_bfs", (s, d) => {
+      val edges = supEdges(s, d)
+      val nodes = supDeg(s, d).select(col("node"))
+      var dist = nodes.filter(col("node") % 50 === 0)
+        .withColumn("dist", lit(0))
+      for (h <- 1 to 4) {
+        val next = dist.filter(col("dist") === h - 1)
+          .join(edges, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("dist", lit(h))
+        dist = dist.union(next)
+      }
+      nodes.join(dist, Seq("node"), "left")
+        .select(col("node"), coalesce(col("dist"), lit(-1)).as("dist"))
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+          max(col("node")).as("max_node"))
+        .orderBy("dist")
+    }, Some(
+      s"""${supSql.replace("WITH ", "WITH RECURSIVE ")},
+         |walk(node, d) AS (
+         |  SELECT node, 0 FROM sdeg WHERE node % 50 = 0
+         |  UNION
+         |  SELECT e.dst, w.d + 1
+         |  FROM walk w JOIN sedges e ON w.node = e.src
+         |  WHERE w.d < 4),
+         |mind AS (SELECT node, MIN(d) AS dist FROM walk GROUP BY node)
+         |SELECT COALESCE(m.dist, -1) AS dist, COUNT(*) AS n_nodes,
+         |  MIN(s.node) AS min_node, MAX(s.node) AS max_node
+         |FROM sdeg s LEFT JOIN mind m ON s.node = m.node
+         |GROUP BY 1 ORDER BY dist""".stripMargin))
   )
 }

@@ -266,6 +266,37 @@ object StreamBatchOps {
         | AND epoch_us(c.ts) <= epoch_us(p.ts)
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id
         |    ORDER BY epoch_us(c.ts) DESC, c.event_id DESC) = 1
-        |ORDER BY p.user_id, purch_id""".stripMargin))
+        |ORDER BY p.user_id, purch_id""".stripMargin)),
+
+    // Batch twin of the stream-stream LEFT SEMI time-bounded join
+    // (streaming.Streams.clickPurchaseSemi, StreamParitySpec): converting
+    // clicks — each click that has AT LEAST ONE same-user purchase in
+    // the following hour, emitted once regardless of how many purchases
+    // match. In streaming this is the one join mode whose state needs NO
+    // match payload (a click retires as soon as one purchase arrives or
+    // its window passes the watermark); in batch it plans as a
+    // LeftSemi SortMergeJoin — same single user_id shuffle as the inner
+    // form but no row multiplication on multi-purchase users, which is
+    // exactly why semi is the 100 TB spelling of "did it convert".
+    Q("g_click_purchase_semi", (s, d) => {
+      val ev = Io.events(s, d)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_us").as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"))
+      c.join(p, col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") && col("p_ts") <= col("c_ts") + 3600000000L,
+          "left_semi")
+        .orderBy("user_id", "click_id")
+    }, Some(
+      """SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS c_ts
+        |FROM events c
+        |WHERE c.event_type = 'click'
+        |  AND EXISTS (SELECT 1 FROM events p
+        |              WHERE p.event_type = 'purchase'
+        |                AND p.user_id = c.user_id
+        |                AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |                AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000)
+        |ORDER BY user_id, click_id""".stripMargin))
   )
 }

@@ -173,6 +173,35 @@ object WindowOps {
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // DISTINCT aggregate over a sliding ROWS frame — an engine-surface
+    // corner Spark's window functions don't offer natively (no
+    // COUNT(DISTINCT) OVER): spelled as size(array_distinct(
+    // collect_list OVER)) — semantically identical, and the frame is a
+    // bounded 3 rows so the per-row array is O(frame), never O(group).
+    // DuckDB runs the literal COUNT(DISTINCT x) OVER, so the rewrite's
+    // equivalence is itself oracle-checked. Scale: one partition-keyed
+    // sort window; the collected payload is frame-bounded, so memory
+    // per row is constant — the rewrite is safe at any partition size
+    // (unlike an unbounded-frame collect, which this house bans).
+    Q("e_win_distinct_sliding", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      Io.table(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          size(array_distinct(collect_list(col("o_orderpriority")).over(w)))
+            .as("distinct_prio_3"),
+          count(lit(1)).over(w).as("n_window"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(COUNT(DISTINCT o_orderpriority) OVER w AS INT) AS distinct_prio_3,
+        |  COUNT(*) OVER w AS n_window
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // Time-based RANGE frame: 7-day rolling order count per customer.
     Q("e_win_range_time", (s, d) => {
       val days = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))

@@ -172,6 +172,31 @@ object Streams {
       .select(col("p_id"), col("c_id"), col("p_us"), col("c_us"))
   }
 
+  /** Stream-stream LEFT SEMI time-bounded join: clicks that convert —
+    * each click emits AT MOST ONCE, as soon as one same-user purchase
+    * arrives inside its following hour; clicks with no such purchase
+    * never emit. Semi is the cheapest stream-join mode: the state holds
+    * no match payload (a click retires on first match or on watermark
+    * passing its window end), and output volume is bounded by the click
+    * stream regardless of purchase fanout. Same code runs on batch
+    * frames as the parity oracle (g_click_purchase_semi's shape).
+    */
+  def clickPurchaseSemi(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = withTime(clicks)
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts_us").as("c_us"), col("ts_t").as("c_t"))
+      .withWatermark("c_t", "30 minutes")
+    val p = withTime(purchases)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts_us").as("p_us"), col("ts_t").as("p_t"))
+      .withWatermark("p_t", "30 minutes")
+    c.join(p, expr(
+      """c_user = p_user AND
+        |p_t BETWEEN c_t AND c_t + INTERVAL 1 HOUR""".stripMargin),
+      "left_semi")
+      .select(col("c_id"), col("c_user"), col("c_us"))
+  }
+
   // ---- arbitrary stateful processing -------------------------------
 
   case class Ev(event_id: Long, ts_us: Long, user_id: Long, event_type: String, value: Double)

@@ -219,6 +219,36 @@ class StreamParitySpec extends AnyFunSuite {
       "no null-purchase rows — the click-side outer semantics were never exercised")
   }
 
+  test("stream-stream LEFT SEMI join: converting clicks emit once, non-converting never") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val purchases = evRows.filter(_.event_type == "purchase")
+    val clicks = evRows.filter(_.event_type == "click")
+    // a semi row may be held until the watermark proves its window is
+    // done (the engine must know no LATER duplicate emit is possible) —
+    // flush like the outer tests
+    val flushUs = evRows.map(_.ts_us).max + 10L * 3600000000L
+    val flushP = Ev(900001L, flushUs, 999999L, "purchase", 0.0)
+    val flushC = Ev(900002L, flushUs, 999998L, "click", 0.0)
+    val memC = MemoryStream[Ev]; val memP = MemoryStream[Ev]
+    memC.addData(clicks); memP.addData(purchases)
+    val q = Streams.clickPurchaseSemi(memC.toDF(), memP.toDF())
+      .writeStream.format("memory").queryName("sssemi").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      memC.addData(flushC); memP.addData(flushP)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("sssemi").filter($"c_id" < 900000L)
+    val batch = Streams.clickPurchaseSemi(clicks.toDF(), purchases.toDF())
+    assert(rows(stream) === rows(batch))
+    // semi must not multiply output on multi-purchase matches
+    assert(stream.count() === stream.select($"c_id").distinct().count(),
+      "semi join emitted a click more than once")
+    assert(stream.count() > 0 && stream.count() < clicks.size,
+      "semi join did not discriminate: every (or no) click converted")
+  }
+
   test("stateful last-touch attribution: stream == checked batch query") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
