@@ -482,6 +482,72 @@ object DedupOps {
         |      / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Dedup-threshold sensitivity sweep — the tuning table behind every
+    // "what j cutoff do we ship?" decision: for each candidate threshold
+    // 0.3..0.8 (×10, integer column), how many bigram-Jaccard pairs
+    // survive, how many distinct docs they touch, and the mean surviving
+    // similarity. One pass over the SAME pair pipeline h_ngram_jaccard
+    // runs (shared bigramMasks artifact + blocked triangle join), then a
+    // 6-way threshold explode on the PAIR table (pairs × 6 rows — pair-
+    // table-sized, not corpus-sized) + two bounded aggs. The sweep
+    // compares the ROUNDED jaccard everywhere so a value landing on a
+    // cutoff is classified identically in both engines. At 100 TB this
+    // is the cheap read every pipeline re-runs after re-crawling: the
+    // quadratic is in building pairs (see h_ngram_jaccard's notes), the
+    // sweep itself is metadata-sized.
+    Q("h_dedup_threshold_sweep", (s, d) => {
+      graft.functions.NgramSetMask.register(s)
+      val masks = bigramMasks(s, d)
+      val pairs = PairJoins.trianglePairs(masks, Seq("lang"), "doc_id", 8)
+        .withColumn("jr", r6(expr("bitmask_jaccard(a.mask, b.mask)")))
+        .filter(col("jr") >= 0.3)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jr"))
+      val sweep = pairs
+        .select(col("doc_a"), col("doc_b"), col("jr"),
+          explode(array((3 to 8).map(lit): _*)).as("t10"))
+        .filter(col("jr") >= col("t10") / 10.0)
+      val pagg = sweep.groupBy(col("t10"))
+        .agg(count(lit(1)).as("n_pairs"),
+          decAvg(col("jr"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double")
+            .as("avg_jaccard"))
+      val dagg = sweep
+        .select(col("t10"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .groupBy(col("t10"))
+        .agg(countDistinct(col("doc")).as("n_docs"))
+      pagg.join(dagg, "t10")
+        .select(col("t10"), col("n_pairs"), col("n_docs"), col("avg_jaccard"))
+        .orderBy("t10")
+    }, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    list_distinct(list_transform(generate_series(1, len(toks) - 1),
+         |                                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)),
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      ROUND(len(list_intersect(a.bg, b.bg))
+         |            / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE), 6) AS jr
+         |    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         |  WHERE jr >= 0.3),
+         |sweep AS (
+         |  SELECT p.doc_a, p.doc_b, p.jr, CAST(th.t10 AS INT) AS t10
+         |  FROM pairs p CROSS JOIN
+         |    (SELECT UNNEST(generate_series(3, 8)) AS t10) th
+         |  WHERE p.jr >= th.t10 / 10.0),
+         |pagg AS (
+         |  SELECT t10, COUNT(*) AS n_pairs,
+         |    CAST(CAST(${dSum("jr")} / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS avg_jaccard
+         |  FROM sweep GROUP BY t10),
+         |docs AS (
+         |  SELECT t10, COUNT(DISTINCT doc) AS n_docs FROM (
+         |    SELECT t10, doc_a AS doc FROM sweep
+         |    UNION ALL SELECT t10, doc_b FROM sweep)
+         |  GROUP BY t10)
+         |SELECT p.t10, p.n_pairs, d.n_docs, p.avg_jaccard
+         |FROM pagg p JOIN docs d USING (t10) ORDER BY p.t10""".stripMargin)),
+
     // MinHash + LSH near-dedup. Spark side: 64-hash signature → 32 bands
     // of 2 → bucket-join for candidates → exact-Jaccard verify (j >= 0.9).
     // Oracle: brute-force all pairs (only feasible at oracle scale).

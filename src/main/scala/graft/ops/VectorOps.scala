@@ -527,6 +527,93 @@ object VectorOps {
         |  ROUND(MAX(ABS(v - vq)), 6) AS max_abs_err,
         |  CAST(CAST(CAST(SUM(CAST(ABS(v - vq) AS DECIMAL(38,12))) AS DOUBLE)
         |       / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS mean_abs_err
-        |FROM qt GROUP BY label ORDER BY label""".stripMargin))
+        |FROM qt GROUP BY label ORDER BY label""".stripMargin)),
+
+    // Product-quantization encode — the memory-compression half of a
+    // PQ/IVF-PQ vector index (Jégou et al.'s layout): split each D-dim
+    // vector into M = 8 contiguous subspaces (sub = (pos−1) DIV 8,
+    // dims derived from the data), encode each subspace as the id of
+    // its nearest codeword, and report the code plus reconstruction
+    // error. Codebook here = per-label exact-decimal centroid slices
+    // (K = |labels| codewords per subspace) — real PQ trains per-
+    // subspace k-means, but a deterministic codebook is what makes the
+    // ENCODE pipeline a checked query (k-means training itself is
+    // covered by h_kmeans_lloyd); the assignment/lookup/ADC layout is
+    // identical either way. Storage story: M small codes per vector
+    // (8 bytes here) vs 4·D float bytes = 32× compression. Scale
+    // shape: codebook is (K·D)-sized → broadcast; the distance pass is
+    // one map-side join + (vec, sub, label)-keyed partial agg; argmin
+    // is a (vec, sub)-windowed row_number; every distance accumulates
+    // in DECIMAL(38,12) so the argmin tie-break (smallest label) is
+    // engine-identical.
+    Q("h_pq_encode", (s, d) => {
+      val e = Io.table(s, d, "embeddings")
+      val long = e
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "f")))
+        .select(col("vec_id"), (col("pos0") + 1).as("pos"),
+          (col("pos0") / 8).cast("int").as("sub"), col("f").cast("double").as("v"))
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "f")))
+        .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+        .agg((decSum12(col("f").cast("double")) / count(lit(1))).as("c"))
+      val dist = long.join(broadcast(cent), "pos")
+        .groupBy(col("vec_id"), col("sub"), col("label"))
+        .agg(sum(((col("v") - col("c")) * (col("v") - col("c"))).cast(dec12))
+          .cast("double").as("d2"))
+      val wSub = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d2"), col("label"))
+      val codes = dist.withColumn("rn", row_number().over(wSub))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("label").as("code"))
+      val codeStr = codes.groupBy(col("vec_id"))
+        .agg(concat_ws("-",
+          transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+            x => x.getField("code").cast("string"))).as("pq_code"))
+      val err = long.join(codes, Seq("vec_id", "sub"))
+        .join(broadcast(cent.select(col("label").as("code"), col("pos"), col("c"))),
+          Seq("code", "pos"))
+        .groupBy(col("vec_id"))
+        .agg((sum(abs(col("v") - col("c")).cast(dec12)).cast("double") /
+          count(lit(1))).cast(dec6).cast("double").as("mean_abs_err"),
+          r6(max(abs(col("v") - col("c")))).as("max_abs_err"))
+      codeStr.join(err, "vec_id")
+        .select(col("vec_id"), col("pq_code"), col("mean_abs_err"), col("max_abs_err"))
+        .orderBy("vec_id")
+    }, Some(
+      s"""WITH dims AS (SELECT UNNEST(generate_series(1,
+         |  (SELECT MAX(len(embedding)) FROM embeddings))) AS pos),
+         |lng AS (
+         |  SELECT vec_id, pos, CAST((pos - 1) // 8 AS INT) AS sub,
+         |    CAST(embedding[pos] AS DOUBLE) AS v
+         |  FROM embeddings, dims),
+         |cent AS (
+         |  SELECT label, pos, ${dSum12("CAST(embedding[pos] AS DOUBLE)")} / COUNT(*) AS c
+         |  FROM embeddings, dims GROUP BY label, pos),
+         |dist AS (
+         |  SELECT l.vec_id, l.sub, cent.label,
+         |    CAST(SUM(CAST((l.v - cent.c) * (l.v - cent.c) AS DECIMAL(38,12)))
+         |         AS DOUBLE) AS d2
+         |  FROM lng l JOIN cent ON l.pos = cent.pos
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, sub, label AS code FROM dist
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |                             ORDER BY d2, label) = 1),
+         |cs AS (
+         |  SELECT vec_id,
+         |    string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS pq_code
+         |  FROM codes GROUP BY vec_id),
+         |err AS (
+         |  SELECT l.vec_id,
+         |    CAST(CAST(${dSum12("ABS(l.v - c.c)")} / COUNT(*) AS DECIMAL(38,6))
+         |         AS DOUBLE) AS mean_abs_err,
+         |    ROUND(MAX(ABS(l.v - c.c)), 6) AS max_abs_err
+         |  FROM lng l
+         |    JOIN codes ON l.vec_id = codes.vec_id AND l.sub = codes.sub
+         |    JOIN cent c ON c.label = codes.code AND c.pos = l.pos
+         |  GROUP BY l.vec_id)
+         |SELECT cs.vec_id, cs.pq_code, err.mean_abs_err, err.max_abs_err
+         |FROM cs JOIN err ON cs.vec_id = err.vec_id
+         |ORDER BY cs.vec_id""".stripMargin))
   )
 }
