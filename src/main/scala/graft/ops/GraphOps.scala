@@ -158,6 +158,32 @@ object GraphOps {
        |            UNION ALL SELECT pb, pa, support
        |            FROM pairs WHERE support >= 2)""".stripMargin
 
+  /** BFS hop loop (shared by the checked query and the plan test). With
+    * `mat = false` the per-hop checkpoints are skipped so the FULL
+    * frontier-join lineage stays visible to plan assertions — the
+    * checked query always materializes (see i_graph_bfs's notes). */
+  private def bfsDistBuild(s: SparkSession, d: String, mat: Boolean): DataFrame = {
+    val edges = supEdges(s, d)
+    val nodes = supDeg(s, d).select(col("node"))
+    def m(name: String)(df: DataFrame): DataFrame =
+      if (mat) Q.materialize(s, d, name)(df) else df
+    var cur = m("gBfs_0") {
+      nodes.filter(col("node") % 50 === 0).withColumn("dist", lit(0))
+    }
+    for (h <- 1 to 4) {
+      val next = cur.filter(col("dist") === h - 1)
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(cur.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+      cur = m(s"gBfs_$h")(cur.union(next))
+    }
+    cur
+  }
+
+  private[graft] def bfsDistBuildForPlan(s: SparkSession, d: String): DataFrame =
+    bfsDistBuild(s, d, mat = false)
+
   val all: Seq[Q] = Seq(
 
     // Degree distribution of the co-purchase graph: how many parts have
@@ -594,17 +620,14 @@ object GraphOps {
     // recursive CTE unrolls the same 4 levels; UNION dedups (node, d)
     // pairs so the walk is linear in |V|·hops, not degree^hops).
     Q("i_graph_bfs", (s, d) => {
-      val edges = supEdges(s, d)
       val nodes = supDeg(s, d).select(col("node"))
-      var dist = nodes.filter(col("node") % 50 === 0)
-        .withColumn("dist", lit(0))
-      for (h <- 1 to 4) {
-        val next = dist.filter(col("dist") === h - 1)
-          .join(edges, col("node") === col("src"))
-          .select(col("dst").as("node")).distinct()
-          .join(dist.select(col("node")), Seq("node"), "left_anti")
-          .withColumn("dist", lit(h))
-        dist = dist.union(next)
+      // per-hop materialization (CcEngine discipline): hop h references
+      // hop h−1 TWICE (frontier filter + visited anti-join), so an
+      // unmaterialized chain re-evaluates early hops 2^h times — the
+      // measured 4.9 s → ~1 s fix at sf0.1. Memoized: the distance
+      // table is a reusable artifact, like every other graph label set.
+      val dist = Q.memoized(s, d, "gBfsDist") {
+        bfsDistBuild(s, d, mat = true)
       }
       nodes.join(dist, Seq("node"), "left")
         .select(col("node"), coalesce(col("dist"), lit(-1)).as("dist"))

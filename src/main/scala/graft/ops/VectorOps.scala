@@ -547,6 +547,7 @@ object VectorOps {
     // in DECIMAL(38,12) so the argmin tie-break (smallest label) is
     // engine-identical.
     Q("h_pq_encode", (s, d) => {
+      graft.functions.SqDistDec.register(s)
       val e = Io.table(s, d, "embeddings")
       val long = e
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "f")))
@@ -556,19 +557,32 @@ object VectorOps {
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "f")))
         .groupBy(col("label"), (col("pos0") + 1).as("pos"))
         .agg((decSum12(col("f").cast("double")) / count(lit(1))).as("c"))
-      val dist = long.join(broadcast(cent), "pos")
-        .groupBy(col("vec_id"), col("sub"), col("label"))
-        .agg(sum(((col("v") - col("c")) * (col("v") - col("c"))).cast(dec12))
-          .cast("double").as("d2"))
-      val wSub = Window.partitionBy(col("vec_id"), col("sub"))
-        .orderBy(col("d2"), col("label"))
-      val codes = dist.withColumn("rn", row_number().over(wSub))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("sub"), col("label").as("code"))
-      val codeStr = codes.groupBy(col("vec_id"))
-        .agg(concat_ws("-",
-          transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-            x => x.getField("code").cast("string"))).as("pq_code"))
+      // codebook gathered to pos-ordered arrays (K rows) and broadcast;
+      // each subspace distance is the native sq_dist_dec on array
+      // slices — same exact-decimal value as the relational
+      // (vec, sub, label) aggregate the oracle runs, but map-side over
+      // |V|·K rows instead of a |V|·D·K-row join+agg. The argmin is
+      // min(struct(d2, label)) per subspace — struct ordering IS
+      // "ORDER BY d2, label", so the tie-break matches the oracle's
+      // row_number exactly without a 160k-row window.
+      val centArr = cent.groupBy(col("label").as("c_label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("carr"))
+      val subDist = e.crossJoin(broadcast(centArr))
+        .select(col("vec_id") +: col("c_label") +: (0 until 8).map(m =>
+          expr(s"sq_dist_dec(slice(embedding, ${m * 8 + 1}, 8), " +
+            s"slice(carr, ${m * 8 + 1}, 8))").as(s"d$m")): _*)
+      val cAggs = (0 until 8).map(m =>
+        min(struct(col(s"d$m"), col("c_label"))).getField("c_label").as(s"c$m"))
+      val codesWide = subDist.groupBy(col("vec_id"))
+        .agg(cAggs.head, cAggs.tail: _*)
+      val codeStr = codesWide.select(col("vec_id"),
+        concat_ws("-", (0 until 8).map(m => col(s"c$m").cast("string")): _*)
+          .as("pq_code"))
+      val codes = codesWide.select(col("vec_id"),
+        explode(array((0 until 8).map(m =>
+          struct(lit(m).as("sub"), col(s"c$m").as("code"))): _*)).as("sc"))
+        .select(col("vec_id"), col("sc.sub").as("sub"), col("sc.code").as("code"))
       val err = long.join(codes, Seq("vec_id", "sub"))
         .join(broadcast(cent.select(col("label").as("code"), col("pos"), col("c"))),
           Seq("code", "pos"))

@@ -487,6 +487,57 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-semi batch twin plans as a LeftSemi join, never a cartesian") {
+    // semi-ness is the scale property: no row multiplication on
+    // multi-purchase users, no match payload — a fallback to inner-
+    // join-plus-distinct or a nested loop would break both.
+    val p = plan("g_click_purchase_semi").split("== Initial Plan ==").head
+    assert(p.contains("LeftSemi"), "no LeftSemi join in the executed plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("BFS frontier expansion stays on keyed equi-joins") {
+    // each hop is frontier⋈edges + anti-join visited; all of them must
+    // key on node ids — a cartesian or nested-loop fallback here is
+    // the 100 TB scale-killer for any iterative graph op. The checked
+    // query materializes per hop (truncated lineage), so the pin runs
+    // on the un-checkpointed build twin, like the minhash pair test.
+    val df = graft.ops.GraphOps.bfsDistBuildForPlan(spark, sf)
+    val p = executedPlan(df).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "data-sized cartesian in BFS")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "nested-loop join in BFS (no scalar cross joins exist in this build)")
+    assert(p.contains("LeftAnti"), "visited-set anti-join missing")
+  }
+
+  test("PQ encode: codebook attaches as a K-row broadcast, no cartesian") {
+    // the gathered codebook (K rows of D-dim arrays) attaches via ONE
+    // crossJoin(broadcast(...)) — a bounded BNLJ, the IVF house
+    // pattern; the error pass joins the long codebook by (code, pos)
+    // as a real broadcast hash join. Anything beyond that one scalar
+    // attachment — or any true cartesian — is a regression.
+    val p = plan("h_pq_encode").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), "codebook err-join did not broadcast")
+    assert(!p.contains("CartesianProduct"))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"$bnlj nested-loop joins (> 1 codebook attachment)")
+  }
+
+  test("RFM scoring: thresholds attach as broadcast scalars, no cartesian") {
+    // the max-date frame and the three quintile-threshold frames are
+    // one-row tables crossJoined in — they plan as BNLJ scalar
+    // attachments (bounded; AQE may split one logical attach into two
+    // physical ones), but no true cartesian may appear and the
+    // customer-aggregate side must never be nested-loop-joined against
+    // anything data-sized.
+    val p = plan("g_rfm_segments").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 8, s"$bnlj nested-loop joins (> 8 scalar cross attachments)")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "threshold frames did not broadcast at all")
+  }
+
   test("OHLC bars: both window directions and the aggregate share one shuffle") {
     // AdaptiveSparkPlan.toString prints the final plan followed by the
     // initial plan — count exchanges in the final section only.

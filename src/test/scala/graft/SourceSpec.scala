@@ -65,6 +65,27 @@ class SourceSpec extends AnyFunSuite {
     assert(total === ev.count())
   }
 
+  test("parquet schema evolution: mergeSchema unions columns across files") {
+    // a 100 TB table accretes columns over years of writers; readers
+    // must union footers (mergeSchema) and null-fill the files written
+    // before a column existed — never error, never drop rows.
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    val n = Io.table(spark, sf, "nation")
+    n.select("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    n.select("n_nationkey", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.columns.toSet ===
+      Set("n_nationkey", "n_name", "n_regionkey", "batch"))
+    assert(back.count() === 2 * n.count())
+    // pre-evolution files read the new column as null, post- as values
+    assert(back.filter(col("batch") === 1 && col("n_regionkey").isNull)
+      .count() === n.count())
+    assert(back.filter(col("batch") === 2 && col("n_regionkey").isNotNull)
+      .count() === n.count())
+  }
+
   test("partition pruning skips non-matching partitions") {
     val dir = Files.createTempDirectory("graft_part").toString
     Io.table(spark, sf, "orders")
