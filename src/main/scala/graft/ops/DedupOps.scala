@@ -308,6 +308,76 @@ object DedupOps {
   private def maskJaccard(a: String, b: String): Column =
     expr(s"bit_count($a & $b)") / expr(s"bit_count($a | $b)")
 
+  /** SimHash near-dup pair table (hamming ≤ 2), memoized AND
+    * materialized per corpus — consumed by h_simhash_dedup and the
+    * method-agreement census. Native one-pass simhash32 (the oracle
+    * runs the relational explode-×32 form, proving it equal) + the same
+    * node contraction as h_minhash_lsh_dedup: identical token sets hash
+    * identically, so LSH-band blocking (4×8-bit bands — EXACT for
+    * hamming ≤ 3 by pigeonhole) runs on one representative per distinct
+    * set and doc pairs are reconstituted by membership joins.
+    * Within-group pairs are hamming-0 by construction. */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "simhashPairs") {
+      Q.materialize(s, d, "simhashPairs") {
+        graft.functions.SimHash32.register(s)
+        val masks = docMasks(s, d).select(col("doc_id"), col("mask"))
+        val nodeIds = masks.groupBy(col("mask")).agg(min(col("doc_id")).as("nid"))
+        val docNode = masks.join(nodeIds, "mask").select(col("doc_id"), col("nid"))
+        val t = docToks(s, d)
+        val sh = nodeIds.join(t, nodeIds("nid") === t("doc_id"))
+          .select(col("nid"), expr("simhash32(toks)").as("simhash"))
+        val banded = sh.select(col("nid"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+          .withColumn("bandval", expr("(simhash DIV CAST(power(256, b) AS BIGINT)) % 256"))
+        val a = banded.select(col("nid").as("na"), col("simhash").as("ha"),
+          col("b"), col("bandval"))
+        val bb = banded.select(col("nid").as("nb"), col("simhash").as("hb"),
+          col("b").as("b2"), col("bandval").as("bandval2"))
+        val nodePairs = a.join(bb, col("b") === col("b2") && col("bandval") === col("bandval2") &&
+            col("na") < col("nb"))
+          .select(col("na"), col("nb"), col("ha"), col("hb")).distinct()
+          .withColumn("hd", expr("bit_count(ha ^ hb)"))
+          .filter(col("hd") <= 2)
+          .select(col("na"), col("nb"), col("hd").cast("int").as("hamming"))
+        val memA = docNode.select(col("nid").as("na"), col("doc_id").as("da"))
+        val memB = docNode.select(col("nid").as("nb"), col("doc_id").as("db"))
+        val cross = nodePairs.join(memA, "na").join(memB, "nb")
+          .select(least(col("da"), col("db")).as("doc_a"),
+            greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+        val within = docNode.select(col("nid"), col("doc_id").as("da"))
+          .join(docNode.select(col("nid"), col("doc_id").as("db")), "nid")
+          .filter(col("da") < col("db"))
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            lit(0).cast("int").as("hamming"))
+        cross.union(within)
+      }
+    }
+
+  /** Oracle twin of [[simhashPairs]]: CTE chain ending in
+    * `shp(doc_a, doc_b, hamming)`. Callers prepend `WITH `. */
+  private val simhashPairsSql: String =
+    s"""tok AS (
+       |  SELECT DISTINCT doc_id, t.token
+       |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+       |       LATERAL UNNEST(toks) AS t(token)),
+       |h AS (SELECT doc_id, token, $polyHash AS th FROM tok),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN (th // CAST(POWER(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h, (SELECT UNNEST(generate_series(0, 31)) AS j)
+       |  GROUP BY doc_id, j),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |shp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2)""".stripMargin
+
   /** Connected components over the exact near-dup pair graph (same-lang,
     * j >= 0.9) → (doc_id, rep) with rep = min doc_id per component.
     * Shared by h_dedup_clusters and h_dedup_best.
@@ -870,65 +940,49 @@ object DedupOps {
     // SimHash near-dup: 32-bit signatures, pairs at hamming <= 2 via
     // 4-band blocking (exact by pigeonhole for hamming <= 3).
     Q("h_simhash_dedup", (s, d) => {
-      // Native one-pass simhash32 (the oracle runs the relational
-      // explode-×32 form, proving it equal) + the same node contraction
-      // as h_minhash_lsh_dedup: identical token sets hash identically,
-      // so LSH-band blocking runs on one representative per distinct
-      // set and doc pairs are reconstituted by membership joins.
-      // Within-group pairs are hamming-0 by construction.
-      graft.functions.SimHash32.register(s)
-      val masks = docMasks(s, d).select(col("doc_id"), col("mask"))
-      val nodeIds = masks.groupBy(col("mask")).agg(min(col("doc_id")).as("nid"))
-      val docNode = masks.join(nodeIds, "mask").select(col("doc_id"), col("nid"))
-      val t = docToks(s, d)
-      val sh = nodeIds.join(t, nodeIds("nid") === t("doc_id"))
-        .select(col("nid"), expr("simhash32(toks)").as("simhash"))
-      val banded = sh.select(col("nid"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("b"))
-        .withColumn("bandval", expr("(simhash DIV CAST(power(256, b) AS BIGINT)) % 256"))
-      val a = banded.select(col("nid").as("na"), col("simhash").as("ha"),
-        col("b"), col("bandval"))
-      val bb = banded.select(col("nid").as("nb"), col("simhash").as("hb"),
-        col("b").as("b2"), col("bandval").as("bandval2"))
-      val nodePairs = a.join(bb, col("b") === col("b2") && col("bandval") === col("bandval2") &&
-          col("na") < col("nb"))
-        .select(col("na"), col("nb"), col("ha"), col("hb")).distinct()
-        .withColumn("hd", expr("bit_count(ha ^ hb)"))
-        .filter(col("hd") <= 2)
-        .select(col("na"), col("nb"), col("hd").cast("int").as("hamming"))
-      val memA = docNode.select(col("nid").as("na"), col("doc_id").as("da"))
-      val memB = docNode.select(col("nid").as("nb"), col("doc_id").as("db"))
-      val cross = nodePairs.join(memA, "na").join(memB, "nb")
-        .select(least(col("da"), col("db")).as("doc_a"),
-          greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
-      val within = docNode.select(col("nid"), col("doc_id").as("da"))
-        .join(docNode.select(col("nid"), col("doc_id").as("db")), "nid")
-        .filter(col("da") < col("db"))
-        .select(col("da").as("doc_a"), col("db").as("doc_b"),
-          lit(0).cast("int").as("hamming"))
-      cross.union(within)
-        .orderBy("doc_a", "doc_b")
+      simhashPairs(s, d).orderBy("doc_a", "doc_b")
     }, Some(
-      s"""WITH tok AS (
-         |  SELECT DISTINCT doc_id, t.token
-         |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
-         |       LATERAL UNNEST(toks) AS t(token)),
-         |h AS (SELECT doc_id, token, $polyHash AS th FROM tok),
-         |bits AS (
-         |  SELECT doc_id, j,
-         |    SUM(CASE WHEN (th // CAST(POWER(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM h, (SELECT UNNEST(generate_series(0, 31)) AS j)
-         |  GROUP BY doc_id, j),
-         |sh AS (
-         |  SELECT doc_id,
-         |    CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
-         |      AS simhash
-         |  FROM bits GROUP BY doc_id)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+      s"""WITH $simhashPairsSql
+         |SELECT doc_a, doc_b, hamming FROM shp
          |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Dedup-method agreement census: the banded-MinHash token-set pair
+    // table (j ≥ 0.9) vs the SimHash pair table (hamming ≤ 2) on the
+    // SAME corpus, full-outer-joined on the pair key — how many near-
+    // dup pairs each method finds that the other misses. This is the
+    // calibration read every pipeline does before picking its dedup
+    // method (Jaccard thresholds and hamming radii are NOT equivalent
+    // cuts; the census makes the disagreement a checked number). Both
+    // sides are memoized artifacts the individual queries already
+    // verify against brute-force oracles; the census itself is one
+    // pair-keyed full-outer join + one 3-row aggregate.
+    Q("h_dedup_method_agreement", (s, d) => {
+      val mh = minhashNearDupPairs(s, d, byLang = false)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("m"))
+      val sh = simhashPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("h"))
+      mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+        .select(when(col("m").isNotNull && col("h").isNotNull, "both")
+          .when(col("m").isNotNull, "minhash_only")
+          .otherwise("simhash_only").as("method"))
+        .groupBy(col("method")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy("method")
+    }, Some(
+      s"""WITH $simhashPairsSql,
+         |tt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+         |       FROM documents),
+         |mh AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM tt a JOIN tt b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.toks, b.toks))
+         |        / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.9)
+         |SELECT CASE WHEN m.doc_a IS NOT NULL AND s2.doc_a IS NOT NULL THEN 'both'
+         |            WHEN m.doc_a IS NOT NULL THEN 'minhash_only'
+         |            ELSE 'simhash_only' END AS method,
+         |  COUNT(*) AS n_pairs
+         |FROM mh m FULL JOIN shp s2
+         |  ON m.doc_a = s2.doc_a AND m.doc_b = s2.doc_b
+         |GROUP BY 1 ORDER BY method""".stripMargin)),
 
     // Duplication inflation per source: how much of each source's
     // volume is near-duplicate mass — the census a crawl-mix owner

@@ -184,6 +184,51 @@ object GraphOps {
   private[graft] def bfsDistBuildForPlan(s: SparkSession, d: String): DataFrame =
     bfsDistBuild(s, d, mat = false)
 
+  /** Unweighted synchronous-LPA labels after 4 fixed iterations —
+    * memoized and per-iteration-materialized; shared by the community
+    * census and the modularity score (see i_graph_community_lpa's
+    * determinism notes). */
+  private def lpaLabels(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "gLpaLabels") {
+      val edges = supEdges(s, d)
+      val nodes = supDeg(s, d).select(col("node"))
+      var l = Q.materialize(s, d, "glpa_0") {
+        nodes.withColumn("lbl", col("node"))
+      }
+      for (i <- 1 to 4) {
+        val cnt = edges.join(l, edges("dst") === l("node"))
+          .groupBy(edges("src").as("n2"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+        val wMax = org.apache.spark.sql.expressions.Window.partitionBy(col("n2"))
+        val best = cnt.withColumn("mx", max(col("cnt")).over(wMax))
+          .filter(col("cnt") === col("mx"))
+          .groupBy(col("n2")).agg(min(col("lbl")).as("nlbl"))
+        l = Q.materialize(s, d, s"glpa_$i") {
+          nodes.join(best, nodes("node") === best("n2"), "left")
+            .select(nodes("node"),
+              coalesce(col("nlbl"), nodes("node")).as("lbl"))
+        }
+      }
+      l
+    }
+
+  /** Oracle twin of [[lpaLabels]]: the lp0..lp4 CTE chain (layers on
+    * $supSql's `sedges`/`sdeg`; final labels in `lp4(node, lbl)`). */
+  private val lpaSql: String = {
+    val iter = (i: Int) =>
+      s"""lc$i AS (SELECT e.src AS node, l.lbl, COUNT(*) AS cnt
+         |  FROM sedges e JOIN lp${i - 1} l ON e.dst = l.node
+         |  GROUP BY 1, 2),
+         |lm$i AS (SELECT node, MIN(lbl) AS lbl
+         |  FROM (SELECT node, lbl, cnt, MAX(cnt) OVER (PARTITION BY node) AS mx
+         |        FROM lc$i)
+         |  WHERE cnt = mx GROUP BY node),
+         |lp$i AS (SELECT n.node, COALESCE(m.lbl, n.node) AS lbl
+         |  FROM (SELECT node FROM sdeg) n LEFT JOIN lm$i m ON m.node = n.node)""".stripMargin
+    s"""lp0 AS (SELECT node, node AS lbl FROM sdeg),
+       |${(1 to 4).map(iter).mkString(",\n")}""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Degree distribution of the co-purchase graph: how many parts have
@@ -421,49 +466,72 @@ object GraphOps {
     // (which fixes its iteration count for the same reason). Output is
     // the community-size histogram.
     Q("i_graph_community_lpa", (s, d) => {
-      val labels = Q.memoized(s, d, "gLpaLabels") {
-        val edges = supEdges(s, d)
-        val nodes = supDeg(s, d).select(col("node"))
-        var l = Q.materialize(s, d, "glpa_0") {
-          nodes.withColumn("lbl", col("node"))
-        }
-        for (i <- 1 to 4) {
-          val cnt = edges.join(l, edges("dst") === l("node"))
-            .groupBy(edges("src").as("n2"), col("lbl"))
-            .agg(count(lit(1)).as("cnt"))
-          val wMax = org.apache.spark.sql.expressions.Window.partitionBy(col("n2"))
-          val best = cnt.withColumn("mx", max(col("cnt")).over(wMax))
-            .filter(col("cnt") === col("mx"))
-            .groupBy(col("n2")).agg(min(col("lbl")).as("nlbl"))
-          l = Q.materialize(s, d, s"glpa_$i") {
-            nodes.join(best, nodes("node") === best("n2"), "left")
-              .select(nodes("node"),
-                coalesce(col("nlbl"), nodes("node")).as("lbl"))
-          }
-        }
-        l
-      }
+      val labels = lpaLabels(s, d)
       labels.groupBy(col("lbl")).agg(count(lit(1)).as("size"))
         .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
         .orderBy("size")
-    }, Some {
-      val iter = (i: Int) =>
-        s"""lc$i AS (SELECT e.src AS node, l.lbl, COUNT(*) AS cnt
-           |  FROM sedges e JOIN lp${i - 1} l ON e.dst = l.node
-           |  GROUP BY 1, 2),
-           |lm$i AS (SELECT node, MIN(lbl) AS lbl
-           |  FROM (SELECT node, lbl, cnt, MAX(cnt) OVER (PARTITION BY node) AS mx
-           |        FROM lc$i)
-           |  WHERE cnt = mx GROUP BY node),
-           |lp$i AS (SELECT n.node, COALESCE(m.lbl, n.node) AS lbl
-           |  FROM (SELECT node FROM sdeg) n LEFT JOIN lm$i m ON m.node = n.node)""".stripMargin
+    }, Some(
       s"""$supSql,
-         |lp0 AS (SELECT node, node AS lbl FROM sdeg),
-         |${(1 to 4).map(iter).mkString(",\n")}
+         |$lpaSql
          |SELECT size, COUNT(*) AS n_communities
          |FROM (SELECT lbl, COUNT(*) AS size FROM lp4 GROUP BY lbl)
-         |GROUP BY size ORDER BY size""".stripMargin
-    }),
+         |GROUP BY size ORDER BY size""".stripMargin)),
+
+    // Modularity of the LPA communities — the quality number every
+    // community detection reports: Q = Σ_c (e_c/m − (d_c/2m)²) over the
+    // SAME supported graph and the SAME memoized 4-iteration LPA labels
+    // the census query checks. Both-direction counts keep everything
+    // integer until the final division (e2_c = 2·e_c intra half-edges,
+    // m2 = 2·m directed edges, d_c = degree mass), each community's
+    // term snaps at 1e-12 and the cross-community total is an exact
+    // DECIMAL(38,18) sum — so the one emitted double is engine-
+    // identical. Scale shape: two label joins on the edge list + three
+    // hash-aggs + a one-row broadcast; communities with no internal
+    // edge enter via the LEFT join with e2 = 0.
+    Q("i_graph_modularity", (s, d) => {
+      val labels = lpaLabels(s, d)
+      val edges = supEdges(s, d)
+      val deg = supDeg(s, d)
+      val la = labels.select(col("node").as("src"), col("lbl").as("la"))
+      val lb = labels.select(col("node").as("dst"), col("lbl").as("lb"))
+      val intra = edges.join(la, "src").join(lb, "dst")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e2"))
+      val dsum = labels.join(deg, "node")
+        .groupBy(col("lbl")).agg(sum(col("deg")).as("dsum"))
+      val m2df = edges.agg(count(lit(1)).as("m2"))
+      val per = dsum.join(intra, Seq("lbl"), "left")
+        .select(col("lbl"), coalesce(col("e2"), lit(0L)).as("e2"), col("dsum"))
+        .crossJoin(broadcast(m2df))
+        .withColumn("term", snap12(col("e2") / col("m2") -
+          (col("dsum") / col("m2")) * (col("dsum") / col("m2"))))
+      per.agg(count(lit(1)).as("n_communities"),
+          max(col("m2")).as("m2x"), sum(col("e2")).as("e2x"),
+          snap6(decSum18(col("term"))).as("modularity"))
+        .select(col("n_communities"),
+          expr("m2x DIV 2").as("m_edges"),
+          expr("e2x DIV 2").as("intra_edges"),
+          col("modularity"))
+    }, Some(
+      s"""$supSql,
+         |$lpaSql,
+         |intra AS (
+         |  SELECT la.lbl, COUNT(*) AS e2
+         |  FROM sedges e JOIN lp4 la ON e.src = la.node
+         |                JOIN lp4 lb ON e.dst = lb.node
+         |  WHERE la.lbl = lb.lbl GROUP BY 1),
+         |ds AS (SELECT l.lbl, SUM(d.deg) AS dsum
+         |       FROM lp4 l JOIN sdeg d ON l.node = d.node GROUP BY 1),
+         |m2t AS (SELECT COUNT(*) AS m2 FROM sedges),
+         |per AS (
+         |  SELECT ds.lbl, COALESCE(i.e2, 0) AS e2, ds.dsum, m2
+         |  FROM ds LEFT JOIN intra i ON ds.lbl = i.lbl CROSS JOIN m2t)
+         |SELECT COUNT(*) AS n_communities,
+         |  MAX(m2) // 2 AS m_edges,
+         |  CAST(SUM(e2) AS BIGINT) // 2 AS intra_edges,
+         |  ${dSnap6(dSum18(dSnap12("e2 / m2 - (dsum / m2) * (dsum / m2)")))}
+         |    AS modularity
+         |FROM per""".stripMargin)),
 
     // Connected components of the SUPPORTED co-purchase graph, via the
     // shared CcEngine (the same min-label-propagation + pointer-jumping
