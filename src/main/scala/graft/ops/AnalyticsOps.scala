@@ -819,6 +819,74 @@ object AnalyticsOps {
          |     / SUM(n_events) OVER (PARTITION BY event_type)) AS seasonal_index
          |FROM g ORDER BY event_type, dow""".stripMargin)),
 
+    // ABC / Pareto classification — the classic inventory-analytics
+    // cut: rank parts by revenue DESC, classify by cumulative revenue
+    // share (A: cum ≤ 80%, B: ≤ 95%, C: rest), report the 3-row class
+    // census. The cumulative sum is the DISTRIBUTED two-pass prefix-sum
+    // (same pattern as g_gini_spend's global rank): range-partition on
+    // the sort key, exact decimal cumsum WITHIN each partition, then
+    // add broadcast per-partition offsets — no single-partition window
+    // over the data, and every cumulative value is an exact
+    // DECIMAL(38,6) so the 0.8/0.95 boundary classification is engine-
+    // identical (the oracle runs the literal one-window form, proving
+    // the two-pass decomposition equal). Revenue terms are the TPC-H
+    // price*(1−discount) doubles, decimal-summed order-independently.
+    Q("g_abc_classification", (s, d) => {
+      val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val parts = s.sparkContext.defaultParallelism
+      val rev = Io.table(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+      val wLoc = Window.partitionBy(col("pid"))
+        .orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = rev
+        .repartitionByRange(parts, col("rev").desc, col("l_partkey"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lcum", sum(col("rev").cast(dec6)).over(wLoc))
+      val offs = local.groupBy(col("pid"))
+        .agg(sum(col("rev").cast(dec6)).as("ptot"))
+        .withColumn("off", coalesce(sum(col("ptot")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0).cast(dec6)))
+        .select(col("pid"), col("off"))
+      val tot = rev.agg(sum(col("rev").cast(dec6)).as("total"))
+      val classed = local.join(broadcast(offs), "pid")
+        .crossJoin(broadcast(tot))
+        .withColumn("share", (col("lcum") + col("off")).cast("double") /
+          col("total").cast("double"))
+        .withColumn("abc", when(col("share") <= 0.8, "A")
+          .when(col("share") <= 0.95, "B").otherwise("C"))
+      classed.groupBy(col("abc"))
+        .agg(count(lit(1)).as("n_parts"),
+          snap6(decSum(col("rev"))).as("class_revenue"),
+          snap6(decSum(col("rev")) /
+            first(col("total")).cast("double")).as("revenue_share"))
+        .orderBy("abc")
+    }, Some(
+      s"""WITH rev AS (
+         |  SELECT l_partkey, ${dSum("l_extendedprice * (1.0 - l_discount)")} AS rev
+         |  FROM lineitem GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total FROM rev),
+         |cum AS (
+         |  SELECT l_partkey, rev,
+         |    SUM(CAST(rev AS DECIMAL(38,6))) OVER (
+         |      ORDER BY rev DESC, l_partkey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lcum
+         |  FROM rev),
+         |classed AS (
+         |  SELECT l_partkey, rev,
+         |    CASE WHEN CAST(lcum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8 THEN 'A'
+         |         WHEN CAST(lcum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+         |         ELSE 'C' END AS abc
+         |  FROM cum CROSS JOIN tot)
+         |SELECT abc, COUNT(*) AS n_parts,
+         |  ${dSnap6(dSum("rev"))} AS class_revenue,
+         |  ${dSnap6(s"${dSum("rev")} / CAST((SELECT total FROM tot) AS DOUBLE)")}
+         |    AS revenue_share
+         |FROM classed GROUP BY abc ORDER BY abc""".stripMargin)),
+
     // RFM customer segmentation — the classic marketing-analytics
     // operator: per-customer Recency (days since last order, vs the
     // corpus max date), Frequency (order count) and Monetary (exact

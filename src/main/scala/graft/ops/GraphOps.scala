@@ -676,6 +676,51 @@ object GraphOps {
          |GROUP BY size ORDER BY size""".stripMargin
     }),
 
+    // Market-basket association rules over the co-purchase pair table —
+    // the classic support/confidence/lift read: for every undirected
+    // pair with support ≥ 3, the a→b confidence (P(b|a)) and lift
+    // (P(a,b)/(P(a)P(b))), top 20 by lift. All inputs are exact
+    // integers off the SAME memoized pair artifact the graph family
+    // uses (supp_ab) plus one per-item distinct-order count and a
+    // one-row basket total; the ratios divide integers in a fixed
+    // association order and snap at 1e-6, so the DESC ranking is
+    // engine-stable (ties break on the pair key). Scale shape: the
+    // pair expansion is the already-bounded order-keyed self-join (see
+    // copurchasePairs); this query adds two broadcast-sized joins and
+    // a TakeOrderedAndProject — nothing new shuffles the corpus.
+    Q("i_assoc_rules", (s, d) => {
+      val pairs = copurchasePairs(s, d).filter(col("support") >= 3)
+      val e0 = Io.table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val itemN = e0.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+      val totN = e0.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(itemN.select(col("l_partkey").as("pa"), col("n_item").as("n_a")), "pa")
+        .join(itemN.select(col("l_partkey").as("pb"), col("n_item").as("n_b")), "pb")
+        .crossJoin(broadcast(totN))
+        .select(col("pa"), col("pb"), col("support"), col("n_a"), col("n_b"),
+          snap6(col("support") / col("n_a")).as("conf_a_b"),
+          snap6(col("support") / col("n_b")).as("conf_b_a"),
+          snap6(col("support") * col("n_orders") /
+            (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(20)
+    }, Some(
+      s"""$pairsSql,
+         |itemn AS (SELECT l_partkey, COUNT(*) AS n_item FROM e0 GROUP BY 1),
+         |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM e0)
+         |SELECT p.pa, p.pb, p.support, a.n_item AS n_a, b.n_item AS n_b,
+         |  ${dSnap6("p.support / a.n_item")} AS conf_a_b,
+         |  ${dSnap6("p.support / b.n_item")} AS conf_b_a,
+         |  ${dSnap6("p.support * n_orders / CAST(a.n_item * b.n_item AS DOUBLE)")} AS lift
+         |FROM pairs p
+         |  JOIN itemn a ON a.l_partkey = p.pa
+         |  JOIN itemn b ON b.l_partkey = p.pb
+         |  CROSS JOIN tot
+         |WHERE p.support >= 3
+         |ORDER BY lift DESC, p.pa, p.pb LIMIT 20""".stripMargin)),
+
     // Multi-source BFS on the SUPPORTED co-purchase graph: exact
     // min-hop distance from the seed set {node % 50 = 0} out to 4 hops
     // (-1 = unreached), reported as the distance histogram. This is the
