@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming twins of the G-row batch operators
   * (graft.ops.StreamBatchOps). Each transform takes any events-shaped
@@ -217,6 +217,51 @@ object Streams {
           state.update(next)
           Iterator(UserCount(user, next))
       }
+  }
+
+  case class UserActivity(user_id: Long, n: Long, min_value: Double,
+      max_value: Double, last_ts_us: Long)
+
+  /** Spark 4's `transformWithState` — the successor API to
+    * flatMapGroupsWithState: typed per-key state VARIABLES
+    * (ValueState/ListState/MapState, optional TTL, timers) managed by
+    * the state-store layer instead of one opaque blob per key. This
+    * processor keeps a per-user running activity summary in a single
+    * ValueState and emits the updated row per input batch — the TWS
+    * twin of [[runningUserCounts]], tracking only order-independent
+    * quantities (count, min/max value, max event time) so the final
+    * per-user row is batch-split-invariant (asserted in StatefulSpec).
+    * transformWithState REQUIRES the RocksDB state-store provider —
+    * the bounded-memory production configuration — which the spec
+    * pins explicitly.
+    */
+  class UserActivityProcessor extends StatefulProcessor[Long, Ev, UserActivity] {
+    @transient private var state: ValueState[UserActivity] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserActivity]("activity",
+        org.apache.spark.sql.Encoders.product[UserActivity], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[UserActivity] = {
+      val prev = if (state.exists()) state.get()
+        else UserActivity(key, 0L, Double.PositiveInfinity,
+          Double.NegativeInfinity, Long.MinValue)
+      val next = rows.foldLeft(prev) { (a, e) =>
+        UserActivity(key, a.n + 1, math.min(a.min_value, e.value),
+          math.max(a.max_value, e.value), math.max(a.last_ts_us, e.ts_us))
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def userActivityTws(events: Dataset[Ev]): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserActivityProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        implicitly[org.apache.spark.sql.Encoder[UserActivity]])
   }
 
   case class EwmaOut(user_id: Long, event_id: Long, ts_us: Long, ewma: Double)

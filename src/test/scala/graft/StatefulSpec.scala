@@ -53,6 +53,39 @@ class StatefulSpec extends AnyFunSuite {
     finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("transformWithState activity summary converges to batch aggregates (RocksDB)") {
+    // Spark 4's typed-state-variable API; requires the RocksDB provider
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Io.events(spark, sf)
+        .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+        .as[Ev].collect().toSeq
+      val (first, second) = evs.splitAt(evs.size / 2)
+      val mem = MemoryStream[Ev]
+      val q = Streams.userActivityTws(mem.toDS()).writeStream
+        .format("memory").queryName("tws").outputMode(OutputMode.Update()).start()
+      try {
+        mem.addData(first); q.processAllAvailable()
+        mem.addData(second); q.processAllAvailable()
+      } finally q.stop()
+      // last update per user == the batch per-user aggregate (all the
+      // tracked quantities are order-independent, so the two-batch
+      // split must not be visible in the final rows)
+      val streamed = spark.table("tws").as[Streams.UserActivity].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.n)).toMap
+      val batch = evs.groupBy(_.user_id).map { case (u, es) =>
+        u -> Streams.UserActivity(u, es.size.toLong, es.map(_.value).min,
+          es.map(_.value).max, es.map(_.ts_us).max)
+      }
+      assert(streamed === batch)
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("stateful streaming EWMA equals the batch g_ewma query") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
