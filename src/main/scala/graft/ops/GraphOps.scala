@@ -676,6 +676,47 @@ object GraphOps {
          |GROUP BY size ORDER BY size""".stripMargin
     }),
 
+    // Per-node clustering coefficient on the SUPPORTED graph —
+    // 2·T_v / (deg_v·(deg_v−1)), the local counterpart of
+    // i_graph_triangles' global_cc: wedges CENTERED at every node
+    // (both-direction edge list self-joined on the center, neighbor
+    // pair ordered) close against the undirected pair set, one
+    // node-keyed hash-agg, then pure arithmetic against the shared
+    // degree table. Same keyed-equi-join discipline as the rest of the
+    // family — the wedge fanout is Σ deg² bounded by the support
+    // pruning, and nothing broadcasts beyond a plan-shape possibility
+    // on the tiny sides. Top 20 by coefficient (exact rational in
+    // doubles, snapped, node tiebreak); nodes with deg < 2 have no
+    // defined coefficient and are excluded.
+    Q("i_graph_clustering_coef", (s, d) => {
+      val se = supEdges(s, d)
+      val p = supPairs(s, d)
+      val deg = supDeg(s, d)
+      val triV = se.as("x").join(se.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .select(col("x.src").as("v"), col("x.dst").as("pa"), col("y.dst").as("pb"))
+        .join(p, Seq("pa", "pb"))
+        .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+      deg.join(triV, deg("node") === triV("v"), "left")
+        .filter(col("deg") >= 2)
+        .select(col("node"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+        .withColumn("coef", snap6(lit(2.0) * col("tri") /
+          (col("deg") * (col("deg") - 1)).cast("double")))
+        .orderBy(col("coef").desc, col("node")).limit(20)
+    }, Some(
+      s"""$supSql,
+         |wv AS (SELECT x.src AS v, x.dst AS pa, y.dst AS pb
+         |       FROM sedges x JOIN sedges y
+         |         ON x.src = y.src AND x.dst < y.dst),
+         |tv AS (SELECT v, COUNT(*) AS tri FROM wv JOIN sup USING (pa, pb)
+         |       GROUP BY v)
+         |SELECT d.node, d.deg, COALESCE(t.tri, 0) AS tri,
+         |  ${dSnap6("2.0 * COALESCE(t.tri, 0) / CAST(d.deg * (d.deg - 1) AS DOUBLE)")}
+         |    AS coef
+         |FROM sdeg d LEFT JOIN tv t ON d.node = t.v
+         |WHERE d.deg >= 2
+         |ORDER BY coef DESC, d.node LIMIT 20""".stripMargin)),
+
     // Market-basket association rules over the co-purchase pair table —
     // the classic support/confidence/lift read: for every undirected
     // pair with support ≥ 3, the a→b confidence (P(b|a)) and lift
