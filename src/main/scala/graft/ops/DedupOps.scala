@@ -946,6 +946,43 @@ object DedupOps {
          |SELECT doc_a, doc_b, hamming FROM shp
          |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Cross-SOURCE near-dup matrix: the j ≥ 0.9 token-set pair table
+    // bucketed by the (unordered) source pair — which sources copy from
+    // which, and how similar the copies are. The provenance counterpart
+    // of h_crosslang_neardup (cross-language) and h_source_overlap
+    // (EXACT-duplicate collisions): near-dup leakage between sources is
+    // what double-counts a crawl in mixture weights even when no byte-
+    // exact copy exists. Reuses the memoized pair artifact; this query
+    // adds two doc→source joins and one matrix-sized aggregate.
+    Q("h_source_neardup_matrix", (s, d) => {
+      val src = Io.table(s, d, "documents").select(col("doc_id"), col("source"))
+      minhashNearDupPairs(s, d, byLang = false)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .groupBy(least(col("sa"), col("sb")).as("src1"),
+          greatest(col("sa"), col("sb")).as("src2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          decAvg(col("jaccard"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double")
+            .as("avg_jaccard"))
+        .orderBy("src1", "src2")
+    }, Some(
+      """WITH t AS (SELECT doc_id, source,
+        |             list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents),
+        |p AS (
+        |  SELECT LEAST(a.source, b.source) AS src1,
+        |    GREATEST(a.source, b.source) AS src2,
+        |    ROUND(len(list_intersect(a.toks, b.toks))
+        |          / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 6) AS j
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks))
+        |        / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.9)
+        |SELECT src1, src2, COUNT(*) AS n_pairs,
+        |  CAST(CAST(CAST(SUM(CAST(j AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+        |       AS DECIMAL(38,6)) AS DOUBLE) AS avg_jaccard
+        |FROM p GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin)),
+
     // Dedup-method agreement census: the banded-MinHash token-set pair
     // table (j ≥ 0.9) vs the SimHash pair table (hamming ≤ 2) on the
     // SAME corpus, full-outer-joined on the pair key — how many near-

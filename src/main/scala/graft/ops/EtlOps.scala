@@ -269,6 +269,50 @@ object EtlOps {
          |FROM orders WHERE o_custkey % 20 = 0
          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
+    // Incremental JOIN-view maintenance — the delta algebra every
+    // materialized revenue-per-customer view runs on nightly ingest:
+    // with both base tables split into (old, Δ) at a date cut,
+    // V(old∪Δo ⋈ old∪Δl) = old⋈old + Δo⋈old + old⋈Δl + Δo⋈Δl —
+    // four partial aggregates merged by key, touching only
+    // aggregate-sized partials at merge time. The oracle recomputes
+    // the view FROM SCRATCH over the full tables, so the hash match
+    // PROVES the delta decomposition (including the easy-to-forget
+    // Δ⋈Δ term) and the mergeability of the decimal partials. Scale:
+    // each partial is one keyed equi-join + hash agg over only its
+    // slice; at 100 TB the three Δ terms are ingest-sized, and
+    // old⋈old is the stored view, never recomputed.
+    Q("e_incremental_join_view", (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cut = to_date(lit("1998-01-01"))
+      val o = Io.table(s, d, "orders")
+        .filter(col("o_custkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val l = Io.table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val oOld = o.filter(col("o_orderdate") < cut)
+      val oNew = o.filter(col("o_orderdate") >= cut)
+      val lOld = l.filter(col("l_shipdate") < cut)
+      val lNew = l.filter(col("l_shipdate") >= cut)
+      def partial(os: org.apache.spark.sql.DataFrame,
+          ls: org.apache.spark.sql.DataFrame) =
+        os.join(ls, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("pn"),
+            sum(col("rev").cast(DecimalType(38, 6))).as("ps"))
+      partial(oOld, lOld).union(partial(oNew, lOld))
+        .union(partial(oOld, lNew)).union(partial(oNew, lNew))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("pn")).as("n_items"),
+          sum(col("ps")).cast("double").as("revenue"))
+        .orderBy("o_custkey")
+    }, Some(
+      s"""SELECT o_custkey, COUNT(*) AS n_items,
+         |  ${dSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_custkey % 10 = 0
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
     // Z-order (Morton) data layout: the multi-dimensional clustering a
     // 100 TB table needs so parquet min/max (or Iceberg/Delta file
     // stats) prune on MORE THAN ONE dimension. Each event's (user_id,
