@@ -19,6 +19,15 @@ object EngineSurfaceOps {
   private def shared(name: String, sql: String): Q =
     Q(name, (s: SparkSession, d: String) => { Io.views(s, d); s.sql(sql) }, Some(sql))
 
+  /** exact order-independent mean / Σv² of events.value at 1e-6 — one
+    * text both engines run verbatim (f_sql_script_iter). */
+  private val meanExpr =
+    "CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) " +
+      "AS DECIMAL(38,6)) AS DOUBLE)"
+  private val m2Expr =
+    "CAST(CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) " +
+      "AS DECIMAL(38,6)) AS DOUBLE)"
+
   val all: Seq[Q] = Seq(
 
     // parse_url / url_encode / url_decode. The URL is built from part
@@ -125,6 +134,65 @@ object EngineSurfaceOps {
         |SELECT s.day, COUNT(o.o_orderkey) AS n_orders
         |FROM spine s LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = s.day
         |GROUP BY s.day ORDER BY s.day""".stripMargin),
+
+    // SQL SCRIPTING (Spark 4.x BEGIN…END procedural blocks): a WHILE
+    // loop iterating a data-dependent fixed point — 3 rounds of
+    // 2-sigma trimmed mean over events.value, each round recomputing
+    // mean/σ from the rows inside the previous round's bounds. This is
+    // the migration surface for warehouse stored procedures; the
+    // control flow lives in the ENGINE (script-local variables,
+    // scalar-subquery assignment), not in driver-side Scala. The
+    // DuckDB twin unrolls the same 3 rounds as CTEs, so the loop's
+    // arithmetic is oracle-checked: mean and Σv² snap to DECIMAL(38,6)
+    // each round (exact order-independent sums underneath), σ =
+    // SQRT(...) is correctly-rounded IEEE on both engines, and the
+    // bounds chain mean ∓ 2σ is written in the same association order.
+    // Scale: each round is one scan + global aggregate (map-side
+    // combined); the script only ever holds scalars.
+    Q("f_sql_script_iter", (s, d) => {
+      Io.views(s, d)
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      s.sql(
+        s"""BEGIN
+           |  DECLARE lo DOUBLE DEFAULT -1e308;
+           |  DECLARE hi DOUBLE DEFAULT 1e308;
+           |  DECLARE mean DOUBLE DEFAULT 0;
+           |  DECLARE m2 DOUBLE DEFAULT 0;
+           |  DECLARE sigma DOUBLE DEFAULT 0;
+           |  DECLARE i INT DEFAULT 0;
+           |  WHILE i < 3 DO
+           |    SET mean = (SELECT $meanExpr FROM events
+           |                WHERE value >= lo AND value <= hi);
+           |    SET m2 = (SELECT $m2Expr FROM events
+           |              WHERE value >= lo AND value <= hi);
+           |    SET sigma = SQRT(GREATEST(m2 - mean * mean, 0));
+           |    SET lo = mean - 2 * sigma;
+           |    SET hi = mean + 2 * sigma;
+           |    SET i = i + 1;
+           |  END WHILE;
+           |  SELECT
+           |    (SELECT COUNT(*) FROM events
+           |     WHERE value >= lo AND value <= hi) AS n_kept,
+           |    CAST(CAST(mean AS DECIMAL(38,6)) AS DOUBLE) AS trimmed_mean,
+           |    CAST(CAST(sigma AS DECIMAL(38,6)) AS DOUBLE) AS trimmed_sigma;
+           |END""".stripMargin)
+    }, Some {
+      val round = (k: Int, src: String) =>
+        s"""r$k AS (SELECT $meanExpr AS mean, $m2Expr AS m2 FROM $src),
+           |b$k AS (SELECT mean, SQRT(GREATEST(m2 - mean * mean, 0)) AS sigma
+           |        FROM r$k),
+           |w$k AS (SELECT mean - 2 * sigma AS lo, mean + 2 * sigma AS hi,
+           |               mean, sigma FROM b$k)""".stripMargin
+      s"""WITH ${round(1, "events")},
+         |${round(2, "events, w1 WHERE value >= w1.lo AND value <= w1.hi")},
+         |${round(3, "events, w2 WHERE value >= w2.lo AND value <= w2.hi")}
+         |SELECT
+         |  (SELECT COUNT(*) FROM events, w3
+         |   WHERE value >= w3.lo AND value <= w3.hi) AS n_kept,
+         |  CAST(CAST(w3.mean AS DECIMAL(38,6)) AS DOUBLE) AS trimmed_mean,
+         |  CAST(CAST(w3.sigma AS DECIMAL(38,6)) AS DOUBLE) AS trimmed_sigma
+         |FROM w3""".stripMargin
+    }),
 
     // VARIANT ingestion (Spark 4.x semi-structured type): parse the
     // JSON props column once into VARIANT, extract a typed path, and
