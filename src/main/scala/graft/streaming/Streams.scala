@@ -264,6 +264,75 @@ object Streams {
         implicitly[org.apache.spark.sql.Encoder[UserActivity]])
   }
 
+  case class SessState(start_us: Long, last_us: Long, n: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** transformWithState with EVENT-TIME TIMERS — the capability that
+    * separates TWS from flatMapGroupsWithState's single timeout:
+    * explicit per-key timers managed against the watermark. 30-minute
+    * gap sessionization: intra-batch gaps close sessions immediately;
+    * the open session registers a timer at (last event + gap), and
+    * when the WATERMARK passes it, handleExpiredTimer emits the closed
+    * session and clears state — the session closes because event time
+    * PROVED no extension can arrive, not because a batch happened to
+    * end. Events within a batch are sorted per key (micro-batch-
+    * bounded buffer); cross-batch late data is handled by the
+    * watermark, same contract as session_window. */
+  class SessionTimerProcessor extends StatefulProcessor[Long, Ev, SessionOut] {
+    private val gapUs = 30L * 60 * 1000000
+    @transient private var sess: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessState]("sess",
+        org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some(c) if e.ts_us - c.last_us <= gapUs =>
+            cur = Some(SessState(c.start_us, e.ts_us, c.n + 1))
+          case Some(c) =>
+            out += SessionOut(key, c.start_us, c.last_us, c.n)
+            cur = Some(SessState(e.ts_us, e.ts_us, 1))
+          case None =>
+            cur = Some(SessState(e.ts_us, e.ts_us, 1))
+        }
+      }
+      cur.foreach { c =>
+        sess.update(c)
+        // one live timer per key: re-arm at the open session's close time
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer((c.last_us + gapUs) / 1000)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (sess.exists()) {
+        val c = sess.get()
+        sess.clear()
+        Iterator.single(SessionOut(key, c.start_us, c.last_us, c.n))
+      } else Iterator.empty
+    }
+  }
+
+  def sessionizeTws(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "0 seconds")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor,
+        TimeMode.EventTime(), OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[SessionOut]])
+  }
+
   case class EwmaOut(user_id: Long, event_id: Long, ts_us: Long, ewma: Double)
 
   /** Stateful streaming EWMA (g_ewma twin): per user, the

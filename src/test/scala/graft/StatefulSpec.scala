@@ -86,6 +86,51 @@ class StatefulSpec extends AnyFunSuite {
     } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("transformWithState event-time timers close sessions at the watermark (RocksDB)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Io.events(spark, sf).filter("user_id < 30")
+        .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+        .as[Ev].collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val (first, second) = evs.splitAt(evs.size / 2)
+      // the flush event advances the global watermark far past every
+      // real session's close time, so every open session's TIMER fires
+      val flush = Ev(900001L, evs.map(_.ts_us).max + 10L * 3600000000L,
+        999999L, "click", 0.0)
+      val mem = MemoryStream[Ev]
+      val q = Streams.sessionizeTws(mem.toDS()).writeStream
+        .format("memory").queryName("twssess").outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(first); q.processAllAvailable()
+        mem.addData(second); q.processAllAvailable()
+        mem.addData(flush); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("twssess")
+        .as[Streams.SessionOut].collect().filter(_.user_id < 900000L).toSet
+      // batch oracle: per-user gap-split sessionization in plain Scala
+      val gap = 30L * 60 * 1000000
+      val expected = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        val ts = es.map(_.ts_us).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[Streams.SessionOut]
+        var start = ts.head; var last = ts.head; var n = 1L
+        ts.tail.foreach { t =>
+          if (t - last <= gap) { last = t; n += 1 }
+          else { sessions += Streams.SessionOut(u, start, last, n)
+                 start = t; last = t; n = 1 }
+        }
+        sessions += Streams.SessionOut(u, start, last, n)
+        sessions
+      }.toSet
+      assert(streamed === expected)
+      assert(streamed.nonEmpty)
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("stateful streaming EWMA equals the batch g_ewma query") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
