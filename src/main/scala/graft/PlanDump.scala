@@ -41,13 +41,20 @@ object PlanDump {
       "d_agg_corr_matrix" -> "corr matrix: ONE scan, 15 power sums map-side combined, no Expand (pinned in PlanShapeSpec)",
       "g_click_purchase_full" -> "stream-stream FULL OUTER batch twin: one user_id shuffle + residual time band",
       "e_zorder_locality" -> "z-order layout metric: broadcast extremes, map-side Morton bucketing, one agg per layout",
-      "e_compaction_bins" -> "compaction planner: metadata-sized window cumsum per partition, one hash agg")
+      "e_compaction_bins" -> "compaction planner: metadata-sized window cumsum per partition, one hash agg",
+      "g_click_purchase_semi" -> "stream-semi batch twin: LeftSemi join, no row multiplication",
+      "h_pq_encode" -> "PQ encode: K-row codebook broadcast, map-side sq_dist_dec slices, struct-min argmin",
+      "i_graph_bfs" -> "BFS frontier build: per-hop frontier⋈edges + visited anti-join, keyed only",
+      "g_abc_classification" -> "ABC/Pareto: range-partitioned two-pass decimal prefix sum, no global window")
     // the checked widevocab query serves its memoized pair table
     // (truncated lineage) — dump the BUILD pipeline instead, where the
-    // shingling/mask/signature/band-join shape is visible.
+    // shingling/mask/signature/band-join shape is visible; same for the
+    // per-hop-materialized BFS distance table.
     val custom: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
       "h_minhash_widevocab" ->
-        (() => graft.ops.DedupOps.widevocabPairsBuildForPlan(spark, sfDir)))
+        (() => graft.ops.DedupOps.widevocabPairsBuildForPlan(spark, sfDir)),
+      "i_graph_bfs" ->
+        (() => graft.ops.GraphOps.bfsDistBuildForPlan(spark, sfDir)))
     val sb = new StringBuilder
     sb.append("# PLANS — final executed plans of representative queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001; AQE settled\n")

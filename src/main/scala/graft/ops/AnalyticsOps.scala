@@ -930,9 +930,11 @@ object AnalyticsOps {
         .withColumn("mscore", lit(1) + score("monet", "m"))
         .groupBy((col("rscore") * 100 + col("fscore") * 10 + col("mscore"))
           .as("segment"))
+        // raw-double means (exact decimal sum / count, one shared double
+        // op) — snapping a quotient risks DuckDB's midpoint cast bug
         .agg(count(lit(1)).as("n_cust"),
-          snap6(decAvg(col("rec"))).as("avg_recency"),
-          snap6(decAvg(col("freq"))).as("avg_freq"),
+          decAvg(col("rec")).as("avg_recency"),
+          decAvg(col("freq")).as("avg_freq"),
           snap6(decSum(col("monet"))).as("total_spend"))
         .orderBy("segment")
     }, Some(
@@ -964,8 +966,8 @@ object AnalyticsOps {
          |  FROM base CROSS JOIN th)
          |SELECT rscore * 100 + fscore * 10 + mscore AS segment,
          |  COUNT(*) AS n_cust,
-         |  ${dSnap6(s"${dSum("rec")} / COUNT(*)")} AS avg_recency,
-         |  ${dSnap6(s"${dSum("freq")} / COUNT(*)")} AS avg_freq,
+         |  ${dSum("rec")} / COUNT(*) AS avg_recency,
+         |  ${dSum("freq")} / COUNT(*) AS avg_freq,
          |  ${dSnap6(dSum("monet"))} AS total_spend
          |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin))
   )

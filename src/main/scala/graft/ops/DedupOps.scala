@@ -578,9 +578,7 @@ object DedupOps {
         .filter(col("jr") >= col("t10") / 10.0)
       val pagg = sweep.groupBy(col("t10"))
         .agg(count(lit(1)).as("n_pairs"),
-          decAvg(col("jr"))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double")
-            .as("avg_jaccard"))
+          decAvg(col("jr")).as("avg_jaccard"))
       val dagg = sweep
         .select(col("t10"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
         .groupBy(col("t10"))
@@ -608,7 +606,7 @@ object DedupOps {
          |  WHERE p.jr >= th.t10 / 10.0),
          |pagg AS (
          |  SELECT t10, COUNT(*) AS n_pairs,
-         |    CAST(CAST(${dSum("jr")} / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS avg_jaccard
+         |    ${dSum("jr")} / COUNT(*) AS avg_jaccard
          |  FROM sweep GROUP BY t10),
          |docs AS (
          |  SELECT t10, COUNT(DISTINCT doc) AS n_docs FROM (
@@ -961,10 +959,14 @@ object DedupOps {
         .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
         .groupBy(least(col("sa"), col("sb")).as("src1"),
           greatest(col("sa"), col("sb")).as("src2"))
+        // RAW double mean, not snapped: the inputs (r6-rounded pair
+        // jaccards, exact decimal sum, integer count) are bit-identical
+        // across engines and the quotient is one shared double op —
+        // whereas snapping can land on a 1e-6 midpoint and hit DuckDB's
+        // mis-rounded double→decimal cast (bit-diff seen at sf0.001:
+        // 9.261985/10). Same reasoning as g_seasonality_dow.
         .agg(count(lit(1)).as("n_pairs"),
-          decAvg(col("jaccard"))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double")
-            .as("avg_jaccard"))
+          decAvg(col("jaccard")).as("avg_jaccard"))
         .orderBy("src1", "src2")
     }, Some(
       """WITH t AS (SELECT doc_id, source,
@@ -979,8 +981,7 @@ object DedupOps {
         |  WHERE len(list_intersect(a.toks, b.toks))
         |        / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.9)
         |SELECT src1, src2, COUNT(*) AS n_pairs,
-        |  CAST(CAST(CAST(SUM(CAST(j AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
-        |       AS DECIMAL(38,6)) AS DOUBLE) AS avg_jaccard
+        |  CAST(SUM(CAST(j AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_jaccard
         |FROM p GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin)),
 
     // Dedup-method agreement census: the banded-MinHash token-set pair
