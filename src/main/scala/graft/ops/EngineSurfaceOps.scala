@@ -135,6 +135,70 @@ object EngineSurfaceOps {
         |FROM spine s LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = s.day
         |GROUP BY s.day ORDER BY s.day""".stripMargin),
 
+    // COLLATION (Spark 4.x collated string type): case-insensitive
+    // equality/prefix semantics declared IN THE TYPE (collate(x,
+    // 'UTF8_LCASE')) instead of smeared lower() calls — the engine can
+    // then push collation-aware comparisons into hash keys and joins.
+    // DuckDB has no Spark collation names; its twin states the
+    // equivalent lower()-normalized algebra, which for UTF8_LCASE on
+    // ASCII data is exact. Checked: binary vs lcase equality against
+    // an upper-cased twin and a collated prefix test. Map-side only.
+    Q("f_collation", (s, d) => {
+      Io.views(s, d)
+      s.sql(
+        """SELECT p_partkey,
+          |  p_name = upper(p_name) AS eq_binary,
+          |  collate(p_name, 'UTF8_LCASE') = collate(upper(p_name), 'UTF8_LCASE')
+          |    AS eq_lcase,
+          |  startswith(collate(upper(p_name), 'UTF8_LCASE'),
+          |             collate(substring(p_name, 1, 3), 'UTF8_LCASE'))
+          |    AS prefix_lcase
+          |FROM part WHERE p_partkey <= 200
+          |ORDER BY p_partkey""".stripMargin)
+    }, Some(
+      """SELECT p_partkey,
+        |  p_name = upper(p_name) AS eq_binary,
+        |  lower(p_name) = lower(upper(p_name)) AS eq_lcase,
+        |  starts_with(lower(upper(p_name)), lower(substring(p_name, 1, 3)))
+        |    AS prefix_lcase
+        |FROM part WHERE p_partkey <= 200
+        |ORDER BY p_partkey""".stripMargin)),
+
+    // XML ingestion (from_xml, Spark 4.x; plus the classic xpath_*
+    // family): parse an XML payload into a typed struct and extract
+    // the same fields by XPath — the third semi-structured format next
+    // to JSON (f_json_*) and VARIANT (f_variant_funcs). DuckDB has no
+    // XML functions; its twin extracts the identical values with
+    // regexes, exact on this constrained payload (values contain no
+    // markup). The payload is BUILT from part columns so the check is
+    // data-driven. Pure row-local projection at any scale.
+    Q("f_xml_funcs", (s, d) => {
+      Io.views(s, d)
+      s.sql(
+        """WITH x AS (
+          |  SELECT p_partkey,
+          |    concat('<r><k>', CAST(p_partkey AS STRING), '</k><n>', p_name,
+          |           '</n><sz>', CAST(p_size AS STRING), '</sz></r>') AS xml
+          |  FROM part WHERE p_partkey <= 200)
+          |SELECT p_partkey,
+          |  from_xml(xml, 'k INT, n STRING, sz INT').k AS xk,
+          |  from_xml(xml, 'k INT, n STRING, sz INT').n AS xn,
+          |  xpath_int(xml, '/r/sz') AS xsz,
+          |  xpath_string(xml, '/r/n') AS xn2
+          |FROM x ORDER BY p_partkey""".stripMargin)
+    }, Some(
+      """WITH x AS (
+        |  SELECT p_partkey,
+        |    concat('<r><k>', CAST(p_partkey AS VARCHAR), '</k><n>', p_name,
+        |           '</n><sz>', CAST(p_size AS VARCHAR), '</sz></r>') AS xml
+        |  FROM part WHERE p_partkey <= 200)
+        |SELECT p_partkey,
+        |  CAST(regexp_extract(xml, '<k>([^<]*)</k>', 1) AS INT) AS xk,
+        |  regexp_extract(xml, '<n>([^<]*)</n>', 1) AS xn,
+        |  CAST(regexp_extract(xml, '<sz>([^<]*)</sz>', 1) AS INT) AS xsz,
+        |  regexp_extract(xml, '<n>([^<]*)</n>', 1) AS xn2
+        |FROM x ORDER BY p_partkey""".stripMargin)),
+
     // SQL SCRIPTING (Spark 4.x BEGIN…END procedural blocks): a WHILE
     // loop iterating a data-dependent fixed point — 3 rounds of
     // 2-sigma trimmed mean over events.value, each round recomputing
