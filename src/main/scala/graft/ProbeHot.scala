@@ -17,7 +17,10 @@ object ProbeHot {
         // r6 verdict: driver-bench phantom-spike suspects — keep them
         // probed so any recurrence has an isolated quiet-host reading
         "d_agg_corr_matrix", "c_join_smj", "c_join_theta_range",
-        "c_join_skew_salted", "t_q11")
+        "c_join_skew_salted", "t_q11",
+        // triangle-pair-join family: bimodal JIT tiering of the
+        // bitmask/dot-product pair loops (BASELINE.md 243-row anchor)
+        "h_cosine_topk", "h_crosslang_neardup", "h_dedup_threshold_sweep")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
