@@ -108,6 +108,29 @@ object Bench {
       workers.foreach(_.join())
       warmed = warmSec.size()
       deadlineHit = deadlineFlag.get()
+      // Phase C — tier the hottest codegen loops AT THE TIMED SF. The
+      // sf0.001 sweep compiles every query's generated code, but C2
+      // promotion of the per-PAIR inner loops (bitmask_jaccard /
+      // dot_product triangle joins, the 23-buffer corr aggregate)
+      // needs invocation counts a 500-doc corpus never reaches — the
+      // 243-query anchor run showed exactly these rows bimodal
+      // (h_cosine_topk 2.0 vs 11.5 s) with zero GC. One pre-deadline
+      // run each at the timed SF moves that tiering out of the timed
+      // pass; artifacts built here are released in the settle phase
+      // (the timed pass still pays its own artifact builds, as
+      // designed). Serial: these queries saturate all cores anyway.
+      val jitHot = Seq("h_cosine_topk", "h_crosslang_neardup",
+        "h_dedup_threshold_sweep", "h_ngram_jaccard", "d_agg_corr_matrix")
+        .filter(SparkEntry.queries.contains)
+      jitHot.foreach { n =>
+        if (System.nanoTime() < warmDeadline) {
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(n)(spark, sfDir).count()
+          catch { case _: Throwable => () }
+          warmSec.put(s"$n@timed_sf", (System.nanoTime() - t0) / 1e9)
+        } else deadlineFlag.set(true)
+      }
+      deadlineHit = deadlineFlag.get()
       warmWallSec = (System.nanoTime() - warmWall0) / 1e9
       System.err.println(
         s"[bench] warmed $warmed/$nQueries (deadline_hit=$deadlineHit, " +
