@@ -819,6 +819,58 @@ object AnalyticsOps {
          |     / SUM(n_events) OVER (PARTITION BY event_type)) AS seasonal_index
          |FROM g ORDER BY event_type, dow""".stripMargin)),
 
+    // Difference-in-differences — the standard quasi-experimental
+    // estimate: treat = user_id parity, post = events after the corpus
+    // time midpoint (both data-derived, no magic constants), DiD =
+    // (treat_post − treat_pre) − (ctrl_post − ctrl_pre) on mean event
+    // value. One 2×2 hash-agg (exact decimal sums) + a one-row pivot;
+    // the four cell means divide exact decimals by exact counts in a
+    // fixed order, and the double subtraction chain is associated
+    // identically in the oracle, so the estimate is bit-stable. At
+    // 100 TB this is one partial-aggregated scan — the cheapest causal
+    // read there is.
+    Q("g_did_estimate", (s, d) => {
+      val ev = Io.events(s, d)
+      val mid = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+        .select(expr("(mn + mx) DIV 2").as("mid_us"))
+      val cells = ev.crossJoin(broadcast(mid))
+        .withColumn("treat", (col("user_id") % 2 === 1).cast("int"))
+        .withColumn("post", (col("ts_us") >= col("mid_us")).cast("int"))
+        .groupBy(col("treat"), col("post"))
+        .agg(count(lit(1)).as("n"), decSum(col("value")).as("sv"))
+        .withColumn("mean", col("sv") / col("n"))
+      def cell(t: Int, p: Int) =
+        max(when(col("treat") === t && col("post") === p, col("mean")))
+      cells.agg(
+          sum(col("n")).as("n_events"),
+          cell(1, 0).as("treat_pre"), cell(1, 1).as("treat_post"),
+          cell(0, 0).as("ctrl_pre"), cell(0, 1).as("ctrl_post"))
+        // raw doubles throughout: every input (exact decimal sums /
+        // integer counts) is engine-identical and the subtraction chain
+        // is associated identically in the oracle — snapping quotients
+        // risks DuckDB's midpoint double->decimal cast
+        .select(col("n_events"), col("treat_pre"), col("treat_post"),
+          col("ctrl_pre"), col("ctrl_post"),
+          ((col("treat_post") - col("treat_pre")) -
+            (col("ctrl_post") - col("ctrl_pre"))).as("did"))
+    }, Some(
+      s"""WITH mid AS (
+         |  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+         |    AS mid_us FROM events),
+         |cells AS (
+         |  SELECT CAST(user_id % 2 = 1 AS INT) AS treat,
+         |    CAST(epoch_us(ts) >= mid_us AS INT) AS post,
+         |    COUNT(*) AS n, ${dSum("value")} AS sv
+         |  FROM events CROSS JOIN mid GROUP BY 1, 2),
+         |m AS (SELECT treat, post, n, sv / n AS mean FROM cells)
+         |SELECT CAST(SUM(n) AS BIGINT) AS n_events,
+         |  MAX(CASE WHEN treat = 1 AND post = 0 THEN mean END) AS treat_pre,
+         |  MAX(CASE WHEN treat = 1 AND post = 1 THEN mean END) AS treat_post,
+         |  MAX(CASE WHEN treat = 0 AND post = 0 THEN mean END) AS ctrl_pre,
+         |  MAX(CASE WHEN treat = 0 AND post = 1 THEN mean END) AS ctrl_post,
+         |  (MAX(CASE WHEN treat = 1 AND post = 1 THEN mean END) - MAX(CASE WHEN treat = 1 AND post = 0 THEN mean END)) - (MAX(CASE WHEN treat = 0 AND post = 1 THEN mean END) - MAX(CASE WHEN treat = 0 AND post = 0 THEN mean END)) AS did
+         |FROM m""".stripMargin)),
+
     // ABC / Pareto classification — the classic inventory-analytics
     // cut: rank parts by revenue DESC, classify by cumulative revenue
     // share (A: cum ≤ 80%, B: ≤ 95%, C: rest), report the 3-row class

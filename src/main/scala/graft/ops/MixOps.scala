@@ -263,6 +263,50 @@ object MixOps {
     // spread, and the within-source exact-duplicate count (docs minus
     // distinct content hashes) — the first question asked of any new
     // crawl source. One scan, one hash aggregate.
+    // k-anonymity census over quasi-identifiers (lang, source, 100-char
+    // length bucket): the release-safety read a privacy review runs —
+    // how many QI equivalence classes fall below k=5, how many docs a
+    // strict suppression policy would drop, and whether the corpus is
+    // k-anonymous as-is. One hash-agg to class counts (partial-
+    // aggregated scan) + one bounded aggregate over the class table —
+    // the class table is QI-cardinality-sized, never corpus-sized.
+    // suppression_rate is a raw-double quotient of exact integers
+    // (engine-identical; snapping quotients risks the DuckDB midpoint
+    // cast).
+    Q("h_k_anonymity", (s, d) => {
+      val g = Io.table(s, d, "documents")
+        .withColumn("len_bucket",
+          least(floor(col("n_chars") / 100).cast("int"), lit(9)))
+        .groupBy(col("lang"), col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("grp_n"))
+      g.agg(count(lit(1)).as("n_groups"),
+          sum(col("grp_n")).as("n_docs"),
+          sum(when(col("grp_n") < 5, 1).otherwise(0)).as("n_small_groups"),
+          sum(when(col("grp_n") < 5, col("grp_n")).otherwise(0))
+            .as("n_suppressed"),
+          min(col("grp_n")).as("min_group"))
+        .select(col("n_groups"), col("n_docs"), col("n_small_groups"),
+          col("n_suppressed"), col("min_group"),
+          (col("min_group") >= 5).as("k5_anonymous"),
+          (col("n_suppressed") / col("n_docs")).as("suppression_rate"))
+    }, Some(
+      """WITH g AS (
+        |  SELECT lang, source, LEAST(CAST(FLOOR(n_chars / 100) AS INT), 9)
+        |      AS len_bucket,
+        |    COUNT(*) AS grp_n
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT COUNT(*) AS n_groups,
+        |  CAST(SUM(grp_n) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_groups,
+        |  CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+        |    AS n_suppressed,
+        |  MIN(grp_n) AS min_group,
+        |  MIN(grp_n) >= 5 AS k5_anonymous,
+        |  CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+        |    / CAST(SUM(grp_n) AS BIGINT) AS suppression_rate
+        |FROM g""".stripMargin)),
+
     Q("h_source_census", (s, d) => {
       Io.table(s, d, "documents")
         .select(col("source"), col("lang"),
