@@ -706,6 +706,73 @@ object AnalyticsOps {
          |SELECT na, nb, bin AS ks_bin, ${dSnap6("dd")} AS ks_stat
          |FROM dd ORDER BY dd DESC, bin LIMIT 1""".stripMargin)),
 
+    // Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+    // test g_ab_welch's t-test can't replace when values are skewed:
+    // U₁ = #{(a,b): a > b} + ½·#ties, computed EXACTLY with no rank
+    // window at all via the distinct-value decomposition
+    // 2·U₁ = Σ_v na_v·(2·cumB<(v) + nb_v) — pure BIGINT until the final
+    // z-score. The exclusive prefix count over distinct values is the
+    // distributed two-pass range-partition pattern (no same-value rows
+    // can straddle a partition: the prefix runs over the DISTINCT-value
+    // table). Tie correction Σ(t³−t) is likewise integer-exact; the
+    // z-score is one fixed-association double expression mirrored in
+    // the oracle, emitted raw (inputs engine-identical by construction).
+    Q("g_mannwhitney_u", (s, d) => {
+      val parts = s.sparkContext.defaultParallelism
+      val dv = Io.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy(col("value"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("na_v"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nb_v"))
+      val wLoc = Window.partitionBy(col("pid")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = dv.repartitionByRange(parts, col("value"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lcb", coalesce(sum(col("nb_v")).over(wLoc), lit(0L)))
+      val offs = local.groupBy(col("pid")).agg(sum(col("nb_v")).as("pt"))
+        .withColumn("off", coalesce(sum(col("pt")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("off"))
+      val t = col("na_v") + col("nb_v")
+      val agg = local.join(broadcast(offs), "pid")
+        .agg(sum(col("na_v") * (lit(2L) * (col("lcb") + col("off")) + col("nb_v")))
+          .as("u2x"),
+          sum(col("na_v")).as("n1"), sum(col("nb_v")).as("n2"),
+          sum(t * t * t - t).as("tsum"))
+      agg.select(col("n1"), col("n2"),
+        (col("u2x") / 2.0).as("u1"),
+        ((col("u2x") / 2.0 - col("n1") * col("n2") / 2.0) /
+          sqrt(col("n1") * col("n2") / 12.0 *
+            ((col("n1") + col("n2") + lit(1)) -
+              col("tsum") / ((col("n1") + col("n2")) *
+                (col("n1") + col("n2") - lit(1.0)))))).as("z"))
+    }, Some(
+      """WITH p AS (
+        |  SELECT value,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS na_v,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS nb_v
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY value),
+        |c AS (
+        |  SELECT na_v, nb_v,
+        |    COALESCE(SUM(nb_v) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM p),
+        |a AS (
+        |  SELECT CAST(SUM(na_v * (2 * cb + nb_v)) AS BIGINT) AS u2x,
+        |    CAST(SUM(na_v) AS BIGINT) AS n1, CAST(SUM(nb_v) AS BIGINT) AS n2,
+        |    CAST(SUM((na_v + nb_v) * (na_v + nb_v) * (na_v + nb_v)
+        |             - (na_v + nb_v)) AS BIGINT) AS tsum
+        |  FROM c)
+        |SELECT n1, n2, u2x / 2.0 AS u1,
+        |  (u2x / 2.0 - n1 * n2 / 2.0) /
+        |    SQRT(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+        |         - tsum / ((n1 + n2) * (n1 + n2 - 1.0)))) AS z
+        |FROM a""".stripMargin)),
+
     // Revenue concentration: Gini coefficient + top-1%/top-10% share of
     // per-customer spend. Gini uses the rank formula
     // G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n, which needs a GLOBAL rank of
