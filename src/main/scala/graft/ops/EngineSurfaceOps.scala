@@ -135,6 +135,51 @@ object EngineSurfaceOps {
         |FROM spine s LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = s.day
         |GROUP BY s.day ORDER BY s.day""".stripMargin),
 
+    // unionByName(allowMissingColumns): schema-evolution-tolerant
+    // union — two extracts with DIFFERENT column orders and one
+    // one-sided column combine by NAME, the missing side null-filled.
+    // Positional UNION (f_set_union) would silently mis-align these;
+    // by-name is what multi-generation pipeline outputs actually need.
+    // DuckDB twin: UNION ALL BY NAME, its native spelling of the same
+    // semantics. Scale: no shuffle at all — union is plan glue.
+    Q("f_union_by_name", (s, d) => {
+      val a = Io.table(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val b = Io.table(s, d, "orders").filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_totalprice"), col("o_orderkey"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy("o_orderkey")
+    }, Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL BY NAME
+        |SELECT o_totalprice, o_orderkey
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Parameterized SQL (Spark 4.x named parameter markers): the query
+    // text carries :cutoff / :status placeholders bound at execution —
+    // the injection-safe templating surface applications use instead of
+    // string concatenation. The oracle runs the same text with the
+    // literals inlined (DuckDB's python API binds positionally; the
+    // CHECKED quantity is the result, the Spark side pins the binding
+    // API itself).
+    Q("f_parameterized_sql", (s, d) => {
+      Io.views(s, d)
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+          |FROM orders
+          |WHERE o_totalprice >= :cutoff AND o_orderstatus = :status
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        Map("cutoff" -> 50000.0, "status" -> "F"))
+    }, Some(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_totalprice >= 50000.0 AND o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // COLLATION (Spark 4.x collated string type): case-insensitive
     // equality/prefix semantics declared IN THE TYPE (collate(x,
     // 'UTF8_LCASE')) instead of smeared lower() calls — the engine can
