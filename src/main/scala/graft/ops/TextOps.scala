@@ -266,6 +266,53 @@ object TextOps {
         |FROM t, LATERAL UNNEST(generate_series(0, len(toks) - 1, 6)) AS u(st)
         |ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // T5-style span corruption — the denoising-objective data prep a
+    // pre-training pipeline materializes: tokens are cut into 3-token
+    // blocks, every 4th block (25% corruption rate) is replaced by a
+    // sentinel <extra_id_k> in the INPUT and emitted after its sentinel
+    // in the TARGET. Span selection is pure positional arithmetic
+    // (block index modulo) — deterministic across engines, retries and
+    // shards, which is exactly what reproducible pre-training corpora
+    // need (a rand() selection changes the dataset every run). All
+    // array work is codegen HOFs over the token array (no explode — one
+    // row in, one row out); at 100 TB this is a map-side scan.
+    Q("h_span_corruption", (s, d) => {
+      Io.table(s, d, "documents").filter(col("doc_id") < 200)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("nb", ceil(size(col("toks")) / lit(3.0)).cast("int"))
+        .select(col("doc_id"),
+          expr("""array_join(transform(sequence(0, nb - 1), b ->
+            CASE WHEN b % 4 = 3 THEN concat('<extra_id_', CAST(b DIV 4 AS STRING), '>')
+            ELSE array_join(slice(toks, b * 3 + 1, 3), ' ') END), ' ')""")
+            .as("corrupted"),
+          expr("""array_join(transform(filter(sequence(0, nb - 1), b -> b % 4 = 3), b ->
+            concat('<extra_id_', CAST(b DIV 4 AS STRING), '> ',
+                   array_join(slice(toks, b * 3 + 1, 3), ' '))), ' ')""")
+            .as("target"),
+          col("nb").as("n_blocks"),
+          expr("CAST(size(filter(sequence(0, nb - 1), b -> b % 4 = 3)) AS INT)")
+            .as("n_masked"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(CEIL(len(string_split(text, ' ')) / 3.0) AS INT) AS nb
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(generate_series(0, nb - 1), b ->
+        |    CASE WHEN b % 4 = 3 THEN '<extra_id_' || CAST(b // 4 AS VARCHAR) || '>'
+        |    ELSE array_to_string(list_slice(toks, b * 3 + 1, b * 3 + 3), ' ') END),
+        |    ' ') AS corrupted,
+        |  array_to_string(list_transform(
+        |    list_filter(generate_series(0, nb - 1), b -> b % 4 = 3), b ->
+        |    '<extra_id_' || CAST(b // 4 AS VARCHAR) || '> ' ||
+        |    array_to_string(list_slice(toks, b * 3 + 1, b * 3 + 3), ' ')),
+        |    ' ') AS target,
+        |  nb AS n_blocks,
+        |  CAST(len(list_filter(generate_series(0, nb - 1), b -> b % 4 = 3)) AS INT)
+        |    AS n_masked
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
     // PMI collocations: the top-20 statistically-associated bigrams,
     // pmi = ln(p(ab) / (p(a)·p(b))) with a min-count support filter —
     // the classic collocation extractor (and the MWE signal a tokenizer
