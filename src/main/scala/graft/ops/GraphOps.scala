@@ -676,6 +676,54 @@ object GraphOps {
          |GROUP BY size ORDER BY size""".stripMargin
     }),
 
+    // Degree assortativity of the SUPPORTED graph — Pearson correlation
+    // of endpoint degrees over the directed edge list (Newman's r):
+    // do high-degree products co-purchase with other hubs (r > 0) or
+    // with the long tail (r < 0)? One pass: two degree joins on the
+    // materialized edge list, five exact DECIMAL power sums (degrees
+    // are integers — the sums are exact, so both engines feed the
+    // closed-form correlation identical values), then one fixed-
+    // association double expression, snapped at 1e-6 (safe: inputs are
+    // engine-identical and the value is not a bare quotient of a
+    // decimal sum). Scale: edge-keyed equi-joins + one global agg.
+    Q("i_graph_assortativity", (s, d) => {
+      val se = supEdges(s, d)
+      val deg = supDeg(s, d)
+      val e = se
+        .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
+        .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(dec0)).cast("double")
+      e.agg(count(lit(1)).as("m2"),
+          dsum(col("dx")).as("sx"), dsum(col("dy")).as("sy"),
+          dsum(col("dx") * col("dy")).as("sxy"),
+          dsum(col("dx") * col("dx")).as("sxx"),
+          dsum(col("dy") * col("dy")).as("syy"))
+        .select(col("m2"),
+          snap6((col("m2") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("m2") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("m2") * col("syy") - col("sy") * col("sy"))))
+            .as("assortativity"))
+    }, Some(
+      s"""$supSql,
+         |e AS (
+         |  SELECT dx.deg AS dx, dy.deg AS dy
+         |  FROM sedges s
+         |    JOIN sdeg dx ON dx.node = s.src
+         |    JOIN sdeg dy ON dy.node = s.dst),
+         |a AS (
+         |  SELECT COUNT(*) AS m2,
+         |    CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(dy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(dy * dy AS DECIMAL(38,0))) AS DOUBLE) AS syy
+         |  FROM e)
+         |SELECT m2,
+         |  ${dSnap6("(m2 * sxy - sx * sy) / (SQRT(m2 * sxx - sx * sx) * SQRT(m2 * syy - sy * sy))")}
+         |    AS assortativity
+         |FROM a""".stripMargin)),
+
     // Per-node clustering coefficient on the SUPPORTED graph —
     // 2·T_v / (deg_v·(deg_v−1)), the local counterpart of
     // i_graph_triangles' global_cc: wedges CENTERED at every node
