@@ -706,6 +706,62 @@ object AnalyticsOps {
          |SELECT na, nb, bin AS ks_bin, ${dSnap6("dd")} AS ks_stat
          |FROM dd ORDER BY dd DESC, bin LIMIT 1""".stripMargin)),
 
+    // CUSUM changepoint localization — WHERE did the purchase-value
+    // level shift? cusum_t = Σ_{i≤t}(v_i − mean) peaks at the change
+    // point; the report is the peak |cusum|, its event time, and its
+    // fraction through the stream. Two passes: the global mean (raw
+    // double of an exact decimal sum — engine-identical), then an
+    // EXACT decimal prefix sum of deviations in (ts, event_id) order
+    // via the distributed range-partition + local-cumsum + broadcast-
+    // offset pattern (4th user: ntile, gini, ABC) — no global window
+    // over the data. Deviations snap to DECIMAL(38,6) BEFORE summing,
+    // so every prefix value is exact and the argmax (tie → earliest
+    // event) is engine-identical; the oracle runs the literal
+    // one-window form, proving the decomposition again.
+    Q("g_cusum_changepoint", (s, d) => {
+      val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val parts = s.sparkContext.defaultParallelism
+      val ev = Io.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts_us"), col("value"))
+      val m = ev.agg(decAvg(col("value")).as("mean"), count(lit(1)).as("n"))
+      val dev = ev.crossJoin(broadcast(m))
+        .withColumn("dv", (col("value") - col("mean")).cast(dec6))
+      val wLoc = Window.partitionBy(col("pid"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = dev.repartitionByRange(parts, col("ts_us"), col("event_id"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lc", sum(col("dv")).over(wLoc))
+      val offs = local.groupBy(col("pid")).agg(sum(col("dv")).as("pt"))
+        .withColumn("off", coalesce(sum(col("pt")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0).cast(dec6)))
+        .select(col("pid"), col("off"))
+      local.join(broadcast(offs), "pid")
+        .withColumn("cusum", (col("lc") + col("off")).cast("double"))
+        .select(col("n"), col("event_id"), col("ts_us"), col("cusum"),
+          abs(col("cusum")).as("ac"))
+        .orderBy(col("ac").desc, col("ts_us"), col("event_id"))
+        .limit(1)
+        .select(col("n").as("n_events"), col("event_id").as("peak_event"),
+          col("ts_us").as("peak_ts_us"), col("cusum").as("peak_cusum"))
+    }, Some(
+      s"""WITH ev AS (
+         |  SELECT event_id, epoch_us(ts) AS ts_us, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |m AS (SELECT ${dSum("value")} / COUNT(*) AS mean, COUNT(*) AS n
+         |      FROM ev),
+         |c AS (
+         |  SELECT n, event_id, ts_us,
+         |    CAST(SUM(CAST(value - mean AS DECIMAL(38,6))) OVER (
+         |      ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |      AS cusum
+         |  FROM ev CROSS JOIN m)
+         |SELECT n AS n_events, event_id AS peak_event, ts_us AS peak_ts_us,
+         |  cusum AS peak_cusum
+         |FROM c ORDER BY ABS(cusum) DESC, ts_us, event_id LIMIT 1""".stripMargin)),
+
     // Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
     // test g_ab_welch's t-test can't replace when values are skewed:
     // U₁ = #{(a,b): a > b} + ½·#ties, computed EXACTLY with no rank
