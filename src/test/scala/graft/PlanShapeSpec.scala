@@ -323,6 +323,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "local rank window not partitioned by range partition id:\n" + p.take(2000))
   }
 
+  test("distributed-prefix family: data-sized windows are pid-partitioned") {
+    // the two-pass prefix/rank pattern's load-bearing property, pinned
+    // across all of its users: every window over DATA-sized rows is
+    // partitioned by the range-partition id (spillable, parallel), and
+    // the only unpartitioned window runs over the per-partition offset
+    // table (≤ |partitions| rows). A refactor that reintroduces a
+    // global Window.orderBy over the data would still be CORRECT — and
+    // a 100 TB single-partition sort. Gini is pinned implicitly (same
+    // helper shape); ntile has its own sharper test above.
+    for (q <- Seq("g_abc_classification", "g_mannwhitney_u",
+        "g_cusum_changepoint")) {
+      val p = plan(q)
+      assert(p.contains("windowspecdefinition(pid"),
+        s"$q: data window not partitioned by range-partition id:\n" + p.take(1500))
+    }
+  }
+
   test("bigram LM model join degrades to a shuffle join (no forced broadcast)") {
     // h_ngram_lm_score carries no broadcast hint on the corpus bigram /
     // histogram tables: on an open-vocabulary corpus those are
