@@ -706,6 +706,45 @@ object AnalyticsOps {
          |SELECT na, nb, bin AS ks_bin, ${dSnap6("dd")} AS ks_stat
          |FROM dd ORDER BY dd DESC, bin LIMIT 1""".stripMargin)),
 
+    // Local-maxima peak detection over the hourly event-count series —
+    // the monitoring read behind every "traffic spike" alert: a peak
+    // hour strictly exceeds both neighbors (lag/lead over the
+    // type-partitioned hour series; boundary hours can't be peaks).
+    // Integer counts end-to-end — nothing to snap. The series is
+    // grid-sized (hours × types), so the windows run over bounded
+    // partitions; the data-sized work is one partial-aggregated
+    // hash-agg to hourly counts.
+    Q("g_peak_detection", (s, d) => {
+      val hourly = Io.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(ts_us DIV 3600000000 AS BIGINT)").as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      hourly
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("next_n", lead(col("n"), 1).over(w))
+        .filter(col("prev_n").isNotNull && col("next_n").isNotNull &&
+          col("n") > col("prev_n") && col("n") > col("next_n"))
+        .select(col("event_type"), col("hr"), col("n"),
+          col("prev_n"), col("next_n"))
+        .orderBy("event_type", "hr")
+    }, Some(
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, hr, n,
+        |    LAG(n) OVER (PARTITION BY event_type ORDER BY hr) AS prev_n,
+        |    LEAD(n) OVER (PARTITION BY event_type ORDER BY hr) AS next_n
+        |  FROM h)
+        |SELECT event_type, hr, n, prev_n, next_n
+        |FROM l
+        |WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+        |  AND n > prev_n AND n > next_n
+        |ORDER BY event_type, hr""".stripMargin)),
+
     // CUSUM changepoint localization — WHERE did the purchase-value
     // level shift? cusum_t = Σ_{i≤t}(v_i − mean) peaks at the change
     // point; the report is the peak |cusum|, its event time, and its

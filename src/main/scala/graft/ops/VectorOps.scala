@@ -529,6 +529,74 @@ object VectorOps {
         |       / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS mean_abs_err
         |FROM qt GROUP BY label ORDER BY label""".stripMargin)),
 
+    // Cross-modal cluster-cohesion probe: does the embedding space
+    // organize by the documents' LANGUAGE? Embeddings join the doc
+    // table on id, per-language centroids (exact decimal means) and
+    // the global centroid broadcast back, and each vector reports its
+    // cosine to its own-language centroid vs the global one; the
+    // per-language gap between the two averages IS the cohesion
+    // signal (≈0 ⇒ language carries no embedding structure). The
+    // embedding-quality read run before trusting any lang-conditional
+    // ANN index. Scale: centroids are (|langs|·D)-sized broadcasts;
+    // the cosine pass is map-side native dot_product; one final
+    // lang-keyed agg. Raw-double averages (quotient-snap rule).
+    Q("h_embed_lang_cohesion", (s, d) => {
+      graft.functions.DotProduct.register(s)
+      val lang = Io.table(s, d, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val e = Io.table(s, d, "embeddings").join(lang, "vec_id")
+      val long = e.select(col("lang"), posexplode(col("embedding")).as(Seq("pos0", "f")))
+        .select(col("lang"), (col("pos0") + 1).as("pos"), col("f").cast("double").as("v"))
+      def gather(df: DataFrame, keys: Seq[Column], out: String) =
+        df.groupBy(keys: _*)
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as(out))
+      val cent = long.groupBy(col("lang"), col("pos"))
+        .agg((decSum12(col("v")) / count(lit(1))).as("c"))
+      val centArr = gather(cent, Seq(col("lang")), "carr")
+      val gcent = long.groupBy(col("pos"))
+        .agg((decSum12(col("v")) / count(lit(1))).as("c"))
+      val gArr = gather(gcent, Nil, "gcarr")
+      e.join(broadcast(centArr), "lang").crossJoin(broadcast(gArr))
+        .select(col("lang"),
+          r6(cosine(col("embedding"), col("carr"))).as("cos_own"),
+          r6(cosine(col("embedding"), col("gcarr"))).as("cos_glob"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          decAvg(col("cos_own")).as("avg_cos_own"),
+          decAvg(col("cos_glob")).as("avg_cos_global"))
+        .withColumn("cohesion_gap", col("avg_cos_own") - col("avg_cos_global"))
+        .orderBy("lang")
+    }, Some(
+      s"""WITH e AS (
+         |  SELECT em.vec_id, em.embedding, dc.lang
+         |  FROM embeddings em JOIN documents dc ON em.vec_id = dc.doc_id),
+         |dims AS (SELECT UNNEST(generate_series(1,
+         |  (SELECT MAX(len(embedding)) FROM embeddings))) AS pos),
+         |cent AS (
+         |  SELECT lang, pos,
+         |    ${dSum12("CAST(embedding[pos] AS DOUBLE)")} / COUNT(*) AS c
+         |  FROM e, dims GROUP BY lang, pos),
+         |ca AS (SELECT lang, list(c ORDER BY pos) AS carr FROM cent GROUP BY lang),
+         |g AS (
+         |  SELECT pos, ${dSum12("CAST(embedding[pos] AS DOUBLE)")} / COUNT(*) AS c
+         |  FROM e, dims GROUP BY pos),
+         |ga AS (SELECT list(c ORDER BY pos) AS gcarr FROM g),
+         |per AS (
+         |  SELECT e.lang,
+         |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ca.carr), 6)
+         |      AS cos_own,
+         |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ga.gcarr), 6)
+         |      AS cos_glob
+         |  FROM e JOIN ca USING (lang) CROSS JOIN ga)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  ${dSum("cos_own")} / COUNT(*) AS avg_cos_own,
+         |  ${dSum("cos_glob")} / COUNT(*) AS avg_cos_global,
+         |  ${dSum("cos_own")} / COUNT(*) - ${dSum("cos_glob")} / COUNT(*)
+         |    AS cohesion_gap
+         |FROM per GROUP BY lang ORDER BY lang""".stripMargin))
+
+    ,
     // Product-quantization encode — the memory-compression half of a
     // PQ/IVF-PQ vector index (Jégou et al.'s layout): split each D-dim
     // vector into M = 8 contiguous subspaces (sub = (pos−1) DIV 8,
