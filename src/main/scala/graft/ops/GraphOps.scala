@@ -676,6 +676,54 @@ object GraphOps {
          |GROUP BY size ORDER BY size""".stripMargin
     }),
 
+    // Adamic-Adar link prediction on the SUPPORTED graph: for node
+    // pairs NOT yet connected, AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z)
+    // — common neighbors weighted by their rarity; the top-20 are the
+    // co-purchase links most likely to appear next (the classic
+    // recommender read off a co-occurrence graph). Same wedge equi-join
+    // as neighbor similarity, centered on z; each term snaps at 1e-12
+    // (ln's last-ulp libm divergence — the PMI precedent) and the
+    // per-pair total is an exact decimal sum, so the DESC ranking is
+    // engine-stable (pair-key tiebreak). Existing edges drop via one
+    // anti join on the pair artifact. All shuffles key on graph ids.
+    Q("i_graph_adamic_adar", (s, d) => {
+      val se = supEdges(s, d)
+      val deg = supDeg(s, d)
+      val wedges = se.as("x").join(se.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .select(col("x.src").as("z"), col("x.dst").as("pa"), col("y.dst").as("pb"))
+      val aa = wedges
+        .join(deg.select(col("node").as("z"), col("deg").as("zdeg")), "z")
+        // guarded division: wedge centers always have deg ≥ 2, but
+        // Catalyst pushes this projection BELOW the join onto the full
+        // degree table — where deg = 1 rows would hit ANSI
+        // divide-by-zero on ln(1). The CASE keeps the pushdown legal.
+        .withColumn("term", snap12(when(col("zdeg") > 1,
+          lit(1.0) / log(col("zdeg").cast("double")))))
+        .groupBy(col("pa"), col("pb"))
+        .agg(decSum18(col("term")).as("aa"), count(lit(1)).as("n_common"))
+        .join(supPairs(s, d), Seq("pa", "pb"), "left_anti")
+      aa.select(col("pa"), col("pb"), col("n_common"), snap6(col("aa")).as("aa_score"))
+        .orderBy(col("aa_score").desc, col("pa"), col("pb"))
+        .limit(20)
+    }, Some(
+      s"""$supSql,
+         |w AS (SELECT x.src AS z, x.dst AS pa, y.dst AS pb
+         |      FROM sedges x JOIN sedges y
+         |        ON x.src = y.src AND x.dst < y.dst),
+         |aa AS (
+         |  SELECT w.pa, w.pb,
+         |    ${dSum18(dSnap12("1.0 / LN(CAST(d.deg AS DOUBLE))"))} AS aa,
+         |    COUNT(*) AS n_common
+         |  FROM w JOIN sdeg d ON d.node = w.z
+         |  GROUP BY w.pa, w.pb),
+         |nw AS (
+         |  SELECT aa.* FROM aa
+         |  LEFT JOIN sup ON sup.pa = aa.pa AND sup.pb = aa.pb
+         |  WHERE sup.pa IS NULL)
+         |SELECT pa, pb, n_common, ${dSnap6("aa")} AS aa_score
+         |FROM nw ORDER BY ${dSnap6("aa")} DESC, pa, pb LIMIT 20""".stripMargin)),
+
     // Degree assortativity of the SUPPORTED graph — Pearson correlation
     // of endpoint degrees over the directed edge list (Newman's r):
     // do high-degree products co-purchase with other hubs (r > 0) or
