@@ -22,6 +22,7 @@ object Bench {
     val nQueries = SparkEntry.queries.size
     var warmed = 0
     var deadlineHit = false
+    var phaseCDeadlineHit = false
     // per-query warm seconds — the r8 driver run warmed only 124/221
     // inside its deadline and the warm phase was a black box (no way to
     // tell WHICH queries ate the budget). Recorded into bench_full.json.
@@ -41,8 +42,17 @@ object Bench {
       def runWarm(name: String,
           fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
         val t0 = System.nanoTime()
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
-        warmSec.put(name, (System.nanoTime() - t0) / 1e9)
+        // NonFatal only (an OOM/interrupt must propagate), and a failed
+        // warm run is LOGGED and NOT recorded as warmed — a consistently
+        // failing query must not hide behind a plausible warm_sec entry.
+        try {
+          fn(spark, warmDir).count()
+          warmSec.put(name, (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warm-up FAILED for $name: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       }
       // Phase A — pre-build the shared artifact chains. Q.memoized
       // serializes concurrent builders of one artifact behind a per-key
@@ -122,13 +132,21 @@ object Bench {
       val jitHot = Seq("h_cosine_topk", "h_crosslang_neardup",
         "h_dedup_threshold_sweep", "h_ngram_jaccard", "d_agg_corr_matrix")
         .filter(SparkEntry.queries.contains)
+      // Phase C overrun is tracked in its OWN flag: deadline_hit means
+      // "the query warm sweep was cut short"; the optional tiering pass
+      // running long must not masquerade as un-warmed queries.
       jitHot.foreach { n =>
         if (System.nanoTime() < warmDeadline) {
           val t0 = System.nanoTime()
-          try SparkEntry.queries(n)(spark, sfDir).count()
-          catch { case _: Throwable => () }
-          warmSec.put(s"$n@timed_sf", (System.nanoTime() - t0) / 1e9)
-        } else deadlineFlag.set(true)
+          try {
+            SparkEntry.queries(n)(spark, sfDir).count()
+            warmSec.put(s"$n@timed_sf", (System.nanoTime() - t0) / 1e9)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] tier run FAILED for $n: " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        } else phaseCDeadlineHit = true
       }
       deadlineHit = deadlineFlag.get()
       warmWallSec = (System.nanoTime() - warmWall0) / 1e9
@@ -174,6 +192,13 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
+    // GC-outlier retry: a query whose wall time is mostly GC pause got
+    // unlucky with a collection landing on it (the victim rotates run to
+    // run — t_q09 in r8, t_q12 in r9). One same-session re-run converts
+    // "that reading is noise" from an argument into data: BOTH readings
+    // are recorded (queries = primary, retry_sec = the re-run); the
+    // reported total stays the honest primary sum.
+    val retrySec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val g0 = gcMillis()
       val t0 = System.nanoTime()
@@ -184,6 +209,13 @@ object Bench {
         System.err.println(f"[bench] $name%-24s $sec%8.2f s  (gc $gcSec%.1f s)")
       else
         System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+      if (gcSec > sec / 2 && sec >= 1.0) {
+        val r0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val rSec = (System.nanoTime() - r0) / 1e9
+        retrySec(name) = rSec
+        System.err.println(f"[bench] $name%-24s $rSec%8.2f s  (gc-outlier retry)")
+      }
       (name, sec, gcSec)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
@@ -203,13 +235,18 @@ object Bench {
       val ws = warmSec.entrySet().asScala.toSeq.sortBy(_.getKey)
         .map(e => s"\"" + e.getKey + "\":" + f"${e.getValue}%.2f")
         .mkString("{", ",", "}")
+      val rs = retrySec.toSeq
+        .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
       java.nio.file.Files.write(dir.resolve("bench_full.json"),
         (s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir",""" +
           s""""warmed":$warmed,"n_queries":$nQueries,""" +
           s""""gc_sec":$gcs,"gc_total_sec":$totalGc,""" +
           s""""warm_sec":$ws,""" +
           s""""warm_wall_sec":$warmWallSec,""" +
-          s""""deadline_hit":$deadlineHit}""")
+          s""""retry_sec":$rs,""" +
+          s""""deadline_hit":$deadlineHit,""" +
+          s""""phase_c_deadline_hit":$phaseCDeadlineHit}""")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     val headline = Seq("t_q01", "t_q05", "t_q18", "c_join_5way",

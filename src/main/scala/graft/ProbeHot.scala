@@ -20,7 +20,10 @@ object ProbeHot {
         "c_join_skew_salted", "t_q11",
         // triangle-pair-join family: bimodal JIT tiering of the
         // bitmask/dot-product pair loops (BASELINE.md 243-row anchor)
-        "h_cosine_topk", "h_crosslang_neardup", "h_dedup_threshold_sweep")
+        "h_cosine_topk", "h_crosslang_neardup", "h_dedup_threshold_sweep",
+        // r9 verdict: ANN family gets the corr_matrix treatment —
+        // isolated anchors on current binaries + PlanShapeSpec pins
+        "h_ann_lsh", "h_ann_recall", "h_ann_topk_pairs", "h_ann_ivf")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

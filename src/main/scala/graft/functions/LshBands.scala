@@ -67,6 +67,10 @@ object LshBands {
   private val weightCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]
 
+  // Bounded-index PRNG, NOT an id coin: (p*d+i) ≤ Planes·dim (~1024 for
+  // 16 planes × 64 dims), so the Long multiply tops out near 2.8e12 —
+  // nowhere near Int64 overflow. This is the sanctioned raw-multiplier
+  // exception noted in Q.coin; id-domain coins must go through Q.coin.
   private def weightsFor(dim: Int): Array[Double] =
     weightCache.computeIfAbsent(dim, d => {
       val w = new Array[Double](Planes * d)

@@ -713,13 +713,13 @@ object DedupOps {
     // cluster ratios track 90/5/5 while doc ratios may not (big
     // clusters move as blocks), which is exactly the point.
     Q("h_split_leakfree", (s, d) => {
-      // The multiply runs in DECIMAL(38,0), not BIGINT: with 64-bit doc
-      // ids `rep * 2654435761` would overflow Int64 above rep ~3.47e9,
-      // where Spark (non-ANSI) wraps silently negative while DuckDB
-      // raises — the decimal product is exact and identical in both
-      // engines at any id scale. Same spelling in the oracle below.
-      val repCoin =
-        "(CAST(rep AS DECIMAL(38,0)) * 2654435761) % 4294967296 % 100"
+      // Q.coin runs the multiply in DECIMAL(38,0), not BIGINT: with
+      // 64-bit doc ids `rep * 2654435761` would overflow Int64 above
+      // rep ~3.47e9, where Spark (non-ANSI) wraps silently negative
+      // while DuckDB raises — the decimal product is exact and
+      // identical in both engines at any id scale. Same spelling in
+      // the oracle below.
+      val repCoin = Q.coin("rep") + " % 100"
       val split3 = when(expr(repCoin) < 90, "train")
         .when(expr(repCoin) < 95, "val")
         .otherwise("test")
@@ -731,10 +731,10 @@ object DedupOps {
           countDistinct(col("rep")).as("n_clusters"))
         .orderBy("lang", "split")
     }, Some(ccOracle(
-      """, a AS (
+      s""", a AS (
         |  SELECT d.lang, r.cluster_rep,
-        |    CASE WHEN (CAST(r.cluster_rep AS DECIMAL(38,0)) * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
-        |         WHEN (CAST(r.cluster_rep AS DECIMAL(38,0)) * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+        |    CASE WHEN ${Q.coin("r.cluster_rep")} % 100 < 90 THEN 'train'
+        |         WHEN ${Q.coin("r.cluster_rep")} % 100 < 95 THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM documents d JOIN rep r ON r.doc_id = d.doc_id)
         |SELECT lang, split, COUNT(*) AS n_docs,
@@ -754,7 +754,7 @@ object DedupOps {
     // artifacts already exist for the rest of the dedup family.
     Q("h_split_leak_census", (s, d) => {
       def docCoin(c: String) =
-        s"(CAST($c AS DECIMAL(38,0)) * 2654435761) % 4294967296 % 100"
+        Q.coin(c) + " % 100"
       def split3(c: String) = when(expr(docCoin(c)) < 90, "train")
         .when(expr(docCoin(c)) < 95, "val").otherwise("test")
       val labels = ccDocLabels(s, d)
@@ -771,8 +771,8 @@ object DedupOps {
         .orderBy("scheme")
     }, Some {
       def sCase(c: String) =
-        s"""CASE WHEN (CAST($c AS DECIMAL(38,0)) * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
-           |     WHEN (CAST($c AS DECIMAL(38,0)) * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+        s"""CASE WHEN ${Q.coin(c)} % 100 < 90 THEN 'train'
+           |     WHEN ${Q.coin(c)} % 100 < 95 THEN 'val'
            |     ELSE 'test' END""".stripMargin
       ccOracle(
         s""", pr AS (

@@ -131,8 +131,12 @@ object ExtOps {
           expr("CAST((CAST(length(media) AS BIGINT) * 30) DIV 100 + 1 AS INT)"))
         .select(col("doc_id"), col("n_frames"),
           explode(sequence(lit(0), col("n_frames") - 1, lit(10))).as("frame_idx"))
+        // Per-frame fingerprint: the multiply is DECIMAL(38,0)-promoted
+        // (Q.coin discipline) so a 64-bit doc_id cannot silently wrap —
+        // then cast back to BIGINT (value < 1e9 after the mod).
         .withColumn("frame_sig",
-          (col("doc_id") * 1000003L + col("frame_idx")) * 2654435761L % 1000000007L)
+          expr("CAST((CAST(doc_id AS DECIMAL(38,0)) * 1000003 + frame_idx)" +
+            " * 2654435761 % 1000000007 AS BIGINT)"))
         .orderBy("doc_id", "frame_idx")
     }, Some(
       """WITH m AS (
@@ -140,7 +144,7 @@ object ExtOps {
         |    CAST(octet_length(CAST(text AS BLOB)) * 30 // 100 + 1 AS INT) AS n_frames
         |  FROM documents WHERE doc_id < 100)
         |SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx,
-        |  (doc_id * 1000003 + f) * 2654435761 % 1000000007 AS frame_sig
+        |  CAST((CAST(doc_id AS DECIMAL(38,0)) * 1000003 + f) * 2654435761 % 1000000007 AS BIGINT) AS frame_sig
         |FROM m, LATERAL UNNEST(generate_series(0, n_frames - 1, 10)) AS u(f)
         |ORDER BY doc_id, frame_idx""".stripMargin))
   )

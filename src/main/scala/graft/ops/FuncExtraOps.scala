@@ -189,13 +189,13 @@ object FuncExtraOps {
     // runs nor comparable across engines). Knuth multiplier mod 2^32.
     Q("f_sample_hash", (s, d) => {
       Io.table(s, d, "orders")
-        .filter(expr("(o_orderkey * 2654435761) % 4294967296 < 214748364"))
+        .filter(expr(s"${Q.coin("o_orderkey")} < 214748364"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy("o_orderkey")
     }, Some(
-      """SELECT o_orderkey, o_custkey, o_totalprice
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
-        |WHERE (o_orderkey * 2654435761) % 4294967296 < 214748364
+        |WHERE ${Q.coin("o_orderkey")} < 214748364
         |ORDER BY o_orderkey""".stripMargin)),
 
     // ANSI-safe arithmetic: Spark 4 runs ANSI mode by default, where

@@ -555,7 +555,7 @@ object GraphOps {
         .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
         .orderBy("size")
     }, Some(
-      s"""${supSql.replace("WITH ", "WITH RECURSIVE ")},
+      s"""${supSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
         |reach(a, b) AS (
         |  SELECT src, dst FROM sedges
         |  UNION
@@ -713,7 +713,7 @@ object GraphOps {
          |        ON x.src = y.src AND x.dst < y.dst),
          |aa AS (
          |  SELECT w.pa, w.pb,
-         |    ${dSum18(dSnap12("1.0 / LN(CAST(d.deg AS DOUBLE))"))} AS aa,
+         |    ${dSum18(dSnap12("CASE WHEN d.deg > 1 THEN 1.0 / LN(CAST(d.deg AS DOUBLE)) END"))} AS aa,
          |    COUNT(*) AS n_common
          |  FROM w JOIN sdeg d ON d.node = w.z
          |  GROUP BY w.pa, w.pb),
@@ -886,7 +886,7 @@ object GraphOps {
           max(col("node")).as("max_node"))
         .orderBy("dist")
     }, Some(
-      s"""${supSql.replace("WITH ", "WITH RECURSIVE ")},
+      s"""${supSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |walk(node, d) AS (
          |  SELECT node, 0 FROM sdeg WHERE node % 50 = 0
          |  UNION

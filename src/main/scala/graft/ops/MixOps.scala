@@ -30,8 +30,9 @@ object MixOps {
   private def dSnap6(x: String) = s"CAST(CAST($x AS DECIMAL(38,6)) AS DOUBLE)"
 
   /** Multiplicative doc_id hash in [0, 2^32) — the engine-independent
-    * sampling coin shared with f_sample_hash. */
-  private val coin = "(doc_id * 2654435761) % 4294967296"
+    * sampling coin shared with f_sample_hash, spelled once in Q.coin
+    * (DECIMAL(38,0)-promoted: overflow-exact at any id scale). */
+  private val coin = Q.coin("doc_id")
 
   val all: Seq[Q] = Seq(
 

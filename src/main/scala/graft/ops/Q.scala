@@ -42,6 +42,21 @@ object Q {
   def dSum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE)"
   def dAvg(x: String): String = s"(${dSum(x)} / COUNT(*))"
 
+  /** THE sampling/split coin: Knuth multiplicative hash of an id
+    * expression into [0, 2^32). The multiply runs in DECIMAL(38,0), not
+    * BIGINT — with 64-bit ids `id * 2654435761` overflows Int64 above
+    * id ~3.47e9, where Spark (non-ANSI) wraps silently negative while
+    * DuckDB raises; the decimal product is exact and identical in both
+    * engines at any id scale. The text form parses identically in Spark
+    * SQL (`expr(...)`) and DuckDB, so this one spelling serves both the
+    * query and its oracle. Use this for EVERY id-domain coin; the only
+    * sanctioned raw-BIGINT uses of the multiplier are bounded-index
+    * PRNGs (LshBands projection weights) whose domain provably cannot
+    * overflow.
+    */
+  def coin(id: String): String =
+    s"(CAST($id AS DECIMAL(38,0)) * 2654435761) % 4294967296"
+
   /** Exact interpolated percentiles (QUANTILE_CONT semantics — identical
     * interpolation to Spark's holistic `percentile`/`median` and
     * DuckDB's `quantile_cont`) WITHOUT a holistic aggregation buffer.

@@ -72,7 +72,9 @@ object VectorOps {
   /** DuckDB twin of [[lshSigs]] (CTE prefix `dim`/`planes`/`proj`/`sig`).
     * The dimension is derived from the data (`max(len(embedding))`), the
     * same way the native expression reads it off each vector — no
-    * hardcoded 64 anywhere in the vector family. */
+    * hardcoded 64 anywhere in the vector family. The raw multiplier in
+    * `planes` is the bounded-index PRNG twin of LshBands.weightsFor
+    * ((p*d+i) ≤ ~1024 — cannot overflow; id coins use Q.coin). */
   private val duckSig =
     """dim AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
       |planes AS (
@@ -616,7 +618,18 @@ object VectorOps {
     // engine-identical.
     Q("h_pq_encode", (s, d) => {
       graft.functions.SqDistDec.register(s)
-      val e = Io.table(s, d, "embeddings")
+      import s.implicits._
+      // Subspace COUNT is derived from the data (one-row metadata read),
+      // matching the oracle's (pos-1)//8 width-8 layout at any D — a
+      // hardcoded 8×8 would silently drop dims past 64. The assert_true
+      // filter makes a ragged embedding column fail LOUDLY in Spark
+      // (DuckDB's generate_series(1, MAX(len)) side would diverge, not
+      // error — so the Spark side is the one that must shout).
+      val e0 = Io.table(s, d, "embeddings")
+      val dim = e0.limit(1).select(size(col("embedding"))).as[Int].head()
+      val nSubs = (dim + 7) / 8
+      val e = e0.filter(assert_true(size(col("embedding")) === dim,
+        lit(s"h_pq_encode: ragged embedding dim (expected $dim)")).isNull)
       val long = e
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "f")))
         .select(col("vec_id"), (col("pos0") + 1).as("pos"),
@@ -637,18 +650,18 @@ object VectorOps {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           x => x.getField("c")).as("carr"))
       val subDist = e.crossJoin(broadcast(centArr))
-        .select(col("vec_id") +: col("c_label") +: (0 until 8).map(m =>
+        .select(col("vec_id") +: col("c_label") +: (0 until nSubs).map(m =>
           expr(s"sq_dist_dec(slice(embedding, ${m * 8 + 1}, 8), " +
             s"slice(carr, ${m * 8 + 1}, 8))").as(s"d$m")): _*)
-      val cAggs = (0 until 8).map(m =>
+      val cAggs = (0 until nSubs).map(m =>
         min(struct(col(s"d$m"), col("c_label"))).getField("c_label").as(s"c$m"))
       val codesWide = subDist.groupBy(col("vec_id"))
         .agg(cAggs.head, cAggs.tail: _*)
       val codeStr = codesWide.select(col("vec_id"),
-        concat_ws("-", (0 until 8).map(m => col(s"c$m").cast("string")): _*)
+        concat_ws("-", (0 until nSubs).map(m => col(s"c$m").cast("string")): _*)
           .as("pq_code"))
       val codes = codesWide.select(col("vec_id"),
-        explode(array((0 until 8).map(m =>
+        explode(array((0 until nSubs).map(m =>
           struct(lit(m).as("sub"), col(s"c$m").as("code"))): _*)).as("sc"))
         .select(col("vec_id"), col("sc.sub").as("sub"), col("sc.code").as("code"))
       val err = long.join(codes, Seq("vec_id", "sub"))

@@ -555,6 +555,33 @@ class PlanShapeSpec extends AnyFunSuite {
       "threshold frames did not broadcast at all")
   }
 
+  test("ANN family: candidates are the (band,band_val) equi-join, signatures map-side") {
+    // h_ann_lsh read 4.73 s in the r9 driver bench vs its ~0.9 s
+    // round-5 isolated anchor with zero attributed GC — the same
+    // "unexplained >2× reading" pattern d_agg_corr_matrix showed for
+    // three rounds. Pin the 100 TB-critical shape for the whole family
+    // so any future inflation is provably host noise, not a plan
+    // regression: signature computation is the native one-pass
+    // lsh_bands expression in the scan's projection (map-side — no
+    // plane join, no per-plane aggregate), candidate generation is a
+    // KEYED join on (band, band_val), and nothing data-sized ever goes
+    // through a nested-loop or cartesian (h_ann_recall's 10-row exact
+    // top-k side is the one sanctioned broadcast).
+    for (q <- Seq("h_ann_lsh", "h_ann_topk_pairs", "h_ann_recall")) {
+      val p = plan(q).split("== Initial Plan ==").head
+      assert(p.contains("lsh_bands"),
+        s"$q: native lsh_bands expression missing — signature path is not map-side")
+      assert(!p.contains("CartesianProduct"), s"$q: a data-sized cartesian appeared")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj == 0,
+        s"$q: $bnlj BroadcastNestedLoopJoins — candidate generation fell off " +
+          s"the (band,band_val) equi-join:\n" + p.take(2000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+        s"$q: no keyed join in the executed plan")
+    }
+  }
+
   test("OHLC bars: both window directions and the aggregate share one shuffle") {
     // AdaptiveSparkPlan.toString prints the final plan followed by the
     // initial plan — count exchanges in the final section only.
