@@ -146,6 +146,66 @@ object ExtOps {
         |SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx,
         |  CAST((CAST(doc_id AS DECIMAL(38,0)) * 1000003 + f) * 2654435761 % 1000000007 AS BIGINT) AS frame_sig
         |FROM m, LATERAL UNNEST(generate_series(0, n_frames - 1, 10)) AS u(f)
-        |ORDER BY doc_id, frame_idx""".stripMargin))
+        |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Multimodal with REAL container bytes: each doc carries an actual
+    // spec-valid PNG (even ids) or PCM WAV (odd ids) blob — encoded
+    // pure-JVM by graft.io.MediaCodec, whose output MultimodalSpec
+    // independently decodes with the JDK's own javax.imageio /
+    // javax.sound readers — and the query PARSES the metadata back OUT
+    // of the bytes (big-endian IHDR walk, little-endian RIFF walk, CRC
+    // and declared-size integrity checks). The oracle recomputes every
+    // field from the encode parameters plus the format's literal magic
+    // bytes, so a wrong parse (or a malformed encode) hash-mismatches;
+    // a NON-PNG/NON-WAV blob throws in the decoder — fail loud, never
+    // ship wrong dimensions to a downstream resize. Scale shape: both
+    // encode and decode are typed mapPartitions over the binary column
+    // (per-partition decoder init, no shuffle) — the exact slot a
+    // libjpeg/ffmpeg handle plugs into on a real cluster.
+    Q("h_media_decode_bytes", (s, d) => {
+      import s.implicits._
+      import graft.io.MediaCodec
+      val media = Io.table(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val bytes =
+              if (id % 2 == 0)
+                MediaCodec.encodePng((1 + id % 16).toInt, (1 + id * 7 % 16).toInt, id)
+              else
+                MediaCodec.encodeWav((8000 + id % 8 * 500).toInt, (16 + id % 64).toInt, id)
+            (id, bytes)
+          }
+        }.toDF("doc_id", "media")
+      media.as[(Long, Array[Byte])].mapPartitions { it =>
+        // per-partition decoder init happens here (stateless for these
+        // two pure-JVM formats)
+        it.map { case (id, b) =>
+          if ((b(0) & 0xff) == 0x89) {
+            val m = MediaCodec.parsePng(b)
+            (id, "png", MediaCodec.magicHex(b, 4), Option(m.width),
+              Option(m.height), Option(m.bitDepth),
+              Option.empty[Int], Option.empty[Int], m.crcOk)
+          } else {
+            val m = MediaCodec.parseWav(b)
+            (id, "wav", MediaCodec.magicHex(b, 4), Option.empty[Int],
+              Option.empty[Int], Option.empty[Int],
+              Option(m.sampleRate), Option(m.nSamples), m.sizeOk)
+          }
+        }
+      }.toDF("doc_id", "format", "magic_hex", "width", "height",
+          "bit_depth", "sample_rate", "n_samples", "integrity_ok")
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN '89504E47' ELSE '52494646' END AS magic_hex,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 16 AS INT) END AS width,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id * 7 % 16 AS INT) END AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS INT) END AS bit_depth,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + doc_id % 8 * 500 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(16 + doc_id % 64 AS INT) END AS n_samples,
+        |  TRUE AS integrity_ok
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
   )
 }

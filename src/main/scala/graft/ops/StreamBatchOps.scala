@@ -194,6 +194,39 @@ object StreamBatchOps {
         | AND epoch_us(c.ts) <= epoch_us(p.ts)
         |ORDER BY p.user_id, purch_id, COALESCE(c.event_id, -1)""".stripMargin)),
 
+    // Batch twin of the stream-stream RIGHT OUTER time-bounded join
+    // (streaming.Streams.purchaseClickRightOuter, StreamParitySpec):
+    // the click-preserving mirror of g_click_purchase_outer — every
+    // click emits, matched to same-user purchases in the FOLLOWING
+    // hour or with null purchase columns once the watermark proves the
+    // click's window [c_ts, c_ts + 1h] closed unmatched. Spelled as a
+    // genuine right_outer join (purchases remain the left input) so
+    // the right-preserving physical path is exercised, completing the
+    // inner/left/full/semi/right join-mode matrix. Same single user_id
+    // shuffle + residual time band; null sort keys coalesce to -1.
+    Q("g_click_purchase_right", (s, d) => {
+      val ev = Io.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purch_id"),
+          col("ts_us").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_us").as("c_ts"))
+      p.join(c, col("p_user") === col("user_id") &&
+          col("c_ts") >= col("p_ts") - 3600000000L && col("c_ts") <= col("p_ts"),
+          "right_outer")
+        .select(col("user_id"), col("click_id"), col("purch_id"),
+          (col("p_ts") - col("c_ts")).as("lag_us"))
+        .orderBy(col("user_id"), col("click_id"), coalesce(col("purch_id"), lit(-1L)))
+    }, Some(
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purch_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |RIGHT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |ORDER BY c.user_id, click_id, COALESCE(p.event_id, -1)""".stripMargin)),
+
     // Batch twin of the stream-stream FULL OUTER time-bounded join
     // (streaming.Streams.purchaseClickFullOuter, StreamParitySpec): the
     // symmetric closure of g_click_purchase_outer — unmatched purchases

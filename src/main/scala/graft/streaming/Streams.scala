@@ -147,6 +147,31 @@ object Streams {
       .select(col("p_id"), col("c_id"), col("p_us"), col("c_us"))
   }
 
+  /** Stream-stream RIGHT OUTER time-bounded join: the click-preserving
+    * mirror of [[purchaseClickLeftOuter]] — every CLICK emits, matched
+    * to same-user purchases in the hour after it or null-padded once
+    * the watermark has passed the end of its candidate-purchase window
+    * [c_t, c_t + 1h]. Kept as a genuine `right_outer` join (purchases
+    * still the left input) so the engine's right-outer state-eviction
+    * path is what runs, not a relabeled left join. Same code runs on
+    * batch frames as the parity oracle.
+    */
+  def purchaseClickRightOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = withTime(purchases)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts_us").as("p_us"), col("ts_t").as("p_t"))
+      .withWatermark("p_t", "30 minutes")
+    val c = withTime(clicks)
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts_us").as("c_us"), col("ts_t").as("c_t"))
+      .withWatermark("c_t", "30 minutes")
+    p.join(c, expr(
+      """p_user = c_user AND
+        |c_t BETWEEN p_t - INTERVAL 1 HOUR AND p_t""".stripMargin),
+      "right_outer")
+      .select(col("p_id"), col("c_id"), col("p_us"), col("c_us"))
+  }
+
   /** Stream-stream FULL OUTER time-bounded join: the symmetric closure
     * of [[purchaseClickLeftOuter]] — unmatched PURCHASES and unmatched
     * CLICKS both emit null-padded rows, each only once the watermark

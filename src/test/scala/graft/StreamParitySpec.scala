@@ -189,6 +189,31 @@ class StreamParitySpec extends AnyFunSuite {
       "no null-matched outer rows — the outer semantics were never exercised")
   }
 
+  test("stream-stream RIGHT OUTER join: unmatched clicks emit after the watermark passes") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val purchases = evRows.filter(_.event_type == "purchase")
+    val clicks = evRows.filter(_.event_type == "click")
+    val flushUs = evRows.map(_.ts_us).max + 10L * 3600000000L
+    val flushP = Ev(900001L, flushUs, 999999L, "purchase", 0.0)
+    val flushC = Ev(900002L, flushUs, 999998L, "click", 0.0)
+    val memP = MemoryStream[Ev]; val memC = MemoryStream[Ev]
+    memP.addData(purchases); memC.addData(clicks)
+    val q = Streams.purchaseClickRightOuter(memP.toDF(), memC.toDF())
+      .writeStream.format("memory").queryName("ssroj").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      memP.addData(flushP); memC.addData(flushC)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("ssroj")
+      .filter($"c_id" < 900000L && (($"p_id" < 900000L) || $"p_id".isNull))
+    val batch = Streams.purchaseClickRightOuter(purchases.toDF(), clicks.toDF())
+    assert(rows(stream) === rows(batch))
+    assert(stream.filter($"p_id".isNull).count() > 0,
+      "no null-purchase rows — the click-side outer semantics were never exercised")
+  }
+
   test("stream-stream FULL OUTER join: both unmatched sides emit after the watermark passes") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
