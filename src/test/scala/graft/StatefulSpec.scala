@@ -131,6 +131,75 @@ class StatefulSpec extends AnyFunSuite {
     } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("checkpoint recovery: stop mid-stream, restart, exactly-once output (RocksDB)") {
+    // The fault-tolerance story a 100 TB pipeline actually relies on:
+    // a stateful query dies after batch N, a NEW query instance starts
+    // from the same checkpoint dir, the remaining batches arrive, and
+    // the file sink holds exactly the uninterrupted run's rows — no
+    // loss, no duplicates. The kill point lands INSIDE open sessions
+    // (time-ordered thirds), so sessions spanning the restart can only
+    // come out whole if the timer/state really was restored from the
+    // RocksDB checkpoint rather than rebuilt empty.
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Io.events(spark, sf).filter("user_id < 30")
+        .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+        .as[Ev].collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val third = evs.size / 3
+      val (b1, rest) = evs.splitAt(third)
+      val (b2, b3) = rest.splitAt(third)
+      val flush = Ev(900001L, evs.map(_.ts_us).max + 10L * 3600000000L,
+        999999L, "click", 0.0)
+      // reference: the same batches, uninterrupted
+      val memRef = MemoryStream[Ev]
+      val qRef = Streams.sessionizeTws(memRef.toDS()).writeStream
+        .format("memory").queryName("ckref").outputMode(OutputMode.Append()).start()
+      try {
+        Seq(b1, b2, b3, Seq(flush)).foreach { b =>
+          memRef.addData(b); qRef.processAllAvailable()
+        }
+      } finally qRef.stop()
+      val reference = spark.table("ckref").as[Streams.SessionOut]
+        .collect().filter(_.user_id < 900000L)
+      // interrupted run: parquet sink (exactly-once via the sink commit
+      // log) + explicit checkpoint dir shared across both incarnations
+      val root = java.nio.file.Files.createTempDirectory("graft_ckpt")
+      val outDir = root.resolve("out").toString
+      val ckptDir = root.resolve("ckpt").toString
+      val mem = MemoryStream[Ev]
+      def start() = Streams.sessionizeTws(mem.toDS()).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode(OutputMode.Append()).start()
+      val q1 = start()
+      try {
+        mem.addData(b1); q1.processAllAvailable()
+        mem.addData(b2); q1.processAllAvailable()
+      } finally q1.stop() // the "crash", after batch 2 of 4
+      val q2 = start()    // NEW query instance, same checkpoint
+      try {
+        mem.addData(b3); q2.processAllAvailable()
+        mem.addData(flush); q2.processAllAvailable()
+      } finally q2.stop()
+      val recovered = spark.read.parquet(outDir).as[Streams.SessionOut]
+        .collect().filter(_.user_id < 900000L)
+      assert(recovered.toSet === reference.toSet,
+        "restarted run's output differs from the uninterrupted run")
+      assert(recovered.length === recovered.toSet.size,
+        "duplicate rows in the sink — exactly-once violated across restart")
+      // the restart boundary must fall inside live sessions for the
+      // state-restore claim to mean anything
+      val boundary = b2.last.ts_us
+      assert(reference.exists(s1 => s1.start_us <= boundary && s1.end_us > boundary),
+        "no session spans the kill point — weak scenario")
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("stateful streaming EWMA equals the batch g_ewma query") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
