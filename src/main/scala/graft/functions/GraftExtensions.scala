@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BitmaskJaccard].getName, "bitmask_jaccard"),
       (children: Seq[Expression]) => BitmaskJaccard(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("bitmask_inter"),
+      new ExpressionInfo(classOf[BitmaskInter].getName, "bitmask_inter"),
+      (children: Seq[Expression]) => BitmaskInter(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSig(

@@ -552,6 +552,56 @@ object DedupOps {
         |      / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Containment near-dup pairs — the doc-IN-doc detector Jaccard
+    // misses by construction: a short doc quoted whole inside a long
+    // one has |A∩B|/|A∪B| diluted by the big doc's size while
+    // |A∩B|/min(|A|,|B|) stays ~1 (quotes, boilerplate headers,
+    // chunk-of-a-superdoc — the training-data leak Jaccard dedup ships).
+    // Reuses the shared width-adaptive bigramMasks artifact; the pair
+    // loop is the blocked triangle (same Ω(n²) argument as
+    // h_ngram_jaccard) with the native bitmask_inter popcount — the
+    // expression emits only the INTEGER |A∩B|, so containment and
+    // jaccard are integer-ratio doubles both engines compute
+    // bit-identically. Inner doc = smaller bigram set (tie → lower id).
+    Q("h_containment_pairs", (s, d) => {
+      graft.functions.BitmaskInter.register(s)
+      val masks = bigramMasks(s, d)
+        .withColumn("nbg",
+          expr("aggregate(transform(mask, x -> bit_count(x)), 0, (acc, v) -> acc + v)"))
+      val aInner = col("a.nbg") < col("b.nbg") ||
+        (col("a.nbg") === col("b.nbg") && col("a.doc_id") < col("b.doc_id"))
+      PairJoins.trianglePairs(masks, Seq("lang"), "doc_id", 8)
+        .withColumn("inter", expr("bitmask_inter(a.mask, b.mask)"))
+        .withColumn("cont",
+          col("inter") / least(col("a.nbg"), col("b.nbg")).cast("double"))
+        .filter(col("cont") >= 0.6)
+        .select(
+          when(aInner, col("a.doc_id")).otherwise(col("b.doc_id")).as("doc_inner"),
+          when(aInner, col("b.doc_id")).otherwise(col("a.doc_id")).as("doc_outer"),
+          col("lang"), r6(col("cont")).as("containment"),
+          r6(col("inter") /
+            (col("a.nbg") + col("b.nbg") - col("inter")).cast("double")).as("jaccard"))
+        .orderBy("doc_inner", "doc_outer")
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 1),
+        |                                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.lang,
+        |    len(list_intersect(a.bg, b.bg)) AS inter,
+        |    len(a.bg) AS na, len(b.bg) AS nb
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT
+        |  CASE WHEN na < nb OR (na = nb AND da < db) THEN da ELSE db END AS doc_inner,
+        |  CASE WHEN na < nb OR (na = nb AND da < db) THEN db ELSE da END AS doc_outer,
+        |  lang,
+        |  ROUND(inter / CAST(LEAST(na, nb) AS DOUBLE), 6) AS containment,
+        |  ROUND(inter / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+        |FROM p WHERE inter / CAST(LEAST(na, nb) AS DOUBLE) >= 0.6
+        |ORDER BY doc_inner, doc_outer""".stripMargin)),
+
     // Dedup-threshold sensitivity sweep — the tuning table behind every
     // "what j cutoff do we ship?" decision: for each candidate threshold
     // 0.3..0.8 (×10, integer column), how many bigram-Jaccard pairs

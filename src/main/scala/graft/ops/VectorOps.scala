@@ -246,6 +246,81 @@ object VectorOps {
          |WHERE a.vec_id < 20
          |QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin)),
 
+    // Multi-probe IVF — THE recall knob of an IVF index: single-probe
+    // search misses any true neighbor whose home cell differs from the
+    // query's (the boundary-vector problem); probing the query's 2
+    // nearest cells recovers most of that loss for ~2× the candidate
+    // cost, tunable without touching the index. Database vectors keep
+    // their single home cell (the inverted file is unchanged); only the
+    // QUERY fans out — so at 100 TB the extra cost is one more posting
+    // list per query, not a bigger index. Same exact-decimal coarse
+    // quantizer as h_ann_ivf, so the probe-cell choice (ties → lower
+    // label) is engine-identical and the oracle replicates the whole
+    // approximation, recall included.
+    Q("h_ann_ivf_probe2", (s, d) => {
+      graft.functions.SqDistDec.register(s)
+      val e = Io.table(s, d, "embeddings")
+      val cent = e.select(col("label").as("c_label"),
+          posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .groupBy(col("c_label"), col("pos0"))
+        .agg((decSum12(col("v").cast("double")) / count(lit(1))).as("c"))
+      val centArr = cent.groupBy(col("c_label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos0"), col("c")))),
+          x => x.getField("c")).as("carr"))
+      val dist = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centArr))
+        .select(col("vec_id"), col("c_label"),
+          expr("sq_dist_dec(embedding, carr)").as("d2"))
+      val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))
+      val ranked = dist.withColumn("rn", row_number().over(wCell))
+      val cells = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label").as("cell"))
+      val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("c_label").as("probe_cell"))
+      val ev = withDoubles(s, d).select(col("vec_id"), col("dv")).join(cells, "vec_id")
+      val q = withDoubles(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("dv").as("qv"))
+        .join(probes, "q_id")
+      val wK = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      q.join(ev, col("probe_cell") === col("cell") && col("q_id") =!= col("vec_id"))
+        .withColumn("sim", r6(cosine(col("qv"), col("dv"))))
+        .withColumn("rn", row_number().over(wK))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn"), col("vec_id").as("nn_id"), col("cell"), col("sim"))
+        .orderBy("q_id", "rn")
+    }, Some(
+      s"""WITH cent AS (
+         |  SELECT label AS c_label, i AS pos,
+         |    ${dSum12("CAST(embedding[i] AS DOUBLE)")} / COUNT(*) AS c
+         |  FROM embeddings,
+         |    (SELECT UNNEST(generate_series(1,
+         |       (SELECT MAX(len(embedding)) FROM embeddings))) AS i)
+         |  GROUP BY label, i),
+         |dist AS (
+         |  SELECT e.vec_id, cent.c_label,
+         |    CAST(SUM(CAST((CAST(e.embedding[cent.pos] AS DOUBLE) - cent.c)
+         |                  * (CAST(e.embedding[cent.pos] AS DOUBLE) - cent.c)
+         |             AS DECIMAL(38,12))) AS DOUBLE) AS d2
+         |  FROM embeddings e, cent
+         |  GROUP BY e.vec_id, cent.c_label),
+         |cells AS (
+         |  SELECT vec_id, c_label AS cell FROM dist
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, c_label AS probe_cell FROM dist
+         |  WHERE vec_id < 20
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) <= 2),
+         |ev AS (
+         |  SELECT e.vec_id, e.embedding, cells.cell
+         |  FROM embeddings e JOIN cells USING (vec_id))
+         |SELECT p.q_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY p.q_id
+         |                          ORDER BY ROUND($duckCos, 6) DESC, b.vec_id) AS INT) AS rn,
+         |  b.vec_id AS nn_id, b.cell, ROUND($duckCos, 6) AS sim
+         |FROM probes p JOIN embeddings a ON a.vec_id = p.q_id
+         |  JOIN ev b ON b.cell = p.probe_cell AND b.vec_id <> p.q_id
+         |QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+
     // Lloyd's k-means, the IVF index BUILD step made explicit: K=4
     // centroids seeded from vec_id < 4 (deterministic init — rand()
     // init is unreproducible across engines and retries), one full

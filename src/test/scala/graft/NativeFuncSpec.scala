@@ -157,6 +157,27 @@ class NativeFuncSpec extends AnyFunSuite {
     }
   }
 
+  test("bitmask_inter equals the HOF popcount fold and composes to bitmask_jaccard") {
+    graft.functions.BitmaskInter.register(spark)
+    // bitmask_jaccard comes from GraftExtensions on the test session
+    // random-ish but deterministic two-long masks
+    val df = spark.range(200).selectExpr(
+      "array(CAST(id * 2654435761 % 9223372036854775807 AS BIGINT)," +
+        " CAST((id + 7) * 40503 AS BIGINT)) AS a",
+      "array(CAST((id + 3) * 2654435761 % 9223372036854775807 AS BIGINT)," +
+        " CAST(id * 40503 AS BIGINT)) AS b")
+    val bad = df.selectExpr(
+      "bitmask_inter(a, b) AS native",
+      "aggregate(zip_with(a, b, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v) AS hof",
+      "bitmask_inter(a, b) / CAST(aggregate(transform(a, x -> bit_count(x)), 0, (acc, v) -> acc + v)" +
+        " + aggregate(transform(b, x -> bit_count(x)), 0, (acc, v) -> acc + v)" +
+        " - bitmask_inter(a, b) AS DOUBLE) AS j_from_inter",
+      "bitmask_jaccard(a, b) AS j_native")
+      .filter("native <> hof OR abs(j_from_inter - j_native) > 0")
+      .count()
+    assert(bad == 0L)
+  }
+
   test("f_sample_hash is deterministic across runs") {
     val a = Registry.queries("f_sample_hash")(spark, sf).collect()
     val b = Registry.queries("f_sample_hash")(spark, sf).collect()
