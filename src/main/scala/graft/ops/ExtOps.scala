@@ -35,19 +35,29 @@ object ExtOps {
     * contract as Q.decSum, and bit-identical to the h_centroids oracle.
     */
   object VecMean extends Aggregator[Emb, VecBuf, Seq[Double]] {
-    private val dim = 64
     private def scaled(v: Double): Long =
       java.math.BigDecimal.valueOf(v).setScale(12, java.math.RoundingMode.HALF_UP)
         .movePointRight(12).longValueExact()
-    def zero: VecBuf = VecBuf(new Array[Long](dim), 0L)
-    def reduce(b: VecBuf, e: Emb): VecBuf = {
+    // dimension comes from the first row each buffer sees (Q.coin
+    // discipline: nothing hardcodes 64); a ragged vector then fails
+    // loudly on the length check instead of silently truncating.
+    def zero: VecBuf = VecBuf(Array.emptyLongArray, 0L)
+    def reduce(b0: VecBuf, e: Emb): VecBuf = {
+      val b = if (b0.n == 0L && b0.sums.isEmpty)
+        VecBuf(new Array[Long](e.embedding.length), 0L) else b0
+      require(e.embedding.length == b.sums.length,
+        s"VecMean: ragged embedding (${e.embedding.length} vs ${b.sums.length})")
       var i = 0
-      while (i < dim) { b.sums(i) += scaled(e.embedding(i).toDouble); i += 1 }
+      while (i < b.sums.length) { b.sums(i) += scaled(e.embedding(i).toDouble); i += 1 }
       b.n += 1; b
     }
     def merge(x: VecBuf, y: VecBuf): VecBuf = {
+      if (x.n == 0L) return y
+      if (y.n == 0L) return x
+      require(x.sums.length == y.sums.length,
+        s"VecMean: ragged buffers (${x.sums.length} vs ${y.sums.length})")
       var i = 0
-      while (i < dim) { x.sums(i) += y.sums(i); i += 1 }
+      while (i < x.sums.length) { x.sums(i) += y.sums(i); i += 1 }
       x.n += y.n; x
     }
     def finish(b: VecBuf): Seq[Double] =

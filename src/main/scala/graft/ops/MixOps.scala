@@ -736,5 +736,30 @@ object MixOps {
          |FROM r WHERE cum_tokens <= 2000
          |ORDER BY lang, cum_tokens, doc_id""".stripMargin)),
 
+    // Per-source cap — the domain-cap step of every web-corpus recipe:
+    // no single source may contribute more than K docs (here 10, kept
+    // by length rank, ties → lower doc_id), so one over-crawled domain
+    // can't dominate the mixture. The rank filter is the
+    // WindowGroupLimit shape: each mapper keeps at most K rows per
+    // source BEFORE the shuffle, so the exchange carries O(sources·K),
+    // not the corpus — the same bound that makes this op safe when one
+    // domain is 10% of 100 TB.
+    Q("h_source_cap", (s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Io.table(s, d, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+        .orderBy("source", "rk")
+    }, Some(
+      """SELECT source,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |       ORDER BY n_chars DESC, doc_id) AS INT) AS rk,
+        |  doc_id, n_chars
+        |FROM documents
+        |QUALIFY rk <= 10
+        |ORDER BY source, rk""".stripMargin)),
+
   )
 }
