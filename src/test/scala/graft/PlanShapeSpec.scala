@@ -582,6 +582,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("source cap bounds the exchange via WindowGroupLimit") {
+    // the domain-cap op's 100 TB claim is exactly this: each mapper
+    // keeps at most K rows per source BEFORE the shuffle.
+    val p = plan("h_source_cap")
+    assert(p.contains("WindowGroupLimit"),
+      "rank filter not pushed into the window — exchange carries the corpus")
+  }
+
+  test("containment pairs: native bitmask_inter over a keyed blocked-triangle join") {
+    val p = plan("h_containment_pairs").split("== Initial Plan ==").head
+    assert(p.contains("bitmask_inter"),
+      "native bitmask_inter missing — pair loop fell back to interpreted HOFs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "pair enumeration fell off the blocked-triangle equi-join")
+  }
+
   test("OHLC bars: both window directions and the aggregate share one shuffle") {
     // AdaptiveSparkPlan.toString prints the final plan followed by the
     // initial plan — count exchanges in the final section only.
