@@ -21,7 +21,21 @@ object AnalyticsOps {
     * a DECIMAL). */
   private def snap6(c: org.apache.spark.sql.Column) =
     c.cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double")
-  private def dSnap6(x: String) = s"CAST(CAST($x AS DECIMAL(38,6)) AS DOUBLE)"
+  // The VARCHAR hop replicates Spark's double->decimal cast EXACTLY:
+  // Spark rounds the double's shortest decimal REPR half-up, while
+  // DuckDB's direct double->decimal multiplies by 10^scale and rints —
+  // on inputs whose repr ends exactly at the rounding digit the float
+  // multiply can cross the .5 the other way (seen: 0.6966874999999999 ->
+  // .696688 direct vs .696687 via repr, h_quality_quantile @ sf0.1).
+  // DuckDB's VARCHAR cast emits the shortest repr, so parse-then-round
+  // matches Spark on every boundary case. The CASE guard zeroes
+  // below-half-ulp magnitudes first: DuckDB's string->decimal parse
+  // half-ups the FIRST SIGNIFICANT DIGIT regardless of exponent, so
+  // '7.2e-12' parses to 0.000001 at scale 6 (should be 0) — any tiny
+  // float-dust term (e.g. x - x's own min) would round away from zero.
+  private def dSnap6(x: String) =
+    s"CAST(CAST(CAST(CASE WHEN ABS($x) < 5e-7 THEN CAST(0 AS DOUBLE) ELSE $x END" +
+      s" AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE)"
 
   val all: Seq[Q] = Seq(
     // Pivot (statuses are a fixed domain → stable column names).
@@ -768,9 +782,21 @@ object AnalyticsOps {
       val wLoc = Window.partitionBy(col("pid"))
         .orderBy(col("ts_us"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = dev.repartitionByRange(parts, col("ts_us"), col("event_id"))
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lc", sum(col("dv")).over(wLoc))
+      // MATERIALIZED, not lazy: `local` is consumed by TWO branches
+      // (the per-partition offsets and the final join), and
+      // repartitionByRange samples its bounds with a seed derived from
+      // the RDD id — a fresh id per execution, so two independent
+      // executions can draw DIFFERENT partition boundaries and the
+      // offsets then correct the wrong partitions (observed at sf0.1:
+      // peak_cusum -4388.70 vs the one-window oracle's -4172.49; at
+      // sf0.01 the sample is the whole input and the bounds happened to
+      // coincide). Freezing the ranged table once is also the 100 TB
+      // shape — the range shuffle is paid once, not per consumer.
+      val local = Q.materialize(s, d, "cusum_ranged") {
+        dev.repartitionByRange(parts, col("ts_us"), col("event_id"))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lc", sum(col("dv")).over(wLoc))
+      }
       val offs = local.groupBy(col("pid")).agg(sum(col("dv")).as("pt"))
         .withColumn("off", coalesce(sum(col("pt")).over(
           Window.orderBy(col("pid"))
@@ -821,9 +847,14 @@ object AnalyticsOps {
           sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nb_v"))
       val wLoc = Window.partitionBy(col("pid")).orderBy(col("value"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val local = dv.repartitionByRange(parts, col("value"))
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lcb", coalesce(sum(col("nb_v")).over(wLoc), lit(0L)))
+      // materialized: two consumers of a range-sampled partitioning —
+      // see g_cusum_changepoint's comment (same nondeterminism class,
+      // observed as a wrong U at sf0.1)
+      val local = Q.materialize(s, d, "mannwhitney_ranged") {
+        dv.repartitionByRange(parts, col("value"))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lcb", coalesce(sum(col("nb_v")).over(wLoc), lit(0L)))
+      }
       val offs = local.groupBy(col("pid")).agg(sum(col("nb_v")).as("pt"))
         .withColumn("off", coalesce(sum(col("pt")).over(
           Window.orderBy(col("pid"))
@@ -884,10 +915,14 @@ object AnalyticsOps {
         .agg(decSum(col("o_totalprice")).as("spend"))
       val wLocal = Window.partitionBy(col("pid"))
         .orderBy(col("spend"), col("o_custkey"))
-      val local = spend
-        .repartitionByRange(parts, col("spend"), col("o_custkey"))
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lrn", row_number().over(wLocal))
+      // materialized: two consumers of a range-sampled partitioning —
+      // see g_cusum_changepoint (bounds are sampled per execution)
+      val local = Q.materialize(s, d, "gini_ranked") {
+        spend
+          .repartitionByRange(parts, col("spend"), col("o_custkey"))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lrn", row_number().over(wLocal))
+      }
       // cluster-partitions-sized offset table (same scale argument as
       // e_win_ntile_pct: the global window below runs over ≤|partitions|
       // rows, not data)
@@ -1055,10 +1090,14 @@ object AnalyticsOps {
       val wLoc = Window.partitionBy(col("pid"))
         .orderBy(col("rev").desc, col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = rev
-        .repartitionByRange(parts, col("rev").desc, col("l_partkey"))
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lcum", sum(col("rev").cast(dec6)).over(wLoc))
+      // materialized: two consumers of a range-sampled partitioning —
+      // see g_cusum_changepoint (bounds are sampled per execution)
+      val local = Q.materialize(s, d, "abc_ranked") {
+        rev
+          .repartitionByRange(parts, col("rev").desc, col("l_partkey"))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lcum", sum(col("rev").cast(dec6)).over(wLoc))
+      }
       val offs = local.groupBy(col("pid"))
         .agg(sum(col("rev").cast(dec6)).as("ptot"))
         .withColumn("off", coalesce(sum(col("ptot")).over(

@@ -24,7 +24,10 @@ object ContaminationOps {
     * (e.g. 1/128 = 0.0078125); the decimal cast is HALF_UP in both. */
   private def snap6(c: org.apache.spark.sql.Column) =
     c.cast(DecimalType(38, 6)).cast("double")
-  private def dSnap6(x: String) = s"CAST(CAST($x AS DECIMAL(38,6)) AS DOUBLE)"
+  // VARCHAR hop: see AnalyticsOps.dSnap6 — replicates Spark's repr-based rounding
+  private def dSnap6(x: String) =
+    s"CAST(CAST(CAST(CASE WHEN ABS($x) < 5e-7 THEN CAST(0 AS DOUBLE) ELSE $x END" +
+      s" AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE)"
 
   /** Distinct (doc_id, 5-gram) shingle table — memoized per corpus:
     * the contamination score and the pipeline verdict

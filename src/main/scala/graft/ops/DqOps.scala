@@ -23,7 +23,10 @@ import Q._
 object DqOps {
 
   private def snap6(c: Column) = c.cast(DecimalType(38, 6)).cast("double")
-  private def dSnap6(x: String) = s"CAST(CAST($x AS DECIMAL(38,6)) AS DOUBLE)"
+  // VARCHAR hop: see AnalyticsOps.dSnap6 — replicates Spark's repr-based rounding
+  private def dSnap6(x: String) =
+    s"CAST(CAST(CAST(CASE WHEN ABS($x) < 5e-7 THEN CAST(0 AS DOUBLE) ELSE $x END" +
+      s" AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE)"
 
   /** (rule name, violation predicate) → one counter pair per rule. */
   private def ruleAggs(rules: Seq[(String, Column)]): Seq[Column] =

@@ -37,11 +37,16 @@ object GraphOps {
     * across iterations (HALF_UP from DOUBLE on both). */
   private def snap12(c: Column): Column =
     c.cast(DecimalType(38, 12)).cast("double")
-  private def dSnap12(x: String) = s"CAST(CAST($x AS DECIMAL(38,12)) AS DOUBLE)"
+  // VARCHAR hop: see AnalyticsOps.dSnap6 — replicates Spark's repr-based rounding
+  private def dSnap12(x: String) =
+    s"CAST(CAST(CAST(CASE WHEN ABS($x) < 5e-13 THEN CAST(0 AS DOUBLE) ELSE $x END" +
+      s" AS VARCHAR) AS DECIMAL(38,12)) AS DOUBLE)"
 
   private def snap6(c: Column): Column =
     c.cast(DecimalType(38, 6)).cast("double")
-  private def dSnap6(x: String) = s"CAST(CAST($x AS DECIMAL(38,6)) AS DOUBLE)"
+  private def dSnap6(x: String) =
+    s"CAST(CAST(CAST(CASE WHEN ABS($x) < 5e-7 THEN CAST(0 AS DOUBLE) ELSE $x END" +
+      s" AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE)"
 
   /** Undirected co-purchase pairs (pa < pb) WITH their support (number
     * of distinct orders containing both), memoized AND materialized per

@@ -27,7 +27,10 @@ object MixOps {
     * plain ROUND(double, 6) disagrees on half-boundary rationals). */
   private def snap6(c: org.apache.spark.sql.Column) =
     c.cast(DecimalType(38, 6)).cast("double")
-  private def dSnap6(x: String) = s"CAST(CAST($x AS DECIMAL(38,6)) AS DOUBLE)"
+  // VARCHAR hop: see AnalyticsOps.dSnap6 — replicates Spark's repr-based rounding
+  private def dSnap6(x: String) =
+    s"CAST(CAST(CAST(CASE WHEN ABS($x) < 5e-7 THEN CAST(0 AS DOUBLE) ELSE $x END" +
+      s" AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE)"
 
   /** Multiplicative doc_id hash in [0, 2^32) — the engine-independent
     * sampling coin shared with f_sample_hash, spelled once in Q.coin

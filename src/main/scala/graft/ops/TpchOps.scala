@@ -22,6 +22,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * q18's HAVING both partial-aggregate map-side before their shuffles.
   */
 object TpchOps {
+  // NOTE: no ROUND() on any money/share output. ROUND(double, n) is
+  // engine-DIVERGENT on half-boundary values (Spark rounds the shortest
+  // decimal repr half-up; DuckDB multiplies by 10^n and rints — the
+  // float multiply can cross the .5 the other way; seen at sf0.1:
+  // t_q09 sum_profit -1430016.7815 vs .7814, t_q11 value .4088/.4087).
+  // Every aggregate here is an exact DECIMAL(38,6) sum cast to DOUBLE —
+  // already bit-identical in both engines — so the raw value is emitted
+  // and cosmetic rounding is left to the consumer.
 
   private def q(name: String, sql: String): Q =
     Q(name, (s: SparkSession, d: String) => { Io.views(s, d); s.sql(sql) }, Some(sql))
@@ -76,12 +84,12 @@ object TpchOps {
     q("t_q01",
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_base_price,
-        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_disc_price,
-        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_charge,
-        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= DATE '2001-09-02'
@@ -101,8 +109,8 @@ object TpchOps {
     // (no per-row re-execution).
     qPs("t_q02", ps =>
       s"""WITH ps AS ($ps)
-        |SELECT ROUND(s_acctbal, 4) AS s_acctbal, s_name, n_name, p_partkey, p_name,
-        |  CAST(CAST(ps_supplycost AS DECIMAL(38,6)) AS DOUBLE) AS supplycost
+        |SELECT s_acctbal AS s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  CAST(CAST(CAST(ps_supplycost AS STRING) AS DECIMAL(38,6)) AS DOUBLE) AS supplycost
         |FROM part
         |  JOIN ps ON p_partkey = ps_partkey
         |  JOIN supplier ON s_suppkey = ps_suppkey
@@ -121,7 +129,7 @@ object TpchOps {
 
     q("t_q03",
       s"""SELECT l_orderkey,
-         |  ROUND($revenue, 4) AS revenue,
+         |  $revenue AS revenue,
          |  CAST(o_orderdate AS DATE) AS orderdate
          |FROM customer
          |  JOIN orders ON c_custkey = o_custkey
@@ -146,7 +154,7 @@ object TpchOps {
         |ORDER BY o_orderpriority""".stripMargin),
 
     q("t_q05",
-      s"""SELECT n_name, ROUND($revenue, 4) AS revenue
+      s"""SELECT n_name, $revenue AS revenue
          |FROM customer
          |  JOIN orders ON c_custkey = o_custkey
          |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -159,7 +167,7 @@ object TpchOps {
          |ORDER BY revenue DESC, n_name""".stripMargin),
 
     q("t_q06",
-      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue,
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
@@ -167,7 +175,7 @@ object TpchOps {
 
     q("t_q07",
       s"""SELECT supp_nation, cust_nation, l_year,
-         |  ROUND(CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+         |  CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS revenue
          |FROM (
          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
@@ -186,8 +194,8 @@ object TpchOps {
 
     q("t_q08",
       """SELECT o_year,
-        |  ROUND(CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
-        |    / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 6) AS mkt_share
+        |  CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
         |FROM (
         |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
         |    l_extendedprice * (1 - l_discount) AS volume,
@@ -206,7 +214,8 @@ object TpchOps {
         |GROUP BY o_year
         |ORDER BY o_year""".stripMargin),
 
-    // q9 adapted: profit's ps_supplycost comes from the derived
+    // q9 adapted (STRING hop on the profit term: ps_supplycost is a
+    // QUOTIENT double — see q11's value note): profit's ps_supplycost comes from the derived
     // catalog (min observed unit price — see t_q02). Money sums route
     // through DECIMAL(38,6) so the nation×year totals are accumulation-
     // order-independent. Scale: the ps table joins the fact on its own
@@ -215,8 +224,13 @@ object TpchOps {
     qPs("t_q09", ps =>
       s"""WITH ps AS ($ps)
         |SELECT n_name AS nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
-        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity
-        |       AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_profit
+        |  -- the profit term is ~0 with float dust on each (part,supp)'s own
+        |  -- min-cost row; the guard zeroes sub-half-ulp magnitudes BEFORE the
+        |  -- STRING hop (DuckDB's string->decimal parse half-ups the first
+        |  -- significant digit regardless of exponent: '7.2e-12' -> 0.000001)
+        |  CAST(SUM(CAST(CAST(CASE WHEN ABS(l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity) < 5e-7 THEN CAST(0 AS DOUBLE)
+        |                          ELSE l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity END
+        |       AS STRING) AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
         |FROM lineitem
         |  JOIN orders ON o_orderkey = l_orderkey
         |  JOIN supplier ON s_suppkey = l_suppkey
@@ -229,8 +243,8 @@ object TpchOps {
 
     q("t_q10",
       s"""SELECT c_custkey, c_name,
-         |  ROUND($revenue, 4) AS revenue,
-         |  ROUND(c_acctbal, 4) AS acctbal, n_name
+         |  $revenue AS revenue,
+         |  c_acctbal AS acctbal, n_name
          |FROM customer
          |  JOIN orders ON c_custkey = o_custkey
          |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -264,7 +278,13 @@ object TpchOps {
     {
       val vBody = (ps: String) =>
         s"""SELECT ps_partkey,
-          |    CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6))) AS DOUBLE) AS value
+          |    -- VARCHAR hop: ps_supplycost is a QUOTIENT double, and the
+          |    -- per-row double->decimal cast is engine-divergent on repr
+          |    -- boundaries (Spark rounds the shortest repr half-up, DuckDB
+          |    -- multiplies and rints — seen 1e-6 off at sf0.1). Both engines
+          |    -- print the shortest repr for STRING and round the parsed string
+          |    -- half-up at 1e-6, so the hop makes the cast engine-identical.
+          |    CAST(SUM(CAST(CAST(ps_supplycost * ps_availqty AS STRING) AS DECIMAL(38,6))) AS DOUBLE) AS value
           |  FROM ($ps) AS ps
           |    JOIN supplier ON s_suppkey = ps_suppkey
           |    JOIN nation ON s_nationkey = n_nationkey
@@ -272,7 +292,7 @@ object TpchOps {
           |  GROUP BY ps_partkey""".stripMargin
       val fin = (v: String) =>
         s"""WITH v AS ($v)
-          |SELECT ps_partkey, ROUND(value, 4) AS value
+          |SELECT ps_partkey, value AS value
           |FROM v
           |WHERE value > (SELECT 1.5 * CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) FROM v)
           |ORDER BY value DESC, ps_partkey""".stripMargin
@@ -319,12 +339,12 @@ object TpchOps {
         |ORDER BY custdist DESC, c_count DESC""".stripMargin),
 
     q("t_q14",
-      """SELECT ROUND(
+      """SELECT
         |  100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
         |                             THEN l_extendedprice * (1 - l_discount)
         |                             ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
-        |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE),
-        |  6) AS promo_revenue
+        |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        |  AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'""".stripMargin),
 
@@ -335,7 +355,7 @@ object TpchOps {
         |  FROM lineitem
         |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
         |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, ROUND(total_revenue, 4) AS total_revenue
+        |SELECT s_suppkey, s_name, total_revenue AS total_revenue
         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin),
@@ -362,7 +382,7 @@ object TpchOps {
     // q17 adapted: no container column; brand + the correlated
     // 20%-of-average-quantity subquery carry the shape.
     q("t_q17",
-      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly,
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#13'
@@ -373,7 +393,7 @@ object TpchOps {
     q("t_q18",
       """SELECT c_name, c_custkey, o_orderkey,
         |  CAST(o_orderdate AS DATE) AS orderdate,
-        |  ROUND(o_totalprice, 4) AS totalprice,
+        |  o_totalprice AS totalprice,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
         |FROM customer
         |  JOIN orders ON c_custkey = o_custkey
@@ -389,7 +409,7 @@ object TpchOps {
     // both join sides, still planned as an equi-join on p_partkey with
     // the disjunction as a post-join filter) — survives intact.
     q("t_q19",
-      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue,
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -405,7 +425,7 @@ object TpchOps {
     // no per-row re-execution; the part-name IN list broadcasts.
     qPs("t_q20", ps =>
       s"""WITH ps AS ($ps)
-        |SELECT s_suppkey, s_name, ROUND(s_acctbal, 4) AS s_acctbal
+        |SELECT s_suppkey, s_name, s_acctbal AS s_acctbal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11', 'NATION_16', 'NATION_21')
         |  AND s_suppkey IN (
@@ -455,7 +475,7 @@ object TpchOps {
     // NOT EXISTS anti-join + grouped aggregate.
     q("t_q22",
       """SELECT cntrycode, COUNT(*) AS numcust,
-        |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 4) AS totacctbal
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
         |FROM (SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
         |      FROM customer
         |      WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5, 6)

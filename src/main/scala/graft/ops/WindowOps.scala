@@ -72,10 +72,16 @@ object WindowOps {
       val cust = Io.table(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
       val wLocal = Window.partitionBy(col("pid"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
-      val local = cust
-        .repartitionByRange(parts, col("c_acctbal"), col("c_custkey"))
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lrn", row_number().over(wLocal))
+      // materialized: two consumers of a range-sampled partitioning —
+      // see g_cusum_changepoint in AnalyticsOps (repartitionByRange
+      // draws bounds per execution; unmaterialized, the offsets branch
+      // and the join branch can see different partitionings)
+      val local = graft.ops.Q.materialize(s, d, "ntile_ranked") {
+        cust
+          .repartitionByRange(parts, col("c_acctbal"), col("c_custkey"))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lrn", row_number().over(wLocal))
+      }
       // partition offsets AND the global count, both from the same
       // |cluster partitions|-row table (no second scan of the data):
       // the global windows here run over metadata-sized input only.
