@@ -599,6 +599,35 @@ class PlanShapeSpec extends AnyFunSuite {
       "pair enumeration fell off the blocked-triangle equi-join")
   }
 
+  test("bloom prefilter: map-side word-table lookups, merge join, no cartesian") {
+    // the op's 100 TB claim: the fact scan drops non-matching rows via
+    // two broadcast (word_idx → mask) lookups BEFORE the shuffle of the
+    // real join, which must stay shuffle-merge (premise: build side too
+    // big to broadcast as rows). A regression to BNLJ/cartesian, or the
+    // real join silently becoming broadcast, voids the scale story.
+    val p = plan("c_join_bloom_prefilter").split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin"),
+      "real join is not shuffle-merge — merge hint lost")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 2, s"expected 2 broadcast word-table lookups, got $bhj")
+    assert(p.contains("shiftright"), "bit-test filter missing from the probe side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("PQ ADC scan: code-table probe is a broadcast equi-join on (sub, code)") {
+    // database side = codes only; the distance table must broadcast and
+    // the probe must be keyed. The one sanctioned BNLJ is the K-row
+    // codeword-array attach inside the query-side distance pass.
+    val p = plan("h_pq_adc_topk").split("== Initial Plan ==").head
+    assert(p.contains("sq_dist_dec"),
+      "native sq_dist_dec missing — distance table fell back to relational form")
+    assert(p.contains("BroadcastHashJoin"), "code probe is not a broadcast equi-join")
+    assert(p.contains("WindowGroupLimit"), "per-query top-3 not group-limited")
+    assert(!p.contains("CartesianProduct"))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"$bnlj BNLJs — something data-sized fell off the equi-join")
+  }
+
   test("OHLC bars: both window directions and the aggregate share one shuffle") {
     // AdaptiveSparkPlan.toString prints the final plan followed by the
     // initial plan — count exchanges in the final section only.
