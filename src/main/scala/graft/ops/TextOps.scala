@@ -173,6 +173,91 @@ object TextOps {
         |FROM scored
         |QUALIFY rn <= 5 ORDER BY doc_id, rn""".stripMargin)),
 
+    // BM25 retrieval ranking (Robertson/Spärck Jones, k1=1.2 b=0.75,
+    // Lucene's ln(1 + (N−df+0.5)/(df+0.5)) idf) of the corpus against a
+    // fixed query term set — the scoring half of a retrieval/RAG
+    // pipeline. Deliberately NOT the tfidf shape: per-doc term
+    // frequencies come from map-side array filters in the ONE corpus
+    // scan (no explode, no doc-keyed shuffle anywhere), corpus stats
+    // (N, avgdl, per-term df) are a single one-row aggregate broadcast
+    // back, scoring is a map-side expression, and the top-15 cut fuses
+    // into TakeOrderedAndProject. At 100 TB: scan-bounded with one
+    // scalar exchange — the term list is query-sized by definition.
+    // Parity: idf snaps at 1e-12 (libm ln ulp); tf/dl/df are integers,
+    // so every other factor is deterministic IEEE arithmetic written
+    // with identical association in both engines; the score is emitted
+    // RAW (sums of engine-identical doubles in fixed order), ranked
+    // with doc_id tiebreak.
+    {
+      val terms = Seq("spark", "join", "stream")
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      // The k1-damping denominator and each idf·tf product snap at
+      // 1e-12: DuckDB's C++ build may contract a*b+c into one fused
+      // multiply-add (seen: 1-ulp score divergence at sf0.01), while
+      // JVM arithmetic rounds every op — snapping at the two
+      // multiply-add seams restores bit equality; additions alone
+      // cannot fuse, so the snapped contributions sum identically.
+      def duckContrib(i: Int): String =
+        s"(CASE WHEN tf$i > 0 THEN " +
+          s"CAST(CAST(CAST(CAST(ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5)) " +
+          s"AS DECIMAL(38,12)) AS DOUBLE) * ((tf$i * 2.2) / " +
+          s"CAST(CAST(tf$i + 1.2 * (0.25 + (0.75 * dl) / avgdl) " +
+          s"AS DECIMAL(38,12)) AS DOUBLE)) AS DECIMAL(38,12)) AS DOUBLE) " +
+          s"ELSE CAST(0.0 AS DOUBLE) END)"
+      Q("h_bm25_rank", (s, d) => {
+        val f = Io.table(s, d, "documents")
+          .select(col("doc_id") +: size(toks).cast("double").as("dl") +:
+            terms.zipWithIndex.map { case (t, i) =>
+              size(filter(toks, x => x === t)).cast("long").as(s"tf$i")
+            }: _*)
+        val stAggs =
+          (sum(col("dl").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .cast("double") / count(lit(1))).as("avgdl") +:
+            terms.indices.map(i =>
+              sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+        val st = f.agg(count(lit(1)).as("n_docs"), stAggs: _*)
+        def idf(i: Int) = log(lit(1.0) +
+            (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+          .cast(dec12).cast("double")
+        def contrib(i: Int) = when(col(s"tf$i") > 0,
+          (idf(i) * ((col(s"tf$i") * lit(2.2)) /
+            (col(s"tf$i") + lit(1.2) *
+              (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl")))
+              .cast(dec12).cast("double")))
+            .cast(dec12).cast("double"))
+          .otherwise(lit(0.0))
+        f.crossJoin(broadcast(st))
+          .withColumn("n_terms", terms.indices.map(i =>
+            when(col(s"tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _))
+          .withColumn("score", terms.indices.map(contrib).reduce(_ + _))
+          .filter(col("n_terms") > 0)
+          .select(col("doc_id"), col("n_terms"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(15)
+      }, Some(
+        s"""WITH f AS (
+           |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |    CAST(len(list_filter(toks, x -> x = '${terms(0)}')) AS BIGINT) AS tf0,
+           |    CAST(len(list_filter(toks, x -> x = '${terms(1)}')) AS BIGINT) AS tf1,
+           |    CAST(len(list_filter(toks, x -> x = '${terms(2)}')) AS BIGINT) AS tf2
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+           |st AS (
+           |  SELECT COUNT(*) AS n_docs, ${dSum("dl")} / COUNT(*) AS avgdl,
+           |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+           |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+           |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+           |  FROM f),
+           |sc AS (
+           |  SELECT f.doc_id,
+           |    CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+           |       + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+           |       + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+           |    ((${duckContrib(0)} + ${duckContrib(1)}) + ${duckContrib(2)}) AS score
+           |  FROM f CROSS JOIN st)
+           |SELECT doc_id, n_terms, score FROM sc WHERE n_terms > 0
+           |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin))
+    },
+
     // Deterministic document fingerprint: polynomial rolling hash of the
     // raw text, mod 1e9+7 — same fold on both engines (DuckDB list_reduce
     // seeds with the first element, which equals Spark's fold from 0).
