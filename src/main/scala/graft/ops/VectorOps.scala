@@ -167,6 +167,23 @@ object VectorOps {
       }
     }
 
+  /** ADC candidate scores (q_id, nn_id, adc_d2) for the vec_id < 20
+    * query set: per-query distance table (broadcast) probed by the
+    * memoized code table, per-candidate sum in DECIMAL(38,12), snapped
+    * at 1e-6. Shared by the top-k search and its recall audit. */
+  private def adcScores(s: SparkSession, d: String): DataFrame = {
+    val (_, nSubs) = pqDims(s, d)
+    val dt = pqSubDist(s, d,
+        Io.table(s, d, "embeddings").filter(col("vec_id") < 20), nSubs)
+      .select(col("vec_id").as("q_id"), col("c_label").as("code"),
+        col("sub"), col("d2"))
+    pqCodes(s, d).withColumnRenamed("vec_id", "nn_id")
+      .join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("nn_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("nn_id"))
+      .agg(r6(sum(col("d2").cast(dec12)).cast("double")).as("adc_d2"))
+  }
+
   /** DuckDB twin of the PQ build — CTE prefix `dims`/`lng`/`cent`/
     * `dist`/`codes`, the relational long form both PQ oracles share. */
   private val duckPqCodes =
@@ -850,19 +867,8 @@ object VectorOps {
     // engine-reproducible), the per-candidate sum runs in
     // DECIMAL(38,12), and ranking snaps at 1e-6 with nn_id tie-break.
     Q("h_pq_adc_topk", (s, d) => {
-      val (_, nSubs) = pqDims(s, d)
-      val dt = pqSubDist(s, d,
-          Io.table(s, d, "embeddings").filter(col("vec_id") < 20), nSubs)
-        .select(col("vec_id").as("q_id"), col("c_label").as("code"),
-          col("sub"), col("d2"))
-      val adc = pqCodes(s, d).withColumnRenamed("vec_id", "nn_id")
-        .join(broadcast(dt), Seq("sub", "code"))
-        .filter(col("nn_id") =!= col("q_id"))
-        .groupBy(col("q_id"), col("nn_id"))
-        .agg(r6(sum(col("d2").cast(dec12)).cast("double")).as("adc_d2"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("adc_d2"), col("nn_id"))
-      adc.withColumn("rn", row_number().over(w))
+      adcScores(s, d).withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("nn_id"))))
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("rn"), col("nn_id"), col("adc_d2"))
         .orderBy("q_id", "rn")
@@ -882,5 +888,70 @@ object VectorOps {
          |      FROM adc)
          |SELECT q_id, rn, nn_id, adc_d2 FROM r WHERE rn <= 3
          |ORDER BY q_id, rn""".stripMargin))
+
+    ,
+    // ADC quality audit — recall@3 of the compressed-code search
+    // against the EXACT squared-L2 top-3 per query, making the PQ
+    // approximation a checked number every round (the h_ann_recall
+    // treatment: the approximation itself is replicated in the oracle,
+    // so both the candidate mechanics and the recall arithmetic are
+    // parity-checked). The exact side broadcasts the 20 query vectors
+    // against one corpus scan (Q·n map-side native sq_dist_dec, never
+    // a pair cartesian); recall is an integer ratio — bit-identical
+    // division in both engines.
+    Q("h_pq_adc_recall", (s, d) => {
+      val e = Io.table(s, d, "embeddings")
+      graft.functions.SqDistDec.register(s)
+      val qs = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), dvec(col("embedding")).as("qv"))
+      val ex = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("nn_id"),
+          expr("sq_dist_dec(embedding, qv)").as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("d2"), col("nn_id"))))
+        .filter(col("rn") <= 3)
+        .select("q_id", "nn_id")
+      val adc3 = adcScores(s, d).withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("nn_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("nn_id"), lit(1).as("_hit"))
+      ex.join(adc3, Seq("q_id", "nn_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_hits"))
+        .select(col("n_exact"), col("n_hits"),
+          (col("n_hits") / col("n_exact"))
+            .cast(DecimalType(38, 6)).cast("double").as("recall_at_3"))
+    }, Some(
+      s"""$duckPqCodes,
+         |dt AS (SELECT vec_id AS q_id, sub, label AS code, d2
+         |       FROM dist WHERE vec_id < 20),
+         |adc AS (
+         |  SELECT dt.q_id, c.vec_id AS nn_id,
+         |    ROUND(CAST(SUM(CAST(dt.d2 AS DECIMAL(38,12))) AS DOUBLE), 6) AS adc_d2
+         |  FROM codes c JOIN dt ON dt.sub = c.sub AND dt.code = c.code
+         |  WHERE c.vec_id <> dt.q_id
+         |  GROUP BY 1, 2),
+         |adc3 AS (SELECT q_id, nn_id FROM adc
+         |         QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+         |                                    ORDER BY adc_d2, nn_id) <= 3),
+         |exd AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS nn_id,
+         |    CAST(SUM(CAST((a.v - b.v) * (a.v - b.v) AS DECIMAL(38,12)))
+         |         AS DOUBLE) AS d2
+         |  FROM lng a JOIN lng b ON a.pos = b.pos
+         |    AND a.vec_id < 20 AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT q_id, nn_id FROM exd
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+         |                                  ORDER BY d2, nn_id) <= 3)
+         |SELECT COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN a.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  CAST(CAST(SUM(CASE WHEN a.q_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)
+         |    AS recall_at_3
+         |FROM ex LEFT JOIN adc3 a ON ex.q_id = a.q_id AND ex.nn_id = a.nn_id"""
+        .stripMargin))
   )
 }
