@@ -146,6 +146,42 @@ class StreamParitySpec extends AnyFunSuite {
     assert(sunk.select("event_id").distinct().count() === evRows.size.toLong)
   }
 
+  test("foreachBatch idempotent sink: batchId-keyed overwrite survives replay") {
+    // foreachBatch is the escape hatch for sinks without native
+    // exactly-once support, and its documented contract is AT-LEAST-ONCE:
+    // after a crash between the sink write and the checkpoint commit,
+    // the same (batchId, data) is delivered again. The production
+    // pattern is to key the write on batchId so a redelivery overwrites
+    // its own previous attempt instead of appending a duplicate.
+    // Simulate the redelivery explicitly: run the stream, then invoke
+    // the writer AGAIN with batch 0's exact payload and id, and assert
+    // the sink still holds every event exactly once.
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_feb_out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_feb_ckpt").toString
+    def write(df: DataFrame, batchId: Long): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    val (first, second) = evRows.splitAt(evRows.size / 2)
+    val mem = MemoryStream[Ev]
+    mem.addData(first)
+    val q = mem.toDF().selectExpr("event_id", "user_id", "value")
+      .writeStream.foreachBatch(write _)
+      .option("checkpointLocation", ckptDir)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    mem.addData(second)
+    try q.processAllAvailable() finally q.stop()
+    // redelivery of batch 0: same payload, same id — idempotent by key
+    write(first.toDF().selectExpr("event_id", "user_id", "value"), 0L)
+    val sunk = spark.read.parquet(outDir)
+    assert(sunk.count() === evRows.size.toLong,
+      "redelivered batch duplicated or lost rows in the sink")
+    assert(sunk.select("event_id").distinct().count() === evRows.size.toLong)
+    // the partition column read back is the batch id the writer keyed on
+    assert(sunk.select("batch_id").distinct().count() >= 1L)
+  }
+
   test("stream-stream time-bounded join: stream == batch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
