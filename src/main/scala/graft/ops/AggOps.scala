@@ -388,6 +388,61 @@ object AggOps {
         |    <= quantile_cont(l_quantity, 0.5) * 0.05 AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Count-min sketch frequency estimation + heavy-hitter audit
+    // (Cormode & Muthukrishnan '05). Unlike the engine-native HLL/KLL
+    // sketches above (tolerance-flag oracles), this CMS is built from
+    // EXPLICIT hashing — depth 4 rows × width 1024 cells, cell =
+    // Q.coin(key + r·1000003) mod w — so the sketch is a deterministic
+    // function of the data and the whole query hash-checks exactly:
+    // sketch build, point queries, and the guaranteed est ≥ exact
+    // overcount are all parity-checked. Scale shape: the sketch is
+    // r·w = 4096 counters REGARDLESS of key cardinality (one map-side
+    // explode + (r,c) hash-agg — the mergeable frequency summary a
+    // 100 TB stream keeps when per-key state is impossible); the
+    // audit probes it with the exact top-20 (TakeOrderedAndProject)
+    // through a broadcast join of the 4096-row sketch.
+    Q("d_agg_cms_freq", (s, d) => {
+      val w = 1024
+      val depth = 4
+      def cell = expr(
+        s"CAST(${Q.coin(s"(user_id + r * 1000003)")} AS BIGINT) % $w")
+      val ev = Io.events(s, d).select(col("user_id"))
+      val cms = ev
+        .select(col("user_id"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+        .select(col("r"), cell.as("c"))
+        .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+      val cand = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(20)
+      cand
+        .select(col("user_id"), col("n_exact"),
+          explode(sequence(lit(0), lit(depth - 1))).as("r"))
+        .withColumn("c", cell)
+        .join(broadcast(cms), Seq("r", "c"))
+        .groupBy(col("user_id"), col("n_exact"))
+        .agg(min(col("cnt")).as("cms_est"))
+        .select(col("user_id"), col("n_exact"), col("cms_est"),
+          (col("cms_est") - col("n_exact")).as("overcount"))
+        .orderBy(col("n_exact").desc, col("user_id"))
+    }, Some(
+      s"""WITH ev AS (SELECT user_id FROM events),
+         |rs AS (SELECT UNNEST(generate_series(0, 3)) AS r),
+         |cms AS (
+         |  SELECT r, CAST(${Q.coin("(user_id + r * 1000003)")} AS BIGINT) % 1024 AS c,
+         |    COUNT(*) AS cnt
+         |  FROM ev CROSS JOIN rs GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT user_id, COUNT(*) AS n_exact FROM ev GROUP BY user_id
+         |  ORDER BY n_exact DESC, user_id LIMIT 20),
+         |est AS (
+         |  SELECT cand.user_id, cand.n_exact, MIN(cms.cnt) AS cms_est
+         |  FROM cand CROSS JOIN rs
+         |  JOIN cms ON cms.r = rs.r
+         |    AND cms.c = CAST(${Q.coin("(cand.user_id + rs.r * 1000003)")} AS BIGINT) % 1024
+         |  GROUP BY 1, 2)
+         |SELECT user_id, n_exact, CAST(cms_est AS BIGINT) AS cms_est,
+         |  CAST(cms_est - n_exact AS BIGINT) AS overcount
+         |FROM est ORDER BY n_exact DESC, user_id""".stripMargin)),
+
     // Linear-regression aggregates. The checked values are computed from
     // exact decimal moment sums (order-independent, identical on both
     // engines); the builtin streaming regr_slope/regr_intercept are

@@ -182,6 +182,39 @@ class StreamParitySpec extends AnyFunSuite {
     assert(sunk.select("batch_id").distinct().count() >= 1L)
   }
 
+  test("Trigger.AvailableNow drains pending data, stops, and resumes incrementally") {
+    // the scheduled-incremental-ingest pattern: each invocation
+    // processes exactly the data that arrived since the last one
+    // (offsets live in the checkpoint), then self-terminates — the
+    // batch-orchestrated alternative to a long-running query. Two
+    // invocations over a growing source must produce every event
+    // exactly once, with the second reading ONLY the new rows.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sql = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_an_out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_an_ckpt").toString
+    val (first, second) = evRows.splitAt(evRows.size / 2)
+    val mem = MemoryStream[Ev]
+    def runOnce(): Unit = {
+      val q = mem.toDF().selectExpr("event_id", "user_id", "value")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .outputMode(OutputMode.Append()).start()
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    }
+    mem.addData(first)
+    runOnce()
+    assert(spark.read.parquet(outDir).count() === first.size.toLong)
+    mem.addData(second)
+    runOnce()
+    val sunk = spark.read.parquet(outDir)
+    assert(sunk.count() === evRows.size.toLong,
+      "second invocation re-read old offsets or dropped new ones")
+    assert(sunk.select("event_id").distinct().count() === evRows.size.toLong)
+  }
+
   test("stream-stream time-bounded join: stream == batch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
