@@ -182,6 +182,24 @@ class StreamParitySpec extends AnyFunSuite {
     assert(sunk.select("batch_id").distinct().count() >= 1L)
   }
 
+  test("count-min sketch builds incrementally: streaming CMS == batch CMS") {
+    // the CMS is a mergeable summary — its (r, c) counters are plain
+    // counts, so the same groupBy maintains it incrementally over a
+    // stream (update/complete mode) and the result must equal the
+    // batch build d_agg_cms_freq runs. This is the property that lets
+    // a 100 TB pipeline keep a frequency summary with bounded state.
+    import org.apache.spark.sql.functions._
+    def cmsBuild(df: DataFrame): DataFrame = df
+      .select(col("user_id"), explode(sequence(lit(0), lit(3))).as("r"))
+      .select(col("r"), expr(
+        "CAST((CAST((user_id + r * 1000003) AS DECIMAL(38,0)) * 2654435761) " +
+          "% 4294967296 AS BIGINT) % 1024").as("c"))
+      .groupBy("r", "c").count()
+    val stream = runStream("cms", OutputMode.Complete())(cmsBuild)
+    val batch = cmsBuild(eventsDf)
+    assert(rows(stream) === rows(batch))
+  }
+
   test("Trigger.AvailableNow drains pending data, stops, and resumes incrementally") {
     // the scheduled-incremental-ingest pattern: each invocation
     // processes exactly the data that arrived since the last one
