@@ -733,6 +733,73 @@ object DedupOps {
         |      / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Prefix-filtering exact similarity join (AllPairs/PPJoin, Bayardo
+    // et al. WWW'07) — the sketch-free sub-quadratic path to the SAME
+    // bigram-Jaccard ≥ 0.9 pair set h_minhash_widevocab reaches by
+    // banded MinHash, so the two independent algorithms share one
+    // brute-force oracle. Prefix filtering is LOSSLESS for a Jaccard
+    // threshold: order the vocabulary by ascending document frequency
+    // (rarest first); a doc with n distinct bigrams keeps only its
+    // p = n − ⌈0.9·n⌉ + 1 rarest as its PREFIX (exact integer
+    // arithmetic, identical in both engines), and any pair reaching
+    // J ≥ 0.9 must collide on a token present in BOTH prefixes — so
+    // candidates come from one token-keyed equi-join of the small
+    // prefix postings, the integer size filter 10·min(n) ≥ 9·max(n)
+    // prunes before masks load, and the native bitmask verify keeps
+    // exactly the qualifying pairs. 100 TB shape: prefix postings are
+    // ~n/10 of the token table keyed by the RAREST tokens (the
+    // shortest posting lists); the df-rank table is vocabulary-sized
+    // (broadcast; its row_number window is vocab-bounded, never
+    // data-sized); the per-doc prefix cut is a doc-keyed window.
+    Q("h_prefix_filter_pairs", (s, d) => {
+      graft.functions.ExplodeNgrams.register(s)
+      graft.functions.DotProduct.register(s) // registers bitmask_jaccard
+      val tok = Io.table(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), expr("explode_ngrams(text, 2)").as("b"))
+        .distinct()
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val dfRank = tok.groupBy("b").agg(count(lit(1)).as("dfb"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("dfb"), col("b"))))
+      val prefix = tok.join(broadcast(dfRank.select("b", "rank")), "b")
+        .join(sizes, "doc_id")
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("rank"))))
+        .filter(col("pos") <= col("n") - expr("(n * 9 + 9) DIV 10") + 1)
+        .select("doc_id", "b")
+      val cand = prefix.select(col("doc_id").as("id_a"), col("b"))
+        .join(prefix.select(col("doc_id").as("id_b"), col("b")), "b")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val masks = bigramMasks(s, d)
+      cand
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .filter(least(col("na"), col("nb")) * 10 >=
+          greatest(col("na"), col("nb")) * 9)
+        .join(masks.select(col("doc_id").as("id_a"), col("mask").as("ma")), "id_a")
+        .join(masks.select(col("doc_id").as("id_b"), col("mask").as("mb")), "id_b")
+        .withColumn("j", expr("bitmask_jaccard(ma, mb)"))
+        .filter(col("j") >= 0.9)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          r6(col("j")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 1),
+        |                                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |tt AS (SELECT * FROM t WHERE len(bg) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(len(list_intersect(a.bg, b.bg))
+        |        / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE), 6) AS jaccard
+        |FROM tt a JOIN tt b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.bg, b.bg))
+        |      / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Transitive dedup clusters: connected components over the exact
     // near-dup pair graph (same-lang, j >= 0.9), labels = min doc_id per
     // component. Spark side is iterative min-label propagation (the

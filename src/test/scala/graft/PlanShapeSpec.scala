@@ -628,6 +628,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bnlj <= 1, s"$bnlj BNLJs — something data-sized fell off the equi-join")
   }
 
+  test("prefix-filter join: token-keyed candidates, no data-sized cartesian") {
+    // lossless AllPairs prefix filtering stands or falls on candidate
+    // generation staying a KEYED join of the prefix postings; the only
+    // sanctioned broadcasts are the vocab-sized df-rank table and the
+    // bounded verify-side lookups.
+    val p = plan("h_prefix_filter_pairs").split("== Initial Plan ==").head
+    assert(p.contains("bitmask_jaccard"),
+      "native bitmask verify missing — fell back to interpreted HOFs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation fell off the token-keyed equi-join")
+  }
+
   test("OHLC bars: both window directions and the aggregate share one shuffle") {
     // AdaptiveSparkPlan.toString prints the final plan followed by the
     // initial plan — count exchanges in the final section only.
