@@ -87,6 +87,31 @@ class StorageLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    // the incremental-backfill write mode: re-running one day/language
+    // of a partitioned table must replace exactly that partition — in
+    // STATIC mode (the default) the same insert wipes every partition
+    // first, which at 100 TB silently deletes the rest of the dataset.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val nTotal = before.count()
+    val nEs = before.filter(col("lang") === "es").count()
+    withConfs(Seq("spark.sql.sources.partitionOverwriteMode" -> "dynamic")) {
+      // rewrite ONLY lang=es, with a marker change (n_chars negated)
+      docs.filter(col("lang") === "es")
+        .withColumn("n_chars", -col("n_chars"))
+        .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    }
+    val after = spark.read.parquet(dir)
+    assert(after.count() === nTotal, "dynamic overwrite dropped untouched partitions")
+    assert(after.filter(col("lang") === "es" && col("n_chars") < 0).count() === nEs,
+      "the touched partition was not replaced")
+    assert(after.filter(col("lang") =!= "es" && col("n_chars") < 0).count() === 0L)
+  }
+
   test("writes respect maxRecordsPerFile (bounded output file size)") {
     // the sink-side 100 TB lever: without a per-file record bound a
     // 32-partition write of a huge table produces 32 unsplittable giant
