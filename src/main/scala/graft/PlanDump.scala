@@ -45,7 +45,12 @@ object PlanDump {
       "g_click_purchase_semi" -> "stream-semi batch twin: LeftSemi join, no row multiplication",
       "h_pq_encode" -> "PQ encode: K-row codebook broadcast, map-side sq_dist_dec slices, struct-min argmin",
       "i_graph_bfs" -> "BFS frontier build: per-hop frontier⋈edges + visited anti-join, keyed only",
-      "g_abc_classification" -> "ABC/Pareto: range-partitioned two-pass decimal prefix sum, no global window")
+      "g_abc_classification" -> "ABC/Pareto: range-partitioned two-pass decimal prefix sum, no global window",
+      "c_join_bloom_prefilter" -> "bloom prefilter: broadcast word-table bit tests map-side BEFORE the shuffle-merge join",
+      "h_pq_adc_topk" -> "PQ ADC scan: broadcast distance table probed by the code table on (sub, code)",
+      "h_bm25_rank" -> "BM25: map-side array-filter tf, ONE scalar stats exchange, TakeOrderedAndProject",
+      "d_agg_cms_freq" -> "count-min sketch: map-side hash explode → 4096-counter agg, broadcast probe",
+      "h_prefix_filter_pairs" -> "AllPairs prefix filter: rarest-token postings equi-join + bitmask verify")
     // the checked widevocab query serves its memoized pair table
     // (truncated lineage) — dump the BUILD pipeline instead, where the
     // shingling/mask/signature/band-join shape is visible; same for the
