@@ -953,5 +953,79 @@ object VectorOps {
          |    AS recall_at_3
          |FROM ex LEFT JOIN adc3 a ON ex.q_id = a.q_id AND ex.nn_id = a.nn_id"""
         .stripMargin))
+
+    ,
+    // Composite IVF-PQ search — the two-level production ANN index
+    // (FAISS's IVF-PQ layout, minus residual encoding: codes here
+    // quantize raw vectors, which keeps the encode a checked query;
+    // the lookup mechanics are identical): a coarse quantizer (the
+    // label-centroid cells h_ann_ivf uses) restricts each query to its
+    // 2 nearest cells' inverted lists, and ONLY those candidates are
+    // scored — by ADC code lookups, never raw vectors. The coarse
+    // distance is one full-array native sq_dist_dec against the
+    // broadcast centroids (single decimal accumulation, matching the
+    // oracle's one relational SUM). 100 TB shape: cells bound the
+    // scored fraction to nprobe/K of the corpus, the scoring input is
+    // codes ⋈ broadcast(cells + distance table) — both query-sized —
+    // and the per-query top-3 is windowed on the (q, nn) aggregate.
+    Q("h_ann_ivfpq", (s, d) => {
+      val (_, nSubs) = pqDims(s, d)
+      graft.functions.SqDistDec.register(s)
+      val e = Io.table(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 20)
+      val cells = qs.crossJoin(broadcast(pqCentArr(s, d)))
+        .select(col("vec_id").as("q_id"), col("c_label"),
+          expr("sq_dist_dec(embedding, carr)").as("d2c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("d2c"), col("c_label"))))
+        .filter(col("rn") <= 2)
+        .select(col("q_id"), col("c_label").as("cell"))
+      val cand = e.select(col("vec_id").as("nn_id"), col("label").as("cell"))
+        .join(broadcast(cells), "cell")
+        .filter(col("nn_id") =!= col("q_id"))
+        .select("q_id", "nn_id")
+      val dt = pqSubDist(s, d, qs, nSubs)
+        .select(col("vec_id").as("q_id"), col("c_label").as("code"),
+          col("sub"), col("d2"))
+      val adc = pqCodes(s, d).withColumnRenamed("vec_id", "nn_id")
+        .join(broadcast(cand), "nn_id")
+        .join(broadcast(dt), Seq("q_id", "sub", "code"))
+        .groupBy(col("q_id"), col("nn_id"))
+        .agg(r6(sum(col("d2").cast(dec12)).cast("double")).as("adc_d2"))
+      adc.withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("nn_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn"), col("nn_id"), col("adc_d2"))
+        .orderBy("q_id", "rn")
+    }, Some(
+      s"""$duckPqCodes,
+         |cdist AS (
+         |  SELECT l.vec_id AS q_id, c.label,
+         |    CAST(SUM(CAST((l.v - c.c) * (l.v - c.c) AS DECIMAL(38,12)))
+         |         AS DOUBLE) AS d2c
+         |  FROM lng l JOIN cent c ON l.pos = c.pos
+         |  WHERE l.vec_id < 20 GROUP BY 1, 2),
+         |cells AS (SELECT q_id, label AS cell FROM cdist
+         |          QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+         |                                     ORDER BY d2c, label) <= 2),
+         |cand AS (
+         |  SELECT cells.q_id, e.vec_id AS nn_id
+         |  FROM embeddings e JOIN cells ON e.label = cells.cell
+         |  WHERE e.vec_id <> cells.q_id),
+         |dt AS (SELECT vec_id AS q_id, sub, label AS code, d2
+         |       FROM dist WHERE vec_id < 20),
+         |adc AS (
+         |  SELECT cand.q_id, cand.nn_id,
+         |    ROUND(CAST(SUM(CAST(dt.d2 AS DECIMAL(38,12))) AS DOUBLE), 6) AS adc_d2
+         |  FROM cand
+         |  JOIN codes c ON c.vec_id = cand.nn_id
+         |  JOIN dt ON dt.q_id = cand.q_id AND dt.sub = c.sub AND dt.code = c.code
+         |  GROUP BY 1, 2),
+         |r AS (SELECT q_id, nn_id, adc_d2,
+         |        ROW_NUMBER() OVER (PARTITION BY q_id
+         |                           ORDER BY adc_d2, nn_id) AS rn
+         |      FROM adc)
+         |SELECT q_id, rn, nn_id, adc_d2 FROM r WHERE rn <= 3
+         |ORDER BY q_id, rn""".stripMargin))
   )
 }
