@@ -311,6 +311,43 @@ object MixOps {
         |    / CAST(SUM(grp_n) AS BIGINT) AS suppression_rate
         |FROM g""".stripMargin)),
 
+    // l-diversity audit (Machanavajjhala et al.) — the complement of
+    // h_k_anonymity: a group can be k-large and still leak its
+    // sensitive attribute if every member shares one value. Same
+    // quasi-identifiers minus the sensitive column (lang, len_bucket);
+    // sensitive attribute = source; per-group distinct-l computed with
+    // NO distinct buffer (group by (qi, source) first, then count the
+    // rows — two keyed hash aggs, partial-combined map-side). At
+    // 100 TB both shuffles key on the quasi-identifier domain.
+    Q("h_l_diversity", (s, d) => {
+      val per = Io.table(s, d, "documents")
+        .withColumn("len_bucket",
+          least(floor(col("n_chars") / 100).cast("int"), lit(9)))
+        .groupBy(col("lang"), col("len_bucket"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val g = per.groupBy(col("lang"), col("len_bucket"))
+        .agg(count(lit(1)).as("l"), sum(col("n")).as("grp_n"))
+      g.agg(count(lit(1)).as("n_groups"),
+          min(col("l")).as("min_l"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_groups_low_l"),
+          sum(when(col("l") < 3, col("grp_n")).otherwise(0L)).as("n_docs_at_risk"))
+        .select(col("n_groups"), col("min_l"), col("n_groups_low_l"),
+          col("n_docs_at_risk"), (col("min_l") >= 3).as("l3_diverse"))
+    }, Some(
+      """WITH per AS (
+        |  SELECT lang, LEAST(CAST(FLOOR(n_chars / 100) AS INT), 9) AS len_bucket,
+        |    source, COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT lang, len_bucket, COUNT(*) AS l, CAST(SUM(n) AS BIGINT) AS grp_n
+        |  FROM per GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_groups, MIN(l) AS min_l,
+        |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_low_l,
+        |  CAST(SUM(CASE WHEN l < 3 THEN grp_n ELSE 0 END) AS BIGINT)
+        |    AS n_docs_at_risk,
+        |  MIN(l) >= 3 AS l3_diverse
+        |FROM g""".stripMargin)),
+
     Q("h_source_census", (s, d) => {
       Io.table(s, d, "documents")
         .select(col("source"), col("lang"),
