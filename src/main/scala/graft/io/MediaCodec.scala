@@ -147,6 +147,20 @@ object MediaCodec {
       sizeOk = dataLen == b.length - 44 && le32(4) == b.length - 8)
   }
 
+  /** 16-bit little-endian signed PCM samples of a canonical mono WAV —
+    * the payload read, not just the header: feature extraction over
+    * real media bytes starts here. */
+  def wavSamples(b: Array[Byte]): Array[Int] = {
+    val meta = parseWav(b)
+    require(meta.bitsPerSample == 16 && meta.nChannels == 1,
+      s"expect 16-bit mono PCM, got ${meta.bitsPerSample}-bit ${meta.nChannels}ch")
+    Array.tabulate(meta.nSamples) { i =>
+      val o = 44 + i * 2
+      val raw = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      if (raw >= 32768) raw - 65536 else raw
+    }
+  }
+
   /** Uppercase hex of the first n bytes — the format magic, surfaced as
     * a checked column so the oracle pins the actual byte content. */
   def magicHex(b: Array[Byte], n: Int): String =

@@ -216,6 +216,55 @@ object ExtOps {
         |  CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + doc_id % 8 * 500 AS INT) END AS sample_rate,
         |  CASE WHEN doc_id % 2 = 1 THEN CAST(16 + doc_id % 64 AS INT) END AS n_samples,
         |  TRUE AS integrity_ok
-        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // Audio FEATURE EXTRACTION over real bytes — one level past
+    // h_media_decode_bytes' header read: the typed decoder slot parses
+    // the 16-bit LE PCM payload out of each WAV blob (MediaCodec.
+    // wavSamples) and the energy stats run as codegen'd array
+    // aggregates over the sample arrays (exact integer sums — no float
+    // parity surface; the RMS is sqrt of a BIGINT/BIGINT division,
+    // identical IEEE ops in both engines). The oracle regenerates the
+    // samples from the fixture's bounded-index PRNG ((id+i)·knuth mod
+    // 2^16, id<200 ∧ i<80 — provably cannot overflow, the sanctioned
+    // raw-multiply domain), so a decoder that misreads ANY payload
+    // byte fails the hash. 100 TB shape: decode + feature are
+    // per-row map-side; only the final ORDER BY exchanges.
+    Q("h_media_audio_energy", (s, d) => {
+      import s.implicits._
+      import graft.io.MediaCodec
+      val sm = Io.table(s, d, "documents")
+        .filter(col("doc_id") < 200 && col("doc_id") % 2 === 1)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = MediaCodec.encodeWav((8000 + id % 8 * 500).toInt,
+              (16 + id % 64).toInt, id)
+            (id, MediaCodec.wavSamples(b))
+          }
+        }.toDF("doc_id", "samples")
+      sm.select(col("doc_id"),
+          size(col("samples")).cast("long").as("n_samples"),
+          expr("aggregate(samples, CAST(0 AS BIGINT), " +
+            "(a, v) -> a + abs(CAST(v AS BIGINT)))").as("sum_abs"),
+          expr("array_max(transform(samples, v -> abs(CAST(v AS BIGINT))))")
+            .as("max_abs"),
+          expr("aggregate(samples, CAST(0 AS BIGINT), " +
+            "(a, v) -> a + CAST(v AS BIGINT) * v)").as("sum_sq"))
+        .withColumn("rms", sqrt(col("sum_sq") / col("n_samples")))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH m AS (
+        |  SELECT doc_id, 16 + doc_id % 64 AS n
+        |  FROM documents WHERE doc_id < 200 AND doc_id % 2 = 1),
+        |sm AS (
+        |  SELECT m.doc_id, ((m.doc_id + u.i) * 2654435761) % 65536 - 32768 AS v
+        |  FROM m, LATERAL UNNEST(generate_series(0, CAST(m.n - 1 AS INT))) AS u(i))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
+        |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        |  SQRT(CAST(SUM(v * v) AS BIGINT) / CAST(COUNT(*) AS BIGINT)) AS rms
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
