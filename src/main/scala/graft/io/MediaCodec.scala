@@ -93,6 +93,46 @@ object MediaCodec {
       crcOk = crc.getValue == (be32(29).toLong & 0xffffffffL))
   }
 
+  /** Decoded 8-bit grayscale pixels (row-major) — a REAL decode:
+    * inflates the IDAT stream with the JDK's zlib and strips the
+    * per-scanline filter bytes. Requires filter 0 (the only filter
+    * encodePng emits); anything else fails loudly rather than
+    * returning filtered bytes as pixels. */
+  def pngPixels(b: Array[Byte]): Array[Int] = {
+    val meta = parsePng(b)
+    require(meta.bitDepth == 8 && meta.colorType == 0,
+      s"expect 8-bit grayscale, got depth ${meta.bitDepth} type ${meta.colorType}")
+    def be32(o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    val idat = new ByteArrayOutputStream()
+    var o = 8
+    var done = false
+    while (!done && o + 8 <= b.length) {
+      val len = be32(o)
+      val typ = new String(b, o + 4, 4, "US-ASCII")
+      if (typ == "IDAT") idat.write(b, o + 8, len)
+      if (typ == "IEND") done = true
+      o += 12 + len
+    }
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val raw = new Array[Byte]((meta.width + 1) * meta.height)
+    var got = 0
+    while (!inf.finished && got < raw.length) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      require(n > 0 || inf.finished, "truncated IDAT stream")
+      got += n
+    }
+    inf.end()
+    require(got == raw.length, s"IDAT inflated to $got, expected ${raw.length}")
+    Array.tabulate(meta.width * meta.height) { i =>
+      val y = i / meta.width; val x = i % meta.width
+      require(raw(y * (meta.width + 1)) == 0, "unsupported PNG filter type")
+      raw(y * (meta.width + 1) + 1 + x) & 0xff
+    }
+  }
+
   // ---------------------------------------------------------------- WAV
 
   /** Minimal valid RIFF/WAVE: PCM mono 16-bit. Sample i =

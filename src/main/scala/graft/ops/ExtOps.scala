@@ -265,6 +265,58 @@ object ExtOps {
         |  CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
         |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
         |  SQRT(CAST(SUM(v * v) AS BIGINT) / CAST(COUNT(*) AS BIGINT)) AS rms
-        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Image feature extraction + resize over real bytes — the PNG twin
+    // of h_media_audio_energy, with an ACTUAL decompression in the
+    // path: MediaCodec.pngPixels inflates the IDAT stream (JDK zlib)
+    // and strips scanline filters, so a wrong byte anywhere in the
+    // compressed payload fails the hash. Features are exact integer
+    // aggregates (sum/min/max), the mean a raw BIGINT/BIGINT quotient,
+    // and the 2× nearest-neighbor DOWNSAMPLE is the resize step: keep
+    // pixels at even (x, y) — its checksum pins the index arithmetic
+    // both engines share. Per-row decode map-side; one doc-keyed agg.
+    Q("h_media_image_stats", (s, d) => {
+      import s.implicits._
+      import graft.io.MediaCodec
+      val px = Io.table(s, d, "documents")
+        .filter(col("doc_id") < 200 && col("doc_id") % 2 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = MediaCodec.encodePng((1 + id % 16).toInt,
+              (1 + id * 7 % 16).toInt, id)
+            val m = MediaCodec.parsePng(b)
+            (id, m.width, m.height, MediaCodec.pngPixels(b))
+          }
+        }.toDF("doc_id", "width", "height", "pixels")
+      px.select(col("doc_id"), col("width"), col("height"),
+          posexplode(col("pixels")).as(Seq("pos", "v")))
+        .groupBy("doc_id", "width", "height")
+        .agg(count(lit(1)).as("n_px"),
+          sum(col("v").cast("long")).as("sum_px"),
+          min(col("v")).as("min_px"), max(col("v")).as("max_px"),
+          sum(when(expr("pos % width % 2 = 0 AND (pos DIV width) % 2 = 0"),
+            col("v").cast("long")).otherwise(0L)).as("ds2_sum"))
+        .withColumn("mean_px", col("sum_px") / col("n_px"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH m AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 16 AS INT) AS w,
+        |    CAST(1 + doc_id * 7 % 16 AS INT) AS h
+        |  FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0),
+        |pxs AS (
+        |  SELECT m.doc_id, m.w, m.h, u.p % m.w AS x, u.p // m.w AS y,
+        |    ((m.doc_id + (u.p % m.w) + (u.p // m.w) * m.w) * 37) % 256 AS v
+        |  FROM m, LATERAL UNNEST(generate_series(0, CAST(m.w AS BIGINT) * m.h - 1))
+        |       AS u(p))
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  CAST(SUM(v) AS BIGINT) AS sum_px,
+        |  CAST(MIN(v) AS INT) AS min_px, CAST(MAX(v) AS INT) AS max_px,
+        |  CAST(SUM(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN v ELSE 0 END) AS BIGINT)
+        |    AS ds2_sum,
+        |  CAST(SUM(v) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS mean_px
+        |FROM pxs GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin))
   )
 }
