@@ -48,6 +48,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("payload decoders match the JDK's independent readers byte for byte") {
+    // pngPixels (zlib inflate + filter strip) and wavSamples (PCM
+    // section read) are the decode half the checked feature queries
+    // run — here they must agree with javax.imageio / javax.sound on
+    // the SAME bytes, so the two in-repo decode paths can't share a
+    // common misreading.
+    val png = MediaCodec.encodePng(7, 5, 99L)
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val mine = MediaCodec.pngPixels(png)
+    for (y <- 0 until 5; x <- 0 until 7)
+      assert(mine(y * 7 + x) == img.getRaster.getSample(x, y, 0),
+        s"pixel ($x,$y) differs from ImageIO")
+    val wav = MediaCodec.encodeWav(8000, 33, 5L)
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+    val pcm = in.readAllBytes()
+    val samples = MediaCodec.wavSamples(wav)
+    assert(samples.length == 33)
+    for (i <- samples.indices)
+      assert(samples(i) == ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt,
+        s"sample $i differs from javax.sound")
+  }
+
   test("parsers round-trip the encoder and reject non-media bytes loudly") {
     val p = MediaCodec.parsePng(MediaCodec.encodePng(9, 4, 42L))
     assert(p == MediaCodec.PngMeta(9, 4, 8, 0, crcOk = true))
