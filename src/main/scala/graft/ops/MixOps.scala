@@ -348,6 +348,60 @@ object MixOps {
         |  MIN(l) >= 3 AS l3_diverse
         |FROM g""".stripMargin)),
 
+    // t-closeness audit (Li et al. ICDE'07) — the third of the privacy
+    // trio: a group can be k-large AND l-diverse yet still leak if its
+    // sensitive-value DISTRIBUTION diverges from the corpus-wide one.
+    // Distance here is total variation (the categorical ground-distance
+    // EMD): ½·Σ_src |p_group(src) − p_global(src)|, over the FULL
+    // (group × source) grid so absent sources contribute their global
+    // mass. Parity: every p is a BIGINT/BIGINT double quotient
+    // (bit-identical), the Σ runs in DECIMAL(38,12) (order-free), and
+    // ½·x is an exact scale. Scale: two keyed aggs + a grid join of
+    // group cardinality × |sources| (domain-sized, broadcast glob).
+    Q("h_t_closeness", (s, d) => {
+      val docs = Io.table(s, d, "documents")
+        .withColumn("len_bucket",
+          least(floor(col("n_chars") / 100).cast("int"), lit(9)))
+      val per = docs.groupBy(col("lang"), col("len_bucket"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val grp = per.groupBy(col("lang"), col("len_bucket"))
+        .agg(sum(col("n")).as("grp_n"))
+      val glob = docs.groupBy(col("source")).agg(count(lit(1)).as("g"))
+      val tot = docs.agg(count(lit(1)).as("t"))
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      grp.crossJoin(broadcast(glob)).crossJoin(broadcast(tot))
+        .join(per, Seq("lang", "len_bucket", "source"), "left")
+        .withColumn("diff",
+          abs(coalesce(col("n"), lit(0L)) / col("grp_n") - col("g") / col("t")))
+        .groupBy(col("lang"), col("len_bucket"), col("grp_n"))
+        .agg((lit(0.5) * sum(col("diff").cast(dec12)).cast("double")).as("tv_dist"))
+        .select(col("lang"), col("len_bucket"), col("grp_n"), col("tv_dist"),
+          (col("tv_dist") <= 0.3).as("t03_close"))
+        .orderBy("lang", "len_bucket")
+    }, Some(
+      """WITH d AS (
+        |  SELECT lang, LEAST(CAST(FLOOR(n_chars / 100) AS INT), 9) AS len_bucket,
+        |    source
+        |  FROM documents),
+        |per AS (SELECT lang, len_bucket, source, COUNT(*) AS n
+        |        FROM d GROUP BY 1, 2, 3),
+        |grp AS (SELECT lang, len_bucket, CAST(SUM(n) AS BIGINT) AS grp_n
+        |        FROM per GROUP BY 1, 2),
+        |gl AS (SELECT source, COUNT(*) AS g FROM d GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS t FROM d),
+        |j AS (
+        |  SELECT grp.lang, grp.len_bucket, grp.grp_n,
+        |    ABS(COALESCE(per.n, 0) / CAST(grp.grp_n AS DOUBLE)
+        |        - gl.g / CAST(tot.t AS DOUBLE)) AS diff
+        |  FROM grp CROSS JOIN gl CROSS JOIN tot
+        |  LEFT JOIN per ON per.lang = grp.lang
+        |    AND per.len_bucket = grp.len_bucket AND per.source = gl.source)
+        |SELECT lang, len_bucket, grp_n,
+        |  0.5 * CAST(SUM(CAST(diff AS DECIMAL(38,12))) AS DOUBLE) AS tv_dist,
+        |  0.5 * CAST(SUM(CAST(diff AS DECIMAL(38,12))) AS DOUBLE) <= 0.3
+        |    AS t03_close
+        |FROM j GROUP BY 1, 2, 3 ORDER BY lang, len_bucket""".stripMargin)),
+
     Q("h_source_census", (s, d) => {
       Io.table(s, d, "documents")
         .select(col("source"), col("lang"),
