@@ -39,6 +39,57 @@ class PropertySpec extends AnyFunSuite {
     assert(windowed.count() == 7)
   }
 
+  test("prefix filtering is lossless: every J>=0.9 pair collides in both prefixes") {
+    // the AllPairs lemma h_prefix_filter_pairs stands on, checked on
+    // generated corpora salted with true near-duplicates (a random
+    // corpus almost never has J >= 0.9 pairs): for ANY document
+    // frequency ordering, a pair with J >= τ must share a token in
+    // both p = n − ⌈τn⌉ + 1 prefixes — the same integer-arithmetic p
+    // the checked query computes.
+    val tokenSet = Gen.chooseNum(10, 40)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(0, 60)).map(_.toSet))
+      .suchThat(_.size >= 10)
+    (0 until 40).foreach { i =>
+      val bases = samples(tokenSet, 12).map(_.toSet[Int])
+      // near-dup salts: drop one element (J = (n-1)/n >= 0.9 at n >= 10)
+      val corpus = (bases ++ bases.map(s => s - s.min) ++
+        bases.map(s => s - s.max)).zipWithIndex.map(_.swap).toMap
+      val df = corpus.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      def prefix(s: Set[Int]): Set[Int] = {
+        val n = s.size
+        val p = n - (9 * n + 9) / 10 + 1
+        s.toSeq.sortBy(t => (df(t), t)).take(p).toSet
+      }
+      for ((ia, sa) <- corpus; (ib, sb) <- corpus if ia < ib) {
+        val j = (sa & sb).size.toDouble / (sa | sb).size
+        if (j >= 0.9)
+          assert((prefix(sa) & prefix(sb)).nonEmpty,
+            s"round $i: qualifying pair ($ia,$ib) j=$j missed by prefix filter")
+      }
+    }
+  }
+
+  test("count-min estimate never underestimates the true frequency") {
+    // the CMS guarantee d_agg_cms_freq's overcount column relies on,
+    // under a deliberately tiny width (64) so collisions are dense and
+    // the est >= exact property is non-trivially exercised with the
+    // production hash ((k + r·1000003) · knuth mod 2^32 mod w).
+    val keys = Gen.listOfN(500, Gen.choose(0L, 50L))
+    (0 until 20).foreach { i =>
+      val data = samples(keys, 1).head
+      val w = 64
+      def cell(k: Long, r: Int): Int =
+        ((BigInt(k + r * 1000003L) * BigInt(2654435761L))
+          .mod(BigInt(4294967296L)).mod(BigInt(w))).toInt
+      val cms = Array.ofDim[Long](4, w)
+      data.foreach { k => (0 until 4).foreach { r => cms(r)(cell(k, r)) += 1 } }
+      data.groupBy(identity).view.mapValues(_.size.toLong).foreach { case (k, n) =>
+        val est = (0 until 4).map(r => cms(r)(cell(k, r))).min
+        assert(est >= n, s"round $i: CMS underestimated key $k: $est < $n")
+      }
+    }
+  }
+
   test("jaccard is symmetric, in [0,1], and 1 on self") {
     samples(Gen.zip(sentence, sentence)).foreach { case (a, b) =>
       val j = ExtOps.jaccardStr(a, b)
