@@ -30,6 +30,23 @@ object EngineSurfaceOps {
 
   val all: Seq[Q] = Seq(
 
+    // GROUP BY ALL (group keys inferred from the non-aggregate select
+    // items) — the exploratory-SQL staple both engines accept as the
+    // SAME text; the plan is the ordinary partial+final hash aggregate.
+    shared("f_group_by_all",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // Lateral column alias: a select item referencing a sibling alias
+    // of the SAME select list (no subquery nesting) — one shared text;
+    // both derivations stay in the scan's projection.
+    shared("f_lateral_alias",
+      """SELECT o_orderkey, o_totalprice * 0.9 AS discounted,
+        |  discounted * 0.07 AS tax
+        |FROM orders WHERE o_orderkey <= 200
+        |ORDER BY o_orderkey""".stripMargin),
+
     // parse_url / url_encode / url_decode. The URL is built from part
     // columns ('#' in p_brand forces percent-encoding), then parsed back:
     // HOST and PATH extraction, a named QUERY parameter, and a decode

@@ -77,6 +77,18 @@ object FuncOps {
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin)),
 
+    Q("f_set_intersect_all", (s, d) => {
+      val a = Io.table(s, d, "orders").filter(col("o_custkey") <= 100)
+        .select(col("o_custkey").as("k"))
+      val b = Io.table(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .filter(col("o_custkey") <= 100).select(col("o_custkey").as("k"))
+      a.intersectAll(b).orderBy("k")
+    }, Some(
+      """SELECT o_custkey AS k FROM orders WHERE o_custkey <= 100
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' AND o_custkey <= 100
+        |ORDER BY k""".stripMargin)),
+
     Q("f_set_except_all", (s, d) => {
       val a = Io.table(s, d, "orders").filter(col("o_custkey") <= 100)
         .select(col("o_custkey").as("k"))
