@@ -258,6 +258,76 @@ object TextOps {
            |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin))
     },
 
+    // Substring-level duplication census — the practical distributed
+    // form of exact-substring dedup (the suffix-array method of Lee et
+    // al., ACL'22, anchored at window granularity): every 8-token
+    // window that appears in MORE THAN ONE document marks its span,
+    // and per doc the marked windows merge into maximal spans by the
+    // gaps-and-islands pattern (windows [st, st+8) merge while
+    // st ≤ prev+8), yielding how many tokens of each doc are cross-doc
+    // duplicated boilerplate. Scale: one shingle-keyed two-level agg
+    // (distinct-docs per gram), one join back, then doc-keyed windows
+    // bounded by doc length — no suffix array materialization, same
+    // answer at window granularity. dup_ratio is an integer-ratio
+    // double (bit-identical division both engines).
+    Q("h_substring_dup_spans", (s, d) => {
+      val docs = Io.table(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val n = docs.select(col("doc_id"), size(col("toks")).as("n_tok"))
+      val wins = docs.filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(toks) - 8), " +
+            "i -> array_join(slice(toks, i + 1, 8), ' '))")).as(Seq("st", "g")))
+      val dup = wins.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select("g")
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+      val spans = wins.join(dup, "g").select("doc_id", "st")
+        .withColumn("brk", when(lag(col("st"), 1).over(wOrd).isNull
+          || col("st") > lag(col("st"), 1).over(wOrd) + 8, 1).otherwise(0))
+        .withColumn("isl", sum(col("brk")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg((max(col("st")) - min(col("st")) + 8).as("cov"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), sum(col("cov")).as("dup_tok"))
+      n.join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tok"), lit(0L)).as("dup_tok"),
+          r6(coalesce(col("dup_tok"), lit(0L)) / col("n_tok")).as("dup_ratio"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, len(toks) AS n_tok FROM t),
+        |wins AS (
+        |  SELECT doc_id, u.i AS st,
+        |    array_to_string(toks[u.i + 1 : u.i + 8], ' ') AS g
+        |  FROM t, LATERAL UNNEST(generate_series(0, len(toks) - 8)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |dup AS (SELECT g FROM wins GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1),
+        |dw AS (SELECT wins.doc_id, wins.st FROM wins JOIN dup USING (g)),
+        |mk AS (
+        |  SELECT doc_id, st,
+        |    CASE WHEN LAG(st) OVER w IS NULL OR st > LAG(st) OVER w + 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dw WINDOW w AS (PARTITION BY doc_id ORDER BY st)),
+        |isl AS (
+        |  SELECT doc_id, st, SUM(brk) OVER (PARTITION BY doc_id ORDER BY st
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM mk),
+        |cov AS (SELECT doc_id, isl, MAX(st) - MIN(st) + 8 AS cov
+        |        FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |          CAST(SUM(cov) AS BIGINT) AS dup_tok
+        |        FROM cov GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(n.n_tok AS INT) AS n_tok,
+        |  COALESCE(agg.n_spans, 0) AS n_spans,
+        |  COALESCE(agg.dup_tok, 0) AS dup_tok,
+        |  ROUND(COALESCE(agg.dup_tok, 0) / CAST(n.n_tok AS DOUBLE), 6) AS dup_ratio
+        |FROM n LEFT JOIN agg USING (doc_id) ORDER BY n.doc_id""".stripMargin)),
+
     // Deterministic document fingerprint: polynomial rolling hash of the
     // raw text, mod 1e9+7 — same fold on both engines (DuckDB list_reduce
     // seeds with the first element, which equals Spark's fold from 0).
