@@ -70,7 +70,9 @@ object Bench {
         "i_graph_cc",           // copurchasePairs -> supported edges -> CC
         "i_graph_community_lpa", "i_graph_community_lpa_weighted",
         "i_graph_kcore", "i_graph_pagerank",
-        "t_q02", "t_q11"        // tpchPsCat / tpchQ11V CTE artifacts
+        "t_q02", "t_q11",       // tpchPsCat / tpchQ11V CTE artifacts
+        "h_pq_encode",          // pqCent -> pqCodes (4 PQ/ADC consumers)
+        "h_prefix_filter_pairs" // prefixPostings
       ).filter(SparkEntry.queries.contains)
       val headQueue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       chainHeads.foreach(headQueue.add)
