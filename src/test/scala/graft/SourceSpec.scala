@@ -40,6 +40,39 @@ class SourceSpec extends AnyFunSuite {
       src.orderBy("s_suppkey").collect().toSeq)
   }
 
+  test("binaryFile source ingests real media files; bytes decode intact") {
+    // the 100 TB multimodal ingestion path: media lands as FILES, the
+    // binaryFile source reads (path, length, content) without decoding,
+    // and the decode runs downstream — here the real PNG decoder over
+    // the exact bytes the source delivered.
+    import graft.io.MediaCodec
+    val dir = Files.createTempDirectory("graft_bin")
+    val specs = Seq((3, 4, 7L), (8, 2, 21L), (16, 16, 5L))
+    specs.zipWithIndex.foreach { case ((w, h, seed), i) =>
+      Files.write(dir.resolve(s"img_$i.png"), MediaCodec.encodePng(w, h, seed))
+    }
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir.toString)
+    assert(df.count() === specs.size.toLong)
+    val decoded = df.select("path", "content").collect().map { r =>
+      val m = MediaCodec.parsePng(r.getAs[Array[Byte]]("content"))
+      (r.getString(0).split('/').last, m.width, m.height, m.crcOk)
+    }.toSet
+    assert(decoded === specs.zipWithIndex.map { case ((w, h, _), i) =>
+      (s"img_$i.png", w, h, true)
+    }.toSet)
+  }
+
+  test("xml source round-trips with rowTag (Spark 4 native XML)") {
+    val dir = Files.createTempDirectory("graft_xml").toString
+    val src = Io.table(spark, sf, "region").select("r_regionkey", "r_name")
+    src.write.mode("overwrite").option("rowTag", "region").xml(dir)
+    val back = spark.read.option("rowTag", "region")
+      .schema("r_regionkey INT, r_name STRING").xml(dir)
+    assert(back.orderBy("r_regionkey").collect().toSeq ===
+      src.orderBy("r_regionkey").collect().toSeq)
+  }
+
   test("text source reads lines") {
     val dir = Files.createTempDirectory("graft_txt").toString
     Io.table(spark, sf, "region").select(col("r_name"))
