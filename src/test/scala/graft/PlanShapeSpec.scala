@@ -614,18 +614,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("PQ ADC scan: code-table probe is a broadcast equi-join on (sub, code)") {
+  test("PQ ADC family: code-table probes are broadcast equi-joins, no cartesian") {
     // database side = codes only; the distance table must broadcast and
     // the probe must be keyed. The one sanctioned BNLJ is the K-row
-    // codeword-array attach inside the query-side distance pass.
-    val p = plan("h_pq_adc_topk").split("== Initial Plan ==").head
-    assert(p.contains("sq_dist_dec"),
-      "native sq_dist_dec missing — distance table fell back to relational form")
-    assert(p.contains("BroadcastHashJoin"), "code probe is not a broadcast equi-join")
-    assert(p.contains("WindowGroupLimit"), "per-query top-3 not group-limited")
-    assert(!p.contains("CartesianProduct"))
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(bnlj <= 1, s"$bnlj BNLJs — something data-sized fell off the equi-join")
+    // codeword-array attach inside the query-side distance pass (two in
+    // ivfpq, whose coarse quantizer also probes the codeword arrays).
+    for (q <- Seq("h_pq_adc_topk", "h_pq_adc_recall", "h_ann_ivfpq")) {
+      val p = plan(q).split("== Initial Plan ==").head
+      assert(p.contains("sq_dist_dec"),
+        s"$q: native sq_dist_dec missing — distance pass fell back to relational form")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: code probe is not a broadcast equi-join")
+      assert(!p.contains("CartesianProduct"))
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= 2, s"$q: $bnlj BNLJs — something data-sized fell off the equi-join")
+    }
+    assert(plan("h_pq_adc_topk").contains("WindowGroupLimit"),
+      "per-query top-3 not group-limited")
   }
 
   test("prefix-filter join: token-keyed candidates, no data-sized cartesian") {
