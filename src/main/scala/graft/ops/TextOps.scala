@@ -271,14 +271,15 @@ object TextOps {
     // answer at window granularity. dup_ratio is an integer-ratio
     // double (bit-identical division both engines).
     Q("h_substring_dup_spans", (s, d) => {
+      graft.functions.ExplodeNgramsPos.register(s)
       val docs = Io.table(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val n = docs.select(col("doc_id"), size(col("toks")).as("n_tok"))
-      val wins = docs.filter(size(col("toks")) >= 8)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, size(toks) - 8), " +
-            "i -> array_join(slice(toks, i + 1, 8), ' '))")).as(Seq("st", "g")))
+      val n = docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      // native positional n-gram Generator — one tight per-row loop;
+      // the transform/slice/array_join HOF form it replaces evaluated
+      // its lambdas interpreted per element
+      val wins = docs.select(col("doc_id"),
+        expr("explode_ngrams_pos(text, 8)").as(Seq("st", "g")))
       val dup = wins.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > 1).select("g")

@@ -28,6 +28,22 @@ class GeneratorSpec extends AnyFunSuite {
     assert(g.nonEmpty)
   }
 
+  test("explode_ngrams_pos == transform/slice relational window construction") {
+    graft.functions.ExplodeNgramsPos.register(spark)
+    val docs = Io.table(spark, sf, "documents").filter(col("doc_id") < 100)
+    val viaGenerator = docs.select(col("doc_id"),
+      expr("explode_ngrams_pos(text, 8)").as(Seq("st", "g")))
+    val viaBuiltins = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(toks) - 8), " +
+          "i -> array_join(slice(toks, i + 1, 8), ' '))")).as(Seq("st", "g")))
+    assert(viaGenerator.collect().map(_.toSeq).toSet ===
+      viaBuiltins.collect().map(_.toSeq).toSet)
+    assert(viaGenerator.count() > 0)
+  }
+
   test("explode_ngrams handles short texts and trigram sizes") {
     ExplodeNgrams.register(spark)
     import spark.implicits._
