@@ -46,6 +46,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (children: Seq[Expression]) => SimHash32(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_set_mask"),
+      new ExpressionInfo(classOf[NgramSetMask].getName, "ngram_set_mask"),
+      (children: Seq[Expression]) => NgramSetMask(
+        children.head, children(1),
+        children(2).eval().asInstanceOf[Number].intValue(),
+        children(3).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("explode_ngrams"),
+      new ExpressionInfo(classOf[ExplodeNgrams].getName, "explode_ngrams"),
+      (children: Seq[Expression]) => ExplodeNgrams(
+        children.head, children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("explode_ngrams_pos"),
+      new ExpressionInfo(classOf[ExplodeNgramsPos].getName, "explode_ngrams_pos"),
+      (children: Seq[Expression]) => ExplodeNgramsPos(
+        children.head, children(1).eval().asInstanceOf[Number].intValue())))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.EagerAggregation)
   }
