@@ -777,18 +777,20 @@ object DedupOps {
             .withColumn("pos", row_number().over(
               Window.partitionBy(col("doc_id")).orderBy(col("rank"))))
             .filter(col("pos") <= col("n") - expr("(n * 9 + 9) DIV 10") + 1)
-            .select("doc_id", "b")
+            .select("doc_id", "b", "n")
         }
       }
-      val cand = prefix.select(col("doc_id").as("id_a"), col("b"))
-        .join(prefix.select(col("doc_id").as("id_b"), col("b")), "b")
-        .filter(col("id_a") < col("id_b"))
+      // size filter INSIDE the candidate join (postings carry n): at
+      // τ=0.9 the 10·min ≥ 9·max cut discards most in-bucket pairs
+      // before the distinct and the mask joins ever see them
+      val cand = prefix.select(col("doc_id").as("id_a"), col("b"),
+          col("n").as("na"))
+        .join(prefix.select(col("doc_id").as("id_b"), col("b"),
+          col("n").as("nb")), "b")
+        .filter(col("id_a") < col("id_b") &&
+          least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 9)
         .select("id_a", "id_b").distinct()
       cand
-        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
-        .filter(least(col("na"), col("nb")) * 10 >=
-          greatest(col("na"), col("nb")) * 9)
         .join(masks.select(col("doc_id").as("id_a"), col("mask").as("ma")), "id_a")
         .join(masks.select(col("doc_id").as("id_b"), col("mask").as("mb")), "id_b")
         .withColumn("j", expr("bitmask_jaccard(ma, mb)"))
