@@ -43,7 +43,7 @@ object PlanDump {
       "e_zorder_locality" -> "z-order layout metric: broadcast extremes, map-side Morton bucketing, one agg per layout",
       "e_compaction_bins" -> "compaction planner: metadata-sized window cumsum per partition, one hash agg",
       "g_click_purchase_semi" -> "stream-semi batch twin: LeftSemi join, no row multiplication",
-      "h_pq_encode" -> "PQ encode: K-row codebook broadcast, map-side sq_dist_dec slices, struct-min argmin",
+      "h_pq_encode" -> "PQ codes BUILD: K-row codebook broadcast, map-side sq_dist_dec slices, struct-min argmin",
       "i_graph_bfs" -> "BFS frontier build: per-hop frontier⋈edges + visited anti-join, keyed only",
       "g_abc_classification" -> "ABC/Pareto: range-partitioned two-pass decimal prefix sum, no global window",
       "c_join_bloom_prefilter" -> "bloom prefilter: broadcast word-table bit tests map-side BEFORE the shuffle-merge join",
@@ -59,7 +59,12 @@ object PlanDump {
       "h_minhash_widevocab" ->
         (() => graft.ops.DedupOps.widevocabPairsBuildForPlan(spark, sfDir)),
       "i_graph_bfs" ->
-        (() => graft.ops.GraphOps.bfsDistBuildForPlan(spark, sfDir)))
+        (() => graft.ops.GraphOps.bfsDistBuildForPlan(spark, sfDir)),
+      // the checked query serves the memoized code artifact (truncated
+      // lineage) — dump the BUILD pipeline, where the codebook
+      // broadcast / sq_dist_dec / argmin shape is visible
+      "h_pq_encode" ->
+        (() => graft.ops.VectorOps.pqCodesBuildForPlan(spark, sfDir)))
     val sb = new StringBuilder
     sb.append("# PLANS — final executed plans of representative queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001; AQE settled\n")

@@ -29,7 +29,9 @@ case class ExplodeNgramsPos(child: Expression, n: Int)
     val v = child.eval(input)
     if (v == null) Nil
     else {
-      val toks = v.toString.split(" ")
+      // limit -1 keeps trailing empty tokens — the semantics of Spark's
+      // split() and DuckDB's string_split, which every paired oracle uses
+      val toks = v.toString.split(" ", -1)
       if (toks.length < n) Nil
       else (0 to toks.length - n).map { i =>
         InternalRow(i, UTF8String.fromString(toks.slice(i, i + n).mkString(" ")))

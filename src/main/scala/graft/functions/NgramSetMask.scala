@@ -21,7 +21,9 @@ object NgramMaskUtil {
     require(vocab.numElements() <= nWords * 64,
       s"ngram_set_mask: vocabulary ${vocab.numElements()} exceeds ${nWords * 64} bits")
     val words = new Array[Long](nWords)
-    val toks = text.toString.split(" ")
+    // limit -1 keeps trailing empty tokens (Spark split() / DuckDB
+    // string_split semantics — matches the vocab built by explode_ngrams)
+    val toks = text.toString.split(" ", -1)
     var i = 0
     while (i <= toks.length - n) {
       val g = UTF8String.fromString(toks.slice(i, i + n).mkString(" "))

@@ -126,11 +126,19 @@ object MediaCodec {
     }
     inf.end()
     require(got == raw.length, s"IDAT inflated to $got, expected ${raw.length}")
-    Array.tabulate(meta.width * meta.height) { i =>
-      val y = i / meta.width; val x = i % meta.width
-      require(raw(y * (meta.width + 1)) == 0, "unsupported PNG filter type")
-      raw(y * (meta.width + 1) + 1 + x) & 0xff
+    val px = new Array[Int](meta.width * meta.height)
+    var y = 0
+    while (y < meta.height) {
+      val rowOff = y * (meta.width + 1)
+      require(raw(rowOff) == 0, "unsupported PNG filter type")
+      var x = 0
+      while (x < meta.width) {
+        px(y * meta.width + x) = raw(rowOff + 1 + x) & 0xff
+        x += 1
+      }
+      y += 1
     }
+    px
   }
 
   // ---------------------------------------------------------------- WAV

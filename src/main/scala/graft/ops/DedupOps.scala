@@ -128,6 +128,26 @@ object DedupOps {
     * form re-ran the signature stage twice and the membership join four
     * times — measured 4.8 s vs ~1 s at sf0.1). Design notes on
     * `h_minhash_widevocab`. */
+  /** Brute-force bigram-Jaccard >= 0.9 pair oracle — ONE literal shared
+    * by the banded-MinHash row (h_minhash_widevocab) and the lossless
+    * prefix-filter row (h_prefix_filter_pairs): two independent
+    * algorithms, one checked answer, and a fix to the oracle cannot
+    * silently miss a twin. */
+  private val duckBigramBrutePairs =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(toks) - 1),
+      |                                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |tt AS (SELECT * FROM t WHERE len(bg) > 0)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  ROUND(len(list_intersect(a.bg, b.bg))
+      |        / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE), 6) AS jaccard
+      |FROM tt a JOIN tt b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.bg, b.bg))
+      |      / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   private def widevocabPairs(s: SparkSession, d: String): DataFrame =
     Q.memoized(s, d, "widevocabPairs") {
       Q.materialize(s, d, "widevocabPairs") {
@@ -718,20 +738,7 @@ object DedupOps {
     // widevocabPairs, like the token-set pair table).
     Q("h_minhash_widevocab", (s, d) => {
       widevocabPairs(s, d).orderBy("doc_a", "doc_b")
-    }, Some(
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, len(toks) - 1),
-        |                                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-        |tt AS (SELECT * FROM t WHERE len(bg) > 0)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  ROUND(len(list_intersect(a.bg, b.bg))
-        |        / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE), 6) AS jaccard
-        |FROM tt a JOIN tt b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.bg, b.bg))
-        |      / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE) >= 0.9
-        |ORDER BY doc_a, doc_b""".stripMargin)),
+    }, Some(duckBigramBrutePairs)),
 
     // Prefix-filtering exact similarity join (AllPairs/PPJoin, Bayardo
     // et al. WWW'07) — the sketch-free sub-quadratic path to the SAME
@@ -798,20 +805,7 @@ object DedupOps {
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           r6(col("j")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
-    }, Some(
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, len(toks) - 1),
-        |                                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-        |tt AS (SELECT * FROM t WHERE len(bg) > 0)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  ROUND(len(list_intersect(a.bg, b.bg))
-        |        / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE), 6) AS jaccard
-        |FROM tt a JOIN tt b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.bg, b.bg))
-        |      / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE) >= 0.9
-        |ORDER BY doc_a, doc_b""".stripMargin)),
+    }, Some(duckBigramBrutePairs)),
 
     // Transitive dedup clusters: connected components over the exact
     // near-dup pair graph (same-lang, j >= 0.9), labels = min doc_id per

@@ -99,13 +99,18 @@ object VectorOps {
 
   /** Embedding dimension (one-row metadata read) and the derived PQ
     * subspace count — width-8 subspaces, count derived from the data so
-    * a dim change tracks instead of silently truncating. */
-  private def pqDims(s: SparkSession, d: String): (Int, Int) = {
-    import s.implicits._
-    val dim = Io.table(s, d, "embeddings").limit(1)
-      .select(size(col("embedding"))).as[Int].head()
-    (dim, (dim + 7) / 8)
-  }
+    * a dim change tracks instead of silently truncating. Cached per
+    * (session, corpus): five PQ/ADC consumers would otherwise each
+    * launch the same blocking one-row driver job. */
+  private val dimCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Int, Int)]
+  private def pqDims(s: SparkSession, d: String): (Int, Int) =
+    dimCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      import s.implicits._
+      val dim = Io.table(s, d, "embeddings").limit(1)
+        .select(size(col("embedding"))).as[Int].head()
+      (dim, (dim + 7) / 8)
+    })
 
   /** PQ codebook (label, pos, c): per-label exact-decimal centroid
     * coordinates — K = |labels| codewords per subspace (see h_pq_encode's
@@ -155,17 +160,22 @@ object VectorOps {
     * diverge, not error). */
   private def pqCodes(s: SparkSession, d: String): DataFrame =
     Q.memoized(s, d, "pqCodes") {
-      val (dim, nSubs) = pqDims(s, d)
-      val e = Io.table(s, d, "embeddings")
-        .filter(assert_true(size(col("embedding")) === dim,
-          lit(s"pq: ragged embedding dim (expected $dim)")).isNull)
-      Q.materialize(s, d, "pqCodes") {
-        pqSubDist(s, d, e, nSubs)
-          .groupBy(col("vec_id"), col("sub"))
-          .agg(min(struct(col("d2"), col("c_label"))).getField("c_label")
-            .as("code"))
-      }
+      Q.materialize(s, d, "pqCodes")(pqCodesBuildForPlan(s, d))
     }
+
+  /** Un-materialized pqCodes BUILD pipeline — the shape PlanShapeSpec
+    * pins and PlanDump renders (the checked queries serve the memoized
+    * artifact, whose truncated lineage hides the build). */
+  private[graft] def pqCodesBuildForPlan(s: SparkSession, d: String): DataFrame = {
+    val (dim, nSubs) = pqDims(s, d)
+    val e = Io.table(s, d, "embeddings")
+      .filter(assert_true(size(col("embedding")) === dim,
+        lit(s"pq: ragged embedding dim (expected $dim)")).isNull)
+    pqSubDist(s, d, e, nSubs)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("c_label"))).getField("c_label")
+        .as("code"))
+  }
 
   /** ADC candidate scores (q_id, nn_id, adc_d2) for the vec_id < 20
     * query set: per-query distance table (broadcast) probed by the
@@ -206,6 +216,24 @@ object VectorOps {
        |  SELECT vec_id, sub, label AS code FROM dist
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
        |                             ORDER BY d2, label) = 1)""".stripMargin
+
+  /** DuckDB twin of the per-query ADC distance table (CTE `dt`) —
+    * `dist` restricted to the vec_id < 20 query set. */
+  private val duckAdcDt =
+    """dt AS (SELECT vec_id AS q_id, sub, label AS code, d2
+      |       FROM dist WHERE vec_id < 20)""".stripMargin
+
+  /** DuckDB twin of [[adcScores]] (CTEs `dt`/`adc`) — shared by the
+    * top-k search and its recall audit, so the two oracles cannot
+    * drift apart. */
+  private val duckAdcScores =
+    s"""$duckAdcDt,
+       |adc AS (
+       |  SELECT dt.q_id, c.vec_id AS nn_id,
+       |    ROUND(CAST(SUM(CAST(dt.d2 AS DECIMAL(38,12))) AS DOUBLE), 6) AS adc_d2
+       |  FROM codes c JOIN dt ON dt.sub = c.sub AND dt.code = c.code
+       |  WHERE c.vec_id <> dt.q_id
+       |  GROUP BY 1, 2)""".stripMargin
 
   val all: Seq[Q] = Seq(
     // Unit-L2 normalization; emit the norm and first components.
@@ -874,14 +902,7 @@ object VectorOps {
         .orderBy("q_id", "rn")
     }, Some(
       s"""$duckPqCodes,
-         |dt AS (SELECT vec_id AS q_id, sub, label AS code, d2
-         |       FROM dist WHERE vec_id < 20),
-         |adc AS (
-         |  SELECT dt.q_id, c.vec_id AS nn_id,
-         |    ROUND(CAST(SUM(CAST(dt.d2 AS DECIMAL(38,12))) AS DOUBLE), 6) AS adc_d2
-         |  FROM codes c JOIN dt ON dt.sub = c.sub AND dt.code = c.code
-         |  WHERE c.vec_id <> dt.q_id
-         |  GROUP BY 1, 2),
+         |$duckAdcScores,
          |r AS (SELECT q_id, nn_id, adc_d2,
          |        ROW_NUMBER() OVER (PARTITION BY q_id
          |                           ORDER BY adc_d2, nn_id) AS rn
@@ -924,14 +945,7 @@ object VectorOps {
             .cast(DecimalType(38, 6)).cast("double").as("recall_at_3"))
     }, Some(
       s"""$duckPqCodes,
-         |dt AS (SELECT vec_id AS q_id, sub, label AS code, d2
-         |       FROM dist WHERE vec_id < 20),
-         |adc AS (
-         |  SELECT dt.q_id, c.vec_id AS nn_id,
-         |    ROUND(CAST(SUM(CAST(dt.d2 AS DECIMAL(38,12))) AS DOUBLE), 6) AS adc_d2
-         |  FROM codes c JOIN dt ON dt.sub = c.sub AND dt.code = c.code
-         |  WHERE c.vec_id <> dt.q_id
-         |  GROUP BY 1, 2),
+         |$duckAdcScores,
          |adc3 AS (SELECT q_id, nn_id FROM adc
          |         QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
          |                                    ORDER BY adc_d2, nn_id) <= 3),
@@ -1012,8 +1026,7 @@ object VectorOps {
          |  SELECT cells.q_id, e.vec_id AS nn_id
          |  FROM embeddings e JOIN cells ON e.label = cells.cell
          |  WHERE e.vec_id <> cells.q_id),
-         |dt AS (SELECT vec_id AS q_id, sub, label AS code, d2
-         |       FROM dist WHERE vec_id < 20),
+         |$duckAdcDt,
          |adc AS (
          |  SELECT cand.q_id, cand.nn_id,
          |    ROUND(CAST(SUM(CAST(dt.d2 AS DECIMAL(38,12))) AS DOUBLE), 6) AS adc_d2

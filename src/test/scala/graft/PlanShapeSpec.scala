@@ -527,14 +527,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "visited-set anti-join missing")
   }
 
-  test("PQ encode: codebook attaches as a K-row broadcast, no cartesian") {
+  test("PQ codes BUILD: codebook attaches as a K-row broadcast, no cartesian") {
     // the gathered codebook (K rows of D-dim arrays) attaches via ONE
     // crossJoin(broadcast(...)) — a bounded BNLJ, the IVF house
-    // pattern; the error pass joins the long codebook by (code, pos)
-    // as a real broadcast hash join. Anything beyond that one scalar
-    // attachment — or any true cartesian — is a regression.
-    val p = plan("h_pq_encode").split("== Initial Plan ==").head
-    assert(p.contains("BroadcastHashJoin"), "codebook err-join did not broadcast")
+    // pattern. The checked query serves the memoized artifact (whose
+    // truncated lineage would make this pin vacuous), so the pin runs
+    // the un-materialized BUILD twin — the corpus-sized pass that must
+    // never degrade to a data-sized cartesian or lose sq_dist_dec.
+    val p = executedPlan(
+      graft.ops.VectorOps.pqCodesBuildForPlan(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(p.contains("sq_dist_dec"), "native sq_dist_dec missing from the build")
     assert(!p.contains("CartesianProduct"))
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(bnlj <= 1, s"$bnlj nested-loop joins (> 1 codebook attachment)")
