@@ -981,11 +981,15 @@ object DedupOps {
         |  -- formula over split(text), while ccOracle's t.toks is
         |  -- list_distinct'd for the Jaccard graph — recompute from text.
         |  SELECT doc_id,
-        |    CAST(CAST(0.3 * (len(list_distinct(rt)) / CAST(len(rt) AS DOUBLE))
+        |    -- VARCHAR hop: DuckDB's direct double->decimal cast rounds the
+        |    -- multiply boundary the wrong way (0.6966874999999999 ->
+        |    -- .696688 vs Spark's repr-based .696687 — bit at sf0.1);
+        |    -- the string hop replicates Spark's shortest-repr rounding
+        |    CAST(CAST(CAST(0.3 * (len(list_distinct(rt)) / CAST(len(rt) AS DOUBLE))
         |       + 0.4 * (1.0 - len(list_filter(rt, x -> x = 'the' OR x = 'a'))
         |                      / CAST(len(rt) AS DOUBLE))
         |       + 0.3 * LEAST(len(rt) / 100.0, 1.0)
-        |       AS DECIMAL(38,6)) AS DOUBLE) AS quality
+        |       AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE) AS quality
         |  FROM (SELECT doc_id, string_split(text, ' ') AS rt FROM documents)),
         |best AS (
         |  SELECT rep.cluster_rep, rep.doc_id, q.quality,
@@ -1311,11 +1315,15 @@ object DedupOps {
         |  WHERE s5.doc_id % 97 <> 0 GROUP BY s5.doc_id),
         |m AS (
         |  SELECT doc_id, lang,
-        |    CAST(CAST(0.3 * (len(list_distinct(rt)) / CAST(len(rt) AS DOUBLE))
+        |    -- VARCHAR hop: DuckDB's direct double->decimal cast rounds the
+        |    -- multiply boundary the wrong way (0.6966874999999999 ->
+        |    -- .696688 vs Spark's repr-based .696687 — bit at sf0.1);
+        |    -- the string hop replicates Spark's shortest-repr rounding
+        |    CAST(CAST(CAST(0.3 * (len(list_distinct(rt)) / CAST(len(rt) AS DOUBLE))
         |       + 0.4 * (1.0 - len(list_filter(rt, x -> x = 'the' OR x = 'a'))
         |                      / CAST(len(rt) AS DOUBLE))
         |       + 0.3 * LEAST(len(rt) / 100.0, 1.0)
-        |       AS DECIMAL(38,6)) AS DOUBLE) AS quality
+        |       AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE) AS quality
         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS rt FROM documents)),
         |cdq AS (SELECT lang, quality,
         |          CUME_DIST() OVER (PARTITION BY lang ORDER BY quality) AS cd

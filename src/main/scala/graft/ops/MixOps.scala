@@ -733,10 +733,13 @@ object MixOps {
          |  SELECT doc_id, lang, source,
          |    CAST(len(rt) AS BIGINT) AS n_tok,
          |    sha256(TRIM(LOWER(text))) AS h,
-         |    CAST(CAST(0.3 * (len(list_distinct(rt)) / CAST(len(rt) AS DOUBLE))
+         |    -- VARCHAR hop (see DedupOps h_dedup_best): direct
+         |    -- double->decimal cast rounds the multiply boundary against
+         |    -- Spark's repr-based cast (doc 1281 at sf0.1)
+         |    CAST(CAST(CAST(0.3 * (len(list_distinct(rt)) / CAST(len(rt) AS DOUBLE))
          |      + 0.4 * (1.0 - len(list_filter(rt, x -> x = 'the' OR x = 'a'))
          |               / CAST(len(rt) AS DOUBLE))
-         |      + 0.3 * LEAST(len(rt) / 100.0, 1.0) AS DECIMAL(38,6)) AS DOUBLE) AS q
+         |      + 0.3 * LEAST(len(rt) / 100.0, 1.0) AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE) AS q
          |  FROM (SELECT *, string_split(text, ' ') AS rt FROM documents))
          |SELECT COUNT(*) AS n_docs,
          |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
