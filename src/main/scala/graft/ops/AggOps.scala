@@ -363,6 +363,52 @@ object AggOps {
         |    <= COUNT(DISTINCT l_partkey) * 0.1 AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Mergeable-sketch rollup — the pattern that makes distinct counts
+    // work at 100 TB: build a Datasketches HLL PER PARTITION-GRAIN
+    // (here: per event_type via hll_sketch_agg), persist/ship the
+    // sketch bytes, and answer the GLOBAL question by hll_union_agg
+    // over the sketches — never re-reading raw data. That union step
+    // is what approx_count_distinct alone doesn't surface (its sketch
+    // is internal); d_agg_approx_hll checks the per-group estimate,
+    // this row checks the ALGEBRAIC MERGE. Same tolerance-flag oracle
+    // discipline: exact counts are the checked values; each engine's
+    // own sketch machinery (Spark: HLL union over per-group sketches;
+    // DuckDB: its native approx_count_distinct over the same rows) is
+    // bounds-checked within 10% of exact, so the approximate path IS
+    // exercised while the checked output stays deterministic.
+    Q("d_agg_hll_union", (s, d) => {
+      val ev = Io.events(s, d).select(col("event_type"), col("user_id"))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val per = sk.select(col("event_type"), col("exact_users"),
+        (abs(expr("hll_sketch_estimate(sk)") - col("exact_users")) <=
+          col("exact_users") * 0.1).as("approx_ok"))
+      val merged = sk.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("m"))
+      val exactG = ev.agg(countDistinct(col("user_id")).as("exact_global"))
+      per.crossJoin(broadcast(merged)).crossJoin(broadcast(exactG))
+        .select(col("event_type"), col("exact_users"), col("approx_ok"),
+          col("exact_global"),
+          (abs(col("m") - col("exact_global")) <=
+            col("exact_global") * 0.1).as("merged_ok"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH per AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |    ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+        |      <= COUNT(DISTINCT user_id) * 0.1 AS approx_ok
+        |  FROM events GROUP BY event_type),
+        |g AS (
+        |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_global,
+        |    ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+        |      <= COUNT(DISTINCT user_id) * 0.1 AS merged_ok
+        |  FROM events)
+        |SELECT per.event_type, per.exact_users, per.approx_ok,
+        |  g.exact_global, g.merged_ok
+        |FROM per, g ORDER BY per.event_type""".stripMargin)),
+
     // Quantile sketch, same tolerance-flag pattern as d_agg_approx_hll:
     // the exact per-group median is the checked value; each engine's
     // sketch (approx_percentile / approx_quantile) is asserted within 5%

@@ -592,6 +592,94 @@ object TextOps {
         |       AS DECIMAL(38,6)) AS DOUBLE) AS avg_logprob
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): data
+    // selection for a TARGET domain by importance resampling — each
+    // doc's weight is the log-likelihood ratio of its bigrams under a
+    // target-domain bag-of-bigrams LM vs the raw-corpus LM (both add-1
+    // smoothed over the shared unigram vocab size; the target stand-in
+    // is lang='en', the dominant slice). A doc that "reads like" the
+    // target scores positive and is selected. Shape at 100 TB: BOTH
+    // model tables are corpus-vocabulary-bounded aggregates (tiny next
+    // to the corpus; AQE broadcasts them at runtime), scoring is one
+    // scan + one doc-keyed hash aggregate — the same plan family as
+    // h_ngram_lm_score. Float discipline: each ln term snaps to 1e-12
+    // (libm ulp) BEFORE summing, the two model sums subtract as exact
+    // doubles, and the per-doc mean snaps at 1e-6, so the selected
+    // boundary is engine-identical.
+    Q("h_dsir_weights", (s, d) => {
+      graft.functions.ExplodeNgrams.register(s)
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val docs = Io.table(s, d, "documents")
+      val bgRaw = docs.select(expr("explode_ngrams(text, 2)").as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c_r"))
+      val histRaw = bgRaw.groupBy(split(col("g"), " ").getItem(0).as("tok_a"))
+        .agg(sum(col("c_r")).as("ca_r"))
+      val bgT = docs.filter(col("lang") === "en")
+        .select(expr("explode_ngrams(text, 2)").as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c_t"))
+      val histT = bgT.groupBy(split(col("g"), " ").getItem(0).as("tok_a"))
+        .agg(sum(col("c_t")).as("ca_t"))
+      val vocab = docs.select(explode(toks).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      val docBg = docs.select(col("doc_id"), col("lang"),
+        expr("explode_ngrams(text, 2)").as("g"))
+      // every doc bigram exists in the raw model by construction (inner
+      // join); target counts default to 0 through the left joins.
+      val lpT = log((coalesce(col("c_t"), lit(0L)) + 1).cast("double") /
+        (coalesce(col("ca_t"), lit(0L)) + col("v"))).cast(dec12)
+      val lpR = log((col("c_r") + 1).cast("double") / (col("ca_r") + col("v")))
+        .cast(dec12)
+      docBg.join(bgRaw, "g")
+        .join(bgT, Seq("g"), "left")
+        .withColumn("tok_a", split(col("g"), " ").getItem(0))
+        .join(histRaw, "tok_a")
+        .join(histT, Seq("tok_a"), "left")
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          ((sum(lpT).cast("double") - sum(lpR).cast("double")) / count(lit(1)))
+            .cast(dec6).cast("double").as("dsir_weight"))
+        .withColumn("selected", col("dsir_weight") > 0.0)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH bgr AS (
+        |  SELECT doc_id, lang,
+        |    UNNEST(list_transform(generate_series(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i + 1])) AS g
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 2),
+        |bg_r AS (SELECT g, COUNT(*) AS c_r FROM bgr GROUP BY g),
+        |hist_r AS (SELECT string_split(g, ' ')[1] AS tok_a, SUM(c_r) AS ca_r
+        |           FROM bg_r GROUP BY 1),
+        |bg_t AS (SELECT g, COUNT(*) AS c_t FROM bgr WHERE lang = 'en' GROUP BY g),
+        |hist_t AS (SELECT string_split(g, ' ')[1] AS tok_a, SUM(c_t) AS ca_t
+        |           FROM bg_t GROUP BY 1),
+        |vocab AS (
+        |  SELECT COUNT(DISTINCT t.tok) AS v
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+        |       LATERAL UNNEST(toks) AS t(tok)),
+        |terms AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(ln((COALESCE(bg_t.c_t, 0) + 1) /
+        |            CAST(COALESCE(hist_t.ca_t, 0) + vocab.v AS DOUBLE))
+        |         AS DECIMAL(38,12)) AS lp_t,
+        |    CAST(ln((bg_r.c_r + 1) / CAST(hist_r.ca_r + vocab.v AS DOUBLE))
+        |         AS DECIMAL(38,12)) AS lp_r
+        |  FROM bgr d
+        |  JOIN bg_r USING (g)
+        |  LEFT JOIN bg_t USING (g)
+        |  JOIN hist_r ON hist_r.tok_a = string_split(d.g, ' ')[1]
+        |  LEFT JOIN hist_t ON hist_t.tok_a = string_split(d.g, ' ')[1]
+        |  CROSS JOIN vocab),
+        |scored AS (
+        |  SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+        |    CAST(CAST((CAST(SUM(lp_t) AS DOUBLE) - CAST(SUM(lp_r) AS DOUBLE))
+        |         / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS dsir_weight
+        |  FROM terms GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, n_bigrams, dsir_weight, dsir_weight > 0 AS selected
+        |FROM scored ORDER BY doc_id""".stripMargin)),
+
     // Within-document co-occurrence (market-basket association over
     // tokens): top-20 unordered token pairs by the number of documents
     // containing both. The pair space is doc-keyed — each doc expands

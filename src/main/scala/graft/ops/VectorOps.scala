@@ -1039,6 +1039,90 @@ object VectorOps {
          |                           ORDER BY adc_d2, nn_id) AS rn
          |      FROM adc)
          |SELECT q_id, rn, nn_id, adc_d2 FROM r WHERE rn <= 3
-         |ORDER BY q_id, rn""".stripMargin))
+         |ORDER BY q_id, rn""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    // cluster the embedding space FIRST, then look for near-duplicates
+    // only WITHIN each cluster — the clustering is what makes embedding
+    // dedup tractable at corpus scale, turning the O(n²) cosine sweep
+    // into per-cell quadratics over cells that shrink as K grows.
+    // Cells come from the same coarse quantizer as the IVF index (exact
+    // decimal label centroids, broadcast; map-side native sq_dist_dec;
+    // argmin tie on c_label), candidate pairs are a keyed self-join on
+    // the cell id (one shuffle, never a cartesian), and the drop rule
+    // is the deterministic keep-min-id contract shared with
+    // h_exact_dedup/h_embed_dedup: b is dropped iff some a < b in the
+    // same cell has r6(cosine) >= 0.4 (this corpus's vectors are
+    // near-orthogonal; 0.4 sits where near-dups exist). Output is the
+    // per-cell census a pipeline reports before committing the delete:
+    // items, near-dup pairs, dropped, kept. At 100 TB: centroids are
+    // K·dim broadcast values, vectors shuffle once by cell, and the
+    // per-cell pair join is bounded by the largest cell — the paper's
+    // own K knob controls that bound.
+    Q("h_semdedup", (s, d) => {
+      graft.functions.SqDistDec.register(s)
+      val e = Io.table(s, d, "embeddings")
+      val cent = e.select(col("label").as("c_label"),
+          posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .groupBy(col("c_label"), col("pos0"))
+        .agg((decSum12(col("v").cast("double")) / count(lit(1))).as("c"))
+      val centArr = cent.groupBy(col("c_label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos0"), col("c")))),
+          x => x.getField("c")).as("carr"))
+      val dist = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centArr))
+        .select(col("vec_id"), col("c_label"),
+          expr("sq_dist_dec(embedding, carr)").as("d2"))
+      val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))
+      val cells = dist.withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label").as("cell"))
+      val ev = withDoubles(s, d).select(col("vec_id"), col("dv")).join(cells, "vec_id")
+      val a = ev.select(col("cell"), col("vec_id").as("id_a"), col("dv").as("va"))
+      val b = ev.select(col("cell"), col("vec_id").as("id_b"), col("dv").as("vb"))
+      val pairs = a.join(b, "cell").filter(col("id_a") < col("id_b"))
+        .withColumn("sim", r6(cosine(col("va"), col("vb"))))
+        .filter(col("sim") >= 0.4)
+      val drp = pairs.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_pairs"), countDistinct(col("id_b")).as("n_dropped"))
+      cells.groupBy(col("cell")).agg(count(lit(1)).as("n_items"))
+        .join(drp, Seq("cell"), "left")
+        .select(col("cell"), col("n_items"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_items") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+        .orderBy("cell")
+    }, Some(
+      s"""WITH cent AS (
+         |  SELECT label AS c_label, i AS pos,
+         |    ${dSum12("CAST(embedding[i] AS DOUBLE)")} / COUNT(*) AS c
+         |  FROM embeddings,
+         |    (SELECT UNNEST(generate_series(1,
+         |       (SELECT MAX(len(embedding)) FROM embeddings))) AS i)
+         |  GROUP BY label, i),
+         |dist AS (
+         |  SELECT e.vec_id, cent.c_label,
+         |    CAST(SUM(CAST((CAST(e.embedding[cent.pos] AS DOUBLE) - cent.c)
+         |                  * (CAST(e.embedding[cent.pos] AS DOUBLE) - cent.c)
+         |             AS DECIMAL(38,12))) AS DOUBLE) AS d2
+         |  FROM embeddings e, cent GROUP BY e.vec_id, cent.c_label),
+         |cells AS (
+         |  SELECT vec_id, c_label AS cell FROM dist
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) = 1),
+         |pairs AS (
+         |  SELECT ca.cell, a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a JOIN cells ca ON ca.vec_id = a.vec_id
+         |    JOIN cells cb ON cb.cell = ca.cell
+         |    JOIN embeddings b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+         |  WHERE ROUND($duckCos, 6) >= 0.4),
+         |drp AS (
+         |  SELECT cell, COUNT(*) AS n_pairs, COUNT(DISTINCT id_b) AS n_dropped
+         |  FROM pairs GROUP BY cell),
+         |items AS (SELECT cell, COUNT(*) AS n_items FROM cells GROUP BY cell)
+         |SELECT items.cell, items.n_items,
+         |  CAST(COALESCE(drp.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(drp.n_dropped, 0) AS BIGINT) AS n_dropped,
+         |  items.n_items - CAST(COALESCE(drp.n_dropped, 0) AS BIGINT) AS n_kept
+         |FROM items LEFT JOIN drp USING (cell)
+         |ORDER BY items.cell""".stripMargin))
   )
 }

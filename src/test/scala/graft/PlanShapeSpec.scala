@@ -585,6 +585,39 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup: native cell distances, within-cell pairs stay a keyed join") {
+    // SemDeDup's 100 TB claim is the clustering itself: the only
+    // all-pairs work happens WITHIN a cell, as a keyed self-join on the
+    // cell id. Pin the three load-bearing facts: cell assignment uses
+    // the native map-side sq_dist_dec against broadcast centroids (the
+    // one sanctioned BNLJ, plus the tiny-dim centroid gather), the
+    // cosine verify runs the native dot_product, and no data-sized
+    // cartesian or extra nested-loop appears anywhere.
+    val p = plan("h_semdedup").split("== Initial Plan ==").head
+    assert(p.contains("sq_dist_dec"), "native sq_dist_dec missing — cell assignment fell back to interpreted HOFs")
+    assert(p.contains("dot_product"), "native dot_product missing from the verify stage")
+    assert(!p.contains("CartesianProduct"), "a data-sized cartesian appeared")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"$bnlj BroadcastNestedLoopJoins (> the sanctioned centroid broadcast attaches)")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      "within-cell pair enumeration is not a keyed join")
+  }
+
+  test("dsir weights: model tables join keyed, scoring in one doc aggregate") {
+    // DSIR's scale story: both LM tables are vocabulary-bounded
+    // aggregates joined BY KEY onto the bigram stream (g / tok_a), and
+    // the only BNLJ is the one-row vocab-size scalar attach.
+    val p = plan("h_dsir_weights").split("== Initial Plan ==").head
+    assert(p.contains("explode_ngrams"), "native n-gram generator missing")
+    assert(!p.contains("CartesianProduct"), "a data-sized cartesian appeared")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"$bnlj BroadcastNestedLoopJoins (> the vocab scalar attach)")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      "LM model tables are not joined by key")
+  }
+
   test("source cap bounds the exchange via WindowGroupLimit") {
     // the domain-cap op's 100 TB claim is exactly this: each mapper
     // keeps at most K rows per source BEFORE the shuffle.
