@@ -705,6 +705,109 @@ object TextOps {
         |FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
         |GROUP BY 1, 2
         |ORDER BY n_docs DESC, tok_a, tok_b
-        |LIMIT 20""".stripMargin))
+        |LIMIT 20""".stripMargin)),
+
+    // BPE merge learning (Sennrich et al. 2016, arXiv:1508.07909) as a
+    // distributed op — the tokenizer-training step of an LLM data
+    // pipeline. The ONLY corpus-sized work is one scan building the
+    // word-FREQUENCY table (classic BPE trains on word types × counts,
+    // not the corpus); the 3 unrolled merge rounds then run over that
+    // vocab-bounded artifact: count adjacent symbol pairs weighted by
+    // word freq (hash agg), pick the argmax pair under a total order
+    // (cnt DESC, pair ASC — broadcast scalar), and apply the merge.
+    // Symbols live in marker-delimited strings ('<h><e><l><l><o>') so
+    // the merge is a plain literal replace('<a><b>' → '<ab>'): the
+    // markers make cross-symbol false matches impossible, and both
+    // engines' replace() is leftmost-non-overlapping — exactly BPE's
+    // greedy merge order ('<a><a><a>' merges the first pair only).
+    // Each round's table is materialized (it is read three times:
+    // pair-count, merge, stats) — the PCA lesson about nested
+    // re-evaluation. Output: per round the learned merge, its count,
+    // and the weighted symbol total after applying it.
+    Q("h_bpe_merges", (s, d) => {
+      val words = Q.memoized(s, d, "bpeWords") {
+        Q.materialize(s, d, "bpeWords")(bpeWordsBuildForPlan(s, d))
+      }
+      def round(n: Int, t: org.apache.spark.sql.DataFrame) = {
+        val b = Q.materialize(s, d, s"bpeB$n")(bpeBestPair(t))
+        val m = Q.materialize(s, d, s"bpeT$n")(bpeApplyMerge(t, b))
+        val row = b.crossJoin(broadcast(
+            m.agg(sum(col("freq") * size(bpeSyms)).as("total_symbols_after"))))
+          .select(lit(n).as("round"), col("a").as("merge_a"),
+            col("b").as("merge_b"), col("cnt").as("pair_count"),
+            col("total_symbols_after"))
+        (row, m)
+      }
+      val (r1, t1) = round(1, words)
+      val (r2, t2) = round(2, t1)
+      val (r3, _) = round(3, t2)
+      r1.union(r2).union(r3).orderBy("round")
+    }, Some {
+      def p(t: String, k: Int) =
+        s"""p$k AS (
+           |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT regexp_extract_all(ws, '<([^<>]+)>', 1) AS syms, freq FROM $t),
+           |       LATERAL UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
+           |  GROUP BY 1, 2),
+           |b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+           |t$k AS (SELECT replace(ws, '<' || b$k.a || '><' || b$k.b || '>',
+           |                       '<' || b$k.a || b$k.b || '>') AS ws, freq
+           |        FROM $t, b$k),
+           |s$k AS (SELECT CAST(SUM(freq * len(regexp_extract_all(ws, '<([^<>]+)>', 1)))
+           |               AS BIGINT) AS total_symbols_after FROM t$k)"""
+      s"""WITH words AS (
+         |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS ws, COUNT(*) AS freq
+         |  FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |        FROM documents)
+         |  GROUP BY 1),
+         |${p("words", 1)},
+         |${p("t1", 2)},
+         |${p("t2", 3)}
+         |SELECT CAST(1 AS INT) AS round, b1.a AS merge_a, b1.b AS merge_b,
+         |       b1.cnt AS pair_count, s1.total_symbols_after FROM b1, s1
+         |UNION ALL
+         |SELECT CAST(2 AS INT), b2.a, b2.b, b2.cnt, s2.total_symbols_after FROM b2, s2
+         |UNION ALL
+         |SELECT CAST(3 AS INT), b3.a, b3.b, b3.cnt, s3.total_symbols_after FROM b3, s3
+         |ORDER BY round""".stripMargin
+    })
   )
+
+  private def bpeSyms = expr("regexp_extract_all(ws, '<([^<>]+)>', 1)")
+
+  /** The one CORPUS-sized pass of BPE training: scan → word-frequency
+    * hash aggregate → marker-delimited symbol strings. Exposed
+    * un-materialized so PlanShapeSpec can pin the build shape. */
+  private[graft] def bpeWordsBuildForPlan(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Io.table(s, d, "documents")
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("ws"), col("freq"))
+
+  /** Argmax adjacent symbol pair by freq-weighted count, total-ordered
+    * (cnt DESC, pair ASC) for a deterministic winner. Vocab-bounded. */
+  private[graft] def bpeBestPair(
+      t: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    t.select(col("freq"), bpeSyms.as("syms"))
+      // single-symbol words contribute no pairs — and Spark's
+      // sequence(1, 0) DESCENDS ([1,0]) rather than being empty,
+      // so the guard is load-bearing, not cosmetic.
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "k -> struct(element_at(syms, k) AS a, element_at(syms, k + 1) AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+
+  /** Apply one learned merge: literal replace of '<a><b>' with '<ab>'
+    * under a broadcast one-row scalar attach. */
+  private def bpeApplyMerge(t: org.apache.spark.sql.DataFrame,
+      bst: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    t.crossJoin(broadcast(bst))
+      .select(org.apache.spark.sql.functions.replace(col("ws"),
+        concat(lit("<"), col("a"), lit("><"), col("b"), lit(">")),
+        concat(lit("<"), col("a"), col("b"), lit(">"))).as("ws"), col("freq"))
 }

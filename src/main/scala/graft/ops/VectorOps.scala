@@ -32,6 +32,27 @@ object VectorOps {
   private def decSum12(c: Column): Column = sum(c.cast(dec12)).cast("double")
   private val dSum12 = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(38,12))) AS DOUBLE)"
 
+  /** VARCHAR-hop variants for COMPUTED doubles (products, squares): see
+    * AnalyticsOps.dSnap6 — DuckDB's direct double→decimal cast rounds
+    * the binary value while Spark rounds the shortest repr; parse-
+    * through-VARCHAR makes DuckDB take Spark's path on every boundary.
+    * The guard zeroes below-half-ulp magnitudes (DuckDB's string parse
+    * half-ups the first significant digit regardless of exponent).
+    * The trip BACK to DOUBLE hops through VARCHAR as well: DuckDB's
+    * direct decimal→double converts double(int128)·10⁻ˢᶜ — TWO
+    * roundings — which goes 1 ulp off Java's correctly-rounded
+    * BigDecimal.doubleValue once the unscaled value passes 2⁵³ (at
+    * scale 12 that's any |v| > ~9e3 — the PCA scatter diagonal was the
+    * first row to hit it; decimal→VARCHAR→double parses the exact
+    * digits, correctly rounded). dSum12 above stays direct-cast for
+    * float-widened inputs with small sums only. */
+  private def dHopGuard12(x: String): String =
+    s"CAST(CASE WHEN ABS($x) < 5e-13 THEN CAST(0 AS DOUBLE) ELSE $x END AS VARCHAR)"
+  private def dSnap12(x: String): String =
+    s"CAST(CAST(CAST(${dHopGuard12(x)} AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)"
+  private def dSumHop12(x: String): String =
+    s"CAST(CAST(SUM(CAST(${dHopGuard12(x)} AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+
   private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** codegen'd native dot product (graft.functions.DotProduct) — same
@@ -1123,6 +1144,167 @@ object VectorOps {
          |  CAST(COALESCE(drp.n_dropped, 0) AS BIGINT) AS n_dropped,
          |  items.n_items - CAST(COALESCE(drp.n_dropped, 0) AS BIGINT) AS n_kept
          |FROM items LEFT JOIN drp USING (cell)
-         |ORDER BY items.cell""".stripMargin))
+         |ORDER BY items.cell""".stripMargin)),
+
+    // Top principal component by power iteration — the embedding
+    // whitening/projection step a vector pipeline runs before indexing.
+    // One corpus scan builds the SCATTER matrix S = n·Σxy − Σx·Σy
+    // (= n²·Cov; same eigenvectors, and integer-free of the mean
+    // quotient): Σxy comes from the vec_id-keyed self-join of the long
+    // form with each product snapped at 1e-12 before the exact decimal
+    // sum, so S is engine-identical. S is dim² values (a broadcast-sized
+    // artifact at any corpus size — THE point: the data-sized work is
+    // one scan + one (i,j)-keyed aggregate with map-side combine), and
+    // the 3 unrolled power-iteration rounds (v₀ = 1⃗; w = S·v snapped
+    // per term; v = w/‖w‖ raw double — exact-identical, per the
+    // never-snap-quotients rule) run over that tiny matrix. FMA-seam
+    // discipline: n·Σxy and Σx·Σy each snap to 1e-12 BEFORE the
+    // subtraction so neither engine can contract the multiply-add.
+    // Output: per-dimension loading of PC1 plus the final ‖w‖ (the
+    // eigenvalue of S, raw double). Every COMPUTED-double snap in the
+    // oracle takes the VARCHAR hop (see AnalyticsOps.dSnap6): the
+    // per-term products here are arbitrary doubles, and one repr-vs-
+    // binary boundary flip in 20M+ terms shifts a loading by ~1e-12/‖w‖
+    // (seen at sf0.001 on the first cut of this query) — and even the
+    // float-WIDENED per-value snaps in sx hit a boundary at 32k values
+    // (i=38 at sf0.01: direct −0.796898287078 vs repr …077), so sx
+    // hops too. Only raw un-snapped doubles skip the hop.
+    Q("h_pca_power", (s, d) => {
+      val w3 = pcaW3(s, d)
+      val eig = w3.agg(sqrt(sum((col("w") * col("w")).cast(dec12)).cast("double")).as("s_eigval"))
+      pcaNormalize(w3).crossJoin(broadcast(eig))
+        .select(col("j").as("pos"), col("v").as("loading"), col("s_eigval"))
+        .orderBy("pos")
+    }, Some(
+      s"""$pcaCtes
+        |SELECT w3.i AS pos, w3.w / n3.nrm AS loading, n3.nrm AS s_eigval
+        |FROM w3, n3 ORDER BY pos""".stripMargin)),
+
+    // PC1 projection — the per-vector half of the whitening step: score
+    // every embedding by its component along the corpus PC1 (the
+    // direction from h_pca_power's shared pcaScatter artifact + power
+    // iteration). At 100 TB this is the textbook broadcast-projection
+    // shape: the direction is dim values broadcast to every task, the
+    // projection is ONE scan of the corpus + one vec-keyed hash
+    // aggregate (map-side combine — each vector's terms are colocated
+    // in its own row's explode), no shuffle of anything data-sized
+    // beyond the vec_id-keyed agg itself. Per-term products snap at
+    // 1e-12 before the exact decimal sum (same discipline as the
+    // scatter build), so scores are engine-identical; quotients
+    // (v = w/‖w‖) stay raw doubles per the never-snap-quotients rule.
+    Q("h_pca_project", (s, d) => {
+      val v3 = pcaNormalize(pcaW3(s, d))
+      pcaLong(s, d)
+        .join(broadcast(v3), col("i") === col("j"))
+        .groupBy(col("vec_id"))
+        .agg(sum((col("x") * col("v")).cast(dec12)).cast("double").as("pc1_score"))
+        .orderBy("vec_id")
+    }, Some(
+      s"""$pcaCtes,
+        |v3 AS (SELECT i AS j, w / nrm AS v FROM w3, n3)
+        |SELECT long.vec_id, ${dSumHop12("long.x * v3.v")} AS pc1_score
+        |FROM long JOIN v3 ON v3.j = long.i
+        |GROUP BY long.vec_id ORDER BY long.vec_id""".stripMargin))
   )
+
+  /** Long form of the embeddings table: (vec_id, i, x) with 1-based
+    * dimension index and float→double widened values — the shared scan
+    * under the PCA family. */
+  private def pcaLong(s: SparkSession, d: String): DataFrame =
+    Io.table(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "f")))
+      .select(col("vec_id"), (col("pos0") + 1).as("i"),
+        col("f").cast("double").as("x"))
+
+  /** The scatter matrix S = n·Σxy − Σx·Σy as (i, j, sij), memoized and
+    * materialized once per corpus (dim² values — broadcast-sized at any
+    * corpus size; the data-sized work is one scan + one (i,j)-keyed
+    * aggregate with map-side combine). */
+  private def pcaScatter(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "pcaScatter") {
+      Q.materialize(s, d, "pcaScatter")(pcaScatterBuildForPlan(s, d))
+    }
+
+  /** Un-materialized scatter BUILD pipeline — the shape PlanShapeSpec
+    * pins (the checked queries serve the memoized artifact, whose
+    * truncated lineage hides the build). */
+  private[graft] def pcaScatterBuildForPlan(s: SparkSession, d: String): DataFrame = {
+    val long = pcaLong(s, d)
+    val n = Io.table(s, d, "embeddings").agg(count(lit(1)).as("n"))
+    val sx = long.groupBy(col("i")).agg(decSum12(col("x")).as("sx"))
+    val sxy = long.as("a")
+      .join(long.select(col("vec_id"), col("i").as("j"), col("x").as("y")), "vec_id")
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("x") * col("y")).cast(dec12)).cast("double").as("sxy"))
+    sxy.join(broadcast(sx.select(col("i"), col("sx").as("sxi"))), "i")
+      .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sxj"))), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        ((col("n") * col("sxy")).cast(dec12).cast("double") -
+          (col("sxi") * col("sxj")).cast(dec12).cast("double")).as("sij"))
+  }
+
+  /** w = S·v for a (j, v) direction — dim-sized join over the scatter
+    * artifact, every product snapped at 1e-12 before the exact sum. */
+  private def pcaMv(s: SparkSession, d: String, v: DataFrame): DataFrame =
+    pcaScatter(s, d).join(broadcast(v), "j")
+      .groupBy(col("i"))
+      .agg(sum((col("sij") * col("v")).cast(dec12)).cast("double").as("w"))
+
+  /** v = w/‖w‖ as (j, v); the quotient stays a raw double. */
+  private def pcaNormalize(w: DataFrame): DataFrame =
+    w.crossJoin(broadcast(
+        w.agg(sqrt(sum((col("w") * col("w")).cast(dec12)).cast("double")).as("nrm"))))
+      .select(col("i").as("j"), (col("w") / col("nrm")).as("v"))
+
+  /** Third power-iteration image w₃ = S·v₂ (v₀ = 1⃗) — the un-normalized
+    * PC1 both checked queries derive from. Memoized AND stage-wise
+    * materialized: normalize(w) references w twice and mv(normalize(…))
+    * nests, so an un-checkpointed chain re-evaluates the whole subtree
+    * exponentially (measured 7 s warm for dim²=4096 values of matrix
+    * math — pure job-scheduling blowup). Each stage is dim-sized, so
+    * the materializes are O(dim) rows each. */
+  private def pcaW3(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "pcaW3") {
+      Q.materialize(s, d, "pcaW3") {
+        val smat = pcaScatter(s, d)
+        val w1 = Q.materialize(s, d, "pcaW1")(pcaMv(s, d,
+          smat.select(col("j")).distinct().select(col("j"), lit(1.0).as("v"))))
+        val v2 = Q.materialize(s, d, "pcaV2")(
+          pcaNormalize(Q.materialize(s, d, "pcaW2")(
+            pcaMv(s, d, pcaNormalize(w1)))))
+        pcaMv(s, d, v2)
+      }
+    }
+
+  /** Shared oracle CTE chain for the PCA family (through w3/n3); every
+    * computed-double snap takes the two-way VARCHAR hop. */
+  private def pcaCtes: String =
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |long AS (
+       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings,
+       |    (SELECT UNNEST(generate_series(1,
+       |       (SELECT MAX(len(embedding)) FROM embeddings))) AS i)),
+       |sx AS (SELECT i, ${dSumHop12("x")} AS sx
+       |       FROM long GROUP BY i),
+       |sxy AS (
+       |  SELECT a.i AS i, b.i AS j, ${dSumHop12("a.x * b.x")} AS sxy
+       |  FROM long a JOIN long b USING (vec_id) GROUP BY a.i, b.i),
+       |smat AS (
+       |  SELECT sxy.i, sxy.j,
+       |    ${dSnap12("nn.n * sxy.sxy")} - ${dSnap12("sxi.sx * sxj.sx")} AS sij
+       |  FROM sxy JOIN sx sxi ON sxi.i = sxy.i
+       |    JOIN sx sxj ON sxj.i = sxy.j CROSS JOIN nn),
+       |w1 AS (SELECT i, ${dSumHop12("sij * 1.0")} AS w
+       |       FROM smat GROUP BY i),
+       |n1 AS (SELECT sqrt(${dSumHop12("w * w")}) AS nrm FROM w1),
+       |v1 AS (SELECT i AS j, w / nrm AS v FROM w1, n1),
+       |w2 AS (SELECT smat.i, ${dSumHop12("sij * v1.v")} AS w
+       |       FROM smat JOIN v1 USING (j) GROUP BY smat.i),
+       |n2 AS (SELECT sqrt(${dSumHop12("w * w")}) AS nrm FROM w2),
+       |v2 AS (SELECT i AS j, w / nrm AS v FROM w2, n2),
+       |w3 AS (SELECT smat.i, ${dSumHop12("sij * v2.v")} AS w
+       |       FROM smat JOIN v2 USING (j) GROUP BY smat.i),
+       |n3 AS (SELECT sqrt(${dSumHop12("w * w")}) AS nrm FROM w3)""".stripMargin
 }

@@ -682,6 +682,60 @@ class PlanShapeSpec extends AnyFunSuite {
       "candidate generation fell off the token-keyed equi-join")
   }
 
+  test("PCA scatter BUILD: vec-keyed self-join + (i,j) hash agg, no cartesian") {
+    // the scatter matrix's 100 TB claim: Σxy comes from the vec_id-KEYED
+    // self-join of the long form (each vector's dim² products expand
+    // inside its own join group) feeding an (i,j) hash aggregate with
+    // map-side combine — never a data-sized cartesian. The Σx·Σy /
+    // n-count corrections attach as broadcast joins over dim-sized
+    // frames. The checked queries serve the memoized artifact, so the
+    // pin runs the un-materialized BUILD twin.
+    val p = executedPlan(
+      graft.ops.VectorOps.pcaScatterBuildForPlan(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a data-sized cartesian appeared")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      "Σxy self-join is not keyed")
+    assert(p.contains("HashAggregate"), "(i,j) aggregate lost hash-agg form")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"$bnlj nested-loop joins (> the one-row n attach)")
+  }
+
+  test("PCA projection: direction broadcasts, one vec-keyed aggregate") {
+    // the projection's 100 TB shape: v3 (dim rows) must reach the long
+    // form as a BROADCAST join — any shuffle of the corpus keyed on the
+    // tiny side's j would be wrong — and the per-vector score is one
+    // hash aggregate. The power-iteration frames upstream are dim-sized
+    // and may attach as the sanctioned scalar/broadcast joins.
+    val p = plan("h_pca_project").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a data-sized cartesian appeared")
+    assert(p.contains("BroadcastHashJoin"),
+      "PC1 direction did not broadcast onto the corpus scan")
+    assert(p.contains("HashAggregate"), "per-vector score lost hash-agg form")
+  }
+
+  test("BPE training: corpus pass is scan → word-freq hash agg; pair count keyed") {
+    // BPE's 100 TB claim: the only corpus-sized work is the word-
+    // frequency build (one scan + one hash aggregate with map-side
+    // combine); every merge round then runs over the vocab-bounded
+    // word table. Pin both stages un-materialized: the words build
+    // must be a pure scan+agg (no join at all), and the round-1
+    // pair-count argmax must stay a hash aggregate with no cartesian.
+    val pw = executedPlan(
+      graft.ops.TextOps.bpeWordsBuildForPlan(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(pw.contains("HashAggregate"), "word-frequency agg lost hash form")
+    assert(!pw.contains("Join"), "corpus pass grew a join")
+    val pp = executedPlan(graft.ops.TextOps.bpeBestPair(
+      graft.ops.TextOps.bpeWordsBuildForPlan(spark, sf)))
+      .split("== Initial Plan ==").head
+    assert(pp.contains("HashAggregate"), "pair count lost hash-agg form")
+    assert(!pp.contains("CartesianProduct"), "a cartesian appeared")
+    assert(pp.contains("TakeOrderedAndProject") || pp.contains("GlobalLimit"),
+      "argmax did not fuse into a top-k")
+  }
+
   test("OHLC bars: both window directions and the aggregate share one shuffle") {
     // AdaptiveSparkPlan.toString prints the final plan followed by the
     // initial plan — count exchanges in the final section only.
