@@ -725,55 +725,125 @@ object TextOps {
     // re-evaluation. Output: per round the learned merge, its count,
     // and the weighted symbol total after applying it.
     Q("h_bpe_merges", (s, d) => {
-      val words = Q.memoized(s, d, "bpeWords") {
-        Q.materialize(s, d, "bpeWords")(bpeWordsBuildForPlan(s, d))
-      }
-      def round(n: Int, t: org.apache.spark.sql.DataFrame) = {
-        val b = Q.materialize(s, d, s"bpeB$n")(bpeBestPair(t))
-        val m = Q.materialize(s, d, s"bpeT$n")(bpeApplyMerge(t, b))
-        val row = b.crossJoin(broadcast(
+      val rows = bpeChain(s, d).zipWithIndex.map { case ((b, m), i) =>
+        b.crossJoin(broadcast(
             m.agg(sum(col("freq") * size(bpeSyms)).as("total_symbols_after"))))
-          .select(lit(n).as("round"), col("a").as("merge_a"),
+          .select(lit(i + 1).as("round"), col("a").as("merge_a"),
             col("b").as("merge_b"), col("cnt").as("pair_count"),
             col("total_symbols_after"))
-        (row, m)
       }
-      val (r1, t1) = round(1, words)
-      val (r2, t2) = round(2, t1)
-      val (r3, _) = round(3, t2)
-      r1.union(r2).union(r3).orderBy("round")
-    }, Some {
-      def p(t: String, k: Int) =
-        s"""p$k AS (
-           |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
-           |  FROM (SELECT regexp_extract_all(ws, '<([^<>]+)>', 1) AS syms, freq FROM $t),
-           |       LATERAL UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
-           |  GROUP BY 1, 2),
-           |b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
-           |t$k AS (SELECT replace(ws, '<' || b$k.a || '><' || b$k.b || '>',
-           |                       '<' || b$k.a || b$k.b || '>') AS ws, freq
-           |        FROM $t, b$k),
-           |s$k AS (SELECT CAST(SUM(freq * len(regexp_extract_all(ws, '<([^<>]+)>', 1)))
-           |               AS BIGINT) AS total_symbols_after FROM t$k)"""
-      s"""WITH words AS (
-         |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS ws, COUNT(*) AS freq
-         |  FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
-         |        FROM documents)
-         |  GROUP BY 1),
-         |${p("words", 1)},
-         |${p("t1", 2)},
-         |${p("t2", 3)}
+      rows.reduce(_ union _).orderBy("round")
+    }, Some(
+      s"""$bpeSqlCtes
          |SELECT CAST(1 AS INT) AS round, b1.a AS merge_a, b1.b AS merge_b,
          |       b1.cnt AS pair_count, s1.total_symbols_after FROM b1, s1
          |UNION ALL
          |SELECT CAST(2 AS INT), b2.a, b2.b, b2.cnt, s2.total_symbols_after FROM b2, s2
          |UNION ALL
          |SELECT CAST(3 AS INT), b3.a, b3.b, b3.cnt, s3.total_symbols_after FROM b3, s3
-         |ORDER BY round""".stripMargin
-    })
+         |ORDER BY round""".stripMargin)),
+
+    // Apply the learned tokenizer back to the corpus — the other half
+    // of the train→apply loop a real pipeline runs (and the number that
+    // actually matters downstream: tokens per word / chars per token
+    // decide context-window budgets and training cost). The post-merge
+    // vocabulary (t3) is vocab-bounded and keyed by the ORIGINAL word
+    // (markers stripped — merges only ever concatenate, so strip is
+    // exact inverse); the corpus pass is one scan → word explode →
+    // broadcast vocab join → per-lang aggregate. Integer totals; the
+    // two ratios are int/int double divisions — bit-identical in both
+    // engines, no snap needed.
+    Q("h_bpe_tokenize", (s, d) => {
+      val vocab = bpeChain(s, d).last._2
+        .select(regexp_replace(col("ws"), "[<>]", "").as("w"),
+          size(bpeSyms).as("n_toks"))
+      Io.table(s, d, "documents")
+        .select(col("lang"), explode(expr(
+          "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        .join(broadcast(vocab), "w")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).as("total_chars"),
+          sum(col("n_toks")).as("total_tokens"))
+        .select(col("lang"), col("n_words"), col("total_chars"),
+          col("total_tokens"),
+          (col("total_chars").cast("double") / col("total_tokens"))
+            .as("chars_per_token"),
+          (col("total_tokens").cast("double") / col("n_words"))
+            .as("tokens_per_word"))
+        .orderBy("lang")
+    }, Some(
+      s"""$bpeSqlCtes,
+         |vocab AS (
+         |  SELECT replace(replace(ws, '<', ''), '>', '') AS w,
+         |         len(regexp_extract_all(ws, '<([^<>]+)>', 1)) AS n_toks
+         |  FROM t3),
+         |corpus AS (
+         |  SELECT lang, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |  FROM documents),
+         |agg AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(length(w)) AS BIGINT) AS total_chars,
+         |    CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+         |  FROM corpus JOIN vocab USING (w) GROUP BY lang)
+         |SELECT lang, n_words, total_chars, total_tokens,
+         |  CAST(total_chars AS DOUBLE) / total_tokens AS chars_per_token,
+         |  CAST(total_tokens AS DOUBLE) / n_words AS tokens_per_word
+         |FROM agg ORDER BY lang""".stripMargin))
   )
 
+  /** Shared oracle CTE chain for the BPE family: words + 3 rounds of
+    * (pair-count, argmax, merge, stats). */
+  private def bpeSqlCtes: String = {
+    def p(t: String, k: Int) =
+      s"""p$k AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT regexp_extract_all(ws, '<([^<>]+)>', 1) AS syms, freq FROM $t),
+         |       LATERAL UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |t$k AS (SELECT replace(ws, '<' || b$k.a || '><' || b$k.b || '>',
+         |                       '<' || b$k.a || b$k.b || '>') AS ws, freq
+         |        FROM $t, b$k),
+         |s$k AS (SELECT CAST(SUM(freq * len(regexp_extract_all(ws, '<([^<>]+)>', 1)))
+         |               AS BIGINT) AS total_symbols_after FROM t$k)"""
+    s"""WITH words AS (
+       |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS ws, COUNT(*) AS freq
+       |  FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |        FROM documents)
+       |  GROUP BY 1),
+       |${p("words", 1)},
+       |${p("t1", 2)},
+       |${p("t2", 3)}"""
+  }
+
   private def bpeSyms = expr("regexp_extract_all(ws, '<([^<>]+)>', 1)")
+
+  /** The 3-round BPE merge chain: per round the (winner, merged-table)
+    * pair, every stage memoized AND materialized (each table is read by
+    * the next round's pair count, the merge, and the stats — the PCA
+    * lesson about nested re-evaluation; memoization shares the chain
+    * between h_bpe_merges and h_bpe_tokenize the way a production
+    * tokenizer-training job writes its vocab once). */
+  private def bpeChain(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = {
+    val words = Q.memoized(s, d, "bpeWords") {
+      Q.materialize(s, d, "bpeWords")(bpeWordsBuildForPlan(s, d))
+    }
+    def round(n: Int, t: org.apache.spark.sql.DataFrame) = {
+      val b = Q.memoized(s, d, s"bpeB$n") {
+        Q.materialize(s, d, s"bpeB$n")(bpeBestPair(t))
+      }
+      val m = Q.memoized(s, d, s"bpeT$n") {
+        Q.materialize(s, d, s"bpeT$n")(bpeApplyMerge(t, b))
+      }
+      (b, m)
+    }
+    val (b1, t1) = round(1, words)
+    val (b2, t2) = round(2, t1)
+    val (b3, t3) = round(3, t2)
+    Seq((b1, t1), (b2, t2), (b3, t3))
+  }
 
   /** The one CORPUS-sized pass of BPE training: scan → word-frequency
     * hash aggregate → marker-delimited symbol strings. Exposed

@@ -736,6 +736,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "argmax did not fuse into a top-k")
   }
 
+  test("BPE apply: vocab joins as broadcast onto the corpus scan") {
+    // the tokenize pass must never shuffle the corpus by word: the
+    // post-merge vocabulary is vocab-bounded and must reach the scan
+    // as a BroadcastHashJoin, with the per-lang stats one hash agg.
+    val p = plan("h_bpe_tokenize").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      "post-merge vocab did not broadcast onto the corpus scan")
+    assert(!p.contains("CartesianProduct"), "a cartesian appeared")
+    assert(p.contains("HashAggregate"), "per-lang stats lost hash-agg form")
+  }
+
   test("OHLC bars: both window directions and the aggregate share one shuffle") {
     // AdaptiveSparkPlan.toString prints the final plan followed by the
     // initial plan — count exchanges in the final section only.
