@@ -283,6 +283,68 @@ object AnalyticsOps {
          |ORDER BY user_id, ts_us, event_id""".stripMargin
     }),
 
+    // Holt double-exponential smoothing (level + trend) over the daily
+    // per-type count series, with a 7-day-ahead forecast — the
+    // capacity-planning read g_ewma's smoother can't give (EWMA has no
+    // trend term). α = β = 1/2, so every multiply is an EXACT binary
+    // halving and the recurrence l_t = ½x_t + ½(l+b),
+    // b_t = ½(l_t − l_{t−1}) + ½b is bit-identical across engines
+    // with NO decimal snaps: the op tree is spelled identically on
+    // both sides (l_t recomputed inside b_t rather than bound — same
+    // deterministic value), inputs are integer counts, and IEEE +/−/×
+    // round the same everywhere. Spark folds each type's bounded
+    // ordered day array with aggregate() (the g_user_path
+    // bounded-collect precedent); the oracle is the textbook recursive
+    // CTE over day rank. The corpus-sized work is one hash aggregate;
+    // the recurrence runs over #days rows per type.
+    Q("g_holt_trend", (s, d) => {
+      val daily = Io.events(s, d).withColumn("day", day)
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+      daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("series"))
+        .select(col("event_type"),
+          expr("transform(series, e -> CAST(e.cnt AS DOUBLE))").as("xs"))
+        .filter(size(col("xs")) >= 2)
+        .select(col("event_type"), size(col("xs")).cast("long").as("n_days"),
+          expr("""aggregate(
+              slice(xs, 2, size(xs) - 1),
+              named_struct(
+                'l', element_at(xs, 1),
+                'b', element_at(xs, 2) - element_at(xs, 1)),
+              (acc, x) -> named_struct(
+                'l', 0.5D * x + 0.5D * (acc.l + acc.b),
+                'b', 0.5D * ((0.5D * x + 0.5D * (acc.l + acc.b)) - acc.l)
+                       + 0.5D * acc.b))""").as("hb"))
+        .select(col("event_type"), col("n_days"),
+          col("hb.l").as("level"), col("hb.b").as("trend"),
+          (col("hb.l") + lit(7.0) * col("hb.b")).as("forecast_7d"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |series AS (
+        |  SELECT event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    CAST(cnt AS DOUBLE) AS x
+        |  FROM daily),
+        |ns AS (SELECT event_type, MAX(t) AS tmax FROM series GROUP BY 1),
+        |rec AS (
+        |  SELECT s1.event_type, CAST(1 AS BIGINT) AS t, s1.x AS l, s2.x - s1.x AS b
+        |  FROM series s1 JOIN series s2
+        |    ON s2.event_type = s1.event_type AND s1.t = 1 AND s2.t = 2
+        |  UNION ALL
+        |  SELECT r.event_type, r.t + 1,
+        |    0.5 * s.x + 0.5 * (r.l + r.b),
+        |    0.5 * ((0.5 * s.x + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+        |  FROM rec r JOIN series s
+        |    ON s.event_type = r.event_type AND s.t = r.t + 1)
+        |SELECT r.event_type, CAST(ns.tmax AS BIGINT) AS n_days,
+        |  r.l AS level, r.b AS trend, r.l + 7.0 * r.b AS forecast_7d
+        |FROM rec r JOIN ns ON ns.event_type = r.event_type AND r.t = ns.tmax
+        |WHERE ns.tmax >= 2
+        |ORDER BY r.event_type""".stripMargin)),
+
     // Event-type transition matrix: first-order Markov counts over each
     // user's time-ordered event sequence, with row-normalized
     // probabilities — the behavior-model input (and the user_path
