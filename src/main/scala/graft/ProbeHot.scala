@@ -23,7 +23,9 @@ object ProbeHot {
         "h_cosine_topk", "h_crosslang_neardup", "h_dedup_threshold_sweep",
         // r9 verdict: ANN family gets the corr_matrix treatment —
         // isolated anchors on current binaries + PlanShapeSpec pins
-        "h_ann_lsh", "h_ann_recall", "h_ann_topk_pairs", "h_ann_ivf")
+        "h_ann_lsh", "h_ann_recall", "h_ann_topk_pairs", "h_ann_ivf",
+        // r10 third continuation: PCA / BPE family anchors
+        "h_pca_power", "h_pca_project", "h_bpe_merges", "h_bpe_tokenize")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
