@@ -401,6 +401,82 @@ object AnalyticsOps {
         |  wm_us - last_us > 7 * 86400000000 AS churned
         |FROM ls CROSS JOIN wm ORDER BY user_id""".stripMargin)),
 
+    // Kaplan-Meier survival curve for time-to-first-purchase: each user
+    // enters at their first event, "dies" at their first purchase, and
+    // is right-censored at the corpus watermark otherwise — the
+    // time-to-conversion read every funnel owner wants with censoring
+    // done correctly. All KM inputs are INTEGER counts (day-grain
+    // durations via DIV, death/at-risk tallies), each factor
+    // (n_i − d_i)/n_i is an int/int double division (bit-identical in
+    // both engines), and the survival product folds left-to-right over
+    // the death days — Spark as an indexed-transform prefix fold over
+    // the bounded day array (≤ corpus-days rows), DuckDB as the
+    // textbook recursive CTE over death-day rank; both spell
+    // acc · (diff/n), so the curve is engine-exact with zero snaps.
+    // Corpus-sized work: one user-keyed aggregate; everything after is
+    // day-histogram-sized.
+    Q("g_survival_km", (s, d) => {
+      val ev = Io.events(s, d)
+      val byUser = ev.groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("t0"),
+          min(when(col("event_type") === "purchase", col("ts_us"))).as("tp"))
+      val wm = ev.agg(max(col("ts_us")).as("wm_us"))
+      val durs = byUser.crossJoin(broadcast(wm))
+        .select(expr("CAST(coalesce(tp, wm_us) - t0 AS BIGINT) DIV 86400000000")
+          .as("dur"), col("tp").isNotNull.as("died"))
+      val hist = durs.groupBy(col("dur"))
+        .agg(count(lit(1)).as("n_all"),
+          sum(when(col("died"), 1L).otherwise(0L)).as("n_died"))
+      val wRisk = Window.orderBy(col("dur"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val deathDays = hist
+        .withColumn("n_risk", sum(col("n_all")).over(wRisk))
+        .filter(col("n_died") >= 1)
+        .select(col("dur"), col("n_risk"), col("n_died"))
+      deathDays.agg(sort_array(collect_list(
+          struct(col("dur"), col("n_risk"), col("n_died")))).as("arr"))
+        .select(explode(expr(
+          """transform(arr, (e, i) -> named_struct(
+             'day', e.dur, 'n_risk', e.n_risk, 'n_events', e.n_died,
+             'survival', aggregate(slice(arr, 1, i + 1), 1.0D,
+               (acc, x) -> acc * ((x.n_risk - x.n_died) / CAST(x.n_risk AS DOUBLE)))))"""))
+          .as("r"))
+        .select(col("r.day"), col("r.n_risk"), col("r.n_events"), col("r.survival"))
+        .orderBy("day")
+    }, Some(
+      """WITH RECURSIVE bu AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS t0,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+        |  FROM events GROUP BY user_id),
+        |wm AS (SELECT MAX(epoch_us(ts)) AS wm_us FROM events),
+        |durs AS (
+        |  SELECT (COALESCE(tp, wm_us) - t0) // 86400000000 AS dur,
+        |    tp IS NOT NULL AS died
+        |  FROM bu CROSS JOIN wm),
+        |hist AS (
+        |  SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_all,
+        |    CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS n_died
+        |  FROM durs GROUP BY dur),
+        |dd AS (
+        |  SELECT dur, n_risk, n_died,
+        |    ROW_NUMBER() OVER (ORDER BY dur) AS k
+        |  FROM (
+        |    SELECT dur, n_died,
+        |      CAST(SUM(n_all) OVER (ORDER BY dur
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        |    FROM hist)
+        |  WHERE n_died >= 1),
+        |rec AS (
+        |  SELECT dur, n_risk, n_died, k,
+        |    1.0 * ((n_risk - n_died) / CAST(n_risk AS DOUBLE)) AS s
+        |  FROM dd WHERE k = 1
+        |  UNION ALL
+        |  SELECT dd.dur, dd.n_risk, dd.n_died, dd.k,
+        |    rec.s * ((dd.n_risk - dd.n_died) / CAST(dd.n_risk AS DOUBLE))
+        |  FROM rec JOIN dd ON dd.k = rec.k + 1)
+        |SELECT dur AS day, n_risk, n_died AS n_events, s AS survival
+        |FROM rec ORDER BY day""".stripMargin)),
+
     // Winsorization: clip each event's value at its type's discrete
     // p5/p95 (smallest member with cume_dist ≥ threshold — actual
     // members of the value set, so the clip points are engine-identical
