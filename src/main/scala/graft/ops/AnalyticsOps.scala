@@ -37,6 +37,18 @@ object AnalyticsOps {
     s"CAST(CAST(CAST(CASE WHEN ABS($x) < 5e-7 THEN CAST(0 AS DOUBLE) ELSE $x END" +
       s" AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE)"
 
+  /** Per-term 1e-12 snap + exact DECIMAL(38,18) sum for transcendental
+    * (ln) terms — the GraphOps PMI/Adamic-Adar discipline. */
+  private def snap12(c: org.apache.spark.sql.Column) =
+    c.cast(org.apache.spark.sql.types.DecimalType(38, 12)).cast("double")
+  private def dSnap12(x: String) =
+    s"CAST(CAST(CAST(CASE WHEN ABS($x) < 5e-13 THEN CAST(0 AS DOUBLE) ELSE $x END" +
+      s" AS VARCHAR) AS DECIMAL(38,12)) AS DOUBLE)"
+  private def decSum18(c: org.apache.spark.sql.Column) =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 18))).cast("double")
+  private def dSum18(x: String) =
+    s"CAST(SUM(CAST($x AS DECIMAL(38,18))) AS DOUBLE)"
+
   val all: Seq[Q] = Seq(
     // Pivot (statuses are a fixed domain → stable column names).
     Q("d_pivot", (s, d) => {
@@ -1360,6 +1372,74 @@ object AnalyticsOps {
          |  ${dSum("rec")} / COUNT(*) AS avg_recency,
          |  ${dSum("freq")} / COUNT(*) AS avg_freq,
          |  ${dSnap6(dSum("monet"))} AS total_spend
-         |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin))
+         |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin)),
+
+    // Theil T inequality index of customer spend, decomposed by nation
+    // (Theil 1967): T = Σ_g s_g·T_g + Σ_g s_g·ln(s_g/p_g) — the
+    // within-group and between-group halves, the standard concentration
+    // read a data-mix audit runs per source/segment. All base sums are
+    // exact decimals; each ratio is a double built ONLY from exact-cast
+    // decimals (every unscaled value here is far below 2^53, where both
+    // engines' decimal→double casts are correctly rounded — DuckDB's
+    // int128-multiply cast first diverges above that); each ln term
+    // snaps at 1e-12 (libm last-ulp divergence, the PMI/Adamic-Adar
+    // precedent) and per-group totals are exact DECIMAL(38,18) sums, so
+    // accumulation order cannot perturb the result. Shape: one
+    // customer-keyed agg, one broadcast nation join, one group agg +
+    // two broadcast scalar attaches — two shuffles total at 100 TB.
+    Q("g_theil_spend", (s, d) => {
+      val cust = Io.table(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nation = Io.table(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val spend = Io.table(s, d, "orders")
+        .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("x"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("x"))
+      val glob = spend.agg(count(lit(1)).as("n"), sum(col("x")).as("tot"))
+      val grp = spend.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_g"), sum(col("x")).as("tot_g"))
+      val within = spend.join(grp, "n_name")
+        .withColumn("rg",
+          col("x").cast("double") * col("n_g") / col("tot_g").cast("double"))
+        .withColumn("termg", snap12(col("rg") * log(col("rg"))))
+        .groupBy(col("n_name")).agg(decSum18(col("termg")).as("sum_termg"))
+      val sg = col("tot_g").cast("double") / col("tot").cast("double")
+      val pg = col("n_g").cast("double") / col("n").cast("double")
+      grp.join(within, "n_name").crossJoin(broadcast(glob))
+        .select(col("n_name"), col("n_g").as("n_cust"),
+          snap6(sg).as("spend_share"),
+          snap6(col("sum_termg") / col("n_g")).as("theil_within"),
+          snap6(sg * log(sg / pg)).as("theil_between_term"))
+        .orderBy("n_name")
+    }, Some(
+      s"""WITH spend AS (
+         |  SELECT n.n_name, SUM(o.o_totalprice) AS x
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  GROUP BY o.o_custkey, n.n_name),
+         |gall AS (SELECT COUNT(*) AS n, SUM(x) AS tot FROM spend),
+         |grp AS (SELECT n_name, COUNT(*) AS n_g, SUM(x) AS tot_g
+         |        FROM spend GROUP BY 1),
+         |terms AS (
+         |  SELECT s.n_name,
+         |    ${dSnap12("CAST(s.x AS DOUBLE) * g.n_g / CAST(g.tot_g AS DOUBLE)" +
+        " * LN(CAST(s.x AS DOUBLE) * g.n_g / CAST(g.tot_g AS DOUBLE))")}
+         |      AS termg
+         |  FROM spend s JOIN grp g ON s.n_name = g.n_name),
+         |within AS (SELECT n_name, ${dSum18("termg")} AS sum_termg
+         |           FROM terms GROUP BY 1)
+         |SELECT g.n_name, g.n_g AS n_cust,
+         |  ${dSnap6("CAST(g.tot_g AS DOUBLE) / CAST(gl.tot AS DOUBLE)")}
+         |    AS spend_share,
+         |  ${dSnap6("w.sum_termg / g.n_g")} AS theil_within,
+         |  ${dSnap6("CAST(g.tot_g AS DOUBLE) / CAST(gl.tot AS DOUBLE)" +
+        " * LN((CAST(g.tot_g AS DOUBLE) / CAST(gl.tot AS DOUBLE))" +
+        " / (CAST(g.n_g AS DOUBLE) / CAST(gl.n AS DOUBLE)))")}
+         |    AS theil_between_term
+         |FROM grp g JOIN within w ON g.n_name = w.n_name CROSS JOIN gall gl
+         |ORDER BY g.n_name""".stripMargin))
   )
 }

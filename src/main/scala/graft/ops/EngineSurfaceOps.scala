@@ -47,6 +47,19 @@ object EngineSurfaceOps {
         |FROM orders WHERE o_orderkey <= 200
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Aggregate FILTER clause (SQL:2003 T612) — per-aggregate
+    // predicates without CASE-wrapping, one shared text; both engines
+    // plan it as conditional accumulation inside the ordinary
+    // partial+final hash aggregate (no extra pass, no expand).
+    shared("f_agg_filter_clause",
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+        |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_disc,
+        |  COUNT(*) FILTER (WHERE l_tax = 0) AS n_notax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // parse_url / url_encode / url_decode. The URL is built from part
     // columns ('#' in p_brand forces percent-encoding), then parsed back:
     // HOST and PATH extraction, a named QUERY parameter, and a decode

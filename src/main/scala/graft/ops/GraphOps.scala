@@ -983,6 +983,88 @@ object GraphOps {
         |          FROM scc GROUP BY 1)
         |SELECT s.event_type, s.scc_id, z.scc_size
         |FROM scc s JOIN sizes z USING (scc_id)
-        |ORDER BY s.event_type""".stripMargin))
+        |ORDER BY s.event_type""".stripMargin)),
+
+    // HITS hubs-and-authorities (Kleinberg 1999) over the same
+    // dominant-transition DIRECTED type graph as i_graph_scc. The
+    // textbook algorithm normalizes each half-step; normalization is a
+    // positive scalar, so the RANKING after k steps is identical
+    // without it — and skipping it keeps every value an INTEGER
+    // (a₀ = 1; h = A·a and a = Aᵀ·h are integer sums of integers),
+    // making the op engine-exact with zero floating point. Two full
+    // iterations on a ≤9-node graph bound scores by |E|³ ≤ 81³ ≈ 5e5
+    // — far inside BIGINT. The corpus-sized work is the ONE window
+    // pass building transition counts (materialized as the hitsEdges
+    // artifact — every iteration joins it, and an unmaterialized
+    // chain would re-run the corpus scan per half-step); the four
+    // iteration joins are |types|²-bounded metadata. Ranks are
+    // row_number over (score DESC, type) — a 9-row window, not a
+    // data-sized global sort.
+    Q("i_graph_hits", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val edges = Q.memoized(s, d, "hitsEdges") {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val trans = Io.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_type").as("src"))
+          .withColumn("dst", lead(col("src"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+        val tot = trans.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+        Q.materialize(s, d, "hitsEdges")(
+          trans.join(tot, "src").filter(col("n") * 5 >= col("tot"))
+            .select(col("src"), col("dst")))
+      }
+      val nodes = Io.events(s, d).select(col("event_type").as("u")).distinct()
+      // a0 = 1 ⇒ h1(u) = outdeg(u)
+      val h1 = edges.groupBy(col("src").as("u")).agg(count(lit(1)).as("h"))
+      val a1 = edges.join(h1, edges("src") === h1("u"))
+        .groupBy(col("dst").as("u")).agg(sum(col("h")).as("a"))
+      val h2 = edges.join(a1, edges("dst") === a1("u"))
+        .groupBy(col("src").as("u")).agg(sum(col("a")).as("h"))
+      val a2 = edges.join(h2, edges("src") === h2("u"))
+        .groupBy(col("dst").as("u")).agg(sum(col("h")).as("a"))
+      val scores = nodes
+        .join(h2, Seq("u"), "left").join(a2, Seq("u"), "left")
+        .select(col("u").as("event_type"),
+          coalesce(col("h"), lit(0L)).as("hub"),
+          coalesce(col("a"), lit(0L)).as("auth"))
+      scores
+        .withColumn("hub_rank", row_number().over(
+          Window.orderBy(col("hub").desc, col("event_type"))))
+        .withColumn("auth_rank", row_number().over(
+          Window.orderBy(col("auth").desc, col("event_type"))))
+        .orderBy("event_type")
+    }, Some(
+      """WITH trans AS (
+        |  SELECT src, dst, COUNT(*) AS n FROM (
+        |    SELECT event_type AS src,
+        |      LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id) AS dst
+        |    FROM events)
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src, SUM(n) AS tot FROM trans GROUP BY 1),
+        |edges AS (SELECT t.src, t.dst FROM trans t JOIN tot USING (src)
+        |          WHERE t.n * 5 >= tot.tot),
+        |nodes AS (SELECT DISTINCT event_type AS u FROM events),
+        |h1 AS (SELECT src AS u, COUNT(*) AS h FROM edges GROUP BY 1),
+        |a1 AS (SELECT e.dst AS u, SUM(h1.h) AS a
+        |       FROM edges e JOIN h1 ON e.src = h1.u GROUP BY 1),
+        |h2 AS (SELECT e.src AS u, SUM(a1.a) AS h
+        |       FROM edges e JOIN a1 ON e.dst = a1.u GROUP BY 1),
+        |a2 AS (SELECT e.dst AS u, SUM(h2.h) AS a
+        |       FROM edges e JOIN h2 ON e.src = h2.u GROUP BY 1),
+        |scores AS (
+        |  SELECT n.u AS event_type,
+        |    CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub,
+        |    CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth
+        |  FROM nodes n LEFT JOIN h2 ON n.u = h2.u LEFT JOIN a2 ON n.u = a2.u)
+        |SELECT event_type, hub, auth,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY hub DESC, event_type) AS INT)
+        |    AS hub_rank,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY auth DESC, event_type) AS INT)
+        |    AS auth_rank
+        |FROM scores ORDER BY event_type""".stripMargin))
   )
 }

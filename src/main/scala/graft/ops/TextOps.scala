@@ -789,7 +789,91 @@ object TextOps {
          |SELECT lang, n_words, total_chars, total_tokens,
          |  CAST(total_chars AS DOUBLE) / total_tokens AS chars_per_token,
          |  CAST(total_tokens AS DOUBLE) / n_words AS tokens_per_word
-         |FROM agg ORDER BY lang""".stripMargin))
+         |FROM agg ORDER BY lang""".stripMargin)),
+
+    // Gopher document-quality rules (Rae et al., arXiv:2112.11446
+    // §A1.1) — the integer-exact subset that discriminates on this
+    // corpus, each rule restated as a cross-multiplied INTEGER
+    // comparison so there is not a single floating-point value in the
+    // query (no snaps, no boundary classes):
+    //   wc_ok   50 ≤ |words| ≤ 100000
+    //   mwl_ok  3 ≤ mean word length ≤ 10   (3n ≤ Σlen ≤ 10n)
+    //   stop_ok ≥ 2 distinct stopwords from the Gopher list
+    //   dup_ok  chars inside duplicated word-2-grams ≤ 20% of text
+    //           (5·dup_chars ≤ |text| — Gopher's char-weighted rule;
+    //            h_repetition_filter's ratios are token-weighted)
+    // Shape: one scan + one (doc,gram)-keyed agg — the same two-pass
+    // plan at 100 TB, no wide rows, no holistic state.
+    Q("h_gopher_filters", (s, d) => {
+      val stopList = array(Seq("the", "a", "to", "of", "and", "that",
+        "with", "have").map(lit): _*)
+      val docs = Io.table(s, d, "documents")
+      val base = docs.select(col("doc_id"),
+        length(col("text")).as("text_chars"),
+        size(toks).as("n_words"),
+        aggregate(transform(toks, w => length(w)), lit(0),
+          (acc, x) => acc + x).as("word_chars"),
+        size(array_intersect(toks, stopList)).as("n_stop"))
+      val t = toks
+      val bigrams = zip_with(slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1), (a, b) => concat(a, lit(" "), b))
+      val dup = docs.select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("cnt") > 1, col("cnt") * length(col("bg")))
+          .otherwise(0L)).as("dup_chars"))
+      base.join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("word_chars"),
+          col("n_stop"),
+          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+          (col("n_words") >= 50 && col("n_words") <= 100000).as("wc_ok"),
+          (lit(3) * col("n_words") <= col("word_chars") &&
+            col("word_chars") <= lit(10) * col("n_words")).as("mwl_ok"),
+          (col("n_stop") >= 2).as("stop_ok"),
+          (lit(5) * coalesce(col("dup_chars"), lit(0L)) <=
+            col("text_chars")).as("dup_ok"))
+        .withColumn("keep",
+          col("wc_ok") && col("mwl_ok") && col("stop_ok") && col("dup_ok"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |base AS (
+        |  SELECT doc_id, LENGTH(text) AS text_chars,
+        |    CAST(len(toks) AS INT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, w -> LENGTH(w))) AS INT)
+        |      AS word_chars,
+        |    CAST(len(list_intersect(list_distinct(toks),
+        |      ['the','a','to','of','and','that','with','have'])) AS INT)
+        |      AS n_stop
+        |  FROM t),
+        |bg AS (
+        |  SELECT doc_id, b.bg, COUNT(*) AS cnt
+        |  FROM (SELECT doc_id,
+        |          list_transform(generate_series(1, len(toks) - 1),
+        |                         i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+        |        FROM t),
+        |       LATERAL UNNEST(bgs) AS b(bg)
+        |  GROUP BY doc_id, b.bg),
+        |dup AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN cnt > 1 THEN cnt * LENGTH(bg) ELSE 0 END)
+        |      AS BIGINT) AS dup_chars
+        |  FROM bg GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_words, b.word_chars, b.n_stop,
+        |  COALESCE(d.dup_chars, 0) AS dup_chars,
+        |  (b.n_words >= 50 AND b.n_words <= 100000) AS wc_ok,
+        |  (3 * b.n_words <= b.word_chars
+        |    AND b.word_chars <= 10 * b.n_words) AS mwl_ok,
+        |  (b.n_stop >= 2) AS stop_ok,
+        |  (5 * COALESCE(d.dup_chars, 0) <= b.text_chars) AS dup_ok,
+        |  (b.n_words >= 50 AND b.n_words <= 100000
+        |    AND 3 * b.n_words <= b.word_chars
+        |    AND b.word_chars <= 10 * b.n_words
+        |    AND b.n_stop >= 2
+        |    AND 5 * COALESCE(d.dup_chars, 0) <= b.text_chars) AS keep
+        |FROM base b LEFT JOIN dup d ON b.doc_id = d.doc_id
+        |ORDER BY b.doc_id""".stripMargin))
   )
 
   /** Shared oracle CTE chain for the BPE family: words + 3 rounds of

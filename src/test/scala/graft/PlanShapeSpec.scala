@@ -757,4 +757,43 @@ class PlanShapeSpec extends AnyFunSuite {
         s"groupBy all partition by (event_type, hour)), got $exchanges:\n" +
         p.take(2000))
   }
+
+  test("gopher filters: one scan + one (doc,gram)-keyed agg, no join blowup") {
+    // The char-weighted duplicate-2-gram rule is the only non-map work:
+    // it must stay an explode → (doc_id, bg) hash agg → doc_id hash agg
+    // joined back on doc_id — never a gram-keyed self-join or
+    // cartesian. Everything else is scan-projection arithmetic.
+    val p = plan("h_gopher_filters").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a cartesian appeared")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 0,
+      "a nested-loop join appeared — dup-gram path fell off the keyed agg")
+    assert(p.contains("Generate"), "bigram explode missing")
+    assert(p.contains("HashAggregate"), "dup-gram count lost hash-agg form")
+  }
+
+  test("HITS: iteration joins stay keyed; ranks are a 9-row window") {
+    // The corpus-sized work is the hitsEdges artifact (one window pass,
+    // materialized); the four iteration joins and the rank windows run
+    // over the |types|-bounded score table. Pin: no cartesian, joins
+    // keyed (broadcast/SMJ/SHJ over the tiny tables is all fine), and
+    // the final plan carries Window operators for the two ranks.
+    val p = plan("i_graph_hits").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a cartesian appeared")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 0,
+      "a nested-loop join appeared in the HITS iteration chain")
+    assert(p.contains("Window"), "rank windows missing")
+  }
+
+  test("theil: two shuffles of data-sized input, scalars broadcast-attached") {
+    // Per-customer spend agg (o_custkey exchange) and the per-nation
+    // agg are the only data-sized shuffles; nation and the two scalar
+    // frames attach via broadcast. No cartesian beyond the sanctioned
+    // one-row scalar attach, no nested loop over data-sized input.
+    val p = plan("g_theil_spend").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a data-sized cartesian appeared")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2,
+      s"$bnlj nested-loop joins (> 2 sanctioned one-row scalar attaches)")
+    assert(p.contains("BroadcastHashJoin"), "nation join did not broadcast")
+  }
 }
