@@ -73,7 +73,8 @@ object Bench {
         "t_q02", "t_q11",       // tpchPsCat / tpchQ11V CTE artifacts
         "h_pq_encode",          // pqCent -> pqCodes (4 PQ/ADC consumers)
         "h_prefix_filter_pairs", // prefixPostings
-        "h_pca_power"           // pcaScatter -> pcaW3 (PCA family)
+        "h_pca_power",          // pcaScatter -> pcaW3 (PCA family)
+        "h_ngram_lm_score"      // lmBigrams/lmHist/lmVocab (LM family)
       ).filter(SparkEntry.queries.contains)
       val headQueue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       chainHeads.foreach(headQueue.add)

@@ -20,6 +20,40 @@ object TextOps {
 
   private def toks = split(col("text"), " ")
 
+  /** Shared bigram-LM model artifacts — corpus bigram counts, the
+    * first-token continuation histogram, and the unigram vocab size —
+    * built ONCE per corpus (Q.memoized + materialized) and joined by
+    * the three LM-family checked queries (h_ngram_lm_score,
+    * h_dsir_weights, h_ccnet_buckets). A production pipeline trains the
+    * LM once and scores many consumers; rebuilding the model per query
+    * was 3× the corpus scans. All three tables are vocabulary-bounded
+    * aggregates: tiny next to the corpus at any SF, AQE broadcasts them
+    * at runtime (no forced hint — an open-vocabulary corpus degrades to
+    * a shuffle join instead of hard-failing the broadcast build).
+    */
+  private[ops] def lmModel(s: org.apache.spark.sql.SparkSession, d: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    graft.functions.ExplodeNgrams.register(s)
+    val docs = Io.table(s, d, "documents")
+    val bg = Q.memoized(s, d, "lmBigrams") {
+      Q.materialize(s, d, "lmBigrams")(
+        docs.select(expr("explode_ngrams(text, 2)").as("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("c_ab")))
+    }
+    val hist = Q.memoized(s, d, "lmHist") {
+      Q.materialize(s, d, "lmHist")(
+        bg.groupBy(split(col("g"), " ").getItem(0).as("tok_a"))
+          .agg(sum(col("c_ab")).as("c_a")))
+    }
+    val vocab = Q.memoized(s, d, "lmVocab") {
+      Q.materialize(s, d, "lmVocab")(
+        docs.select(explode(toks).as("t"))
+          .agg(countDistinct(col("t")).as("v")))
+    }
+    (bg, hist, vocab)
+  }
+
   val all: Seq[Q] = Seq(
     Q("h_text_stats", (s, d) => {
       Io.table(s, d, "documents")
@@ -545,14 +579,8 @@ object TextOps {
     // snaps to 1e-12 (libm ulp) and the per-doc mean is an exact
     // decimal sum, so ranking thresholds are engine-identical.
     Q("h_ngram_lm_score", (s, d) => {
-      graft.functions.ExplodeNgrams.register(s)
+      val (bg, hist, vocab) = lmModel(s, d)
       val docs = Io.table(s, d, "documents")
-      val bg = docs.select(expr("explode_ngrams(text, 2)").as("g"))
-        .groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
-      val hist = bg.groupBy(split(col("g"), " ").getItem(0).as("tok_a"))
-        .agg(sum(col("c_ab")).as("c_a"))
-      val vocab = docs.select(explode(toks).as("t"))
-        .agg(countDistinct(col("t")).as("v"))
       val docBg = docs.select(col("doc_id"), expr("explode_ngrams(text, 2)").as("g"))
       val lp = log((col("c_ab") + 1).cast("double") / (col("c_a") + col("v")))
         .cast(org.apache.spark.sql.types.DecimalType(38, 12))
@@ -607,21 +635,23 @@ object TextOps {
     // doubles, and the per-doc mean snaps at 1e-6, so the selected
     // boundary is engine-identical.
     Q("h_dsir_weights", (s, d) => {
-      graft.functions.ExplodeNgrams.register(s)
       val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
       val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val (bgAll, histAll, vocab) = lmModel(s, d)
+      val bgRaw = bgAll.select(col("g"), col("c_ab").as("c_r"))
+      val histRaw = histAll.select(col("tok_a"), col("c_a").as("ca_r"))
       val docs = Io.table(s, d, "documents")
-      val bgRaw = docs.select(expr("explode_ngrams(text, 2)").as("g"))
-        .groupBy(col("g")).agg(count(lit(1)).as("c_r"))
-      val histRaw = bgRaw.groupBy(split(col("g"), " ").getItem(0).as("tok_a"))
-        .agg(sum(col("c_r")).as("ca_r"))
-      val bgT = docs.filter(col("lang") === "en")
-        .select(expr("explode_ngrams(text, 2)").as("g"))
-        .groupBy(col("g")).agg(count(lit(1)).as("c_t"))
-      val histT = bgT.groupBy(split(col("g"), " ").getItem(0).as("tok_a"))
-        .agg(sum(col("c_t")).as("ca_t"))
-      val vocab = docs.select(explode(toks).as("t"))
-        .agg(countDistinct(col("t")).as("v"))
+      val bgT = Q.memoized(s, d, "lmBigramsEn") {
+        Q.materialize(s, d, "lmBigramsEn")(
+          docs.filter(col("lang") === "en")
+            .select(expr("explode_ngrams(text, 2)").as("g"))
+            .groupBy(col("g")).agg(count(lit(1)).as("c_t")))
+      }
+      val histT = Q.memoized(s, d, "lmHistEn") {
+        Q.materialize(s, d, "lmHistEn")(
+          bgT.groupBy(split(col("g"), " ").getItem(0).as("tok_a"))
+            .agg(sum(col("c_t")).as("ca_t")))
+      }
       val docBg = docs.select(col("doc_id"), col("lang"),
         expr("explode_ngrams(text, 2)").as("g"))
       // every doc bigram exists in the raw model by construction (inner
@@ -873,7 +903,175 @@ object TextOps {
         |    AND b.n_stop >= 2
         |    AND 5 * COALESCE(d.dup_chars, 0) <= b.text_chars) AS keep
         |FROM base b LEFT JOIN dup d ON b.doc_id = d.doc_id
-        |ORDER BY b.doc_id""".stripMargin))
+        |ORDER BY b.doc_id""".stripMargin)),
+
+    // Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    // SIGMOD 2003 — the MOSS algorithm): hash every k-gram (k=3 word
+    // grams, the h_fingerprint polynomial char fold), then slide a
+    // window of w=4 consecutive gram hashes and select each window's
+    // MINIMUM — the selected set is the fingerprint. The winnowing
+    // guarantee: any shared run of ≥ w+k−1 tokens between two docs
+    // shares at least one selected fingerprint, at ~2/(w+1) the
+    // density of full k-gram sets. Everything is INTEGER arithmetic on
+    // array columns — per-doc map-side work with zero shuffles beyond
+    // the ORDER BY, the same plan at 100 TB. The no-init DuckDB
+    // list_reduce is equivalent to Spark's 0-seeded aggregate because
+    // (0*31+c) = c and (0*131+h) = h. density = selected/windows is an
+    // int/int double division — bit-identical in both engines.
+    Q("h_winnowing_fp", (s, d) => {
+      val t = toks
+      val docs = Io.table(s, d, "documents")
+        .withColumn("grams",
+          when(size(t) >= 3,
+            transform(sequence(lit(1), size(t) - 2), i =>
+              concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+                element_at(t, i + 2))))
+            .otherwise(array().cast("array<string>")))
+        .withColumn("gh", expr(
+          "transform(grams, g -> aggregate(transform(sequence(1, length(g))," +
+            " i -> CAST(ascii(substring(g, i, 1)) AS BIGINT)), 0L," +
+            " (a, c) -> (a * 31 + c) % 1000000007))"))
+        .withColumn("wins",
+          when(size(col("gh")) >= 4,
+            transform(sequence(lit(1), size(col("gh")) - 3), j =>
+              array_min(slice(col("gh"), j, lit(4)))))
+            .otherwise(array().cast("array<bigint>")))
+        .withColumn("sel", array_sort(array_distinct(col("wins"))))
+      docs.select(col("doc_id"),
+          size(col("gh")).as("n_grams"),
+          size(col("wins")).as("n_windows"),
+          size(col("sel")).as("n_fp"),
+          when(size(col("wins")) > 0,
+            size(col("sel")).cast("double") / size(col("wins")))
+            .as("density"),
+          expr("aggregate(sel, 0L, (a, h) -> (a * 131 + h) % 1000000007)")
+            .as("fp_checksum"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+        |    ELSE CAST([] AS VARCHAR[]) END AS grams
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(grams, g2 -> list_reduce(
+        |      list_transform(generate_series(1, length(g2)),
+        |                     i -> CAST(ascii(substr(g2, i, 1)) AS BIGINT)),
+        |      (a, c) -> (a * 31 + c) % 1000000007)) AS gh
+        |  FROM g),
+        |w AS (
+        |  SELECT doc_id, gh,
+        |    CASE WHEN len(gh) >= 4 THEN
+        |      list_transform(generate_series(1, len(gh) - 3),
+        |                     j -> list_min(gh[j:j + 3]))
+        |    ELSE CAST([] AS BIGINT[]) END AS wins
+        |  FROM h),
+        |s AS (SELECT doc_id, gh, wins,
+        |             list_sort(list_distinct(wins)) AS sel FROM w)
+        |SELECT doc_id,
+        |  CAST(len(gh) AS INT) AS n_grams,
+        |  CAST(len(wins) AS INT) AS n_windows,
+        |  CAST(len(sel) AS INT) AS n_fp,
+        |  CASE WHEN len(wins) > 0
+        |       THEN CAST(len(sel) AS DOUBLE) / len(wins) END AS density,
+        |  CASE WHEN len(sel) > 0 THEN
+        |    list_reduce(sel, (a, h) -> (a * 131 + h) % 1000000007)
+        |  ELSE 0 END AS fp_checksum
+        |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // CCNet-style language-model quality bucketing (Wenzek et al.,
+    // LREC 2020, arXiv:1911.00359): score each doc under the corpus
+    // bigram LM (h_ngram_lm_score's add-1-smoothed avg log P(b|a) —
+    // the perplexity proxy), then split EACH LANGUAGE into head /
+    // middle / tail thirds — CCNet's per-language split is the point:
+    // a global cut would empty low-resource languages. Bucket
+    // assignment is rank-based, not threshold-based: rn·3 ≤ n and
+    // rn·3 ≤ 2n are INTEGER comparisons over a (lp, doc_id)-total-
+    // ordered per-lang row_number, so the boundary cannot float-diverge
+    // (the scored lp values themselves are engine-identical: 1e-12
+    // ln-term snaps + exact decimal sums, the lm_score discipline).
+    // Shape at 100 TB: model tables are vocab-bounded aggregates (AQE
+    // broadcasts them), scoring is one scan + one doc-keyed agg, and
+    // the rank windows partition by lang — keyed shuffles only.
+    Q("h_ccnet_buckets", (s, d) => {
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val (bg, hist, vocab) = lmModel(s, d)
+      val docs = Io.table(s, d, "documents")
+      val docBg = docs.select(col("doc_id"), col("lang"),
+        expr("explode_ngrams(text, 2)").as("g"))
+      val lp = log((col("c_ab") + 1).cast("double") / (col("c_a") + col("v")))
+        .cast(dec12)
+      val scored = docBg.join(bg, "g")
+        .withColumn("tok_a", split(col("g"), " ").getItem(0))
+        .join(hist, "tok_a")
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg((sum(lp).cast("double") / count(lit(1)))
+          .cast(dec6).cast("double").as("lp"))
+      val wl = Window.partitionBy(col("lang")).orderBy(col("lp"), col("doc_id"))
+      val wn = Window.partitionBy(col("lang"))
+      scored
+        .withColumn("rn", row_number().over(wl))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("bucket",
+          when(col("rn") * 3 <= col("n"), lit("tail"))
+            .when(col("rn") * 3 <= col("n") * 2, lit("middle"))
+            .otherwise(lit("head")))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("lp")).as("min_lp"), max(col("lp")).as("max_lp"),
+          Q.decAvg(col("lp")).as("mean_lp"))
+        .orderBy("lang", "bucket")
+    }, Some(
+      s"""WITH bgr AS (
+         |  SELECT doc_id, lang,
+         |    UNNEST(list_transform(generate_series(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i + 1])) AS g
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 2),
+         |bg AS (SELECT g, COUNT(*) AS c_ab FROM bgr GROUP BY g),
+         |hist AS (SELECT string_split(g, ' ')[1] AS tok_a, SUM(c_ab) AS c_a
+         |         FROM bg GROUP BY 1),
+         |vocab AS (
+         |  SELECT COUNT(DISTINCT t.tok) AS v
+         |  FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+         |       LATERAL UNNEST(toks) AS t(tok)),
+         |terms AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CAST(CAST(ln((bg.c_ab + 1) / CAST(hist.c_a + vocab.v AS DOUBLE))
+         |         AS DECIMAL(38,12)) AS DOUBLE) AS t_lp
+         |  FROM bgr d
+         |  JOIN bg USING (g)
+         |  JOIN hist ON hist.tok_a = string_split(d.g, ' ')[1]
+         |  CROSS JOIN vocab),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CAST(CAST(SUM(CAST(t_lp AS DECIMAL(38,12))) AS DOUBLE)
+         |         / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS lp
+         |  FROM terms GROUP BY doc_id, lang),
+         |ranked AS (
+         |  SELECT doc_id, lang, lp,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY lp, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM scored),
+         |bucketed AS (
+         |  SELECT lang, lp,
+         |    CASE WHEN rn * 3 <= n THEN 'tail'
+         |         WHEN rn * 3 <= n * 2 THEN 'middle'
+         |         ELSE 'head' END AS bucket
+         |  FROM ranked)
+         |SELECT lang, bucket, COUNT(*) AS n_docs,
+         |  MIN(lp) AS min_lp, MAX(lp) AS max_lp,
+         |  ${dAvg("lp")} AS mean_lp
+         |FROM bucketed GROUP BY lang, bucket
+         |ORDER BY lang, bucket""".stripMargin))
   )
 
   /** Shared oracle CTE chain for the BPE family: words + 3 rounds of
