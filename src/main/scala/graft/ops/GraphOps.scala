@@ -1065,6 +1065,116 @@ object GraphOps {
         |    AS hub_rank,
         |  CAST(ROW_NUMBER() OVER (ORDER BY auth DESC, event_type) AS INT)
         |    AS auth_rank
-        |FROM scores ORDER BY event_type""".stripMargin))
+        |FROM scores ORDER BY event_type""".stripMargin)),
+
+    // Per-node eccentricity + graph diameter/radius over the UNDIRECTED
+    // dominant-transition type graph — all-pairs shortest paths by
+    // min-plus matrix squaring: d_{k+1}(u,v) = min(d_k(u,v),
+    // min_w d_k(u,w) + d_k(w,v)), three squarings cover distance 8 on a
+    // ≤9-node graph (the SCC guard asserts the bound fail-loud).
+    // Everything is INTEGER arithmetic — engine-exact, zero FP. The
+    // corpus-sized work is the shared hitsEdges artifact (one window
+    // pass, already materialized for i_graph_hits); each squaring is a
+    // |types|²-bounded keyed join + (src,dst) MIN hash-agg, memoized +
+    // materialized per stage (an unmaterialized chain re-runs the
+    // corpus scan 2^depth times — the SCC/PCA/BFS lesson). Unreachable
+    // pairs simply never appear; an isolated node keeps its self-row
+    // (ecc 0, n_reach 1) identically in both engines.
+    Q("i_graph_eccentricity", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dirEdges = Q.memoized(s, d, "hitsEdges") {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val trans = Io.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_type").as("src"))
+          .withColumn("dst", lead(col("src"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+        val tot = trans.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+        Q.materialize(s, d, "hitsEdges")(
+          trans.join(tot, "src").filter(col("n") * 5 >= col("tot"))
+            .select(col("src"), col("dst")))
+      }
+      val nodes0 = Io.events(s, d).select(col("event_type").as("u")).distinct()
+      val nodes = nodes0
+        .crossJoin(broadcast(nodes0.agg(count(lit(1)).as("nv"))))
+        .filter(assert_true(col("nv") <= 9,
+          lit("ecc: >9 event types — 3 squarings no longer cover the diameter"))
+          .isNull)
+        .select(col("u"))
+      val d0 = Q.memoized(s, d, "eccD0") {
+        Q.materialize(s, d, "eccD0")(
+          dirEdges.union(dirEdges.select(col("dst").as("src"), col("src").as("dst")))
+            .distinct().select(col("src"), col("dst"), lit(1L).as("dist"))
+            .union(nodes.select(col("u").as("src"), col("u").as("dst"),
+              lit(0L).as("dist")))
+            .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist")))
+      }
+      def sq(n: Int, r: DataFrame): DataFrame = Q.memoized(s, d, s"eccD$n") {
+        Q.materialize(s, d, s"eccD$n")(
+          r.as("a").join(r.select(col("src").as("mid"), col("dst"),
+              col("dist").as("dist_b")).as("b"),
+              col("a.dst") === col("b.mid"))
+            .select(col("a.src").as("src"), col("b.dst").as("dst"),
+              (col("a.dist") + col("dist_b")).as("dist"))
+            .union(r)
+            .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist")))
+      }
+      val dist = sq(3, sq(2, sq(1, d0)))
+      val ecc = dist.groupBy(col("src").as("event_type"))
+        .agg(max(col("dist")).as("ecc"), count(lit(1)).as("n_reach"))
+      val bounds = ecc.agg(max(col("ecc")).as("diameter"),
+        min(col("ecc")).as("radius"))
+      ecc.crossJoin(broadcast(bounds))
+        .select(col("event_type"), col("ecc"), col("n_reach"),
+          col("diameter"), col("radius"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH trans AS (
+        |  SELECT src, dst, COUNT(*) AS n FROM (
+        |    SELECT event_type AS src,
+        |      LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id) AS dst
+        |    FROM events)
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src, SUM(n) AS tot FROM trans GROUP BY 1),
+        |edges AS (SELECT t.src, t.dst FROM trans t JOIN tot USING (src)
+        |          WHERE t.n * 5 >= tot.tot),
+        |nodes AS (SELECT DISTINCT event_type AS u FROM events),
+        |sym AS (SELECT src, dst FROM edges
+        |        UNION SELECT dst, src FROM edges),
+        |d0 AS (
+        |  SELECT src, dst, MIN(dist) AS dist FROM (
+        |    SELECT src, dst, CAST(1 AS BIGINT) AS dist FROM sym
+        |    UNION ALL
+        |    SELECT u, u, CAST(0 AS BIGINT) FROM nodes)
+        |  GROUP BY 1, 2),
+        |d1 AS (
+        |  SELECT src, dst, MIN(dist) AS dist FROM (
+        |    SELECT a.src, b.dst, a.dist + b.dist AS dist
+        |    FROM d0 a JOIN d0 b ON a.dst = b.src
+        |    UNION ALL SELECT src, dst, dist FROM d0)
+        |  GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT src, dst, MIN(dist) AS dist FROM (
+        |    SELECT a.src, b.dst, a.dist + b.dist AS dist
+        |    FROM d1 a JOIN d1 b ON a.dst = b.src
+        |    UNION ALL SELECT src, dst, dist FROM d1)
+        |  GROUP BY 1, 2),
+        |d3 AS (
+        |  SELECT src, dst, MIN(dist) AS dist FROM (
+        |    SELECT a.src, b.dst, a.dist + b.dist AS dist
+        |    FROM d2 a JOIN d2 b ON a.dst = b.src
+        |    UNION ALL SELECT src, dst, dist FROM d2)
+        |  GROUP BY 1, 2),
+        |ecc AS (
+        |  SELECT src AS event_type, MAX(dist) AS ecc,
+        |    COUNT(*) AS n_reach
+        |  FROM d3 GROUP BY 1),
+        |bounds AS (SELECT MAX(ecc) AS diameter, MIN(ecc) AS radius FROM ecc)
+        |SELECT e.event_type, e.ecc, e.n_reach, b.diameter, b.radius
+        |FROM ecc e CROSS JOIN bounds b
+        |ORDER BY e.event_type""".stripMargin))
   )
 }

@@ -1071,7 +1071,100 @@ object TextOps {
          |  MIN(lp) AS min_lp, MAX(lp) AS max_lp,
          |  ${dAvg("lp")} AS mean_lp
          |FROM bucketed GROUP BY lang, bucket
-         |ORDER BY lang, bucket""".stripMargin))
+         |ORDER BY lang, bucket""".stripMargin)),
+
+    // Multinomial naive-Bayes language classifier, trained AND applied
+    // in one query (the fasttext-style supervised filter slot of a data
+    // pipeline, in closed form): add-1-smoothed per-language token
+    // likelihoods + document-count priors, score = ln prior +
+    // Σ ln P(tok|lang), prediction = argmax. Emitted as the confusion
+    // matrix against the labeled lang column. Float discipline: each
+    // ln term snaps at 1e-12, per-(doc,lang) sums are exact
+    // DECIMAL(38,18), the prior adds as one double addition — so
+    // scores are engine-identical and argmax ties break on lang ASC
+    // deterministically. Shape at 100 TB: the model is a (vocab × L)
+    // bounded table (the crossJoin is vocab × 5-langs metadata, NOT
+    // data-sized); scoring joins the token stream BY KEY to the model
+    // (AQE broadcasts it) into one (doc,lang)-keyed partial+final hash
+    // agg — tokens×L rows through map-side combine, the textbook
+    // distributed-NB plan. Argmax is a doc-keyed window.
+    Q("h_nb_lang_confusion", (s, d) => {
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
+      val docs = Io.table(s, d, "documents")
+      val docTok = docs.select(col("doc_id"), col("lang"), explode(toks).as("t"))
+      val counts = docTok.groupBy(col("lang").as("m_lang"), col("t"))
+        .agg(count(lit(1)).as("c_lt"))
+      val totals = counts.groupBy(col("m_lang")).agg(sum(col("c_lt")).as("c_l"))
+      val vocabT = docTok.select(col("t")).distinct()
+      val vocabN = vocabT.agg(count(lit(1)).as("v"))
+      val langs = docs.select(col("lang").as("m_lang")).distinct()
+      val model = vocabT.crossJoin(broadcast(langs))
+        .join(counts, Seq("m_lang", "t"), "left")
+        .join(totals, "m_lang")
+        .crossJoin(broadcast(vocabN))
+        .select(col("t"), col("m_lang"),
+          log((coalesce(col("c_lt"), lit(0L)) + 1).cast("double") /
+            (col("c_l") + col("v")))
+            .cast(dec12).cast("double").as("lp"))
+      val nAll = docs.agg(count(lit(1)).as("n_all"))
+      val priors = docs.groupBy(col("lang").as("m_lang"))
+        .agg(count(lit(1)).as("n_l"))
+        .crossJoin(broadcast(nAll))
+        .select(col("m_lang"),
+          log(col("n_l").cast("double") / col("n_all"))
+            .cast(dec12).cast("double").as("lp_prior"))
+      val scored = docTok.join(model, "t")
+        .groupBy(col("doc_id"), col("lang"), col("m_lang"))
+        .agg(sum(col("lp").cast(dec18)).cast("double").as("ll"))
+        .join(priors, "m_lang")
+        .withColumn("score", col("ll") + col("lp_prior"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("m_lang"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("lang").as("actual"), col("m_lang").as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("actual", "predicted")
+    }, Some(
+      """WITH dt AS (
+        |  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |counts AS (SELECT lang AS m_lang, t, COUNT(*) AS c_lt
+        |           FROM dt GROUP BY 1, 2),
+        |totals AS (SELECT m_lang, SUM(c_lt) AS c_l FROM counts GROUP BY 1),
+        |vt AS (SELECT DISTINCT t FROM dt),
+        |vn AS (SELECT COUNT(*) AS v FROM vt),
+        |langs AS (SELECT DISTINCT lang AS m_lang FROM documents),
+        |model AS (
+        |  SELECT vt.t, l.m_lang,
+        |    CAST(CAST(ln((COALESCE(c.c_lt, 0) + 1)
+        |         / CAST(tt.c_l + vn.v AS DOUBLE)) AS DECIMAL(38,12))
+        |      AS DOUBLE) AS lp
+        |  FROM vt CROSS JOIN langs l
+        |  LEFT JOIN counts c ON c.m_lang = l.m_lang AND c.t = vt.t
+        |  JOIN totals tt ON tt.m_lang = l.m_lang
+        |  CROSS JOIN vn),
+        |priors AS (
+        |  SELECT lang AS m_lang,
+        |    CAST(CAST(ln(COUNT(*) /
+        |         CAST((SELECT COUNT(*) FROM documents) AS DOUBLE))
+        |         AS DECIMAL(38,12)) AS DOUBLE) AS lp_prior
+        |  FROM documents GROUP BY 1),
+        |scored AS (
+        |  SELECT dt.doc_id, dt.lang, m.m_lang,
+        |    CAST(SUM(CAST(m.lp AS DECIMAL(38,18))) AS DOUBLE) AS ll
+        |  FROM dt JOIN model m ON m.t = dt.t
+        |  GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT doc_id, lang, m_lang,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY sc.ll + p.lp_prior DESC, m_lang) AS rk
+        |  FROM scored sc JOIN priors p USING (m_lang))
+        |SELECT lang AS actual, m_lang AS predicted, COUNT(*) AS n_docs
+        |FROM pred WHERE rk = 1
+        |GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin))
   )
 
   /** Shared oracle CTE chain for the BPE family: words + 3 rounds of

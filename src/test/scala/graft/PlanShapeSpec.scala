@@ -796,4 +796,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"$bnlj nested-loop joins (> 2 sanctioned one-row scalar attaches)")
     assert(p.contains("BroadcastHashJoin"), "nation join did not broadcast")
   }
+
+  test("naive Bayes: model joined by key, bounded cross attaches only") {
+    // The model build crosses the vocab with the 5-row lang set and two
+    // one-row scalars (vocab size, doc total) — 3 sanctioned broadcast
+    // BNLJs, all vocabulary-bounded. Scoring must join the token stream
+    // to the model BY KEY and fold through a hash aggregate; argmax is
+    // a doc-keyed window. A data-sized cartesian or a 4th BNLJ means
+    // the scoring path fell off the keyed join.
+    val p = plan("h_nb_lang_confusion").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a data-sized cartesian appeared")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 3,
+      s"$bnlj nested-loop joins (> langs + vocab-size + doc-total attaches)")
+    assert(p.contains("HashAggregate"), "scoring lost hash-agg form")
+    assert(p.contains("Window"), "argmax window missing")
+  }
+
+  test("eccentricity: squaring joins keyed, one scalar bounds attach") {
+    // The min-plus squaring chain runs over memoized |types|²-bounded
+    // stages; the only BNLJs allowed in the final plan are the two
+    // one-row attaches (the ≤9-node guard and the diameter/radius
+    // bounds). (The corpus-sized hitsEdges build is pinned via the
+    // i_graph_hits case.)
+    val p = plan("i_graph_eccentricity").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a cartesian appeared")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2,
+      s"$bnlj nested-loop joins (> the node-guard and bounds attaches)")
+  }
 }
