@@ -1440,6 +1440,100 @@ object AnalyticsOps {
         " / (CAST(g.n_g AS DOUBLE) / CAST(gl.n AS DOUBLE)))")}
          |    AS theil_between_term
          |FROM grp g JOIN within w ON g.n_name = w.n_name CROSS JOIN gall gl
-         |ORDER BY g.n_name""".stripMargin))
+         |ORDER BY g.n_name""".stripMargin)),
+
+    // Resampling confidence interval for the mean order price —
+    // distributed bootstrap with DETERMINISTIC hash-coin replica
+    // weights (the Poisson-bootstrap family, Efron 1979 / Kleiner's
+    // scalable variants): replica b keeps each row with weight
+    // w ∈ {0, 2} at p = ½ (a doubled half-sample: E[w] = 1,
+    // Var[w] = 1 — second-moment-matched to the Poisson(1) bootstrap),
+    // so each replica mean is Σw·x / Σw = the kept-half mean, and the
+    // 95% CI is the 2.5/97.5 discrete percentile of the B = 100
+    // replica means. Replica draws: one shared Knuth hash per row
+    // (Q.coin, DECIMAL(38,0)-exact at any id scale), remixed per
+    // replica with an odd-multiplier int64 permutation whose top bit
+    // is the keep flag — both engines draw identical replicas; no
+    // RNG, no collect, rerun-stable. Shape at 100 TB: one scan exploded ×B
+    // (map-side Generate), one 100-group hash agg with partial
+    // aggregation, and a 100-row window for the percentiles — the CI
+    // of a 100 TB mean costs one pass, B× map work, and no driver
+    // state. Replica means are raw exact-decimal-sum / integer-count
+    // quotients (engine-identical; never snapped), and the discrete
+    // percentile picks actual members — no interpolation to diverge.
+    Q("g_bootstrap_ci", (s, d) => {
+      val b = 100
+      val orders = Io.table(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice"))
+      // One DECIMAL-exact Knuth hash per ROW (Q.coin — BigDecimal ops
+      // are the expensive part, so they run once per row, not once per
+      // (row, replica)); each replica then remixes the 32-bit value
+      // with cheap odd-multiplier int64 arithmetic (h < 2³², factor ≤
+      // 201 → products < 2⁴⁰, provably no overflow — the sanctioned
+      // bounded-index PRNG exception in Q.coin's contract).
+      // the sf0.1 orders parquet is a single row group → without the
+      // repartition the ×B explode and the replica sums run on ONE
+      // task (the d_agg_corr_matrix lesson); one tiny pre-shuffle of
+      // the base rows buys full-width parallelism for the ×100 pass.
+      // The price converts to exact integer MICROS once per BASE row
+      // (one decimal cast per row, not per (row, replica)): the ×B hot
+      // loop then runs pure codegen BIGINT adds — a DECIMAL(38,6) sum
+      // here measured ~40 µs/row of BigDecimal work, 25 s over the
+      // 15 M exploded rows. Σmicros ≤ 2.4e16 < 2⁶³ is exact, and
+      // BIGINT→DOUBLE is a single correctly-rounded conversion in both
+      // engines (unlike wide-decimal→double, which double-rounds).
+      val rep = orders
+        .repartition(col("o_orderkey"))
+        .withColumn("h", expr(Q.coin("o_orderkey")).cast("long"))
+        .withColumn("micros",
+          (col("o_totalprice").cast(
+            org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+            .cast("long"))
+        .select(col("micros"), col("h"),
+          explode(sequence(lit(0), lit(b - 1))).as("rep"))
+        .withColumn("keep",
+          (col("h") * (col("rep") * 2 + 1) + col("rep")) % 4294967296L
+            >= 2147483648L)
+      val means = rep.groupBy(col("rep"))
+        .agg((sum(when(col("keep"), col("micros")).otherwise(0L))
+          .cast("double") / 1000000.0 /
+          sum(when(col("keep"), 1L).otherwise(0L))).as("m"))
+      val wcd = org.apache.spark.sql.expressions.Window.orderBy(col("m"))
+      val cd = means.withColumn("cd", cume_dist().over(wcd))
+      val lo = cd.filter(col("cd") >= 0.025).agg(min(col("m")).as("ci_lo"))
+      val hi = cd.filter(col("cd") >= 0.975).agg(min(col("m")).as("ci_hi"))
+      val point = orders.agg(count(lit(1)).as("n_orders"),
+        (Q.decSum(col("o_totalprice")) / count(lit(1))).as("mean_price"))
+      point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(col("n_orders"), col("mean_price"), col("ci_lo"),
+          col("ci_hi"), lit(b).as("n_replicas"))
+    }, Some(
+      s"""WITH base AS (
+         |  SELECT
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+         |      AS micros,
+         |    CAST(${Q.coin("o_orderkey")} AS BIGINT) AS h
+         |  FROM orders),
+         |rep AS (
+         |  SELECT micros, r.rep,
+         |    ((h * (r.rep * 2 + 1) + r.rep) % 4294967296)
+         |      >= 2147483648 AS keep
+         |  FROM base, LATERAL UNNEST(generate_series(0, 99)) AS r(rep)),
+         |means AS (
+         |  SELECT rep,
+         |    CAST(CAST(SUM(CASE WHEN keep THEN micros ELSE 0 END) AS BIGINT)
+         |         AS DOUBLE) / 1000000.0
+         |      / SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS m
+         |  FROM rep GROUP BY rep),
+         |cd AS (SELECT m, CUME_DIST() OVER (ORDER BY m) AS cd FROM means),
+         |lo AS (SELECT MIN(m) AS ci_lo FROM cd WHERE cd >= 0.025),
+         |hi AS (SELECT MIN(m) AS ci_hi FROM cd WHERE cd >= 0.975),
+         |point AS (
+         |  SELECT COUNT(*) AS n_orders,
+         |    ${dSum("o_totalprice")} / COUNT(*) AS mean_price
+         |  FROM orders)
+         |SELECT p.n_orders, p.mean_price, lo.ci_lo, hi.ci_hi,
+         |  CAST(100 AS INT) AS n_replicas
+         |FROM point p CROSS JOIN lo CROSS JOIN hi""".stripMargin))
   )
 }

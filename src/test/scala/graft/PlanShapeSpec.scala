@@ -825,4 +825,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bnlj <= 2,
       s"$bnlj nested-loop joins (> the node-guard and bounds attaches)")
   }
+
+  test("bootstrap CI: parallel explode, integer hot loop, no decimal in the xB pass") {
+    // The ×100 replica pass must (a) run AFTER a repartition of the
+    // base rows (single-row-group scan would serialize 15 M rows onto
+    // one task — the corr_matrix lesson) and (b) sum BIGINT micros,
+    // never DECIMAL(38,x) — the wide-decimal conditional sum measured
+    // ~40 µs/row of BigDecimal work (25 s over the exploded rows).
+    val p = plan("g_bootstrap_ci").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a data-sized cartesian appeared")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"$bnlj nested-loop joins (> the two CI scalar attaches)")
+    assert(p.contains("REPARTITION_BY_COL"),
+      "base-row repartition missing — the xB pass would run on one task")
+    assert(p.contains("Generate"), "replica explode missing")
+    val gen = p.split("Generate", 2)(1)
+    assert(!gen.contains("sum(CASE WHEN keep") ||
+      !"""sum\(CASE WHEN keep[^)]*decimal\(38""".r.findFirstIn(gen).isDefined,
+      "wide-decimal sum re-entered the xB hot loop")
+  }
 }
