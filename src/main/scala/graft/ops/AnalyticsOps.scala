@@ -49,6 +49,19 @@ object AnalyticsOps {
   private def dSum18(x: String) =
     s"CAST(SUM(CAST($x AS DECIMAL(38,18))) AS DOUBLE)"
 
+  /** TWO-WAY hop snap at scale 12 for LARGE values (|v| > ~9e3, where
+    * DuckDB's direct decimal→double out-cast double-rounds — the
+    * VectorOps/PCA lesson): double →VARCHAR→ DECIMAL(38,12) →VARCHAR→
+    * double. Spark's native casts are correctly rounded in both
+    * directions, so the Spark twin is the plain snap12. Used to pin
+    * every multiply-add seam (DuckDB may fuse `a*b - c` into one fma
+    * while the JVM rounds each op — the BM25 lesson). */
+  private def dSnapHop12(x: String) =
+    s"CAST(CAST(CAST(CAST(CASE WHEN ABS($x) < 5e-13 THEN CAST(0 AS DOUBLE)" +
+      s" ELSE $x END AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)"
+  /** Exact decimal aggregate → double via VARCHAR (out-hop only). */
+  private def dHop(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+
   val all: Seq[Q] = Seq(
     // Pivot (statuses are a fixed domain → stable column names).
     Q("d_pivot", (s, d) => {
@@ -1534,6 +1547,122 @@ object AnalyticsOps {
          |  FROM orders)
          |SELECT p.n_orders, p.mean_price, lo.ci_lo, hi.ci_hi,
          |  CAST(100 AS INT) AS n_replicas
-         |FROM point p CROSS JOIN lo CROSS JOIN hi""".stripMargin))
+         |FROM point p CROSS JOIN lo CROSS JOIN hi""".stripMargin)),
+
+    // Two-feature OLS by closed-form normal equations (Cramer's rule on
+    // the centered 2×2 system): per-customer spend regressed on order
+    // count and active-span days — the multi-feature step past
+    // d_agg_regr's simple regression. Float discipline, layer by layer:
+    // (1) every raw moment is EXACT — integer sums for x-moments,
+    // decimal sums for y-moments (y as DECIMAL(16,6) so y·y/(y·x)
+    // products stay inside exact decimal precision in BOTH engines);
+    // (2) each moment crosses to double ONCE (large decimal sums via
+    // the VARCHAR out-hop — DuckDB's direct wide-decimal→double
+    // double-rounds); (3) every multiply thereafter is snapped at the
+    // two-way scale-12 hop so DuckDB cannot fuse a multiply-add the
+    // JVM rounds separately (the BM25 fma lesson) — subtractions and
+    // divisions of engine-identical doubles are then bit-identical.
+    // Shape at 100 TB: one customer-keyed agg (the only data-sized
+    // shuffle) → one 10-moment global agg → scalar arithmetic. The
+    // model "trains" in a single pass, no iteration, no driver math.
+    Q("g_ols_multi", (s, d) => {
+      val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val dec16 = org.apache.spark.sql.types.DecimalType(16, 6)
+      val cust = Io.table(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("x1"),
+          datediff(max(col("o_orderdate")).cast("date"),
+            min(col("o_orderdate")).cast("date")).cast("long").as("x2"),
+          sum(col("o_totalprice").cast(dec18)).cast(dec16).as("y"))
+      val m = cust.agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("x1")).as("s1y"),
+        sum(col("y") * col("x2")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+      m.select(col("n"),
+          (col("s1").cast("double") / col("n")).as("m1"),
+          (col("s2").cast("double") / col("n")).as("m2"),
+          (col("s11").cast("double") / col("n")).as("m11"),
+          (col("s12").cast("double") / col("n")).as("m12"),
+          (col("s22").cast("double") / col("n")).as("m22"),
+          (col("sy").cast("double") / col("n")).as("my"),
+          (col("s1y").cast("double") / col("n")).as("m1y"),
+          (col("s2y").cast("double") / col("n")).as("m2y"),
+          (col("syy").cast("double") / col("n")).as("myy"))
+        .withColumn("va", col("m11") - snap12(col("m1") * col("m1")))
+        .withColumn("vb", col("m12") - snap12(col("m1") * col("m2")))
+        .withColumn("vc", col("m22") - snap12(col("m2") * col("m2")))
+        .withColumn("vd", col("m1y") - snap12(col("m1") * col("my")))
+        .withColumn("ve", col("m2y") - snap12(col("m2") * col("my")))
+        .withColumn("vy", col("myy") - snap12(col("my") * col("my")))
+        .withColumn("den",
+          snap12(col("va") * col("vc")) - snap12(col("vb") * col("vb")))
+        .withColumn("b1",
+          (snap12(col("vd") * col("vc")) - snap12(col("vb") * col("ve")))
+            / col("den"))
+        .withColumn("b2",
+          (snap12(col("va") * col("ve")) - snap12(col("vb") * col("vd")))
+            / col("den"))
+        .select(col("n").as("n_customers"),
+          (col("my") - snap12(col("b1") * col("m1"))
+            - snap12(col("b2") * col("m2"))).as("b0"),
+          col("b1"), col("b2"),
+          ((snap12(col("b1") * col("vd")) + snap12(col("b2") * col("ve")))
+            / col("vy")).as("r2"))
+    }, Some(
+      s"""WITH cust AS (
+         |  SELECT o_custkey,
+         |    CAST(COUNT(*) AS BIGINT) AS x1,
+         |    CAST(DATEDIFF('day', CAST(MIN(o_orderdate) AS DATE),
+         |                  CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS x2,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+         |         AS DECIMAL(16,6)) AS y
+         |  FROM orders GROUP BY 1),
+         |m AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         |    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         |    CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         |    CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         |    SUM(y) AS sy,
+         |    SUM(CAST(y AS DECIMAL(19,6)) * x1) AS s1y,
+         |    SUM(CAST(y AS DECIMAL(19,6)) * x2) AS s2y,
+         |    SUM(CAST(y AS DECIMAL(19,6)) * y) AS syy
+         |  FROM cust),
+         |base AS (
+         |  SELECT n,
+         |    CAST(s1 AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n AS m2,
+         |    CAST(s11 AS DOUBLE) / n AS m11, CAST(s12 AS DOUBLE) / n AS m12,
+         |    CAST(s22 AS DOUBLE) / n AS m22,
+         |    ${dHop("sy")} / n AS my,
+         |    ${dHop("s1y")} / n AS m1y,
+         |    ${dHop("s2y")} / n AS m2y,
+         |    ${dHop("syy")} / n AS myy
+         |  FROM m),
+         |cen AS (
+         |  SELECT n, m1, m2, my,
+         |    m11 - ${dSnapHop12("m1 * m1")} AS va,
+         |    m12 - ${dSnapHop12("m1 * m2")} AS vb,
+         |    m22 - ${dSnapHop12("m2 * m2")} AS vc,
+         |    m1y - ${dSnapHop12("m1 * my")} AS vd,
+         |    m2y - ${dSnapHop12("m2 * my")} AS ve,
+         |    myy - ${dSnapHop12("my * my")} AS vy
+         |  FROM base),
+         |sol AS (
+         |  SELECT n, m1, m2, my, vd, ve, vy,
+         |    (${dSnapHop12("vd * vc")} - ${dSnapHop12("vb * ve")})
+         |      / (${dSnapHop12("va * vc")} - ${dSnapHop12("vb * vb")}) AS b1,
+         |    (${dSnapHop12("va * ve")} - ${dSnapHop12("vb * vd")})
+         |      / (${dSnapHop12("va * vc")} - ${dSnapHop12("vb * vb")}) AS b2
+         |  FROM cen)
+         |SELECT n AS n_customers,
+         |  my - ${dSnapHop12("b1 * m1")} - ${dSnapHop12("b2 * m2")} AS b0,
+         |  b1, b2,
+         |  (${dSnapHop12("b1 * vd")} + ${dSnapHop12("b2 * ve")}) / vy AS r2
+         |FROM sol""".stripMargin))
   )
 }
