@@ -74,7 +74,8 @@ object Bench {
         "h_pq_encode",          // pqCent -> pqCodes (4 PQ/ADC consumers)
         "h_prefix_filter_pairs", // prefixPostings
         "h_pca_power",          // pcaScatter -> pcaW3 (PCA family)
-        "h_ngram_lm_score"      // lmBigrams/lmHist/lmVocab (LM family)
+        "h_ngram_lm_score",     // lmBigrams/lmHist/lmVocab (LM family)
+        "i_graph_betweenness"   // hitsEdges -> typeAdj/eccD* -> bwA1..8
       ).filter(SparkEntry.queries.contains)
       val headQueue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       chainHeads.foreach(headQueue.add)

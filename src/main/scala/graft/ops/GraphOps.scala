@@ -1081,47 +1081,7 @@ object GraphOps {
     // pairs simply never appear; an isolated node keeps its self-row
     // (ecc 0, n_reach 1) identically in both engines.
     Q("i_graph_eccentricity", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val dirEdges = Q.memoized(s, d, "hitsEdges") {
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts_us"), col("event_id"))
-        val trans = Io.events(s, d)
-          .select(col("user_id"), col("ts_us"), col("event_id"),
-            col("event_type").as("src"))
-          .withColumn("dst", lead(col("src"), 1).over(w))
-          .filter(col("dst").isNotNull)
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
-        val tot = trans.groupBy(col("src")).agg(sum(col("n")).as("tot"))
-        Q.materialize(s, d, "hitsEdges")(
-          trans.join(tot, "src").filter(col("n") * 5 >= col("tot"))
-            .select(col("src"), col("dst")))
-      }
-      val nodes0 = Io.events(s, d).select(col("event_type").as("u")).distinct()
-      val nodes = nodes0
-        .crossJoin(broadcast(nodes0.agg(count(lit(1)).as("nv"))))
-        .filter(assert_true(col("nv") <= 9,
-          lit("ecc: >9 event types — 3 squarings no longer cover the diameter"))
-          .isNull)
-        .select(col("u"))
-      val d0 = Q.memoized(s, d, "eccD0") {
-        Q.materialize(s, d, "eccD0")(
-          dirEdges.union(dirEdges.select(col("dst").as("src"), col("src").as("dst")))
-            .distinct().select(col("src"), col("dst"), lit(1L).as("dist"))
-            .union(nodes.select(col("u").as("src"), col("u").as("dst"),
-              lit(0L).as("dist")))
-            .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist")))
-      }
-      def sq(n: Int, r: DataFrame): DataFrame = Q.memoized(s, d, s"eccD$n") {
-        Q.materialize(s, d, s"eccD$n")(
-          r.as("a").join(r.select(col("src").as("mid"), col("dst"),
-              col("dist").as("dist_b")).as("b"),
-              col("a.dst") === col("b.mid"))
-            .select(col("a.src").as("src"), col("b.dst").as("dst"),
-              (col("a.dist") + col("dist_b")).as("dist"))
-            .union(r)
-            .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist")))
-      }
-      val dist = sq(3, sq(2, sq(1, d0)))
+      val dist = typeGraphDist(s, d)
       val ecc = dist.groupBy(col("src").as("event_type"))
         .agg(max(col("dist")).as("ecc"), count(lit(1)).as("n_reach"))
       val bounds = ecc.agg(max(col("ecc")).as("diameter"),
@@ -1175,6 +1135,206 @@ object GraphOps {
         |bounds AS (SELECT MAX(ecc) AS diameter, MIN(ecc) AS radius FROM ecc)
         |SELECT e.event_type, e.ecc, e.n_reach, b.diameter, b.radius
         |FROM ecc e CROSS JOIN bounds b
-        |ORDER BY e.event_type""".stripMargin))
+        |ORDER BY e.event_type""".stripMargin)),
+
+    // Exact betweenness centrality (Freeman 1977) over the same
+    // undirected dominant-transition type graph: bw(w) = Σ_{u<v≠w}
+    // σ(u,v|w)/σ(u,v). Shortest-path COUNTS come from walk-count
+    // matrix powers — [Aᵏ]ᵤᵥ counts length-k walks, and a walk of
+    // length exactly d(u,v) is necessarily a simple shortest path, so
+    // σ(u,v) = [A^d(u,v)]ᵤᵥ with d from the shared min-plus distance
+    // artifact (typeGraphDist). σ(u,v|w) = σ(u,w)·σ(w,v) when
+    // d(u,w)+d(w,v) = d(u,v), else 0. Every count is INTEGER (walks of
+    // length ≤8 on ≤9 nodes stay < 8⁸ ≈ 1.7e7); each pair term is an
+    // int-product / int double division (bit-identical) summed with
+    // the dSum18 discipline. All eight powers and the triple pair join
+    // are |types|²-bounded metadata; the corpus cost is the shared
+    // hitsEdges window pass.
+    Q("i_graph_betweenness", (s, d) => {
+      val adj = typeGraphAdj(s, d)
+      val dist = typeGraphDist(s, d)
+      val a1 = Q.memoized(s, d, "bwA1") {
+        Q.materialize(s, d, "bwA1")(
+          adj.select(col("src"), col("dst"), lit(1L).as("cnt")))
+      }
+      def mul(k: Int, a: DataFrame): DataFrame = Q.memoized(s, d, s"bwA$k") {
+        Q.materialize(s, d, s"bwA$k")(
+          a.as("a").join(a1.select(col("src").as("mid"), col("dst"),
+              col("cnt").as("cb")).as("b"),
+              col("a.dst") === col("b.mid"))
+            .groupBy(col("a.src").as("src"), col("b.dst").as("dst"))
+            .agg(sum(col("a.cnt") * col("cb")).as("cnt")))
+      }
+      var pows = Vector(a1)
+      for (k <- 2 to 8) pows = pows :+ mul(k, pows.last)
+      val powers = pows.zipWithIndex.map { case (p, i) =>
+        p.withColumn("k", lit((i + 1).toLong))
+      }.reduce(_.union(_))
+      val sigma = dist.filter(col("dist") >= 1)
+        .join(powers, Seq("src", "dst"))
+        .filter(col("k") === col("dist"))
+        .select(col("src"), col("dst"), col("dist"), col("cnt"))
+      val pairs = sigma.filter(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"),
+          col("dist").as("duv"), col("cnt").as("suv"))
+      val terms = pairs
+        .join(sigma.select(col("src").as("u"), col("dst").as("w"),
+          col("dist").as("duw"), col("cnt").as("suw")), Seq("u"))
+        .join(sigma.select(col("src").as("w"), col("dst").as("v"),
+          col("dist").as("dwv"), col("cnt").as("swv")), Seq("w", "v"))
+        .filter(col("w") =!= col("u") && col("w") =!= col("v") &&
+          col("duw") + col("dwv") === col("duv"))
+        .select(col("w"),
+          ((col("suw") * col("swv")).cast("double") / col("suv"))
+            .as("term"))
+      val bw = terms.groupBy(col("w").as("event_type"))
+        .agg(decSum18(col("term")).as("betweenness"))
+      val nodes = Io.events(s, d).select(col("event_type")).distinct()
+      nodes.join(bw, Seq("event_type"), "left")
+        .select(col("event_type"),
+          coalesce(col("betweenness"), lit(0.0)).as("betweenness"))
+        .orderBy("event_type")
+    }, Some(
+      s"""WITH trans AS (
+         |  SELECT src, dst, COUNT(*) AS n FROM (
+         |    SELECT event_type AS src,
+         |      LEAD(event_type, 1) OVER (PARTITION BY user_id
+         |        ORDER BY epoch_us(ts), event_id) AS dst
+         |    FROM events)
+         |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT src, SUM(n) AS tot FROM trans GROUP BY 1),
+         |edges AS (SELECT t.src, t.dst FROM trans t JOIN tot USING (src)
+         |          WHERE t.n * 5 >= tot.tot),
+         |nodes AS (SELECT DISTINCT event_type AS u FROM events),
+         |sym AS (SELECT src, dst FROM edges
+         |        UNION SELECT dst, src FROM edges),
+         |d0 AS (
+         |  SELECT src, dst, MIN(dist) AS dist FROM (
+         |    SELECT src, dst, CAST(1 AS BIGINT) AS dist FROM sym
+         |    UNION ALL
+         |    SELECT u, u, CAST(0 AS BIGINT) FROM nodes)
+         |  GROUP BY 1, 2),
+         |d1 AS (
+         |  SELECT src, dst, MIN(dist) AS dist FROM (
+         |    SELECT a.src, b.dst, a.dist + b.dist AS dist
+         |    FROM d0 a JOIN d0 b ON a.dst = b.src
+         |    UNION ALL SELECT src, dst, dist FROM d0)
+         |  GROUP BY 1, 2),
+         |d2 AS (
+         |  SELECT src, dst, MIN(dist) AS dist FROM (
+         |    SELECT a.src, b.dst, a.dist + b.dist AS dist
+         |    FROM d1 a JOIN d1 b ON a.dst = b.src
+         |    UNION ALL SELECT src, dst, dist FROM d1)
+         |  GROUP BY 1, 2),
+         |d3 AS (
+         |  SELECT src, dst, MIN(dist) AS dist FROM (
+         |    SELECT a.src, b.dst, a.dist + b.dist AS dist
+         |    FROM d2 a JOIN d2 b ON a.dst = b.src
+         |    UNION ALL SELECT src, dst, dist FROM d2)
+         |  GROUP BY 1, 2),
+         |a1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS cnt FROM sym),
+         |a2 AS (SELECT a.src, b.dst, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS cnt
+         |       FROM a1 a JOIN a1 b ON a.dst = b.src GROUP BY 1, 2),
+         |a3 AS (SELECT a.src, b.dst, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS cnt
+         |       FROM a2 a JOIN a1 b ON a.dst = b.src GROUP BY 1, 2),
+         |a4 AS (SELECT a.src, b.dst, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS cnt
+         |       FROM a3 a JOIN a1 b ON a.dst = b.src GROUP BY 1, 2),
+         |a5 AS (SELECT a.src, b.dst, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS cnt
+         |       FROM a4 a JOIN a1 b ON a.dst = b.src GROUP BY 1, 2),
+         |a6 AS (SELECT a.src, b.dst, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS cnt
+         |       FROM a5 a JOIN a1 b ON a.dst = b.src GROUP BY 1, 2),
+         |a7 AS (SELECT a.src, b.dst, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS cnt
+         |       FROM a6 a JOIN a1 b ON a.dst = b.src GROUP BY 1, 2),
+         |a8 AS (SELECT a.src, b.dst, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS cnt
+         |       FROM a7 a JOIN a1 b ON a.dst = b.src GROUP BY 1, 2),
+         |powers AS (
+         |  SELECT src, dst, CAST(1 AS BIGINT) AS k, cnt FROM a1
+         |  UNION ALL SELECT src, dst, 2, cnt FROM a2
+         |  UNION ALL SELECT src, dst, 3, cnt FROM a3
+         |  UNION ALL SELECT src, dst, 4, cnt FROM a4
+         |  UNION ALL SELECT src, dst, 5, cnt FROM a5
+         |  UNION ALL SELECT src, dst, 6, cnt FROM a6
+         |  UNION ALL SELECT src, dst, 7, cnt FROM a7
+         |  UNION ALL SELECT src, dst, 8, cnt FROM a8),
+         |sigma AS (
+         |  SELECT d.src, d.dst, d.dist, p.cnt
+         |  FROM d3 d JOIN powers p
+         |    ON p.src = d.src AND p.dst = d.dst AND p.k = d.dist
+         |  WHERE d.dist >= 1),
+         |pairs AS (
+         |  SELECT src AS u, dst AS v, dist AS duv, cnt AS suv
+         |  FROM sigma WHERE src < dst),
+         |terms AS (
+         |  SELECT sw.dst AS w,
+         |    CAST(sw.cnt * sv.cnt AS DOUBLE) / p.suv AS term
+         |  FROM pairs p
+         |  JOIN sigma sw ON sw.src = p.u
+         |  JOIN sigma sv ON sv.src = sw.dst AND sv.dst = p.v
+         |  WHERE sw.dst <> p.u AND sw.dst <> p.v
+         |    AND sw.dist + sv.dist = p.duv),
+         |bw AS (SELECT w AS event_type, ${dSum18("term")} AS betweenness
+         |       FROM terms GROUP BY 1)
+         |SELECT n.u AS event_type,
+         |  COALESCE(b.betweenness, CAST(0.0 AS DOUBLE)) AS betweenness
+         |FROM nodes n LEFT JOIN bw b ON b.event_type = n.u
+         |ORDER BY n.u""".stripMargin))
   )
+
+  /** Symmetrized dominant-transition type-graph adjacency — shared by
+    * eccentricity and betweenness; built on the hitsEdges artifact
+    * (the one corpus-sized window pass, shared with i_graph_hits). */
+  private def typeGraphAdj(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "typeAdj") {
+      import org.apache.spark.sql.expressions.Window
+      val dirEdges = Q.memoized(s, d, "hitsEdges") {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val trans = Io.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_type").as("src"))
+          .withColumn("dst", lead(col("src"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+        val tot = trans.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+        Q.materialize(s, d, "hitsEdges")(
+          trans.join(tot, "src").filter(col("n") * 5 >= col("tot"))
+            .select(col("src"), col("dst")))
+      }
+      Q.materialize(s, d, "typeAdj")(
+        dirEdges.union(
+          dirEdges.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct())
+    }
+
+  /** All-pairs shortest distances over the undirected type graph by
+    * three memoized min-plus squarings (covers diameter 8 on ≤9 nodes;
+    * the node-count guard asserts the bound fail-loud). */
+  private def typeGraphDist(s: SparkSession, d: String): DataFrame = {
+    val adj = typeGraphAdj(s, d)
+    val nodes0 = Io.events(s, d).select(col("event_type").as("u")).distinct()
+    val nodes = nodes0
+      .crossJoin(broadcast(nodes0.agg(count(lit(1)).as("nv"))))
+      .filter(assert_true(col("nv") <= 9,
+        lit("ecc: >9 event types — 3 squarings no longer cover the diameter"))
+        .isNull)
+      .select(col("u"))
+    val d0 = Q.memoized(s, d, "eccD0") {
+      Q.materialize(s, d, "eccD0")(
+        adj.select(col("src"), col("dst"), lit(1L).as("dist"))
+          .union(nodes.select(col("u").as("src"), col("u").as("dst"),
+            lit(0L).as("dist")))
+          .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist")))
+    }
+    def sq(n: Int, r: DataFrame): DataFrame = Q.memoized(s, d, s"eccD$n") {
+      Q.materialize(s, d, s"eccD$n")(
+        r.as("a").join(r.select(col("src").as("mid"), col("dst"),
+            col("dist").as("dist_b")).as("b"),
+            col("a.dst") === col("b.mid"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst"),
+            (col("a.dist") + col("dist_b")).as("dist"))
+          .union(r)
+          .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist")))
+    }
+    sq(3, sq(2, sq(1, d0)))
+  }
 }

@@ -826,6 +826,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"$bnlj nested-loop joins (> the node-guard and bounds attaches)")
   }
 
+  test("betweenness: walk-count powers and pair terms stay keyed equi-joins") {
+    // σ(u,v) lookup (dist ⋈ powers on (src,dst)) and the σ(u,w)·σ(w,v)
+    // triple must all be hash equi-joins over the |types|²-bounded
+    // memoized artifacts; the only nested loop allowed is the one-row
+    // bounds attach inherited from the shared dist artifact. A
+    // cartesian or extra BNLJ means a pair join lost its keys.
+    val p = plan("i_graph_betweenness").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a cartesian appeared")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"$bnlj nested-loop joins (> the scalar attach)")
+    assert(p.contains("HashAggregate"), "per-center sum lost hash-agg form")
+  }
+
   test("bootstrap CI: parallel explode, integer hot loop, no decimal in the xB pass") {
     // The ×100 replica pass must (a) run AFTER a repartition of the
     // base rows (single-row-group scan would serialize 15 M rows onto
