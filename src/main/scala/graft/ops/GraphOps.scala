@@ -163,6 +163,79 @@ object GraphOps {
        |            UNION ALL SELECT pb, pa, support
        |            FROM pairs WHERE support >= 2)""".stripMargin
 
+  /** Oracle twin of [[typeGraphAdj]]: the dominant-transition type
+    * graph (CTEs `trans`/`tot`/`edges`/`nodes`/`sym`) — shared by the
+    * closeness and Katz oracles (eccentricity/betweenness predate the
+    * factoring and keep their inline copies). */
+  private val typeSymSql =
+    """trans AS (
+      |  SELECT src, dst, COUNT(*) AS n FROM (
+      |    SELECT event_type AS src,
+      |      LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |        ORDER BY epoch_us(ts), event_id) AS dst
+      |    FROM events)
+      |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT src, SUM(n) AS tot FROM trans GROUP BY 1),
+      |edges AS (SELECT t.src, t.dst FROM trans t JOIN tot USING (src)
+      |          WHERE t.n * 5 >= tot.tot),
+      |nodes AS (SELECT DISTINCT event_type AS u FROM events),
+      |sym AS (SELECT src, dst FROM edges
+      |        UNION SELECT dst, src FROM edges)""".stripMargin
+
+  /** Oracle twin of [[typeGraphDist]] (CTE `d3`), layered on sym. */
+  private val typeDistSql =
+    """d0 AS (
+      |  SELECT src, dst, MIN(dist) AS dist FROM (
+      |    SELECT src, dst, CAST(1 AS BIGINT) AS dist FROM sym
+      |    UNION ALL
+      |    SELECT u, u, CAST(0 AS BIGINT) FROM nodes)
+      |  GROUP BY 1, 2),
+      |d1 AS (
+      |  SELECT src, dst, MIN(dist) AS dist FROM (
+      |    SELECT a.src, b.dst, a.dist + b.dist AS dist
+      |    FROM d0 a JOIN d0 b ON a.dst = b.src
+      |    UNION ALL SELECT src, dst, dist FROM d0)
+      |  GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT src, dst, MIN(dist) AS dist FROM (
+      |    SELECT a.src, b.dst, a.dist + b.dist AS dist
+      |    FROM d1 a JOIN d1 b ON a.dst = b.src
+      |    UNION ALL SELECT src, dst, dist FROM d1)
+      |  GROUP BY 1, 2),
+      |d3 AS (
+      |  SELECT src, dst, MIN(dist) AS dist FROM (
+      |    SELECT a.src, b.dst, a.dist + b.dist AS dist
+      |    FROM d2 a JOIN d2 b ON a.dst = b.src
+      |    UNION ALL SELECT src, dst, dist FROM d2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Oracle twin of [[typeWalkPowers]] (CTE `powers`), layered on sym. */
+  private val typePowersSql =
+    """a1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS cnt FROM sym),
+      |a2 AS (SELECT a.src, b.dst, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS cnt
+      |       FROM a1 a JOIN a1 b ON a.dst = b.src GROUP BY 1, 2),
+      |a3 AS (SELECT a.src, b.dst, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS cnt
+      |       FROM a2 a JOIN a1 b ON a.dst = b.src GROUP BY 1, 2),
+      |a4 AS (SELECT a.src, b.dst, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS cnt
+      |       FROM a3 a JOIN a1 b ON a.dst = b.src GROUP BY 1, 2),
+      |a5 AS (SELECT a.src, b.dst, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS cnt
+      |       FROM a4 a JOIN a1 b ON a.dst = b.src GROUP BY 1, 2),
+      |a6 AS (SELECT a.src, b.dst, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS cnt
+      |       FROM a5 a JOIN a1 b ON a.dst = b.src GROUP BY 1, 2),
+      |a7 AS (SELECT a.src, b.dst, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS cnt
+      |       FROM a6 a JOIN a1 b ON a.dst = b.src GROUP BY 1, 2),
+      |a8 AS (SELECT a.src, b.dst, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS cnt
+      |       FROM a7 a JOIN a1 b ON a.dst = b.src GROUP BY 1, 2),
+      |powers AS (
+      |  SELECT src, dst, CAST(1 AS BIGINT) AS k, cnt FROM a1
+      |  UNION ALL SELECT src, dst, 2, cnt FROM a2
+      |  UNION ALL SELECT src, dst, 3, cnt FROM a3
+      |  UNION ALL SELECT src, dst, 4, cnt FROM a4
+      |  UNION ALL SELECT src, dst, 5, cnt FROM a5
+      |  UNION ALL SELECT src, dst, 6, cnt FROM a6
+      |  UNION ALL SELECT src, dst, 7, cnt FROM a7
+      |  UNION ALL SELECT src, dst, 8, cnt FROM a8)""".stripMargin
+
   /** BFS hop loop (shared by the checked query and the plan test). With
     * `mat = false` the per-hop checkpoints are skipped so the FULL
     * frontier-join lineage stays visible to plan assertions — the
@@ -1151,25 +1224,8 @@ object GraphOps {
     // are |types|²-bounded metadata; the corpus cost is the shared
     // hitsEdges window pass.
     Q("i_graph_betweenness", (s, d) => {
-      val adj = typeGraphAdj(s, d)
       val dist = typeGraphDist(s, d)
-      val a1 = Q.memoized(s, d, "bwA1") {
-        Q.materialize(s, d, "bwA1")(
-          adj.select(col("src"), col("dst"), lit(1L).as("cnt")))
-      }
-      def mul(k: Int, a: DataFrame): DataFrame = Q.memoized(s, d, s"bwA$k") {
-        Q.materialize(s, d, s"bwA$k")(
-          a.as("a").join(a1.select(col("src").as("mid"), col("dst"),
-              col("cnt").as("cb")).as("b"),
-              col("a.dst") === col("b.mid"))
-            .groupBy(col("a.src").as("src"), col("b.dst").as("dst"))
-            .agg(sum(col("a.cnt") * col("cb")).as("cnt")))
-      }
-      var pows = Vector(a1)
-      for (k <- 2 to 8) pows = pows :+ mul(k, pows.last)
-      val powers = pows.zipWithIndex.map { case (p, i) =>
-        p.withColumn("k", lit((i + 1).toLong))
-      }.reduce(_.union(_))
+      val powers = typeWalkPowers(s, d)
       val sigma = dist.filter(col("dist") >= 1)
         .join(powers, Seq("src", "dst"))
         .filter(col("k") === col("dist"))
@@ -1277,6 +1333,90 @@ object GraphOps {
          |SELECT n.u AS event_type,
          |  COALESCE(b.betweenness, CAST(0.0 AS DOUBLE)) AS betweenness
          |FROM nodes n LEFT JOIN bw b ON b.event_type = n.u
+         |ORDER BY n.u""".stripMargin)),
+
+    // Closeness centrality, both classical variants, from the shared
+    // all-pairs distance artifact: harmonic centrality Σ_{v≠u} 1/d(u,v)
+    // (Marchiori–Latora; each term an int/int IEEE division —
+    // bit-identical across engines — folded with the decSum18
+    // discipline) and Wasserman–Faust closeness (r−1)²/((n−1)·Σd)
+    // (disconnected-safe normalization; one int-product/int double
+    // division, zero snaps). All work beyond the shared hitsEdges
+    // corpus pass is |types|²-bounded metadata; n attaches as a one-row
+    // broadcast scalar.
+    Q("i_graph_closeness", (s, d) => {
+      val dist = typeGraphDist(s, d)
+      val per = dist.groupBy(col("src").as("event_type"))
+        .agg(count(lit(1)).as("n_reach"),
+          decSum18(when(col("dist") >= 1,
+            lit(1.0) / col("dist").cast("double"))).as("harmonic"),
+          sum(col("dist")).as("totd"))
+      val n = Io.events(s, d).select(col("event_type")).distinct()
+        .agg(count(lit(1)).as("n"))
+      per.crossJoin(broadcast(n))
+        .select(col("event_type"), col("n_reach"),
+          coalesce(col("harmonic"), lit(0.0)).as("harmonic"),
+          when(col("totd") > 0,
+            ((col("n_reach") - 1) * (col("n_reach") - 1)).cast("double") /
+              ((col("n") - 1) * col("totd")))
+            .otherwise(lit(0.0)).as("closeness_wf"))
+        .orderBy("event_type")
+    }, Some(
+      s"""WITH $typeSymSql,
+         |$typeDistSql,
+         |per AS (
+         |  SELECT src AS event_type, COUNT(*) AS n_reach,
+         |    ${dSum18("CASE WHEN dist >= 1 THEN CAST(1 AS DOUBLE) / CAST(dist AS DOUBLE) END")}
+         |      AS harmonic,
+         |    CAST(SUM(dist) AS BIGINT) AS totd
+         |  FROM d3 GROUP BY 1),
+         |nv AS (SELECT COUNT(*) AS n FROM nodes)
+         |SELECT p.event_type, p.n_reach,
+         |  COALESCE(p.harmonic, CAST(0.0 AS DOUBLE)) AS harmonic,
+         |  CASE WHEN p.totd > 0 THEN
+         |    CAST((p.n_reach - 1) * (p.n_reach - 1) AS DOUBLE) /
+         |      ((nv.n - 1) * p.totd)
+         |  ELSE CAST(0.0 AS DOUBLE) END AS closeness_wf
+         |FROM per p CROSS JOIN nv
+         |ORDER BY p.event_type""".stripMargin)),
+
+    // Katz centrality (Katz 1953) with attenuation β = 1/8 = 2⁻³ over
+    // K = 8 walk lengths: katz(u) = Σ_{k=1..8} βᵏ · (walks of length k
+    // ending at u). Spelled to be engine-exact with ZERO float snaps:
+    // Σ cnt·8⁻ᵏ = (Σ cnt·8^(8−k)) / 8⁸ — the weighted sum stays in
+    // BIGINT (cnt < 1.7e7, weights ≤ 8⁷ → terms < 3.6e13, far inside
+    // int64), and the single final division by 2²⁴ is exact in IEEE
+    // double. β < 1/λ_max is guaranteed (degree ≤ 8 ⇒ λ_max ≤ 8).
+    // Reuses the memoized bwA1..8 powers; all joins keyed,
+    // |types|²-bounded.
+    Q("i_graph_katz", (s, d) => {
+      val powers = typeWalkPowers(s, d)
+      val w = (1 to 8).foldLeft(lit(0L)) { (acc, k) =>
+        when(col("k") === k, lit(math.pow(8.0, 8 - k).toLong)).otherwise(acc)
+      }
+      val katz = powers
+        .groupBy(col("dst").as("event_type"))
+        .agg(sum(col("cnt") * w).as("scaled"))
+        .select(col("event_type"),
+          (col("scaled").cast("double") / lit(16777216.0)).as("katz"))
+      val nodes = Io.events(s, d).select(col("event_type")).distinct()
+      nodes.join(katz, Seq("event_type"), "left")
+        .select(col("event_type"),
+          coalesce(col("katz"), lit(0.0)).as("katz"))
+        .orderBy("event_type")
+    }, Some(
+      s"""WITH $typeSymSql,
+         |$typePowersSql,
+         |kz AS (
+         |  SELECT dst AS event_type,
+         |    CAST(SUM(cnt * (CASE k WHEN 1 THEN 2097152 WHEN 2 THEN 262144
+         |      WHEN 3 THEN 32768 WHEN 4 THEN 4096 WHEN 5 THEN 512
+         |      WHEN 6 THEN 64 WHEN 7 THEN 8 ELSE 1 END)) AS BIGINT) AS scaled
+         |  FROM powers GROUP BY 1)
+         |SELECT n.u AS event_type,
+         |  COALESCE(CAST(k.scaled AS DOUBLE) / 16777216, CAST(0.0 AS DOUBLE))
+         |    AS katz
+         |FROM nodes n LEFT JOIN kz k ON k.event_type = n.u
          |ORDER BY n.u""".stripMargin))
   )
 
@@ -1305,6 +1445,32 @@ object GraphOps {
           dirEdges.select(col("dst").as("src"), col("src").as("dst")))
           .distinct())
     }
+
+  /** Walk-count matrix powers [Aᵏ] for k = 1..8 over the undirected
+    * type graph, as one (src, dst, k, cnt) table — memoized per power
+    * (bwA1..bwA8; all |types|²-bounded). Counts are exact BIGINTs
+    * (≤ 8⁸ ≈ 1.7e7 on ≤9 nodes of degree ≤8). Shared by betweenness
+    * (σ(u,v) = [A^d(u,v)]ᵤᵥ) and Katz centrality (Σ βᵏ·walk counts). */
+  private def typeWalkPowers(s: SparkSession, d: String): DataFrame = {
+    val adj = typeGraphAdj(s, d)
+    val a1 = Q.memoized(s, d, "bwA1") {
+      Q.materialize(s, d, "bwA1")(
+        adj.select(col("src"), col("dst"), lit(1L).as("cnt")))
+    }
+    def mul(k: Int, a: DataFrame): DataFrame = Q.memoized(s, d, s"bwA$k") {
+      Q.materialize(s, d, s"bwA$k")(
+        a.as("a").join(a1.select(col("src").as("mid"), col("dst"),
+            col("cnt").as("cb")).as("b"),
+            col("a.dst") === col("b.mid"))
+          .groupBy(col("a.src").as("src"), col("b.dst").as("dst"))
+          .agg(sum(col("a.cnt") * col("cb")).as("cnt")))
+    }
+    var pows = Vector(a1)
+    for (k <- 2 to 8) pows = pows :+ mul(k, pows.last)
+    pows.zipWithIndex.map { case (p, i) =>
+      p.withColumn("k", lit((i + 1).toLong))
+    }.reduce(_.union(_))
+  }
 
   /** All-pairs shortest distances over the undirected type graph by
     * three memoized min-plus squarings (covers diameter 8 on ≤9 nodes;

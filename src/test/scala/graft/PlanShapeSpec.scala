@@ -839,6 +839,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "per-center sum lost hash-agg form")
   }
 
+  test("closeness/katz: artifact consumers stay hash-agg + keyed join") {
+    // Both read |types|²-bounded memoized artifacts; closeness attaches
+    // the one-row node count (1 sanctioned BNLJ), katz left-joins the
+    // node list BY KEY. A cartesian or a second BNLJ means the scalar
+    // attach grew data-sized.
+    for ((q, maxB) <- Seq("i_graph_closeness" -> 1, "i_graph_katz" -> 1)) {
+      val p = plan(q).split("== Initial Plan ==").head
+      assert(!p.contains("CartesianProduct"), s"$q: a cartesian appeared")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= maxB, s"$q: $bnlj nested-loop joins")
+      assert(p.contains("HashAggregate"), s"$q: lost hash-agg form")
+    }
+  }
+
   test("bootstrap CI: parallel explode, integer hot loop, no decimal in the xB pass") {
     // The ×100 replica pass must (a) run AFTER a repartition of the
     // base rows (single-row-group scan would serialize 15 M rows onto
