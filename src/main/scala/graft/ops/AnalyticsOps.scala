@@ -1663,6 +1663,81 @@ object AnalyticsOps {
          |  my - ${dSnapHop12("b1 * m1")} - ${dSnapHop12("b2 * m2")} AS b0,
          |  b1, b2,
          |  (${dSnapHop12("b1 * vd")} + ${dSnapHop12("b2 * ve")}) / vy AS r2
-         |FROM sol""".stripMargin))
+         |FROM sol""".stripMargin)),
+
+    // Pareto revenue concentration ("what share of customers produce
+    // 50/80/90% of revenue") — the 80/20 read every mix/curation
+    // decision starts from. Exact integer spine: per-customer spend in
+    // CENTS (BIGINT), customers ranked by (spend DESC, custkey), the
+    // running revenue total via the distributed two-pass range-
+    // partition prefix pattern (materialized once — the
+    // repartitionByRange seed lesson, see g_cusum_changepoint), and
+    // each threshold answered by the FIRST rank whose cumulative share
+    // crosses it — the crossing test is pure int64 (cum·100 ≥ t·total;
+    // total cents ≤ ~2e15 at 100 TB, ×100 inside int64), and the two
+    // reported ratios are int/int IEEE divisions. min_by picks the
+    // crossing row deterministically (rank is unique).
+    Q("g_pareto_share", (s, d) => {
+      val parts = s.sparkContext.defaultParallelism
+      val spend = Io.table(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100" +
+          " AS BIGINT)")).as("cents"))
+      val wLoc = Window.partitionBy(col("pid"))
+        .orderBy(col("cents").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = Q.materialize(s, d, "pareto_ranked") {
+        spend.repartitionByRange(parts, col("cents").desc, col("o_custkey"))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lc", sum(col("cents")).over(wLoc))
+          .withColumn("lrn", count(lit(1)).over(wLoc))
+      }
+      val offs = local.groupBy(col("pid"))
+        .agg(sum(col("cents")).as("pc"), count(lit(1)).as("pn"))
+        .withColumn("coff", coalesce(sum(col("pc")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("noff", coalesce(sum(col("pn")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("coff"), col("noff"))
+      val tot = spend.agg(sum(col("cents")).as("tc"),
+        count(lit(1)).as("tn"))
+      val ranked = local.join(broadcast(offs), "pid")
+        .select((col("lc") + col("coff")).as("cum"),
+          (col("lrn") + col("noff")).as("rn"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("thr", explode(array(lit(50L), lit(80L), lit(90L))))
+        .filter(col("cum") * 100 >= col("thr") * col("tc"))
+        .groupBy(col("thr").as("threshold_pct"))
+        .agg(min(col("rn")).as("k_customers"),
+          min_by(col("cum"), col("rn")).as("cum_cents"),
+          first(col("tn")).as("tn"), first(col("tc")).as("tc"))
+        .select(col("threshold_pct"), col("k_customers"),
+          (col("k_customers").cast("double") / col("tn")).as("pct_customers"),
+          (col("cum_cents").cast("double") / col("tc")).as("revenue_share"))
+        .orderBy("threshold_pct")
+    }, Some(
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |             AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |ranked AS (
+        |  SELECT cents,
+        |    CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rn
+        |  FROM spend),
+        |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tc, COUNT(*) AS tn
+        |        FROM spend)
+        |SELECT t.thr AS threshold_pct, MIN(r.rn) AS k_customers,
+        |  CAST(MIN(r.rn) AS DOUBLE) / MIN(tot.tn) AS pct_customers,
+        |  CAST(MIN_BY(r.cum, r.rn) AS DOUBLE) / MIN(tot.tc) AS revenue_share
+        |FROM ranked r CROSS JOIN tot
+        |CROSS JOIN (VALUES (50), (80), (90)) AS t(thr)
+        |WHERE r.cum * 100 >= t.thr * tot.tc
+        |GROUP BY t.thr ORDER BY t.thr""".stripMargin))
   )
 }

@@ -505,6 +505,56 @@ object DedupOps {
         |                           ORDER BY epoch_us(ts), event_id) = 1
         |ORDER BY user_id, event_type, value""".stripMargin)),
 
+    // Segment-level (pseudo-line) dedup — the line-wise dedup stage of
+    // CCNet/RefinedWeb-style pipelines: split each doc into
+    // non-overlapping 10-word segments (the corpus has no newlines, so
+    // fixed-width word windows stand in for lines; the operator shape —
+    // segment → digest → global doc-frequency → per-doc retention — is
+    // identical), mark segments that appear in ≥2 distinct docs, and
+    // report each doc's retained fraction after dropping corpus-
+    // duplicated segments. All counts integer; the ratio is one int/int
+    // IEEE division. Scale shape: segments shuffle on the 64-hex sha256
+    // digest (fixed-width key, never the raw text), doc-frequency is one
+    // keyed agg, and the per-doc rollup joins back BY digest — no
+    // all-pairs stage anywhere.
+    Q("h_line_dedup", (s, d) => {
+      val segs = Io.table(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .selectExpr("doc_id",
+          """posexplode(transform(
+            |  sequence(0L, CAST((size(toks) - 1) DIV 10 AS LONG)),
+            |  i -> sha2(array_join(slice(toks, CAST(i * 10 + 1 AS INT), 10),
+            |            ' '), 256))) AS (seg_idx, h)""".stripMargin)
+      val freq = segs.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val perDoc = segs.join(freq, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_seg"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_seg"))
+      perDoc
+        .select(col("doc_id"), col("n_seg"), col("n_dup_seg"),
+          ((col("n_seg") - col("n_dup_seg")).cast("double") / col("n_seg"))
+            .as("retained_ratio"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |segs AS (
+        |  SELECT t.doc_id, g.i,
+        |    sha256(array_to_string(t.toks[(g.i*10+1):(g.i*10+10)], ' ')) AS h
+        |  FROM t, (SELECT UNNEST(generate_series(0,
+        |    (SELECT MAX(len(string_split(text, ' '))) FROM documents) // 10))
+        |    AS i) g
+        |  WHERE g.i * 10 < len(t.toks)),
+        |freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY h)
+        |SELECT s.doc_id, COUNT(*) AS n_seg,
+        |  CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_seg,
+        |  CAST(COUNT(*) - SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END)
+        |       AS DOUBLE) / COUNT(*) AS retained_ratio
+        |FROM segs s JOIN freq f USING (h)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+
     // Same-language token-set Jaccard near-dup pairs (j >= 0.9), via the
     // shared banded-MinHash candidate stage (minhashNearDupPairs) — the
     // oracle stays brute force, so LSH recall is itself parity-checked.

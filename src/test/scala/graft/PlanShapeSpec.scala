@@ -333,7 +333,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // a 100 TB single-partition sort. Gini is pinned implicitly (same
     // helper shape); ntile has its own sharper test above.
     for (q <- Seq("g_abc_classification", "g_mannwhitney_u",
-        "g_cusum_changepoint")) {
+        "g_cusum_changepoint", "g_pareto_share")) {
       val p = plan(q)
       assert(p.contains("windowspecdefinition(pid"),
         s"$q: data window not partitioned by range-partition id:\n" + p.take(1500))
@@ -837,6 +837,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(bnlj <= 1, s"$bnlj nested-loop joins (> the scalar attach)")
     assert(p.contains("HashAggregate"), "per-center sum lost hash-agg form")
+  }
+
+  test("line dedup: digest-keyed joins, no pair stage") {
+    // Segments join their doc-frequency table BY sha256 digest — one
+    // Generate (the segment explode), hash aggregates, zero nested
+    // loops. A BNLJ or cartesian means the rollup lost its key.
+    val p = plan("h_line_dedup").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a cartesian appeared")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "a nested loop appeared")
+    assert(p.contains("Generate"), "segment explode missing")
+    assert(p.contains("HashAggregate"), "lost hash-agg form")
   }
 
   test("closeness/katz: artifact consumers stay hash-agg + keyed join") {
