@@ -1164,7 +1164,113 @@ object TextOps {
         |  FROM scored sc JOIN priors p USING (m_lang))
         |SELECT lang AS actual, m_lang AS predicted, COUNT(*) AS n_docs
         |FROM pred WHERE rk = 1
-        |GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin)),
+
+    // Heaps'-law vocabulary growth — the read that sizes a tokenizer
+    // vocab budget: add sources in ingestion order (src0..srcN) and
+    // report cumulative docs vs cumulative DISTINCT vocabulary, plus
+    // the fitted Heaps exponent β from ln V = ln C + β·ln N over the
+    // per-source points. The cumulative-distinct trap is dodged with
+    // the first-occurrence decomposition: one (token)-keyed agg finds
+    // each token's FIRST source, so V(k) is a prefix sum of a
+    // |sources|-bounded census — no per-prefix distinct pass, no
+    // re-scan per point. The OLS fit runs over those ≤|sources| rows:
+    // ln terms snapped at 1e-12, exact DECIMAL(38,18) sums, every
+    // product seam hop-snapped (fma-proof), slope/intercept emitted
+    // raw (quotients of engine-identical operands — never snap a
+    // quotient).
+    Q("h_heaps_vocab_growth", (s, d) => {
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      def snap12(c: org.apache.spark.sql.Column) =
+        c.cast(dec12).cast("double")
+      def decSum18(c: org.apache.spark.sql.Column) =
+        sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast("double")
+      val docs = Io.table(s, d, "documents")
+        .withColumn("sn", expr("CAST(SUBSTR(source, 4) AS INT)"))
+      val perSrc = docs.groupBy(col("sn")).agg(count(lit(1)).as("nd"))
+      val firstSrc = docs.select(col("sn"), explode(toks).as("t"))
+        .groupBy(col("t")).agg(min(col("sn")).as("fs"))
+        .groupBy(col("fs").as("sn")).agg(count(lit(1)).as("nv"))
+      val w = Window.orderBy(col("sn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // ≤|sources| rows — the unpartitioned prefix window is
+      // metadata-sized by construction
+      val pts = perSrc.join(firstSrc, Seq("sn"), "left")
+        .select(col("sn"), col("nd"), coalesce(col("nv"), lit(0L)).as("nv"))
+        .withColumn("cum_docs", sum(col("nd")).over(w))
+        .withColumn("cum_vocab", sum(col("nv")).over(w))
+        .withColumn("x", snap12(log(col("cum_docs").cast("double"))))
+        .withColumn("y", snap12(log(col("cum_vocab").cast("double"))))
+      val fit = pts.agg(count(lit(1)).as("np"),
+          decSum18(col("x")).as("sx"), decSum18(col("y")).as("sy"),
+          decSum18(snap12(col("x") * col("y"))).as("sxy"),
+          decSum18(snap12(col("x") * col("x"))).as("sxx"))
+        .select(col("np"), col("sx"), col("sy"),
+          ((snap12(col("np") * col("sxy")) - snap12(col("sx") * col("sy"))) /
+            (snap12(col("np") * col("sxx")) - snap12(col("sx") * col("sx"))))
+            .as("beta"))
+        .select(col("beta"),
+          ((col("sy") - snap12(col("beta") * col("sx"))) / col("np"))
+            .as("lnc"))
+      pts.crossJoin(broadcast(fit))
+        .select(col("sn").as("src_num"), col("nd").as("n_docs"),
+          col("nv").as("new_vocab"), col("cum_docs"), col("cum_vocab"),
+          col("beta").as("heaps_beta"), col("lnc").as("heaps_lnc"))
+        .orderBy("src_num")
+    }, Some({
+      def hop(x: String) =
+        s"CAST(CAST(CAST(CAST(CASE WHEN ABS($x) < 5e-13 THEN CAST(0 AS DOUBLE)" +
+          s" ELSE $x END AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)"
+      // two-way-hopped DECIMAL(38,18) sum: the saturated-vocab case
+      // cancels the fit numerator to ~1e-12, so BOTH decimal seams must
+      // replicate Spark exactly. In-hop: DuckDB's direct double→decimal
+      // cast at scale 18 captures binary dust below the 1e-12 snap
+      // (3.433987204485 → …84999…e-18 unscaled) where Spark's cast is
+      // repr-based; out-hop: the direct decimal→double cast
+      // double-rounds past 2^53 unscaled (sums ~100 are ~1e20). Both
+      // VARCHAR trips are exact-digits + correctly-rounded-parse.
+      def s18(x: String) =
+        s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18)))" +
+          s" AS VARCHAR) AS DOUBLE)"
+      s"""WITH docs AS (
+         |  SELECT CAST(SUBSTR(source, 4) AS INT) AS sn, text FROM documents),
+         |ps AS (SELECT sn, COUNT(*) AS nd FROM docs GROUP BY 1),
+         |fsrc AS (
+         |  SELECT fs AS sn, COUNT(*) AS nv FROM (
+         |    SELECT t, MIN(sn) AS fs FROM (
+         |      SELECT sn, UNNEST(string_split(text, ' ')) AS t FROM docs)
+         |    GROUP BY t)
+         |  GROUP BY 1),
+         |pts AS (
+         |  SELECT p.sn, p.nd, COALESCE(f.nv, 0) AS nv,
+         |    CAST(SUM(p.nd) OVER (ORDER BY p.sn
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_docs,
+         |    CAST(SUM(COALESCE(f.nv, 0)) OVER (ORDER BY p.sn
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_vocab
+         |  FROM ps p LEFT JOIN fsrc f USING (sn)),
+         |pxy AS (
+         |  SELECT sn, nd, nv, cum_docs, cum_vocab,
+         |    ${hop("LN(CAST(cum_docs AS DOUBLE))")} AS x,
+         |    ${hop("LN(CAST(cum_vocab AS DOUBLE))")} AS y
+         |  FROM pts),
+         |fit AS (
+         |  SELECT COUNT(*) AS np, ${s18("x")} AS sx, ${s18("y")} AS sy,
+         |    ${s18(hop("x * y"))} AS sxy, ${s18(hop("x * x"))} AS sxx
+         |  FROM pxy),
+         |b AS (
+         |  SELECT np, sx, sy,
+         |    (${hop("np * sxy")} - ${hop("sx * sy")}) /
+         |      (${hop("np * sxx")} - ${hop("sx * sx")}) AS beta
+         |  FROM fit),
+         |c AS (SELECT beta, (sy - ${hop("beta * sx")}) / np AS lnc FROM b)
+         |SELECT p.sn AS src_num, p.nd AS n_docs, p.nv AS new_vocab,
+         |  p.cum_docs, p.cum_vocab, c.beta AS heaps_beta, c.lnc AS heaps_lnc
+         |FROM pxy p CROSS JOIN c
+         |ORDER BY p.sn""".stripMargin
+    }))
   )
 
   /** Shared oracle CTE chain for the BPE family: words + 3 rounds of

@@ -850,6 +850,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "lost hash-agg form")
   }
 
+  test("heaps growth: first-occurrence decomposition, one corpus agg") {
+    // The cumulative-distinct curve must come from the (token)-keyed
+    // first-source agg — never a per-prefix distinct re-scan. One
+    // Generate (token explode), hash aggregates, and the only nested
+    // loop is the one-row fit attach.
+    val p = plan("h_heaps_vocab_growth").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a cartesian appeared")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"$bnlj nested-loop joins (> the fit attach)")
+    assert(p.contains("Generate"), "token explode missing")
+    assert(p.contains("HashAggregate"), "lost hash-agg form")
+  }
+
   test("closeness/katz: artifact consumers stay hash-agg + keyed join") {
     // Both read |types|²-bounded memoized artifacts; closeness attaches
     // the one-row node count (1 sanctioned BNLJ), katz left-joins the
