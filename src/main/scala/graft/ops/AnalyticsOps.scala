@@ -1738,6 +1738,101 @@ object AnalyticsOps {
         |FROM ranked r CROSS JOIN tot
         |CROSS JOIN (VALUES (50), (80), (90)) AS t(thr)
         |WHERE r.cum * 100 >= t.thr * tot.tc
-        |GROUP BY t.thr ORDER BY t.thr""".stripMargin))
+        |GROUP BY t.thr ORDER BY t.thr""".stripMargin)),
+
+    // Logistic regression by batch gradient descent — purchase-vs-click
+    // from (value, hour-of-day), THREE fixed full-batch iterations from
+    // w = 0 at lr = 1. The distributed shape is the one that matters:
+    // each iteration is ONE map-side sigmoid pass + ONE all-reduce
+    // (hash aggregate) producing a 3-number weight row that broadcasts
+    // into the next pass — no driver collect, no per-row state, the
+    // exact plan a 100 TB trainer runs per epoch. Engine-exactness
+    // discipline: features are engine-identical doubles (value/100,
+    // integer hour/24), every multiply seam and each sigmoid is
+    // 1e-12-snapped (hop twins on the DuckDB side), gradient sums run
+    // in two-way-hopped DECIMAL(38,18) (the Heaps lesson: in-hop the
+    // addend, out-hop the sum), and weight updates are quotients and
+    // subtractions of engine-identical doubles — emitted raw. The
+    // decision count is integer (z ≥ 0), so accuracy is an int/int
+    // division.
+    Q("g_logistic_gd", (s, d) => {
+      def s12(c: org.apache.spark.sql.Column) = snap12(c)
+      val ev = Io.events(s, d)
+        .filter(col("event_type").isin("purchase", "click") &&
+          col("value").isNotNull)
+        .select(when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("y"),
+          (col("value") / 100.0).as("x1"),
+          (expr("CAST((ts_us DIV 3600000000) % 24 AS DOUBLE)") / 24.0)
+            .as("x2"))
+      def z = col("wb") + s12(col("w1") * col("x1")) +
+        s12(col("w2") * col("x2"))
+      def sg = s12(lit(1.0) / (lit(1.0) + exp(-z)))
+      val w0 = s.range(1).select(lit(0.0).as("wb"), lit(0.0).as("w1"),
+        lit(0.0).as("w2"))
+      def step(w: org.apache.spark.sql.DataFrame) =
+        ev.crossJoin(broadcast(w))
+          .select(col("y"), col("x1"), col("x2"), col("wb"), col("w1"),
+            col("w2"), sg.as("sg"))
+          .agg(count(lit(1)).as("n"), first(col("wb")).as("pb"),
+            first(col("w1")).as("p1"), first(col("w2")).as("p2"),
+            decSum18(col("sg") - col("y")).as("gb"),
+            decSum18(s12((col("sg") - col("y")) * col("x1"))).as("g1"),
+            decSum18(s12((col("sg") - col("y")) * col("x2"))).as("g2"))
+          .select((col("pb") - col("gb") / col("n")).as("wb"),
+            (col("p1") - col("g1") / col("n")).as("w1"),
+            (col("p2") - col("g2") / col("n")).as("w2"))
+      val w3 = step(step(step(w0)))
+      ev.crossJoin(broadcast(w3))
+        .agg(count(lit(1)).as("n_events"), first(col("wb")).as("w_bias"),
+          first(col("w1")).as("w_value"), first(col("w2")).as("w_hour"),
+          sum(when((z >= 0) === (col("y") === 1), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("n_events"), col("w_bias"), col("w_value"),
+          col("w_hour"), col("n_correct"),
+          (col("n_correct").cast("double") / col("n_events"))
+            .as("accuracy"))
+    }, Some({
+      def hop(x: String) =
+        s"CAST(CAST(CAST(CAST(CASE WHEN ABS($x) < 5e-13 THEN CAST(0 AS DOUBLE)" +
+          s" ELSE $x END AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)"
+      def s18(x: String) =
+        s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18)))" +
+          s" AS VARCHAR) AS DOUBLE)"
+      val zx = s"wb + ${hop("w1 * x1")} + ${hop("w2 * x2")}"
+      val sgx = hop(s"CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(-($zx)))")
+      def grad(prev: String) =
+        s"""(SELECT COUNT(*) AS n, MIN(wb) AS pb, MIN(w1) AS p1,
+           |   MIN(w2) AS p2,
+           |   ${s18("sg - y")} AS gb,
+           |   ${s18(hop("(sg - y) * x1"))} AS g1,
+           |   ${s18(hop("(sg - y) * x2"))} AS g2
+           | FROM (SELECT e.y, e.x1, e.x2, w.wb, w.w1, w.w2, $sgx AS sg
+           |       FROM ev e CROSS JOIN $prev w))""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         |    value / 100.0 AS x1,
+         |    CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE) / 24.0 AS x2
+         |  FROM events
+         |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+         |w0 AS (SELECT CAST(0 AS DOUBLE) AS wb, CAST(0 AS DOUBLE) AS w1,
+         |       CAST(0 AS DOUBLE) AS w2),
+         |g1 AS ${grad("w0")},
+         |wa AS (SELECT pb - gb / n AS wb, p1 - g1 / n AS w1,
+         |       p2 - g2 / n AS w2 FROM g1),
+         |g2 AS ${grad("wa")},
+         |wbt AS (SELECT pb - gb / n AS wb, p1 - g1 / n AS w1,
+         |        p2 - g2 / n AS w2 FROM g2),
+         |g3 AS ${grad("wbt")},
+         |wc AS (SELECT pb - gb / n AS wb, p1 - g1 / n AS w1,
+         |       p2 - g2 / n AS w2 FROM g3)
+         |SELECT COUNT(*) AS n_events, MIN(wb) AS w_bias, MIN(w1) AS w_value,
+         |  MIN(w2) AS w_hour,
+         |  CAST(SUM(CASE WHEN (($zx) >= 0) = (y = 1) THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_correct,
+         |  CAST(SUM(CASE WHEN (($zx) >= 0) = (y = 1) THEN 1 ELSE 0 END)
+         |       AS DOUBLE) / COUNT(*) AS accuracy
+         |FROM ev CROSS JOIN wc""".stripMargin
+    }))
   )
 }

@@ -850,6 +850,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "lost hash-agg form")
   }
 
+  test("logistic GD: map-side sigmoid passes, one-row weight attaches only") {
+    // Three GD iterations + the scoring pass = four one-row weight
+    // broadcasts (sanctioned BNLJs); the per-iteration reduction must
+    // be a hash aggregate. A CartesianProduct or a 5th BNLJ means a
+    // weight table grew data-sized or a feature join lost its shape.
+    val p = plan("g_logistic_gd").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a data-sized cartesian appeared")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 4, s"$bnlj nested-loop joins (> the 4 weight attaches)")
+    assert(p.contains("HashAggregate"), "gradient reduction lost hash-agg form")
+  }
+
   test("heaps growth: first-occurrence decomposition, one corpus agg") {
     // The cumulative-distinct curve must come from the (token)-keyed
     // first-source agg — never a per-prefix distinct re-scan. One
