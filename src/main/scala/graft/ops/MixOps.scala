@@ -646,6 +646,84 @@ object MixOps {
          |  m.quality >= thr.lang_p75 AS keep
          |FROM m JOIN thr USING (lang) ORDER BY m.doc_id""".stripMargin)),
 
+    // Cross-source quantile normalization of the quality score — the
+    // fix for per-source scorer bias before mixing (one crawl's scorer
+    // runs hot, another cold; absolute thresholds then skew the mix):
+    // map each doc's WITHIN-SOURCE quality rank onto the GLOBAL quality
+    // distribution, so every source contributes the same quality
+    // profile. Integer spine end-to-end: within-source rank r (keyed
+    // window), global rank table via the two-pass range-partition
+    // pattern (materialized — the repartitionByRange seed lesson), and
+    // the rank map target = 1 + ⌊(r−1)(N−1)/(n_s−1)⌋ in pure int64; the
+    // normalized score is a VALUE COPIED from the global table (no
+    // interpolation — engine-identical because the 1e-6-snapped quality
+    // expression is, proven by h_quality_quantile). One lang-free
+    // corpus scan, one source-keyed window, one range shuffle, one
+    // rank-keyed join at any scale.
+    Q("h_quality_qnorm", (s, d) => {
+      val parts = s.sparkContext.defaultParallelism
+      val rt = split(col("text"), " ")
+      val nTok = size(rt).cast("double")
+      val q = (lit(0.3) * (size(array_distinct(rt)) / nTok) +
+        lit(0.4) * (lit(1.0) - size(filter(rt, x => x === "the" || x === "a")) / nTok) +
+        lit(0.3) * least(nTok / 100.0, lit(1.0)))
+        .cast(DecimalType(38, 6)).cast("double")
+      val scored = Io.table(s, d, "documents")
+        .select(col("doc_id"), col("source"), q.as("quality"))
+      val wSrc = Window.partitionBy(col("source"))
+        .orderBy(col("quality"), col("doc_id"))
+      val wLoc = Window.partitionBy(col("pid"))
+        .orderBy(col("quality"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = Q.materialize(s, d, "qnormRanked") {
+        scored.repartitionByRange(parts, col("quality"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lrn", count(lit(1)).over(wLoc))
+      }
+      val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+        .withColumn("noff", coalesce(sum(col("pn")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("noff"))
+      val glob = local.join(broadcast(offs), "pid")
+        .select((col("lrn") + col("noff")).as("rn"),
+          col("quality").as("q_norm"))
+      val n = scored.agg(count(lit(1)).as("n"))
+      scored
+        .withColumn("src_rank", row_number().over(wSrc))
+        .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .crossJoin(broadcast(n))
+        .withColumn("target", expr("1 + CASE WHEN ns > 1 THEN " +
+          "((src_rank - 1) * (n - 1)) DIV (ns - 1) ELSE (n - 1) DIV 2 END"))
+        .join(glob, col("target") === col("rn"))
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("src_rank"), col("q_norm"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH m AS (
+         |  SELECT doc_id, source,
+         |    ${dSnap6("0.3 * (len(list_distinct(rt)) / CAST(len(rt) AS DOUBLE)) " +
+             "+ 0.4 * (1.0 - len(list_filter(rt, x -> x = 'the' OR x = 'a')) " +
+             "/ CAST(len(rt) AS DOUBLE)) + 0.3 * LEAST(len(rt) / 100.0, 1.0)")} AS quality
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS rt
+         |        FROM documents)),
+         |r AS (
+         |  SELECT doc_id, source, quality,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY quality, doc_id) AS src_rank,
+         |    COUNT(*) OVER (PARTITION BY source) AS ns
+         |  FROM m),
+         |g AS (SELECT quality AS q_norm,
+         |        ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS rn
+         |      FROM m),
+         |nv AS (SELECT COUNT(*) AS n FROM m)
+         |SELECT r.doc_id, r.source, r.quality, r.src_rank, g.q_norm
+         |FROM r CROSS JOIN nv
+         |JOIN g ON g.rn = 1 + (CASE WHEN r.ns > 1 THEN
+         |    ((r.src_rank - 1) * (nv.n - 1)) // (r.ns - 1)
+         |  ELSE (nv.n - 1) // 2 END)
+         |ORDER BY r.doc_id""".stripMargin)),
+
     // Distribution-drift monitor: Population Stability Index between
     // two corpus batches (doc_id parity stands in for yesterday/today)
     // over width-20 doc-length buckets. Laplace-smoothed shares keep

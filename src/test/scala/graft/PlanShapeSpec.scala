@@ -333,7 +333,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // a 100 TB single-partition sort. Gini is pinned implicitly (same
     // helper shape); ntile has its own sharper test above.
     for (q <- Seq("g_abc_classification", "g_mannwhitney_u",
-        "g_cusum_changepoint", "g_pareto_share")) {
+        "g_cusum_changepoint", "g_pareto_share", "h_quality_qnorm")) {
       val p = plan(q)
       assert(p.contains("windowspecdefinition(pid"),
         s"$q: data window not partitioned by range-partition id:\n" + p.take(1500))
