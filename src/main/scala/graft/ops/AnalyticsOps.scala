@@ -16,6 +16,43 @@ object AnalyticsOps {
   /** epoch day from the canonical epoch-micros event time. */
   private val day = expr("CAST(ts_us DIV 86400000000 AS BIGINT)")
 
+  /** The Mann-Whitney pair-count aggregate over purchase (group 1) vs
+    * click (group 2) `value`s, shared by g_mannwhitney_u and
+    * g_auc_value: one row (u2x = 2·U₁, n1, n2, tsum = Σ(t³−t)) from
+    * the distinct-value decomposition 2·U₁ = Σ_v na_v·(2·cumB<(v) +
+    * nb_v) — pure BIGINT, with the exclusive prefix over distinct
+    * values run by the two-pass range-partition pattern (the ranged
+    * table memoized + materialized: two consumers of one range-sampled
+    * partitioning, the g_cusum_changepoint lesson). */
+  private def mwAgg(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val parts = s.sparkContext.defaultParallelism
+    val dv = Io.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("na_v"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nb_v"))
+    val wLoc = Window.partitionBy(col("pid")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = Q.memoized(s, d, "mannwhitney_ranged") {
+      Q.materialize(s, d, "mannwhitney_ranged") {
+        dv.repartitionByRange(parts, col("value"))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lcb", coalesce(sum(col("nb_v")).over(wLoc), lit(0L)))
+      }
+    }
+    val offs = local.groupBy(col("pid")).agg(sum(col("nb_v")).as("pt"))
+      .withColumn("off", coalesce(sum(col("pt")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    val t = col("na_v") + col("nb_v")
+    local.join(broadcast(offs), "pid")
+      .agg(sum(col("na_v") * (lit(2L) * (col("lcb") + col("off")) + col("nb_v")))
+        .as("u2x"),
+        sum(col("na_v")).as("n1"), sum(col("nb_v")).as("n2"),
+        sum(t * t * t - t).as("tsum"))
+  }
+
   /** Deterministic 1e-6 snap (HALF_UP in both engines when fed a
     * DOUBLE; DuckDB's decimal→decimal cast truncates — never feed it
     * a DECIMAL). */
@@ -1002,33 +1039,7 @@ object AnalyticsOps {
     // z-score is one fixed-association double expression mirrored in
     // the oracle, emitted raw (inputs engine-identical by construction).
     Q("g_mannwhitney_u", (s, d) => {
-      val parts = s.sparkContext.defaultParallelism
-      val dv = Io.events(s, d)
-        .filter(col("event_type").isin("purchase", "click"))
-        .groupBy(col("value"))
-        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("na_v"),
-          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nb_v"))
-      val wLoc = Window.partitionBy(col("pid")).orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      // materialized: two consumers of a range-sampled partitioning —
-      // see g_cusum_changepoint's comment (same nondeterminism class,
-      // observed as a wrong U at sf0.1)
-      val local = Q.materialize(s, d, "mannwhitney_ranged") {
-        dv.repartitionByRange(parts, col("value"))
-          .withColumn("pid", spark_partition_id())
-          .withColumn("lcb", coalesce(sum(col("nb_v")).over(wLoc), lit(0L)))
-      }
-      val offs = local.groupBy(col("pid")).agg(sum(col("nb_v")).as("pt"))
-        .withColumn("off", coalesce(sum(col("pt")).over(
-          Window.orderBy(col("pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("pid"), col("off"))
-      val t = col("na_v") + col("nb_v")
-      val agg = local.join(broadcast(offs), "pid")
-        .agg(sum(col("na_v") * (lit(2L) * (col("lcb") + col("off")) + col("nb_v")))
-          .as("u2x"),
-          sum(col("na_v")).as("n1"), sum(col("nb_v")).as("n2"),
-          sum(t * t * t - t).as("tsum"))
+      val agg = mwAgg(s, d)
       agg.select(col("n1"), col("n2"),
         (col("u2x") / 2.0).as("u1"),
         ((col("u2x") / 2.0 - col("n1") * col("n2") / 2.0) /
@@ -1739,6 +1750,45 @@ object AnalyticsOps {
         |CROSS JOIN (VALUES (50), (80), (90)) AS t(thr)
         |WHERE r.cum * 100 >= t.thr * tot.tc
         |GROUP BY t.thr ORDER BY t.thr""".stripMargin)),
+
+    // Exact ROC AUC of `value` as a purchase-vs-click ranker — the
+    // standard eval metric an ML pipeline publishes next to a trained
+    // model. AUC is exactly U₁/(n₁·n₂) with half-credit ties, so it
+    // rides the same distinct-value BIGINT decomposition as the
+    // Mann-Whitney row (shared mwAgg artifact): every count is int64
+    // and the only float op is ONE final division of exact integers —
+    // no sampling, no trapezoid approximation, no per-pair join. The
+    // ROC Gini (2·AUC−1) is one exact ×2 and −1 on that quotient.
+    Q("g_auc_value", (s, d) => {
+      mwAgg(s, d).select(
+        col("n1").as("n_pos"), col("n2").as("n_neg"),
+        (col("n1") * col("n2")).as("n_pairs"),
+        (col("u2x") / (lit(2.0) * col("n1") * col("n2"))).as("auc"),
+        (lit(2.0) * (col("u2x") / (lit(2.0) * col("n1") * col("n2"))) -
+          lit(1.0)).as("gini_roc"))
+    }, Some(
+      """WITH p AS (
+        |  SELECT value,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS na_v,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS nb_v
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY value),
+        |c AS (
+        |  SELECT na_v, nb_v,
+        |    COALESCE(SUM(nb_v) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM p),
+        |a AS (
+        |  SELECT CAST(SUM(na_v * (2 * cb + nb_v)) AS BIGINT) AS u2x,
+        |    CAST(SUM(na_v) AS BIGINT) AS n1, CAST(SUM(nb_v) AS BIGINT) AS n2
+        |  FROM c)
+        |SELECT n1 AS n_pos, n2 AS n_neg, n1 * n2 AS n_pairs,
+        |  u2x / (CAST(2 AS DOUBLE) * n1 * n2) AS auc,
+        |  CAST(2 AS DOUBLE) * (u2x / (CAST(2 AS DOUBLE) * n1 * n2))
+        |    - CAST(1 AS DOUBLE) AS gini_roc
+        |FROM a""".stripMargin)),
 
     // Logistic regression by batch gradient descent — purchase-vs-click
     // from (value, hour-of-day), THREE fixed full-batch iterations from

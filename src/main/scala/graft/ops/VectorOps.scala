@@ -70,6 +70,70 @@ object VectorOps {
     Io.table(s, d, "embeddings").withColumn("dv", col("embedding"))
   }
 
+  /** One Lloyd assignment pass: nearest of the broadcast centroids by
+    * exact-decimal squared distance, ties to the smaller cid. Shared by
+    * h_kmeans_lloyd and h_silhouette. */
+  private def kmAssign(s: SparkSession, d: String, cent: DataFrame): DataFrame = {
+    val e = Io.table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        expr("sq_dist_dec(embedding, carr)").as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"), col("d2"))
+  }
+
+  /** The round-1 Lloyd centroids (seed = vecs 0..3, one assign + one
+    * exact-decimal mean update), memoized + materialized — built once
+    * per corpus and consumed by the k-means and silhouette rows, the
+    * way a production pipeline scores against one trained model. */
+  private def kmCent1(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "kmC1") {
+      val e = Io.table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val cent0 = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cid"), dvec(col("embedding")).as("carr"))
+      Q.materialize(s, d, "kmC1")(
+        kmAssign(s, d, cent0)
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg((decSum12(col("v").cast("double")) / count(lit(1))).as("c"))
+          .groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("carr")))
+    }
+
+  /** Oracle twin of [[kmCent1]] + the all-centroid distance table
+    * (CTEs `dims`/`c0`/`d1`/`a1`/`c1`/`d2t`) — shared by the k-means
+    * and silhouette oracles. */
+  private val kmSqlCtes =
+    """dims AS (SELECT UNNEST(generate_series(1,
+      |  (SELECT MAX(len(embedding)) FROM embeddings))) AS pos),
+      |c0 AS (
+      |  SELECT CAST(vec_id AS INT) AS cid, pos,
+      |    CAST(embedding[pos] AS DOUBLE) AS c
+      |  FROM embeddings, dims WHERE vec_id < 4),
+      |d1 AS (
+      |  SELECT e.vec_id, c0.cid,
+      |    CAST(SUM(CAST((CAST(e.embedding[c0.pos] AS DOUBLE) - c0.c)
+      |                  * (CAST(e.embedding[c0.pos] AS DOUBLE) - c0.c)
+      |             AS DECIMAL(38,12))) AS DOUBLE) AS d2
+      |  FROM embeddings e, c0 GROUP BY e.vec_id, c0.cid),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM d1
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+      |c1 AS (
+      |  SELECT a1.cid, dims.pos,
+      |    CAST(SUM(CAST(CAST(e.embedding[dims.pos] AS DOUBLE)
+      |             AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+      |  FROM embeddings e JOIN a1 USING (vec_id), dims
+      |  GROUP BY a1.cid, dims.pos),
+      |d2t AS (
+      |  SELECT e.vec_id, c1.cid,
+      |    CAST(SUM(CAST((CAST(e.embedding[c1.pos] AS DOUBLE) - c1.c)
+      |                  * (CAST(e.embedding[c1.pos] AS DOUBLE) - c1.c)
+      |             AS DECIMAL(38,12))) AS DOUBLE) AS d2
+      |  FROM embeddings e, c1 GROUP BY e.vec_id, c1.cid)""".stripMargin
+
   /** Random-hyperplane LSH signatures, banded: (vec_id, band, band_val).
     *
     * 16 hyperplanes, 4 bands × 4 bits, computed by the native one-pass
@@ -492,61 +556,73 @@ object VectorOps {
     // iterations relationally.
     Q("h_kmeans_lloyd", (s, d) => {
       graft.functions.SqDistDec.register(s)
-      val e = Io.table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val cent0 = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").cast("int").as("cid"), dvec(col("embedding")).as("carr"))
-      def assign(cent: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-        e.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("embedding"), col("cid"),
-            expr("sq_dist_dec(embedding, carr)").as("d2"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cid"), col("d2"))
-      }
-      def update(a: DataFrame): DataFrame =
-        a.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("cid"), col("pos"))
-          .agg((decSum12(col("v").cast("double")) / count(lit(1))).as("c"))
-          .groupBy(col("cid"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-            x => x.getField("c")).as("carr"))
-      assign(update(assign(cent0)))
+      kmAssign(s, d, kmCent1(s, d))
         .select(col("vec_id"), col("cid").as("cluster"),
           col("d2").cast(dec6).cast("double").as("d2"))
         .orderBy("vec_id")
     }, Some(
-      s"""WITH dims AS (SELECT UNNEST(generate_series(1,
-         |  (SELECT MAX(len(embedding)) FROM embeddings))) AS pos),
-         |c0 AS (
-         |  SELECT CAST(vec_id AS INT) AS cid, pos,
-         |    CAST(embedding[pos] AS DOUBLE) AS c
-         |  FROM embeddings, dims WHERE vec_id < 4),
-         |d1 AS (
-         |  SELECT e.vec_id, c0.cid,
-         |    CAST(SUM(CAST((CAST(e.embedding[c0.pos] AS DOUBLE) - c0.c)
-         |                  * (CAST(e.embedding[c0.pos] AS DOUBLE) - c0.c)
-         |             AS DECIMAL(38,12))) AS DOUBLE) AS d2
-         |  FROM embeddings e, c0 GROUP BY e.vec_id, c0.cid),
-         |a1 AS (
-         |  SELECT vec_id, cid FROM d1
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
-         |c1 AS (
-         |  SELECT a1.cid, dims.pos,
-         |    ${dSum12("CAST(e.embedding[dims.pos] AS DOUBLE)")} / COUNT(*) AS c
-         |  FROM embeddings e JOIN a1 USING (vec_id), dims
-         |  GROUP BY a1.cid, dims.pos),
-         |d2t AS (
-         |  SELECT e.vec_id, c1.cid,
-         |    CAST(SUM(CAST((CAST(e.embedding[c1.pos] AS DOUBLE) - c1.c)
-         |                  * (CAST(e.embedding[c1.pos] AS DOUBLE) - c1.c)
-         |             AS DECIMAL(38,12))) AS DOUBLE) AS d2
-         |  FROM embeddings e, c1 GROUP BY e.vec_id, c1.cid),
+      s"""WITH $kmSqlCtes,
          |a2 AS (
          |  SELECT vec_id, cid, d2 FROM d2t
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1)
          |SELECT vec_id, cid AS cluster,
          |  CAST(CAST(d2 AS DECIMAL(38,6)) AS DOUBLE) AS d2
          |FROM a2 ORDER BY vec_id""".stripMargin)),
+
+    // Simplified silhouette (Hruschka et al.'s centroid form) over the
+    // shared round-1 Lloyd model: a = squared distance to the assigned
+    // (nearest) centroid, b = to the second-nearest, s = (b−a)/max(a,b)
+    // per vector, reported as per-cluster means. Centroid distances are
+    // the exact-decimal sq_dist_dec values (cast to engine-identical
+    // doubles — unscaled far below 2^53), s is one division of
+    // identical operands, and the per-cluster mean is an exact decimal
+    // sum (two-way-hopped in the oracle) over an integer count. Scale:
+    // K broadcast centroids × one map-side pass — the same plan as the
+    // k-means assignment itself; no pair stage.
+    Q("h_silhouette", (s, d) => {
+      graft.functions.SqDistDec.register(s)
+      val e = Io.table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2d"), col("cid"))
+      val ranked = e.crossJoin(broadcast(kmCent1(s, d)))
+        .select(col("vec_id"), col("cid"),
+          expr("sq_dist_dec(embedding, carr)").cast("double").as("d2d"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+      val ab = ranked.groupBy(col("vec_id"))
+        .agg(min(when(col("rn") === 1, col("cid"))).as("cluster"),
+          min(when(col("rn") === 1, col("d2d"))).as("a"),
+          min(when(col("rn") === 2, col("d2d"))).as("b"))
+      val sil = ab.withColumn("sil",
+        when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)))
+      sil.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("sil").cast(dec12)).cast("double") / count(lit(1)))
+            .as("mean_silhouette"))
+        .orderBy("cluster")
+    }, Some(
+      s"""WITH $kmSqlCtes,
+         |rk AS (
+         |  SELECT vec_id, cid, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |  FROM d2t),
+         |ab AS (
+         |  SELECT vec_id,
+         |    MIN(CASE WHEN rn = 1 THEN cid END) AS cluster,
+         |    MIN(CASE WHEN rn = 1 THEN d2 END) AS a,
+         |    MIN(CASE WHEN rn = 2 THEN d2 END) AS b
+         |  FROM rk WHERE rn <= 2 GROUP BY vec_id),
+         |sil AS (
+         |  SELECT cluster,
+         |    CASE WHEN GREATEST(a, b) > 0 THEN (b - a) / GREATEST(a, b)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS sil
+         |  FROM ab)
+         |SELECT cluster, COUNT(*) AS n_vecs,
+         |  CAST(CAST(SUM(CAST(CAST(sil AS VARCHAR) AS DECIMAL(38,12)))
+         |       AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_silhouette
+         |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
     // LSH-bucketed ANN (the second scale path next to IVF): top-3
     // neighbors per query among vectors sharing >= 1 signature band.

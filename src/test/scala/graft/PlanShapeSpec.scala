@@ -333,7 +333,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // a 100 TB single-partition sort. Gini is pinned implicitly (same
     // helper shape); ntile has its own sharper test above.
     for (q <- Seq("g_abc_classification", "g_mannwhitney_u",
-        "g_cusum_changepoint", "g_pareto_share", "h_quality_qnorm")) {
+        "g_cusum_changepoint", "g_pareto_share", "h_quality_qnorm",
+        "g_auc_value")) {
       val p = plan(q)
       assert(p.contains("windowspecdefinition(pid"),
         s"$q: data window not partitioned by range-partition id:\n" + p.take(1500))
@@ -848,6 +849,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "a nested loop appeared")
     assert(p.contains("Generate"), "segment explode missing")
     assert(p.contains("HashAggregate"), "lost hash-agg form")
+  }
+
+  test("silhouette: broadcast centroid pass, no pair stage") {
+    // a/b come from ONE map-side pass against the K broadcast
+    // centroids (the sanctioned BNLJ) + a vec-keyed window/agg — the
+    // same plan as the k-means assignment. A CartesianProduct or a
+    // second data-sized BNLJ means a vector-pair stage crept in.
+    val p = plan("h_silhouette").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a cartesian appeared")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"$bnlj nested-loop joins (> the centroid attach)")
+    assert(p.contains("HashAggregate"), "per-cluster mean lost hash-agg form")
   }
 
   test("logistic GD: map-side sigmoid passes, one-row weight attaches only") {
