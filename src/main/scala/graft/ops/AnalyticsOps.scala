@@ -16,6 +16,63 @@ object AnalyticsOps {
   /** epoch day from the canonical epoch-micros event time. */
   private val day = expr("CAST(ts_us DIV 86400000000 AS BIGINT)")
 
+  /** Channel list for the Markov-attribution variants: every
+    * non-purchase event type plus the 'base' (unmodified) chain. */
+  private def markovVariants(s: org.apache.spark.sql.SparkSession, d: String) =
+    Io.events(s, d)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("variant")).distinct()
+      .union(s.range(1).select(lit("base").as("variant")))
+
+  /** The Markov-attribution transition matrices, one per variant
+    * (variant, src, dst, p): journeys truncated at first purchase,
+    * per-channel removal redirects transitions into the channel to
+    * DROP, CONV/DROP get absorbing self-loops. Exposed un-materialized
+    * so PlanShapeSpec can pin the journey-window build shape (the
+    * checked query memoizes + materializes it — bfsDistBuildForPlan
+    * precedent). */
+  private[graft] def markovM0Build(s: org.apache.spark.sql.SparkSession,
+      d: String) = {
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val ev = Io.events(s, d)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("rn", row_number().over(wu))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("fp"))
+    val kept = ev.join(fp, Seq("user_id"), "left")
+      .filter(col("fp").isNull || col("rn") <= col("fp"))
+      .withColumn("st", when(col("event_type") === "purchase",
+        lit("CONV")).otherwise(col("event_type")))
+    val wk = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val trans = kept
+      .withColumn("src", lag(col("st"), 1, "START").over(wk))
+      .select(col("src"), col("st").as("dst"))
+    val tails = kept.join(fp, Seq("user_id"), "left_anti")
+      .groupBy(col("user_id")).agg(expr("max_by(st, rn)").as("src"))
+      .select(col("src"), lit("DROP").as("dst"))
+    val cnt = trans.union(tails).groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+    val base = cnt.join(tot, "src")
+      .select(col("src"), col("dst"),
+        (col("n") / col("tot").cast("double")).as("p"))
+    val variants = markovVariants(s, d)
+    variants.crossJoin(broadcast(base))
+      .filter(col("variant") === "base" || col("src") =!= col("variant"))
+      .select(col("variant"), col("src"),
+        when(col("variant") =!= "base" && col("dst") === col("variant"),
+          lit("DROP")).otherwise(col("dst")).as("dst"),
+        col("p"))
+      .groupBy(col("variant"), col("src"), col("dst"))
+      .agg(decSum18(col("p")).as("p"))
+      .union(variants.select(col("variant"), lit("CONV").as("src"),
+        lit("CONV").as("dst"), lit(1.0).as("p")))
+      .union(variants.select(col("variant"), lit("DROP").as("src"),
+        lit("DROP").as("dst"), lit(1.0).as("p")))
+  }
+
   /** The Mann-Whitney pair-count aggregate over purchase (group 1) vs
     * click (group 2) `value`s, shared by g_mannwhitney_u and
     * g_auc_value: one row (u2x = 2·U₁, n1, n2, tsum = Σ(t³−t)) from
@@ -1750,6 +1807,134 @@ object AnalyticsOps {
         |CROSS JOIN (VALUES (50), (80), (90)) AS t(thr)
         |WHERE r.cum * 100 >= t.thr * tot.tc
         |GROUP BY t.thr ORDER BY t.thr""".stripMargin)),
+
+    // Markov removal-effect attribution (Anderl et al.'s data-driven
+    // alternative to g_attribution_last_touch): model each user journey
+    // as a first-order chain over event types truncated at the first
+    // purchase (START → … → CONV, or → DROP if no purchase), and credit
+    // each channel by how much the conversion probability falls when
+    // journeys through it are broken (transitions INTO the channel
+    // redirected to DROP). Absorption probabilities come from FOUR
+    // matrix squarings (T¹⁶ — CONV/DROP absorbing self-loops make
+    // [T¹⁶](START, CONV) the cumulative 16-step conversion mass), run
+    // for the base chain and every channel-removed variant IN ONE
+    // relational chain keyed by a `variant` column — no driver loop
+    // over channels, no collect; every matrix is |states|²·|variants|
+    // ≤ ~200 rows of metadata. Exactness: transition probs are int/int
+    // doubles, squaring products snap at 1e-12 (hop twins), cell sums
+    // ride two-way-hopped DECIMAL(38,18), removal/share are divisions
+    // of engine-identical doubles emitted raw. The corpus cost is ONE
+    // user-keyed window pass; everything after is bounded.
+    Q("g_markov_attribution", (s, d) => {
+      val variants = markovVariants(s, d)
+      // Each squaring references its input TWICE — without per-stage
+      // materialization the corpus-sized m0 build re-evaluates 2⁴ times
+      // (the i_graph_bfs lesson; measured 29 s cold at sf0.1, 1.5 s
+      // materialized). The stages are ≤~200-row metadata; the memo also
+      // shares the chain across the session.
+      val m0 = Q.memoized(s, d, "mkvM0") {
+        Q.materialize(s, d, "mkvM0")(markovM0Build(s, d))
+      }
+      def sq(k: Int, m: org.apache.spark.sql.DataFrame) =
+        Q.memoized(s, d, s"mkvM$k") {
+          Q.materialize(s, d, s"mkvM$k")(
+            m.as("a").join(m.select(col("variant"), col("src").as("mid"),
+                col("dst"), col("p").as("pb")).as("b"),
+                Seq("variant")).filter(col("a.dst") === col("b.mid"))
+              .groupBy(col("variant"), col("a.src").as("src"),
+                col("b.dst").as("dst"))
+              .agg(snap12(decSum18(snap12(col("a.p") * col("pb")))).as("p")))
+        }
+      val t16 = sq(4, sq(3, sq(2, sq(1, m0))))
+      val pc = variants.join(
+          t16.filter(col("src") === "START" && col("dst") === "CONV")
+            .select(col("variant"), col("p")),
+          Seq("variant"), "left")
+        .select(col("variant"), coalesce(col("p"), lit(0.0)).as("p"))
+      val pb = pc.filter(col("variant") === "base")
+        .select(col("p").as("p_base"))
+      val rem = pc.filter(col("variant") =!= "base")
+        .crossJoin(broadcast(pb))
+        .select(col("variant").as("channel"), col("p_base"),
+          col("p").as("p_removed"),
+          (lit(1.0) - col("p") / col("p_base")).as("removal_effect"))
+      val rTot = rem.agg(decSum18(col("removal_effect")).as("rt"))
+      rem.crossJoin(broadcast(rTot))
+        .select(col("channel"), col("p_base").as("p_conv_base"),
+          col("p_removed").as("p_conv_removed"), col("removal_effect"),
+          (col("removal_effect") / col("rt")).as("attribution_share"))
+        .orderBy("channel")
+    }, Some({
+      def hop(x: String) =
+        s"CAST(CAST(CAST(CAST(CASE WHEN ABS($x) < 5e-13 THEN CAST(0 AS DOUBLE)" +
+          s" ELSE $x END AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)"
+      def s18(x: String) =
+        s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18)))" +
+          s" AS VARCHAR) AS DOUBLE)"
+      val sqCte = (k: Int) =>
+        s"""m$k AS (
+           |  SELECT a.variant, a.src, b.dst,
+           |    ${hop(s18(hop("a.p * b.p")))} AS p
+           |  FROM m${k - 1} a JOIN m${k - 1} b
+           |    ON a.variant = b.variant AND a.dst = b.src
+           |  GROUP BY 1, 2, 3)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events),
+         |fp AS (SELECT user_id, MIN(rn) AS fp FROM ev
+         |       WHERE event_type = 'purchase' GROUP BY 1),
+         |kept AS (
+         |  SELECT e.user_id, e.rn,
+         |    CASE WHEN e.event_type = 'purchase' THEN 'CONV'
+         |    ELSE e.event_type END AS st
+         |  FROM ev e LEFT JOIN fp USING (user_id)
+         |  WHERE fp.fp IS NULL OR e.rn <= fp.fp),
+         |tr AS (
+         |  SELECT LAG(st, 1, 'START') OVER (PARTITION BY user_id
+         |    ORDER BY rn) AS src, st AS dst
+         |  FROM kept),
+         |tails AS (
+         |  SELECT MAX_BY(st, rn) AS src, 'DROP' AS dst FROM kept k
+         |  WHERE NOT EXISTS (SELECT 1 FROM fp WHERE fp.user_id = k.user_id)
+         |  GROUP BY k.user_id),
+         |cnt AS (
+         |  SELECT src, dst, COUNT(*) AS n FROM
+         |    (SELECT src, dst FROM tr UNION ALL SELECT src, dst FROM tails)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT src, SUM(n) AS tot FROM cnt GROUP BY 1),
+         |base AS (SELECT c.src, c.dst, c.n / CAST(t.tot AS DOUBLE) AS p
+         |         FROM cnt c JOIN tot t USING (src)),
+         |vr AS (SELECT DISTINCT event_type AS variant FROM events
+         |       WHERE event_type <> 'purchase'
+         |       UNION ALL SELECT 'base'),
+         |m0 AS (
+         |  SELECT variant, src, dst, ${s18("p")} AS p FROM (
+         |    SELECT v.variant, b.src,
+         |      CASE WHEN v.variant <> 'base' AND b.dst = v.variant
+         |      THEN 'DROP' ELSE b.dst END AS dst, b.p
+         |    FROM vr v CROSS JOIN base b
+         |    WHERE v.variant = 'base' OR b.src <> v.variant)
+         |  GROUP BY 1, 2, 3
+         |  UNION ALL SELECT variant, 'CONV', 'CONV', CAST(1 AS DOUBLE) FROM vr
+         |  UNION ALL SELECT variant, 'DROP', 'DROP', CAST(1 AS DOUBLE) FROM vr),
+         |${(1 to 4).map(sqCte).mkString(",\n")},
+         |pc AS (
+         |  SELECT v.variant, COALESCE(m.p, CAST(0 AS DOUBLE)) AS p
+         |  FROM vr v LEFT JOIN
+         |    (SELECT variant, p FROM m4
+         |     WHERE src = 'START' AND dst = 'CONV') m USING (variant)),
+         |pb AS (SELECT p AS p_base FROM pc WHERE variant = 'base'),
+         |rem AS (
+         |  SELECT variant AS channel, p_base, p AS p_removed,
+         |    CAST(1 AS DOUBLE) - p / p_base AS removal_effect
+         |  FROM pc CROSS JOIN pb WHERE variant <> 'base'),
+         |rt AS (SELECT ${s18("removal_effect")} AS rt FROM rem)
+         |SELECT channel, p_base AS p_conv_base, p_removed AS p_conv_removed,
+         |  removal_effect, removal_effect / rt AS attribution_share
+         |FROM rem CROSS JOIN rt ORDER BY channel""".stripMargin
+    })),
 
     // Exact ROC AUC of `value` as a purchase-vs-click ranker — the
     // standard eval metric an ML pipeline publishes next to a trained

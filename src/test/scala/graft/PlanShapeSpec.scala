@@ -851,6 +851,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "lost hash-agg form")
   }
 
+  test("markov attribution: one corpus window pass, bounded matrix chain") {
+    // The matrix chain is memoized/materialized (lineage truncated), so
+    // the corpus-sided build shape is pinned via its un-materialized
+    // twin: journey windows partitioned by user (never global), no
+    // CartesianProduct, the variant×base expansion as the only data
+    // BNLJ. The checked query itself must stay cartesian-free with only
+    // scalar attaches.
+    val b = executedPlan(graft.ops.AnalyticsOps.markovM0Build(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!b.contains("CartesianProduct"), "m0 build: a cartesian appeared")
+    assert(b.contains("windowspecdefinition(user_id"),
+      "m0 build: journey window lost its user partition")
+    val bb = "BroadcastNestedLoopJoin".r.findAllIn(b).size
+    assert(bb <= 1, s"m0 build: $bb nested-loop joins (> variant expansion)")
+    val p = plan("g_markov_attribution").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a cartesian appeared")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 3,
+      s"$bnlj nested-loop joins (> the p_base/Σremoval/variant attaches," +
+        " all ≤|variants| rows)")
+  }
+
   test("silhouette: broadcast centroid pass, no pair stage") {
     // a/b come from ONE map-side pass against the K broadcast
     // centroids (the sanctioned BNLJ) + a vec-keyed window/agg — the
