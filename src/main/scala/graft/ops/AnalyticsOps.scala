@@ -1808,6 +1808,89 @@ object AnalyticsOps {
         |WHERE r.cum * 100 >= t.thr * tot.tc
         |GROUP BY t.thr ORDER BY t.thr""".stripMargin)),
 
+    // Per-part price elasticity — GROUPED log-log OLS, the shape that
+    // fits millions of independent models in one pass at 100 TB: every
+    // part's ln(qty)-on-ln(unit price) slope comes from one hash
+    // aggregate of per-row moments (no per-group iteration, no window),
+    // top-20 most elastic reported. Seam discipline: each ln snaps at
+    // 1e-12 (hop twin), per-group moment sums ride two-way-hopped
+    // DECIMAL(38,18), the closed-form slope's four products hop-snap
+    // (Σx·Σy reaches ~1e4 — past the 9e3 direct-cast cliff), and the
+    // slope itself is a quotient of engine-identical doubles emitted
+    // raw; ordering ties break on partkey.
+    Q("g_price_elasticity", (s, d) => {
+      // Integer-picounit spine, NOT the decimal-snap discipline: wide-
+      // decimal per-row casts cost ~10 µs/row (first spelling measured
+      // 6.4 s warm at 600k rows); here every per-row op stays in
+      // codegen doubles/longs. xi = ⌊ln·1e12 + 0.5⌋ is the 1e-12 snap
+      // AS AN INT64 (floor(v+0.5) is the same exact IEEE expression in
+      // both engines — unlike ROUND, which is repr-half-up in Spark vs
+      // rint in DuckDB); cross terms scale back by 1e12 through one
+      // double multiply (correctly rounded, identical) before the same
+      // floor-snap. Group sums are plain BIGINTs (bounds: |xi| ≤ 1.3e13,
+      // n ≤ ~120 → every sum and n·Σ product < 6e17, inside int64), and
+      // the final slope arithmetic converts int64 → double (correctly
+      // rounded in both engines) for one subtraction and one division.
+      val pico = lit(1e12)
+      def isnap(c: org.apache.spark.sql.Column) =
+        floor(c * pico + lit(0.5)).cast("long")
+      val li = Io.table(s, d, "lineitem")
+        .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+        .select(col("l_partkey"),
+          isnap(log(col("l_extendedprice") / col("l_quantity"))).as("xi"),
+          isnap(log(col("l_quantity").cast("double"))).as("yi"))
+        .select(col("l_partkey"), col("xi"), col("yi"),
+          floor(col("xi").cast("double") * col("yi").cast("double") / pico +
+            lit(0.5)).cast("long").as("xyi"),
+          floor(col("xi").cast("double") * col("xi").cast("double") / pico +
+            lit(0.5)).cast("long").as("xxi"))
+      val fit = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"),
+          sum(col("yi")).as("sy"), sum(col("xyi")).as("sxy"),
+          sum(col("xxi")).as("sxx"))
+        .filter(col("n") >= 5)
+        .select(col("l_partkey"), col("n"),
+          ((col("n") * col("sxy")).cast("double") -
+            col("sx").cast("double") * col("sy").cast("double") / pico)
+            .as("num"),
+          ((col("n") * col("sxx")).cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / pico)
+            .as("den"))
+        .filter(col("den") =!= 0.0)
+        .select(col("l_partkey"), col("n"),
+          (col("num") / col("den")).as("elasticity"))
+      fit.orderBy(col("elasticity"), col("l_partkey")).limit(20)
+    }, Some(
+      """WITH pt AS (
+        |  SELECT l_partkey,
+        |    CAST(FLOOR(LN(l_extendedprice / l_quantity) * 1e12 + 0.5)
+        |         AS BIGINT) AS xi,
+        |    CAST(FLOOR(LN(CAST(l_quantity AS DOUBLE)) * 1e12 + 0.5)
+        |         AS BIGINT) AS yi
+        |  FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0),
+        |pt2 AS (
+        |  SELECT l_partkey, xi, yi,
+        |    CAST(FLOOR(CAST(xi AS DOUBLE) * CAST(yi AS DOUBLE) / 1e12 + 0.5)
+        |         AS BIGINT) AS xyi,
+        |    CAST(FLOOR(CAST(xi AS DOUBLE) * CAST(xi AS DOUBLE) / 1e12 + 0.5)
+        |         AS BIGINT) AS xxi
+        |  FROM pt),
+        |fit AS (
+        |  SELECT l_partkey, COUNT(*) AS n,
+        |    CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(yi) AS BIGINT) AS sy,
+        |    CAST(SUM(xyi) AS BIGINT) AS sxy, CAST(SUM(xxi) AS BIGINT) AS sxx
+        |  FROM pt2 GROUP BY 1),
+        |sl AS (
+        |  SELECT l_partkey, n,
+        |    CAST(n * sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / 1e12 AS num,
+        |    CAST(n * sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / 1e12 AS den
+        |  FROM fit WHERE n >= 5)
+        |SELECT l_partkey, n, num / den AS elasticity
+        |FROM sl WHERE den <> 0
+        |ORDER BY elasticity, l_partkey LIMIT 20""".stripMargin)),
+
     // Markov removal-effect attribution (Anderl et al.'s data-driven
     // alternative to g_attribution_last_touch): model each user journey
     // as a first-order chain over event types truncated at the first

@@ -646,6 +646,48 @@ object MixOps {
          |  m.quality >= thr.lang_p75 AS keep
          |FROM m JOIN thr USING (lang) ORDER BY m.doc_id""".stripMargin)),
 
+    // Deterministic curriculum ordering — the training-order builder
+    // that feeds packed batches: quality-descending WITHIN each source,
+    // round-robin ACROSS sources (any prefix of the order holds each
+    // source's count within ±1, so early training never over-samples
+    // one crawl). Pure integer machinery: one source-keyed rank window
+    // + a total order on (round, source) — no shuffle beyond the rank's
+    // source exchange at any scale; the first 100 slots are the checked
+    // sample (WindowGroupLimit-friendly). Quality is the proven
+    // 1e-6-snapped expression.
+    Q("h_curriculum_interleave", (s, d) => {
+      val rt = split(col("text"), " ")
+      val nTok = size(rt).cast("double")
+      val q = (lit(0.3) * (size(array_distinct(rt)) / nTok) +
+        lit(0.4) * (lit(1.0) - size(filter(rt, x => x === "the" || x === "a")) / nTok) +
+        lit(0.3) * least(nTok / 100.0, lit(1.0)))
+        .cast(DecimalType(38, 6)).cast("double")
+      val wSrc = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      Io.table(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("CAST(SUBSTR(source, 4) AS INT)").as("src_num"),
+          q.as("quality"))
+        .withColumn("round", row_number().over(wSrc))
+        .orderBy(col("round"), col("src_num"))
+        .limit(100)
+        .select(col("round"), col("src_num"), col("doc_id"), col("quality"))
+    }, Some(
+      s"""WITH m AS (
+         |  SELECT doc_id, source, CAST(SUBSTR(source, 4) AS INT) AS src_num,
+         |    ${dSnap6("0.3 * (len(list_distinct(rt)) / CAST(len(rt) AS DOUBLE)) " +
+             "+ 0.4 * (1.0 - len(list_filter(rt, x -> x = 'the' OR x = 'a')) " +
+             "/ CAST(len(rt) AS DOUBLE)) + 0.3 * LEAST(len(rt) / 100.0, 1.0)")} AS quality
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS rt
+         |        FROM documents)),
+         |r AS (
+         |  SELECT doc_id, src_num, quality,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS round
+         |  FROM m)
+         |SELECT round, src_num, doc_id, quality
+         |FROM r ORDER BY round, src_num LIMIT 100""".stripMargin)),
+
     // Cross-source quantile normalization of the quality score — the
     // fix for per-source scorer bias before mixing (one crawl's scorer
     // runs hot, another cold; absolute thresholds then skew the mix):

@@ -851,6 +851,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "lost hash-agg form")
   }
 
+  test("grouped OLS (elasticity): one hash agg fits all models, top-k fused") {
+    // Millions of per-part regressions must be ONE moment aggregate —
+    // no window, no per-group pass, no join at all; the top-20 must
+    // fuse into TakeOrderedAndProject, never a global sort.
+    val p = plan("g_price_elasticity").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a cartesian appeared")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "a nested loop appeared")
+    assert(p.contains("HashAggregate"), "moment fit lost hash-agg form")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 lost limit fusion")
+    assert(!p.contains("Window"), "a window crept into the grouped fit")
+  }
+
   test("markov attribution: one corpus window pass, bounded matrix chain") {
     // The matrix chain is memoized/materialized (lineage truncated), so
     // the corpus-sided build shape is pinned via its un-materialized
