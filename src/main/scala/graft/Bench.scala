@@ -135,7 +135,13 @@ object Bench {
       // (the timed pass still pays its own artifact builds, as
       // designed). Serial: these queries saturate all cores anyway.
       val jitHot = Seq("h_cosine_topk", "h_crosslang_neardup",
-        "h_dedup_threshold_sweep", "h_ngram_jaccard", "d_agg_corr_matrix")
+        "h_dedup_threshold_sweep", "h_ngram_jaccard", "d_agg_corr_matrix",
+        // artifact-chain carriers whose timed cost is the chain REBUILD
+        // at the timed SF: one pre-settle run tiers the build codegen
+        // (artifacts are released in settle, so the timed pass still
+        // pays the build — but with hot code; h_pca_power read 13.4 s
+        // cold-JIT vs ~2 s steady-state rebuild per ProbePca)
+        "h_pca_power", "h_cluster_size_hist")
         .filter(SparkEntry.queries.contains)
       // Phase C overrun is tracked in its OWN flag: deadline_hit means
       // "the query warm sweep was cut short"; the optional tiering pass

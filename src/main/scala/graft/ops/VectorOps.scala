@@ -1307,11 +1307,22 @@ object VectorOps {
   private[graft] def pcaScatterBuildForPlan(s: SparkSession, d: String): DataFrame = {
     val long = pcaLong(s, d)
     val n = Io.table(s, d, "embeddings").agg(count(lit(1)).as("n"))
-    val sx = long.groupBy(col("i")).agg(decSum12(col("x")).as("sx"))
+    // The two corpus-sized sums ride the integer-picounit spine
+    // (⌊v·1e12+0.5⌋ → BIGINT sums; g_price_elasticity lesson): the
+    // per-term DECIMAL(38,12) cast in the dim² pair aggregate was the
+    // whole cost of the scatter rebuild (14.5 s → the 8.2M-row pair agg
+    // in codegen longs). floor(v+0.5) is the same exact IEEE expression
+    // in both engines; Σ and the int64→double back-conversion are
+    // correctly rounded in both. The dim²-sized seams below keep the
+    // decimal-snap discipline unchanged.
+    val sx = long.groupBy(col("i"))
+      .agg((sum(floor(col("x") * lit(1e12) + lit(0.5))).cast("double") /
+        lit(1e12)).as("sx"))
     val sxy = long.as("a")
       .join(long.select(col("vec_id"), col("i").as("j"), col("x").as("y")), "vec_id")
       .groupBy(col("i"), col("j"))
-      .agg(sum((col("x") * col("y")).cast(dec12)).cast("double").as("sxy"))
+      .agg((sum(floor(col("x") * col("y") * lit(1e12) + lit(0.5)))
+        .cast("double") / lit(1e12)).as("sxy"))
     sxy.join(broadcast(sx.select(col("i"), col("sx").as("sxi"))), "i")
       .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sxj"))), "j")
       .crossJoin(broadcast(n))
@@ -1362,10 +1373,14 @@ object VectorOps {
        |  FROM embeddings,
        |    (SELECT UNNEST(generate_series(1,
        |       (SELECT MAX(len(embedding)) FROM embeddings))) AS i)),
-       |sx AS (SELECT i, ${dSumHop12("x")} AS sx
+       |sx AS (SELECT i,
+       |         CAST(SUM(CAST(FLOOR(x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+       |           / 1e12 AS sx
        |       FROM long GROUP BY i),
        |sxy AS (
-       |  SELECT a.i AS i, b.i AS j, ${dSumHop12("a.x * b.x")} AS sxy
+       |  SELECT a.i AS i, b.i AS j,
+       |    CAST(SUM(CAST(FLOOR(a.x * b.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / 1e12 AS sxy
        |  FROM long a JOIN long b USING (vec_id) GROUP BY a.i, b.i),
        |smat AS (
        |  SELECT sxy.i, sxy.j,
