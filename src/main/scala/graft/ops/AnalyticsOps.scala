@@ -1808,6 +1808,64 @@ object AnalyticsOps {
         |WHERE r.cum * 100 >= t.thr * tot.tc
         |GROUP BY t.thr ORDER BY t.thr""".stripMargin)),
 
+    // Cohort LTV curve — the revenue companion to g_cohort_retention:
+    // users grouped by the epoch-week of their FIRST event, cumulative
+    // purchase value per cohort member at each cohort age. Integer
+    // spine end-to-end: event value converts to exact micros once
+    // (DECIMAL(18,6)·1e6 → BIGINT, the bootstrap-CI spelling), the
+    // (cohort, age) rollup is one hash aggregate, and the running total
+    // is a cohort-keyed window over the ≤(weeks²)-sized rollup — the
+    // only corpus work is the first-event agg and the purchase scan.
+    // LTV = cum_micros/n_users is the single int/int division.
+    Q("g_cohort_ltv", (s, d) => {
+      val wk = expr("CAST(ts_us DIV 604800000000 AS BIGINT)")
+      val ev = Io.events(s, d)
+      val firstWk = ev.groupBy(col("user_id")).agg(min(wk).as("cohort_wk"))
+      val cohortSize = firstWk.groupBy(col("cohort_wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val spend = ev.filter(col("event_type") === "purchase" &&
+          col("value").isNotNull)
+        .select(col("user_id"), wk.as("ewk"),
+          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+            .as("micros"))
+        .join(firstWk, "user_id")
+        .groupBy(col("cohort_wk"), (col("ewk") - col("cohort_wk")).as("age_wk"))
+        .agg(sum(col("micros")).as("wk_micros"))
+      val wCum = Window.partitionBy(col("cohort_wk")).orderBy(col("age_wk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spend.withColumn("cum_micros", sum(col("wk_micros")).over(wCum))
+        .join(cohortSize, "cohort_wk")
+        .select(col("cohort_wk"), col("age_wk"), col("n_users"),
+          col("cum_micros"),
+          (col("cum_micros").cast("double") / col("n_users") / 1e6)
+            .as("ltv_per_user"))
+        .orderBy("cohort_wk", "age_wk")
+    }, Some(
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value,
+        |    epoch_us(ts) // 604800000000 AS wk
+        |  FROM events),
+        |fw AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1),
+        |cs AS (SELECT cohort_wk, COUNT(DISTINCT user_id) AS n_users
+        |       FROM fw GROUP BY 1),
+        |sp AS (
+        |  SELECT f.cohort_wk, e.wk - f.cohort_wk AS age_wk,
+        |    CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,6)) * 1000000
+        |             AS BIGINT)) AS BIGINT) AS wk_micros
+        |  FROM ev e JOIN fw f USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_wk, age_wk, wk_micros,
+        |    CAST(SUM(wk_micros) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_micros
+        |  FROM sp)
+        |SELECT c.cohort_wk, c.age_wk, s.n_users, c.cum_micros,
+        |  CAST(c.cum_micros AS DOUBLE) / s.n_users / 1e6 AS ltv_per_user
+        |FROM cum c JOIN cs s USING (cohort_wk)
+        |ORDER BY c.cohort_wk, c.age_wk""".stripMargin)),
+
     // Per-part price elasticity — GROUPED log-log OLS, the shape that
     // fits millions of independent models in one pass at 100 TB: every
     // part's ln(qty)-on-ln(unit price) slope comes from one hash

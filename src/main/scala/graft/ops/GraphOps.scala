@@ -1335,6 +1335,89 @@ object GraphOps {
          |FROM nodes n LEFT JOIN bw b ON b.event_type = n.u
          |ORDER BY n.u""".stripMargin)),
 
+    // Temporal graph stability: week-over-week churn of the dominant-
+    // transition edge set (the hitsEdges rule applied PER WEEK). For
+    // each consecutive week pair: edges kept / removed / added and the
+    // edge-set Jaccard — the drift monitor that says whether a trained
+    // type-graph model is stale. One user-keyed window pass over the
+    // corpus (transition assigned to its source event's epoch week),
+    // then (wk, src)-keyed aggs and one full-outer self-join of the
+    // |weeks|·|types|²-bounded edge table against itself shifted one
+    // week — all keyed, all counts integer, jaccard an int/int double.
+    Q("i_graph_edge_churn", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val trans = Io.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type").as("src"))
+        .withColumn("dst", lead(col("src"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(expr("CAST(ts_us DIV 604800000000 AS BIGINT)").as("wk"),
+          col("src"), col("dst"))
+        .groupBy(col("wk"), col("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+      val tot = trans.groupBy(col("wk"), col("src"))
+        .agg(sum(col("n")).as("tot"))
+      val edges = trans.join(tot, Seq("wk", "src"))
+        .filter(col("n") * 5 >= col("tot"))
+        .select(col("wk"), col("src"), col("dst"))
+      val wks = edges.select(col("wk")).distinct()
+      val bounds = wks.as("w1").join(
+        wks.select((col("wk") - 1).as("wk")).as("w2"), Seq("wk"))
+      val a = edges.withColumn("ina", lit(1L))
+      val b = edges.select((col("wk") - 1).as("wk"), col("src"),
+        col("dst"), lit(1L).as("inb"))
+      val stats = a.join(b, Seq("wk", "src", "dst"), "full_outer")
+        .join(bounds, Seq("wk"))
+        .groupBy(col("wk"))
+        .agg(sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when(col("ina").isNotNull && col("inb").isNull, 1L)
+            .otherwise(0L)).as("n_removed"),
+          sum(when(col("ina").isNull && col("inb").isNotNull, 1L)
+            .otherwise(0L)).as("n_added"))
+      stats.select(col("wk").as("week"), col("n_kept"), col("n_removed"),
+          col("n_added"),
+          (col("n_kept").cast("double") /
+            (col("n_kept") + col("n_removed") + col("n_added")))
+            .as("edge_jaccard"))
+        .orderBy("week")
+    }, Some(
+      """WITH trans AS (
+        |  SELECT wk, src, dst, COUNT(*) AS n FROM (
+        |    SELECT epoch_us(ts) // 604800000000 AS wk,
+        |      event_type AS src,
+        |      LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id) AS dst
+        |    FROM events)
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2, 3),
+        |tot AS (SELECT wk, src, SUM(n) AS tot FROM trans GROUP BY 1, 2),
+        |edges AS (SELECT t.wk, t.src, t.dst
+        |          FROM trans t JOIN tot USING (wk, src)
+        |          WHERE t.n * 5 >= tot.tot),
+        |wks AS (SELECT DISTINCT wk FROM edges),
+        |bounds AS (SELECT w1.wk FROM wks w1
+        |           JOIN (SELECT wk - 1 AS wk FROM wks) w2 USING (wk)),
+        |ab AS (
+        |  SELECT wk, ina, inb
+        |  FROM (SELECT wk, src, dst, 1 AS ina FROM edges) a
+        |  FULL JOIN (SELECT wk - 1 AS wk, src, dst, 1 AS inb FROM edges) b
+        |    USING (wk, src, dst)),
+        |st AS (
+        |  SELECT ab.wk,
+        |    CAST(SUM(CASE WHEN ina IS NOT NULL AND inb IS NOT NULL
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    CAST(SUM(CASE WHEN ina IS NOT NULL AND inb IS NULL
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |    CAST(SUM(CASE WHEN ina IS NULL AND inb IS NOT NULL
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_added
+        |  FROM ab JOIN bounds USING (wk) GROUP BY 1)
+        |SELECT wk AS week, n_kept, n_removed, n_added,
+        |  CAST(n_kept AS DOUBLE) / (n_kept + n_removed + n_added)
+        |    AS edge_jaccard
+        |FROM st ORDER BY week""".stripMargin)),
+
     // Closeness centrality, both classical variants, from the shared
     // all-pairs distance artifact: harmonic centrality Σ_{v≠u} 1/d(u,v)
     // (Marchiori–Latora; each term an int/int IEEE division —

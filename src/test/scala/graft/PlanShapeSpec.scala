@@ -851,6 +851,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "lost hash-agg form")
   }
 
+  test("cohort LTV / edge churn: keyed windows and joins only") {
+    // LTV's running total must stay partitioned by cohort; churn's
+    // week-shift self-join must be a keyed full-outer — neither may
+    // plan a cartesian or an unkeyed nested loop.
+    for (q <- Seq("g_cohort_ltv", "i_graph_edge_churn")) {
+      val p = plan(q).split("== Initial Plan ==").head
+      assert(!p.contains("CartesianProduct"), s"$q: a cartesian appeared")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q: a nested loop appeared")
+      assert(p.contains("HashAggregate"), s"$q: lost hash-agg form")
+    }
+    assert(plan("g_cohort_ltv").split("== Initial Plan ==").head
+      .contains("windowspecdefinition(cohort_wk"),
+      "LTV running total lost its cohort partition")
+  }
+
   test("grouped OLS (elasticity): one hash agg fits all models, top-k fused") {
     // Millions of per-part regressions must be ONE moment aggregate —
     // no window, no per-group pass, no join at all; the top-20 must
