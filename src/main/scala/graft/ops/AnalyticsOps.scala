@@ -1808,6 +1808,49 @@ object AnalyticsOps {
         |WHERE r.cum * 100 >= t.thr * tot.tc
         |GROUP BY t.thr ORDER BY t.thr""".stripMargin)),
 
+    // Fulfillment-latency SLA read: ship-minus-order days per lineitem,
+    // p50/p90/p99 per order priority via Q.exactPercentiles (the
+    // mergeable two-pass windowed selection — no holistic percentile
+    // buffer at any scale). Latencies are exact integer day diffs; the
+    // interpolated quantiles snap at 1e-6 (the d_agg_boxplot
+    // discipline: the engines' QUANTILE_CONT associations differ in
+    // the last ulps). One join shuffle + one priority-keyed window.
+    Q("g_fulfillment_latency", (s, d) => {
+      val lat = Io.table(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          expr("CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP))" +
+            " DIV 86400000000 AS BIGINT)").as("sday"))
+        .join(Io.table(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderpriority"),
+          expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+            " DIV 86400000000 AS BIGINT)").as("oday")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          (col("sday") - col("oday")).cast("double").as("lat_days"))
+      val n = lat.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"))
+      Q.exactPercentiles(lat, "o_orderpriority", "lat_days",
+          Seq((0.5, "p50r"), (0.9, "p90r"), (0.99, "p99r")))
+        .select(col("o_orderpriority"), snap6(col("p50r")).as("p50_days"),
+          snap6(col("p90r")).as("p90_days"), snap6(col("p99r")).as("p99_days"))
+        .join(n, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_lines"), col("p50_days"),
+          col("p90_days"), col("p99_days"))
+        .orderBy("o_orderpriority")
+    }, Some(
+      s"""WITH lat AS (
+         |  SELECT o.o_orderpriority,
+         |    CAST(epoch_us(l.l_shipdate) // 86400000000
+         |         - epoch_us(o.o_orderdate) // 86400000000 AS DOUBLE)
+         |      AS lat_days
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+         |SELECT o_orderpriority, COUNT(*) AS n_lines,
+         |  ${dSnap6("quantile_cont(lat_days, 0.5)")} AS p50_days,
+         |  ${dSnap6("quantile_cont(lat_days, 0.9)")} AS p90_days,
+         |  ${dSnap6("quantile_cont(lat_days, 0.99)")} AS p99_days
+         |FROM lat GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)),
+
     // Cohort LTV curve — the revenue companion to g_cohort_retention:
     // users grouped by the epoch-week of their FIRST event, cumulative
     // purchase value per cohort member at each cohort age. Integer

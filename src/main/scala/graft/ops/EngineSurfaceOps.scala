@@ -194,6 +194,28 @@ object EngineSurfaceOps {
     // literals inlined (DuckDB's python API binds positionally; the
     // CHECKED quantity is the result, the Spark side pins the binding
     // API itself).
+    // IDENTIFIER() clause (Spark 4.x): table and column names supplied
+    // as PARAMETERS instead of string-spliced SQL — the injection-safe
+    // templating surface a multi-tenant pipeline uses to run one audited
+    // query text over many tables. The identifier is resolved at
+    // analysis time, so the plan is identical to the literal form (the
+    // oracle is exactly that literal form). Map-side scan + one agg.
+    Q("f_identifier_clause", (s, d) => {
+      Io.views(s, d)
+      s.sql(
+        """SELECT l_returnflag, COUNT(*) AS n,
+          |  CAST(SUM(CAST(IDENTIFIER(:qtycol) AS DECIMAL(38,6))) AS DOUBLE)
+          |    AS total_qty
+          |FROM IDENTIFIER(:tbl)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        Map("tbl" -> "lineitem", "qtycol" -> "l_quantity"))
+    }, Some(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS total_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     Q("f_parameterized_sql", (s, d) => {
       Io.views(s, d)
       s.sql(
