@@ -50,7 +50,11 @@ object PlanDump {
       "h_pq_adc_topk" -> "PQ ADC scan: broadcast distance table probed by the code table on (sub, code)",
       "h_bm25_rank" -> "BM25: map-side array-filter tf, ONE scalar stats exchange, TakeOrderedAndProject",
       "d_agg_cms_freq" -> "count-min sketch: map-side hash explode → 4096-counter agg, broadcast probe",
-      "h_prefix_filter_pairs" -> "AllPairs prefix filter: rarest-token postings equi-join + bitmask verify")
+      "h_prefix_filter_pairs" -> "AllPairs prefix filter: rarest-token postings equi-join + bitmask verify",
+      "g_price_elasticity" -> "grouped OLS: integer-picounit moments in ONE hash agg, top-k fused (no window)",
+      "g_markov_attribution" -> "removal-effect attribution: variant-keyed matrix chain over materialized stages",
+      "i_graph_betweenness" -> "betweenness: σ from walk-count powers ⋈ min-plus distances, all keyed",
+      "g_logistic_gd" -> "logistic GD epoch: map-side sigmoid pass + hash-agg all-reduce, weights broadcast")
     // the checked widevocab query serves its memoized pair table
     // (truncated lineage) — dump the BUILD pipeline instead, where the
     // shingling/mask/signature/band-join shape is visible; same for the
