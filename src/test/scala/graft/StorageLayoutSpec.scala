@@ -112,6 +112,56 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(after.filter(col("lang") =!= "es" && col("n_chars") < 0).count() === 0L)
   }
 
+  test("write-audit-publish: staged write, DQ gate, atomic publish") {
+    // The lakehouse ingestion flow a 100 TB pipeline relies on: new
+    // data lands in a STAGING path, a DQ audit runs against the staged
+    // files, and only a passing audit publishes — via one atomic
+    // directory rename, so readers of the live path never observe a
+    // partial or failing batch. A failing audit leaves the live path
+    // byte-identical.
+    val base = java.nio.file.Files.createTempDirectory("graft_wap")
+    val live = base.resolve("live"); val stage = base.resolve("_stage")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    docs.write.parquet(live.toString)
+    val liveCount = spark.read.parquet(live.toString).count()
+
+    def audit(path: String): Boolean = {
+      val d = spark.read.parquet(path)
+      val bad = d.filter(col("doc_id").isNull || col("n_chars") <= 0).count()
+      bad == 0L && d.count() > 0L
+    }
+    def publish(): Unit = {
+      // atomic swap: stage → live (rename is atomic on one filesystem;
+      // object stores swap a manifest/table pointer instead — same
+      // contract, one mutation point)
+      val tmp = base.resolve("_retired")
+      java.nio.file.Files.move(live, tmp)
+      java.nio.file.Files.move(stage, live)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+
+    // batch 1: fails the audit (negative n_chars) → must NOT publish
+    docs.withColumn("n_chars", -col("n_chars"))
+      .write.parquet(stage.toString)
+    assert(!audit(stage.toString), "bad batch passed the audit")
+    org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    assert(spark.read.parquet(live.toString).count() === liveCount,
+      "failed audit mutated the live path")
+    assert(spark.read.parquet(live.toString)
+      .filter(col("n_chars") < 0).count() === 0L)
+
+    // batch 2: passes → publish swaps atomically
+    docs.withColumn("n_chars", col("n_chars") + 1)
+      .write.parquet(stage.toString)
+    assert(audit(stage.toString))
+    publish()
+    val after = spark.read.parquet(live.toString)
+    assert(after.count() === liveCount)
+    assert(after.filter(col("n_chars") <= 1).count() === 0L,
+      "published batch not visible after the swap")
+  }
+
   test("writes respect maxRecordsPerFile (bounded output file size)") {
     // the sink-side 100 TB lever: without a per-file record bound a
     // 32-partition write of a huge table produces 32 unsplittable giant
