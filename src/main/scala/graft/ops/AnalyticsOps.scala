@@ -1808,6 +1808,63 @@ object AnalyticsOps {
         |WHERE r.cum * 100 >= t.thr * tot.tc
         |GROUP BY t.thr ORDER BY t.thr""".stripMargin)),
 
+    // Hill tail-index estimator (extreme-value statistics) on
+    // per-customer spend: α̂ = k / Σ_{i≤k} ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the
+    // k = 100 largest spenders — the power-law read that says whether
+    // revenue (or doc length, or degree) has a finite variance, i.e.
+    // whether mean-based capacity planning is even valid. Spend is
+    // exact integer cents; the top-(k+1) selection is a fused global
+    // top-k; each ratio is an int/int IEEE division; ln terms snap at
+    // 1e-12 (hop twin) and fold through the two-way-hopped scale-18
+    // sum; α̂ = k/Σ is one raw quotient. Corpus work: the per-customer
+    // agg + one TakeOrdered — the 101-row tail math is driver-free
+    // metadata (rank window over ≤101 rows, scalar attaches).
+    Q("g_tail_index", (s, d) => {
+      val spend = Io.table(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100" +
+          " AS BIGINT)")).as("cents"))
+        .orderBy(col("cents").desc, col("o_custkey")).limit(101)
+      val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+      val ranked = spend.withColumn("rk", row_number().over(w))
+      val xk = ranked.filter(col("rk") === 101)
+        .select(col("cents").as("xk"))
+      val fit = ranked.filter(col("rk") <= 100)
+        .crossJoin(broadcast(xk))
+        .select(snap12(log(col("cents").cast("double") / col("xk")))
+          .as("lnr"), col("xk"))
+        .agg(count(lit(1)).as("k"), first(col("xk")).as("xk_cents"),
+          decSum18(col("lnr")).as("slnr"))
+      fit.select(col("k"), col("xk_cents"),
+        (col("k").cast("double") / col("slnr")).as("hill_alpha"),
+        col("slnr").as("sum_ln_ratios"))
+    }, Some({
+      def hop(x: String) =
+        s"CAST(CAST(CAST(CAST(CASE WHEN ABS($x) < 5e-13 THEN CAST(0 AS DOUBLE)" +
+          s" ELSE $x END AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)"
+      def s18(x: String) =
+        s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18)))" +
+          s" AS VARCHAR) AS DOUBLE)"
+      s"""WITH spend AS (
+         |  SELECT o_custkey,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |             AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1
+         |  ORDER BY cents DESC, o_custkey LIMIT 101),
+         |ranked AS (
+         |  SELECT cents,
+         |    ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rk
+         |  FROM spend),
+         |xk AS (SELECT cents AS xk FROM ranked WHERE rk = 101),
+         |fit AS (
+         |  SELECT COUNT(*) AS k, MIN(xk.xk) AS xk_cents,
+         |    ${s18(hop("LN(CAST(r.cents AS DOUBLE) / xk.xk)"))} AS slnr
+         |  FROM ranked r CROSS JOIN xk WHERE r.rk <= 100)
+         |SELECT k, xk_cents, CAST(k AS DOUBLE) / slnr AS hill_alpha,
+         |  slnr AS sum_ln_ratios
+         |FROM fit""".stripMargin
+    })),
+
     // Fulfillment-latency SLA read: ship-minus-order days per lineitem,
     // p50/p90/p99 per order priority via Q.exactPercentiles (the
     // mergeable two-pass windowed selection — no holistic percentile

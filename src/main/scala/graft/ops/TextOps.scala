@@ -1166,6 +1166,83 @@ object TextOps {
         |FROM pred WHERE rk = 1
         |GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin)),
 
+    // Zipf's-law fit — the companion lexical law to h_heaps_vocab_growth:
+    // ln(freq) on ln(rank) over the top-1000 tokens. The corpus work is
+    // ONE token-keyed count; the top-1000 selection is a fused global
+    // top-k (freq DESC, token tiebreak), and the rank window + OLS run
+    // over those 1000 bounded rows. Same seam discipline as the Heaps
+    // fit (1e-12 ln snaps, two-way-hopped scale-18 sums, hop-snapped
+    // products, raw quotients); output = the top 20 tokens with the
+    // fitted slope/intercept attached.
+    Q("h_zipf_fit", (s, d) => {
+      val dec12t = org.apache.spark.sql.types.DecimalType(38, 12)
+      def snap12(c: org.apache.spark.sql.Column) =
+        c.cast(dec12t).cast("double")
+      def decSum18(c: org.apache.spark.sql.Column) =
+        sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast("double")
+      val freq = Io.table(s, d, "documents")
+        .select(explode(toks).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("t")).limit(1000)
+      val w = Window.orderBy(col("freq").desc, col("t"))
+      // 1000 bounded rows — the unpartitioned rank window is
+      // metadata-sized by construction (post-top-k)
+      val pts = freq.withColumn("rank", row_number().over(w))
+        .withColumn("x", snap12(log(col("rank").cast("double"))))
+        .withColumn("y", snap12(log(col("freq").cast("double"))))
+      val fit = pts.agg(count(lit(1)).as("np"),
+          decSum18(col("x")).as("sx"), decSum18(col("y")).as("sy"),
+          decSum18(snap12(col("x") * col("y"))).as("sxy"),
+          decSum18(snap12(col("x") * col("x"))).as("sxx"))
+        .select(col("np"), col("sx"), col("sy"),
+          ((snap12(col("np") * col("sxy")) - snap12(col("sx") * col("sy"))) /
+            (snap12(col("np") * col("sxx")) - snap12(col("sx") * col("sx"))))
+            .as("zipf_slope"))
+        .select(col("zipf_slope"),
+          ((col("sy") - snap12(col("zipf_slope") * col("sx"))) / col("np"))
+            .as("zipf_lnc"))
+      pts.filter(col("rank") <= 20)
+        .crossJoin(broadcast(fit))
+        .select(col("rank"), col("t").as("token"), col("freq"),
+          col("zipf_slope"), col("zipf_lnc"))
+        .orderBy("rank")
+    }, Some({
+      def hop(x: String) =
+        s"CAST(CAST(CAST(CAST(CASE WHEN ABS($x) < 5e-13 THEN CAST(0 AS DOUBLE)" +
+          s" ELSE $x END AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)"
+      def s18(x: String) =
+        s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18)))" +
+          s" AS VARCHAR) AS DOUBLE)"
+      s"""WITH freq AS (
+         |  SELECT t, COUNT(*) AS freq FROM (
+         |    SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+         |  GROUP BY t ORDER BY freq DESC, t LIMIT 1000),
+         |pts AS (
+         |  SELECT t, freq,
+         |    ROW_NUMBER() OVER (ORDER BY freq DESC, t) AS rank
+         |  FROM freq),
+         |pxy AS (
+         |  SELECT rank, t, freq,
+         |    ${hop("LN(CAST(rank AS DOUBLE))")} AS x,
+         |    ${hop("LN(CAST(freq AS DOUBLE))")} AS y
+         |  FROM pts),
+         |fit AS (
+         |  SELECT COUNT(*) AS np, ${s18("x")} AS sx, ${s18("y")} AS sy,
+         |    ${s18(hop("x * y"))} AS sxy, ${s18(hop("x * x"))} AS sxx
+         |  FROM pxy),
+         |b AS (
+         |  SELECT np, sx, sy,
+         |    (${hop("np * sxy")} - ${hop("sx * sy")}) /
+         |      (${hop("np * sxx")} - ${hop("sx * sx")}) AS zipf_slope
+         |  FROM fit),
+         |c AS (SELECT zipf_slope,
+         |        (sy - ${hop("zipf_slope * sx")}) / np AS zipf_lnc FROM b)
+         |SELECT p.rank, p.t AS token, p.freq, c.zipf_slope, c.zipf_lnc
+         |FROM pxy p CROSS JOIN c
+         |WHERE p.rank <= 20 ORDER BY p.rank""".stripMargin
+    })),
+
     // Heaps'-law vocabulary growth — the read that sizes a tokenizer
     // vocab budget: add sources in ingestion order (src0..srcN) and
     // report cumulative docs vs cumulative DISTINCT vocabulary, plus

@@ -867,6 +867,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "LTV running total lost its cohort partition")
   }
 
+  test("zipf/hill: global top-k fused, windows only over the bounded tail") {
+    // Both select a bounded head/tail with a fused TakeOrderedAndProject
+    // over the corpus agg — a global Sort here would be the 100 TB
+    // mistake. (Their unpartitioned rank windows run post-limit over
+    // ≤1000 rows by construction.)
+    for (q <- Seq("h_zipf_fit", "g_tail_index")) {
+      val p = plan(q).split("== Initial Plan ==").head
+      assert(!p.contains("CartesianProduct"), s"$q: a cartesian appeared")
+      assert(p.contains("TakeOrderedAndProject"), s"$q: top-k lost fusion")
+      assert(p.contains("HashAggregate"), s"$q: lost hash-agg form")
+    }
+  }
+
   test("grouped OLS (elasticity): one hash agg fits all models, top-k fused") {
     // Millions of per-part regressions must be ONE moment aggregate —
     // no window, no per-group pass, no join at all; the top-20 must
