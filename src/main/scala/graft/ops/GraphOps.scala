@@ -1335,6 +1335,79 @@ object GraphOps {
          |FROM nodes n LEFT JOIN bw b ON b.event_type = n.u
          |ORDER BY n.u""".stripMargin)),
 
+    // Rich-club coefficient (Zhou & Mondragón): among nodes of degree
+    // > k, what fraction of possible edges exist — the "do the hubs
+    // form a club" read that degree distribution alone can't answer.
+    // Evaluated at the discrete degree p50/p75/p90 thresholds (member
+    // values via cume_dist, the h_quality_quantile discipline — an
+    // interpolated percentile can land between integer degrees). All
+    // counts integer over the shared supported-graph artifacts: N(>k)
+    // from the degree table, E(>k) from one pair-table pass keyed on
+    // min(deg_a, deg_b); φ = 2E/(N(N−1)) is one int/int division. The
+    // three thresholds attach as a 3-row broadcast.
+    Q("i_graph_rich_club", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val deg = supDeg(s, d)
+      val pairs = supPairs(s, d)
+      val wCd = Window.orderBy(col("deg"))
+      // cume_dist over the node-degree table: |nodes|-bounded (the
+      // supported co-purchase graph's node census, not the corpus)
+      val cd = deg.withColumn("cd", cume_dist().over(wCd))
+      val thr = Seq(0.5 -> "p50", 0.75 -> "p75", 0.9 -> "p90").map {
+        case (p, nm) => cd.filter(col("cd") >= p)
+          .agg(min(col("deg")).as("k")).select(lit(nm).as("q"), col("k"))
+      }.reduce(_.union(_))
+      val edgeDeg = pairs
+        .join(deg.select(col("node").as("pa"), col("deg").as("da")), "pa")
+        .join(deg.select(col("node").as("pb"), col("deg").as("db")), "pb")
+        .select(least(col("da"), col("db")).as("mind"))
+      val eCnt = edgeDeg.crossJoin(broadcast(thr))
+        .groupBy(col("q"), col("k"))
+        .agg(sum(when(col("mind") > col("k"), 1L).otherwise(0L)).as("e_club"))
+      val nCnt = deg.crossJoin(broadcast(thr))
+        .groupBy(col("q").as("q2"), col("k").as("k2"))
+        .agg(sum(when(col("deg") > col("k"), 1L).otherwise(0L)).as("n_club"))
+      eCnt.join(nCnt, col("q") === col("q2"))
+        .select(col("q").as("quantile"), col("k").as("deg_threshold"),
+          col("n_club"), col("e_club"),
+          when(col("n_club") >= 2,
+            (lit(2L) * col("e_club")).cast("double") /
+              (col("n_club") * (col("n_club") - 1)))
+            .otherwise(lit(0.0)).as("rich_club_phi"))
+        .orderBy("quantile")
+    }, Some(
+      s"""$supSql,
+         |cd AS (SELECT node, deg,
+         |         CUME_DIST() OVER (ORDER BY deg) AS cd FROM sdeg),
+         |thr AS (
+         |  SELECT 'p50' AS q, MIN(deg) AS k FROM cd WHERE cd >= 0.5
+         |  UNION ALL
+         |  SELECT 'p75', MIN(deg) FROM cd WHERE cd >= 0.75
+         |  UNION ALL
+         |  SELECT 'p90', MIN(deg) FROM cd WHERE cd >= 0.9),
+         |ed AS (
+         |  SELECT LEAST(da.deg, db.deg) AS mind
+         |  FROM sup
+         |  JOIN sdeg da ON da.node = sup.pa
+         |  JOIN sdeg db ON db.node = sup.pb),
+         |ec AS (
+         |  SELECT t.q, t.k,
+         |    CAST(SUM(CASE WHEN ed.mind > t.k THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS e_club
+         |  FROM thr t CROSS JOIN ed GROUP BY 1, 2),
+         |nc AS (
+         |  SELECT t.q, t.k,
+         |    CAST(SUM(CASE WHEN s.deg > t.k THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_club
+         |  FROM thr t CROSS JOIN sdeg s GROUP BY 1, 2)
+         |SELECT ec.q AS quantile, ec.k AS deg_threshold, nc.n_club,
+         |  ec.e_club,
+         |  CASE WHEN nc.n_club >= 2 THEN
+         |    CAST(2 * ec.e_club AS DOUBLE) / (nc.n_club * (nc.n_club - 1))
+         |  ELSE CAST(0.0 AS DOUBLE) END AS rich_club_phi
+         |FROM ec JOIN nc ON nc.q = ec.q
+         |ORDER BY quantile""".stripMargin)),
+
     // Temporal graph stability: week-over-week churn of the dominant-
     // transition edge set (the hitsEdges rule applied PER WEEK). For
     // each consecutive week pair: edges kept / removed / added and the

@@ -867,6 +867,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "LTV running total lost its cohort partition")
   }
 
+  test("rich club: keyed degree joins, 3-row threshold attaches only") {
+    // E(>k)/N(>k) come from the pair/degree artifacts via keyed joins;
+    // the only nested loops are the two 3-row threshold attaches. A
+    // cartesian or a 3rd BNLJ means a degree join lost its key.
+    val p = plan("i_graph_rich_club").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a cartesian appeared")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"$bnlj nested-loop joins (> the 2 threshold attaches)")
+    assert(p.contains("HashAggregate"), "club counts lost hash-agg form")
+  }
+
   test("zipf/hill: global top-k fused, windows only over the bounded tail") {
     // Both select a bounded head/tail with a fused TakeOrderedAndProject
     // over the corpus agg — a global Sort here would be the 100 TB
