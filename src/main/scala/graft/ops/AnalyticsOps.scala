@@ -1808,6 +1808,108 @@ object AnalyticsOps {
         |WHERE r.cum * 100 >= t.thr * tot.tc
         |GROUP BY t.thr ORDER BY t.thr""".stripMargin)),
 
+    // Coarsened Exact Matching ATT (Iacus–King–Porro) — the causal
+    // estimate g_did_estimate's parallel-trends assumption can't give
+    // you when exposure is user-level: coarsen the confounders
+    // (activity volume, active days) into bins, exact-match treated
+    // (signup-exposed) to control users WITHIN each stratum, and weight
+    // per-stratum outcome gaps by treated counts. Everything is keyed
+    // aggregation: one user rollup, one (stratum, treated) agg, one
+    // stratum join — no pair matching, no sort, the CEM shape that
+    // scales to any user count. Outcome sums are exact integer micros;
+    // stratum means are int/int doubles; the weighted fold hop-snaps
+    // the n_t·gap products and rides the two-way-hopped scale-18 sum;
+    // ATT and the naive contrast are raw quotients.
+    Q("g_cem_att", (s, d) => {
+      val ev = Io.events(s, d)
+      // exposure = the deterministic id coin (every event-type flag is
+      // degenerate at small SF — 15 users at sf0.001 ALL have a signup
+      // — while the coin guarantees both arms at any scale; randomized
+      // exposure also makes ATT ≈ naive a built-in sanity read)
+      val users = ev.groupBy(col("user_id")).agg(
+        max(when(expr(s"(${Q.coin("user_id")}) < 2147483648"), 1L)
+          .otherwise(0L)).as("treated"),
+        count(lit(1)).as("activity"),
+        countDistinct(expr("ts_us DIV 86400000000")).as("days"),
+        sum(when(col("event_type") === "purchase" && col("value").isNotNull,
+          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+          .otherwise(0L)).as("y_micros"))
+        .select(col("treated"), (col("activity") / 10).cast("long").as("abin"),
+          (col("days") / 5).cast("long").as("dbin"), col("y_micros"))
+      val strata = users.groupBy(col("abin"), col("dbin"), col("treated"))
+        .agg(count(lit(1)).as("n"), sum(col("y_micros")).as("sy"))
+      val t = strata.filter(col("treated") === 1)
+        .select(col("abin"), col("dbin"), col("n").as("nt"), col("sy").as("syt"))
+      val c = strata.filter(col("treated") === 0)
+        .select(col("abin"), col("dbin"), col("n").as("nc"), col("sy").as("syc"))
+      val matched = t.join(c, Seq("abin", "dbin"))
+        .select(col("nt"), col("nc"),
+          snap12(col("nt") * (col("syt").cast("double") / col("nt") -
+            col("syc").cast("double") / col("nc"))).as("wgap"))
+      val naive = users.agg(
+        (sum(when(col("treated") === 1, col("y_micros")).otherwise(0L))
+          .cast("double") /
+          sum(when(col("treated") === 1, 1L).otherwise(0L)) -
+          sum(when(col("treated") === 0, col("y_micros")).otherwise(0L))
+            .cast("double") /
+            sum(when(col("treated") === 0, 1L).otherwise(0L)))
+          .as("naive_diff_micros"))
+      matched.agg(count(lit(1)).as("n_strata"),
+          sum(col("nt")).as("n_treated_matched"),
+          sum(col("nc")).as("n_control_matched"),
+          decSum18(col("wgap")).as("swgap"))
+        .crossJoin(broadcast(naive))
+        .select(col("n_strata"), col("n_treated_matched"),
+          col("n_control_matched"),
+          (col("swgap") / col("n_treated_matched")).as("att_micros"),
+          col("naive_diff_micros"))
+    }, Some({
+      def hop(x: String) =
+        s"CAST(CAST(CAST(CAST(CASE WHEN ABS($x) < 5e-13 THEN CAST(0 AS DOUBLE)" +
+          s" ELSE $x END AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)"
+      def s18(x: String) =
+        s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18)))" +
+          s" AS VARCHAR) AS DOUBLE)"
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    MAX(CASE WHEN (${Q.coin("user_id")}) < 2147483648
+         |        THEN 1 ELSE 0 END) AS treated,
+         |    COUNT(*) // 10 AS abin,
+         |    COUNT(DISTINCT epoch_us(ts) // 86400000000) // 5 AS dbin,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+         |      THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS y_micros
+         |  FROM events GROUP BY user_id),
+         |st AS (
+         |  SELECT abin, dbin, treated, COUNT(*) AS n,
+         |    CAST(SUM(y_micros) AS BIGINT) AS sy
+         |  FROM u GROUP BY 1, 2, 3),
+         |m AS (
+         |  SELECT t.nt, c.nc,
+         |    ${hop("t.nt * (CAST(t.syt AS DOUBLE) / t.nt " +
+             "- CAST(c.syc AS DOUBLE) / c.nc)")} AS wgap
+         |  FROM (SELECT abin, dbin, n AS nt, sy AS syt FROM st
+         |        WHERE treated = 1) t
+         |  JOIN (SELECT abin, dbin, n AS nc, sy AS syc FROM st
+         |        WHERE treated = 0) c USING (abin, dbin)),
+         |nv AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN treated = 1 THEN y_micros ELSE 0 END)
+         |         AS DOUBLE) /
+         |      SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END)
+         |    - CAST(SUM(CASE WHEN treated = 0 THEN y_micros ELSE 0 END)
+         |           AS DOUBLE) /
+         |      SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END)
+         |      AS naive_diff_micros
+         |  FROM u)
+         |SELECT COUNT(*) AS n_strata,
+         |  CAST(SUM(m.nt) AS BIGINT) AS n_treated_matched,
+         |  CAST(SUM(m.nc) AS BIGINT) AS n_control_matched,
+         |  ${s18("m.wgap")} / CAST(SUM(m.nt) AS BIGINT) AS att_micros,
+         |  MIN(nv.naive_diff_micros) AS naive_diff_micros
+         |FROM m CROSS JOIN nv""".stripMargin
+    })),
+
     // Hill tail-index estimator (extreme-value statistics) on
     // per-customer spend: α̂ = k / Σ_{i≤k} ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the
     // k = 100 largest spenders — the power-law read that says whether

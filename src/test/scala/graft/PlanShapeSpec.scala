@@ -867,6 +867,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "LTV running total lost its cohort partition")
   }
 
+  test("CEM: stratum matching is a keyed join, never pair matching") {
+    // The treated⋈control match must be ONE equi-join on the coarsened
+    // stratum key — a nested loop or cartesian means it degenerated to
+    // pairwise matching (quadratic in users). One scalar attach (the
+    // naive contrast) is sanctioned.
+    val p = plan("g_cem_att").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a cartesian appeared")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"$bnlj nested-loop joins (> the naive attach)")
+    assert(p.contains("HashAggregate"), "stratum rollup lost hash-agg form")
+  }
+
   test("rich club: keyed degree joins, 3-row threshold attaches only") {
     // E(>k)/N(>k) come from the pair/degree artifacts via keyed joins;
     // the only nested loops are the two 3-row threshold attaches. A
