@@ -646,6 +646,114 @@ object MixOps {
          |  m.quality >= thr.lang_p75 AS keep
          |FROM m JOIN thr USING (lang) ORDER BY m.doc_id""".stripMargin)),
 
+    // Data-constrained epoch planning — the waterfilling allocator a
+    // token-budgeted training run needs (Muennighoff et al.'s
+    // repeat-vs-unique regime): give each source a temperature-target
+    // share (w ∝ √tokens — IEEE sqrt, bit-identical cross-engine) of a
+    // T = 2×corpus token budget, subject to a ≤2.05-epoch repetition cap
+    // per source (tokens·2 + tokens÷20, integer-exact — tight enough
+    // that the small, temperature-boosted sources BIND and their excess
+    // redistributes to the rest, so both waterfilling branches are
+    // live on this corpus). EXACT waterfilling, no iteration: sort sources by
+    // cap/w, prefix-sum caps and weights (|sources|-bounded windows),
+    // and the unique binding prefix k* satisfies r_k ≤ λ(k) < r_{k+1}
+    // with λ(k) = (T − Σ_{i≤k}cap)/(W − Σ_{i≤k}w) — closed form, found
+    // relationally. Caps/budgets are BIGINT; weights are
+    // DECIMAL(38,6)-snapped sqrts summed exactly; λ and the unbound
+    // allocations are arithmetic over engine-identical values.
+    Q("h_epoch_plan", (s, d) => {
+      val base0 = Io.table(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(toks)).as("tokens"))
+        .select(col("source"), col("tokens"),
+          (col("tokens") * 2 + expr("tokens DIV 20")).as("cap"),
+          sqrt(col("tokens").cast("double")).cast(DecimalType(38, 6))
+            .as("w6"))
+        .withColumn("r", col("cap").cast("double") /
+          col("w6").cast("double"))
+      val tot = base0.agg(sum(col("tokens")).as("c_total"),
+        sum(col("w6")).as("w_total"), count(lit(1)).as("ns"))
+      val wk = Window.orderBy(col("r"), col("source"))
+      val wcum = Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // |sources|-bounded rank/prefix windows (post-aggregation)
+      val sorted = base0.withColumn("k", row_number().over(wk))
+      val pre = sorted
+        .withColumn("cumcap", sum(col("cap")).over(wcum))
+        .withColumn("cumw", sum(col("w6")).over(wcum))
+        .select(col("k"), col("r"), col("cumcap"), col("cumw"))
+      val cand = pre.union(s.range(1).select(lit(0L).cast("int").as("k"),
+        lit(null).cast("double").as("r"), lit(0L).as("cumcap"),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 6)).as("cumw")))
+      val lamT = cand.crossJoin(broadcast(tot))
+        .filter(col("k") < col("ns"))
+        .withColumn("lam",
+          ((lit(2L) * col("c_total") - col("cumcap")).cast("double")) /
+            (col("w_total") - col("cumw")).cast("double"))
+      val nextR = sorted.select((col("k") - 1).as("k"), col("r").as("r_next"))
+      val lamStar = lamT.join(nextR, Seq("k"), "left")
+        .filter((col("k") === 0 || col("r") <= col("lam")) &&
+          (col("r_next").isNull || col("r_next") > col("lam")))
+        .agg(expr("min_by(lam, k)").as("lam"))
+      base0.crossJoin(broadcast(lamStar))
+        .crossJoin(broadcast(tot.select(col("c_total"))))
+        .select(col("source"), col("tokens"), col("cap"),
+          (col("r") <= col("lam")).as("cap_bound"),
+          snap6(when(col("r") <= col("lam"), col("cap").cast("double"))
+            .otherwise(col("w6").cast("double") * col("lam")))
+            .as("alloc_tokens"),
+          snap6(when(col("r") <= col("lam"),
+            col("cap").cast("double") / col("tokens"))
+            .otherwise(col("w6").cast("double") * col("lam") /
+              col("tokens"))).as("epochs"))
+        .orderBy("source")
+    }, Some(
+      s"""WITH base AS (
+         |  SELECT source, tokens, tokens * 2 + tokens // 20 AS cap, w6,
+         |    CAST(cap AS DOUBLE) / CAST(w6 AS DOUBLE) AS r
+         |  FROM (SELECT source,
+         |          CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+         |            AS tokens,
+         |          CAST(SQRT(CAST(SUM(len(string_split(text, ' ')))
+         |            AS DOUBLE)) AS DECIMAL(38,6)) AS w6
+         |        FROM documents GROUP BY source)),
+         |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS c_total,
+         |               SUM(w6) AS w_total, COUNT(*) AS ns FROM base),
+         |sorted AS (
+         |  SELECT source, tokens, cap, w6, r,
+         |    ROW_NUMBER() OVER (ORDER BY r, source) AS k
+         |  FROM base),
+         |pre AS (
+         |  SELECT k, r,
+         |    CAST(SUM(cap) OVER (ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cumcap,
+         |    SUM(w6) OVER (ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+         |  FROM sorted),
+         |cand AS (
+         |  SELECT k, r, cumcap, cumw FROM pre
+         |  UNION ALL
+         |  SELECT 0, NULL, 0, CAST(0 AS DECIMAL(38,6))),
+         |lamt AS (
+         |  SELECT c.k, c.r,
+         |    CAST(2 * t.c_total - c.cumcap AS DOUBLE) /
+         |      CAST(t.w_total - c.cumw AS DOUBLE) AS lam
+         |  FROM cand c CROSS JOIN tot t WHERE c.k < t.ns),
+         |star AS (
+         |  SELECT MIN_BY(l.lam, l.k) AS lam
+         |  FROM lamt l LEFT JOIN sorted s1 ON s1.k = l.k + 1
+         |  WHERE (l.k = 0 OR l.r <= l.lam)
+         |    AND (s1.k IS NULL OR s1.r > l.lam))
+         |SELECT b.source, b.tokens, b.cap,
+         |  b.r <= st.lam AS cap_bound,
+         |  ${dSnap6("CASE WHEN b.r <= st.lam THEN CAST(b.cap AS DOUBLE) " +
+             "ELSE CAST(b.w6 AS DOUBLE) * st.lam END")} AS alloc_tokens,
+         |  ${dSnap6("CASE WHEN b.r <= st.lam THEN CAST(b.cap AS DOUBLE) / b.tokens " +
+             "ELSE CAST(b.w6 AS DOUBLE) * st.lam / b.tokens END")} AS epochs
+         |FROM base b CROSS JOIN star st
+         |ORDER BY b.source""".stripMargin)),
+
     // Deterministic curriculum ordering — the training-order builder
     // that feeds packed batches: quality-descending WITHIN each source,
     // round-robin ACROSS sources (any prefix of the order holds each

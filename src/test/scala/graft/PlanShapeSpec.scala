@@ -867,6 +867,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "LTV running total lost its cohort partition")
   }
 
+  test("epoch plan: one corpus agg, bounded waterfilling math") {
+    // The corpus work must be ONE source-keyed token aggregate; the
+    // sort/prefix/λ-selection runs over the |sources|-bounded census
+    // (unpartitioned windows post-aggregation are fine there). Pins:
+    // no cartesian, nested loops only for the ≤3 scalar/census attaches.
+    val p = plan("h_epoch_plan").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "a cartesian appeared")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 3, s"$bnlj nested-loop joins (> the λ/total attaches)")
+    assert(p.contains("HashAggregate"), "token census lost hash-agg form")
+  }
+
   test("CEM: stratum matching is a keyed join, never pair matching") {
     // The treated⋈control match must be ONE equi-join on the coarsened
     // stratum key — a nested loop or cartesian means it degenerated to
