@@ -743,6 +743,132 @@ object VectorOps {
          |FROM exact e LEFT JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b"""
         .stripMargin)),
 
+    // IR-grade ANN index evaluation: MRR and nDCG@10 of the LSH index
+    // against exact per-query ground truth — recall@k (h_ann_recall)
+    // says WHETHER true neighbors surface; these say WHERE they rank.
+    // Ground truth: exact cosine top-10 per query (20 queries broadcast
+    // against one corpus scan — the eval set is small by construction,
+    // so "brute force" here is a bounded map-side pass, not a pair
+    // blowup). Relevance = 11 − exact_rank (graded), gain/log₂(pos+1)
+    // with each log₂ 1e-12-snapped (hop twin; ten distinct values),
+    // IDCG from the same snapped spelling over ranks 1..10, per-query
+    // nDCG/MRR snapped then exactly summed; the two means are raw
+    // quotients. Queries whose LSH buckets surface nothing score 0 —
+    // absence is a grade, not a dropped row.
+    Q("h_ann_mrr_ndcg", (s, d) => {
+      def snap12(c: Column): Column = c.cast(dec12).cast("double")
+      def decSum18(c: Column): Column =
+        sum(c.cast(DecimalType(38, 18))).cast("double")
+      val e = withDoubles(s, d)
+        .select(col("vec_id"), col("dv"), sqrt(dot(col("dv"), col("dv"))).as("nrm"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("dv").as("qv"), col("nrm").as("qn"))
+      val wq = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nn_id"))
+      val exact = e.select(col("vec_id").as("nn_id"), col("dv").as("nv"),
+          col("nrm").as("nn"))
+        .crossJoin(broadcast(q))
+        .filter(col("nn_id") =!= col("q_id"))
+        .withColumn("sim", r6(dot(col("qv"), col("nv")) / (col("qn") * col("nn"))))
+        .withColumn("erk", row_number().over(wq))
+        .filter(col("erk") <= 10)
+        .select(col("q_id"), col("nn_id"), col("erk"))
+      val sig = lshSigs(s, d)
+      val cand = sig.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("band"), col("band_val"))
+        .join(sig.select(col("vec_id").as("nn_id"), col("band"), col("band_val")),
+          Seq("band", "band_val"))
+        .filter(col("q_id") =!= col("nn_id"))
+        .select("q_id", "nn_id").distinct()
+      val ann = cand
+        .join(q, "q_id")
+        .join(e.select(col("vec_id").as("nn_id"), col("dv").as("nv"),
+          col("nrm").as("nn")), "nn_id")
+        .withColumn("sim", r6(dot(col("qv"), col("nv")) / (col("qn") * col("nn"))))
+        .withColumn("pos", row_number().over(wq))
+        .filter(col("pos") <= 10)
+        .select(col("q_id"), col("nn_id"), col("pos"))
+      val terms = ann.join(exact, Seq("q_id", "nn_id"), "left")
+        .select(col("q_id"), col("pos"),
+          coalesce(lit(11L) - col("erk"), lit(0L)).as("gain"),
+          col("erk"))
+      val perQ = terms.groupBy(col("q_id"))
+        .agg(decSum18(snap12(col("gain").cast("double") /
+            snap12(log2(col("pos").cast("double") + 1.0)))).as("dcg"),
+          min(when(col("erk") === 1, col("pos"))).as("best_pos"))
+      val idcg = s.range(1, 11).select(
+          snap12(lit(11.0) - col("id")).as("g"),
+          snap12(log2(col("id").cast("double") + 1.0)).as("lg"))
+        .agg(decSum18(snap12(col("g") / col("lg"))).as("idcg"))
+      val scored = q.select(col("q_id"))
+        .join(perQ, Seq("q_id"), "left")
+        .crossJoin(broadcast(idcg))
+        .select(
+          snap12(coalesce(col("dcg") / col("idcg"), lit(0.0))).as("ndcg"),
+          snap12(coalesce(lit(1.0) / col("best_pos"), lit(0.0))).as("rr"))
+      scored.agg(count(lit(1)).as("n_queries"),
+          decSum18(col("ndcg")).as("sn"), decSum18(col("rr")).as("sr"))
+        .select(col("n_queries"),
+          (col("sr") / col("n_queries")).as("mrr"),
+          (col("sn") / col("n_queries")).as("ndcg_at_10"))
+    }, Some({
+      def hop(x: String) =
+        s"CAST(CAST(CAST(CAST(CASE WHEN ABS($x) < 5e-13 THEN CAST(0 AS DOUBLE)" +
+          s" ELSE $x END AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)"
+      def s18(x: String) =
+        s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18)))" +
+          s" AS VARCHAR) AS DOUBLE)"
+      s"""WITH $duckSig,
+         |exact AS (
+         |  SELECT q_id, nn_id, erk FROM (
+         |    SELECT a.vec_id AS q_id, b.vec_id AS nn_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ROUND($duckCos, 6) DESC, b.vec_id) AS erk
+         |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |    WHERE a.vec_id < 20)
+         |  WHERE erk <= 10),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS nn_id
+         |  FROM sig x JOIN sig y
+         |    ON x.band = y.band AND x.band_val = y.band_val
+         |      AND x.vec_id <> y.vec_id
+         |  WHERE x.vec_id < 20),
+         |ann AS (
+         |  SELECT q_id, nn_id, pos FROM (
+         |    SELECT c.q_id, c.nn_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.q_id
+         |        ORDER BY ROUND($duckCos, 6) DESC, c.nn_id) AS pos
+         |    FROM cand c
+         |    JOIN embeddings a ON a.vec_id = c.q_id
+         |    JOIN embeddings b ON b.vec_id = c.nn_id)
+         |  WHERE pos <= 10),
+         |terms AS (
+         |  SELECT an.q_id, an.pos,
+         |    COALESCE(11 - ex.erk, 0) AS gain, ex.erk
+         |  FROM ann an LEFT JOIN exact ex USING (q_id, nn_id)),
+         |perq AS (
+         |  SELECT q_id,
+         |    ${s18(hop(s"CAST(gain AS DOUBLE) / ${hop("LOG2(CAST(pos AS DOUBLE) + 1.0)")}"))}
+         |      AS dcg,
+         |    MIN(CASE WHEN erk = 1 THEN pos END) AS best_pos
+         |  FROM terms GROUP BY q_id),
+         |idcg AS (
+         |  SELECT ${s18(hop(s"${hop("11.0 - i")} / ${hop("LOG2(CAST(i AS DOUBLE) + 1.0)")}"))}
+         |    AS idcg
+         |  FROM (SELECT UNNEST(generate_series(1, 10)) AS i)),
+         |scored AS (
+         |  SELECT
+         |    ${hop("COALESCE(p.dcg / idcg.idcg, CAST(0 AS DOUBLE))")} AS ndcg,
+         |    ${hop("COALESCE(CAST(1 AS DOUBLE) / p.best_pos, CAST(0 AS DOUBLE))")}
+         |      AS rr
+         |  FROM (SELECT DISTINCT vec_id AS q_id FROM embeddings
+         |        WHERE vec_id < 20) ql
+         |  LEFT JOIN perq p USING (q_id) CROSS JOIN idcg)
+         |SELECT COUNT(*) AS n_queries,
+         |  ${s18("rr")} / COUNT(*) AS mrr,
+         |  ${s18("ndcg")} / COUNT(*) AS ndcg_at_10
+         |FROM scored""".stripMargin
+    })),
+
     // Embedding-cosine near-dedup: LSH-candidate pairs verified at
     // cosine >= 0.4 (this corpus's vectors are near-orthogonal — max
     // pair cosine ~0.51 — so the threshold sits where near-dups exist).

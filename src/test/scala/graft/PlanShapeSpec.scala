@@ -571,13 +571,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // KEYED join on (band, band_val), and nothing data-sized ever goes
     // through a nested-loop or cartesian (h_ann_recall's 10-row exact
     // top-k side is the one sanctioned broadcast).
-    for (q <- Seq("h_ann_lsh", "h_ann_topk_pairs", "h_ann_recall")) {
+    // per-query BNLJ allowance: mrr/ndcg carries the bounded 20-query
+    // exact-ground-truth broadcast + the one-row IDCG attach by design
+    for ((q, maxB) <- Seq("h_ann_lsh" -> 0, "h_ann_topk_pairs" -> 0,
+        "h_ann_recall" -> 0, "h_ann_mrr_ndcg" -> 2)) {
       val p = plan(q).split("== Initial Plan ==").head
       assert(p.contains("lsh_bands"),
         s"$q: native lsh_bands expression missing — signature path is not map-side")
       assert(!p.contains("CartesianProduct"), s"$q: a data-sized cartesian appeared")
       val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-      assert(bnlj == 0,
+      assert(bnlj <= maxB,
         s"$q: $bnlj BroadcastNestedLoopJoins — candidate generation fell off " +
           s"the (band,band_val) equi-join:\n" + p.take(2000))
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
