@@ -1808,6 +1808,43 @@ object AnalyticsOps {
         |WHERE r.cum * 100 >= t.thr * tot.tc
         |GROUP BY t.thr ORDER BY t.thr""".stripMargin)),
 
+    // Supply-concentration risk: Herfindahl–Hirschman index per part
+    // over supplier quantity shares — the sourcing-risk read (HHI > 0.25
+    // ≈ "one supplier failure stalls the part"). EXACT integer
+    // arithmetic end-to-end: quantities are integer-valued doubles cast
+    // to BIGINT once, HHI = Σq_s²/Q² is an int/int division (q² ≤ ~1e10,
+    // sums well inside int64), and the top-20 most concentrated parts
+    // (≥3 suppliers) come through a fused global top-k. Two keyed aggs,
+    // zero float seams.
+    Q("g_hhi_concentration", (s, d) => {
+      val bySupp = Io.table(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("bigint").as("q"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("q")).as("qs"))
+      val hhi = bySupp.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_suppliers"), sum(col("qs")).as("q_total"),
+          sum(col("qs") * col("qs")).as("sq2"))
+        .filter(col("n_suppliers") >= 3)
+        .select(col("l_partkey"), col("n_suppliers"), col("q_total"),
+          (col("sq2").cast("double") / (col("q_total") * col("q_total")))
+            .as("hhi"))
+      hhi.orderBy(col("hhi").desc, col("l_partkey")).limit(20)
+    }, Some(
+      """WITH bs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qs
+        |  FROM lineitem GROUP BY 1, 2),
+        |h AS (
+        |  SELECT l_partkey, COUNT(*) AS n_suppliers,
+        |    CAST(SUM(qs) AS BIGINT) AS q_total,
+        |    CAST(SUM(qs * qs) AS BIGINT) AS sq2
+        |  FROM bs GROUP BY 1)
+        |SELECT l_partkey, n_suppliers, q_total,
+        |  CAST(sq2 AS DOUBLE) / (q_total * q_total) AS hhi
+        |FROM h WHERE n_suppliers >= 3
+        |ORDER BY hhi DESC, l_partkey LIMIT 20""".stripMargin)),
+
     // Coarsened Exact Matching ATT (Iacus–King–Porro) — the causal
     // estimate g_did_estimate's parallel-trends assumption can't give
     // you when exposure is user-level: coarsen the confounders

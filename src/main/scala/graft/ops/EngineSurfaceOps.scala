@@ -194,6 +194,27 @@ object EngineSurfaceOps {
     // literals inlined (DuckDB's python API binds positionally; the
     // CHECKED quantity is the result, the Spark side pins the binding
     // API itself).
+    // LISTAGG ... WITHIN GROUP (Spark 4.x / ISO SQL:2016): ordered
+    // string aggregation as a native aggregate — the report-building
+    // surface that previously needed collect_list + array_sort +
+    // concat_ws. The WITHIN GROUP order carries a unique tiebreak so
+    // both engines emit the identical string (DuckDB twin: STRING_AGG
+    // with ORDER BY).
+    Q("f_listagg", (s, d) => {
+      Io.views(s, d)
+      s.sql(
+        """SELECT r_name,
+          |  LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+          |  COUNT(*) AS n
+          |FROM nation JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    }, Some(
+      """SELECT r_name,
+        |  STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
     // IDENTIFIER() clause (Spark 4.x): table and column names supplied
     // as PARAMETERS instead of string-spliced SQL — the injection-safe
     // templating surface a multi-tenant pipeline uses to run one audited

@@ -870,6 +870,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "LTV running total lost its cohort partition")
   }
 
+  test("HHI: two keyed aggs, top-k fused") {
+    val p = plan("g_hhi_concentration").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "an unkeyed join appeared")
+    assert(p.contains("HashAggregate"), "lost hash-agg form")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 lost limit fusion")
+  }
+
   test("epoch plan: one corpus agg, bounded waterfilling math") {
     // The corpus work must be ONE source-keyed token aggregate; the
     // sort/prefix/λ-selection runs over the |sources|-bounded census
