@@ -1808,6 +1808,71 @@ object AnalyticsOps {
         |WHERE r.cum * 100 >= t.thr * tot.tc
         |GROUP BY t.thr ORDER BY t.thr""".stripMargin)),
 
+    // Forecast backtest — the eval row the smoothing family (g_ewma,
+    // g_holt_trend) was missing: one-step-ahead EWMA forecasts (the
+    // PREVIOUS 10 values, lags 1..10 with 0.7-decay weights) scored
+    // walk-forward against the realized value, reported as per-user MAE
+    // and sMAPE. Forecast/error arithmetic is fixed-association IEEE
+    // over engine-identical inputs; each |e| and sMAPE term snaps at
+    // 1e-12 (hop twins) before the exact sums; the two means are raw
+    // quotients. Same keyed-window shape as g_ewma — scoring adds no
+    // new shuffle.
+    Q("g_forecast_backtest", (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val weights = (1 to 10).map(k => math.pow(7, k - 1) / math.pow(10, k - 1))
+      val base = Io.events(s, d).filter(col("user_id") < 20)
+      val withLags = (1 to 10).foldLeft(base) { (df, k) =>
+        df.withColumn(s"l$k", lag(col("value"), k).over(w))
+      }
+      val num = (1 to 10).map(k =>
+        when(col(s"l$k").isNotNull, col(s"l$k") * lit(weights(k - 1)))
+          .otherwise(lit(0.0))).reduceLeft(_ + _)
+      val den = (1 to 10).map(k =>
+        when(col(s"l$k").isNotNull, lit(weights(k - 1))).otherwise(lit(0.0)))
+        .reduceLeft(_ + _)
+      withLags.filter(col("l1").isNotNull)
+        .select(col("user_id"), col("value"), (num / den).as("f"))
+        .select(col("user_id"), col("value"), col("f"),
+          snap12(abs(col("value") - col("f"))).as("ae"),
+          snap12(lit(2.0) * abs(col("value") - col("f")) /
+            (abs(col("value")) + abs(col("f")))).as("sm"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_scored"),
+          (decSum18(col("ae")) / count(lit(1))).as("mae"),
+          (decSum18(col("sm")) / count(lit(1))).as("smape"))
+        .orderBy("user_id")
+    }, Some {
+      def hop(x: String) =
+        s"CAST(CAST(CAST(CAST(CASE WHEN ABS($x) < 5e-13 THEN CAST(0 AS DOUBLE)" +
+          s" ELSE $x END AS VARCHAR) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)"
+      def s18(x: String) =
+        s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18)))" +
+          s" AS VARCHAR) AS DOUBLE)"
+      val terms = (1 to 10).map { k =>
+        val wk = s"(${BigInt(7).pow(k - 1)} / ${BigInt(10).pow(k - 1)}.0)"
+        (s"CASE WHEN LAG(value, $k) OVER w IS NOT NULL" +
+          s" THEN LAG(value, $k) OVER w * $wk ELSE 0.0 END",
+          s"CASE WHEN LAG(value, $k) OVER w IS NOT NULL THEN $wk ELSE 0.0 END")
+      }
+      val num = terms.map(_._1).mkString("(", " + ", ")")
+      val den = terms.map(_._2).mkString("(", " + ", ")")
+      s"""WITH fc AS (
+         |  SELECT user_id, value, $num / $den AS f,
+         |    LAG(value, 1) OVER w AS l1
+         |  FROM events WHERE user_id < 20
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         |sc AS (
+         |  SELECT user_id, value, f,
+         |    ${hop("ABS(value - f)")} AS ae,
+         |    ${hop("2.0 * ABS(value - f) / (ABS(value) + ABS(f))")} AS sm
+         |  FROM fc WHERE l1 IS NOT NULL)
+         |SELECT user_id, COUNT(*) AS n_scored,
+         |  ${s18("ae")} / COUNT(*) AS mae,
+         |  ${s18("sm")} / COUNT(*) AS smape
+         |FROM sc GROUP BY user_id ORDER BY user_id""".stripMargin
+    }),
+
     // Supply-concentration risk: Herfindahl–Hirschman index per part
     // over supplier quantity shares — the sourcing-risk read (HHI > 0.25
     // ≈ "one supplier failure stalls the part"). EXACT integer
