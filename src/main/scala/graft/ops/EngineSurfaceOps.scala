@@ -194,6 +194,31 @@ object EngineSurfaceOps {
     // literals inlined (DuckDB's python API binds positionally; the
     // CHECKED quantity is the result, the Spark side pins the binding
     // API itself).
+    // mask() (Spark 3.4+): format-preserving PII redaction as a native
+    // expression — uppercase→X, lowercase→x, digit→n — next to a sha2
+    // pseudonym for joinability; the pair is the standard "analyst
+    // view" of a PII column (h_pii_scrub handles free-text patterns;
+    // this is the typed-column surface). DuckDB twin: the three
+    // character-class regexp passes in an order where no pass touches
+    // another's output. Map-side scan at any scale.
+    Q("f_mask_pii", (s, d) => {
+      Io.views(s, d)
+      s.sql(
+        """SELECT c_custkey, mask(c_name) AS name_masked,
+          |  mask(c_name, 'U', 'l', '#') AS name_masked_custom,
+          |  substr(sha2(c_name, 256), 1, 16) AS name_token
+          |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin)
+    }, Some(
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(c_name,
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |    AS name_masked,
+        |  regexp_replace(regexp_replace(regexp_replace(c_name,
+        |    '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '#', 'g')
+        |    AS name_masked_custom,
+        |  substr(sha256(c_name), 1, 16) AS name_token
+        |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin)),
+
     // LISTAGG ... WITHIN GROUP (Spark 4.x / ISO SQL:2016): ordered
     // string aggregation as a native aggregate — the report-building
     // surface that previously needed collect_list + array_sort +

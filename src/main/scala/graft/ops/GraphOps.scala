@@ -1335,6 +1335,63 @@ object GraphOps {
          |FROM nodes n LEFT JOIN bw b ON b.event_type = n.u
          |ORDER BY n.u""".stripMargin)),
 
+    // Network motif census (Milo et al.): feed-forward loops (a→b→c
+    // with shortcut a→c) and 3-cycles (a→b→c→a) in the DIRECTED
+    // dominant-transition type graph — the over-represented wiring
+    // patterns that distinguish a funnel-like event flow from a cyclic
+    // one. Three keyed self-joins over the |types|²-bounded hitsEdges
+    // artifact (the corpus pays only the shared window pass); loops
+    // (a=b etc.) excluded; cycles deduplicated by their rotation-
+    // minimal representative so each cycle counts once. All integer.
+    Q("i_graph_motifs", (s, d) => {
+      val e = typeGraphDirEdges(s, d)
+      val ab = e.select(col("src").as("a"), col("dst").as("b"))
+        .filter(col("a") =!= col("b"))
+      val bc = e.select(col("src").as("b"), col("dst").as("c"))
+      val ac = e.select(col("src").as("a"), col("dst").as("c"))
+      val paths = ab.join(bc, "b")
+        .filter(col("c") =!= col("a") && col("c") =!= col("b"))
+      val ffl = paths.join(ac.withColumn("_sc", lit(1)), Seq("a", "c"), "left")
+        .agg(count(lit(1)).as("n_paths2"),
+          sum(coalesce(col("_sc"), lit(0))).as("n_ffl"))
+      val cyc = paths.join(
+          e.select(col("dst").as("a"), col("src").as("c")), Seq("a", "c"))
+        .filter(col("a") < col("b") && col("a") < col("c"))
+        .agg(count(lit(1)).as("n_cycles3"))
+      ffl.crossJoin(broadcast(cyc))
+        .select(col("n_paths2"), col("n_ffl"), col("n_cycles3"),
+          (col("n_ffl").cast("double") / col("n_paths2"))
+            .as("ffl_closure_rate"))
+    }, Some(
+      """WITH trans AS (
+        |  SELECT src, dst, COUNT(*) AS n FROM (
+        |    SELECT event_type AS src,
+        |      LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id) AS dst
+        |    FROM events)
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src, SUM(n) AS tot FROM trans GROUP BY 1),
+        |e AS (SELECT t.src, t.dst FROM trans t JOIN tot USING (src)
+        |      WHERE t.n * 5 >= tot.tot),
+        |paths AS (
+        |  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+        |  FROM (SELECT src, dst FROM e WHERE src <> dst) ab
+        |  JOIN e bc ON bc.src = ab.dst
+        |  WHERE bc.dst <> ab.src AND bc.dst <> ab.dst),
+        |ffl AS (
+        |  SELECT COUNT(*) AS n_paths2,
+        |    CAST(SUM(CASE WHEN sc.src IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_ffl
+        |  FROM paths p
+        |  LEFT JOIN e sc ON sc.src = p.a AND sc.dst = p.c),
+        |cyc AS (
+        |  SELECT COUNT(*) AS n_cycles3
+        |  FROM paths p JOIN e cl ON cl.src = p.c AND cl.dst = p.a
+        |  WHERE p.a < p.b AND p.a < p.c)
+        |SELECT f.n_paths2, f.n_ffl, c.n_cycles3,
+        |  CAST(f.n_ffl AS DOUBLE) / f.n_paths2 AS ffl_closure_rate
+        |FROM ffl f CROSS JOIN cyc c""".stripMargin)),
+
     // Rich-club coefficient (Zhou & Mondragón): among nodes of degree
     // > k, what fraction of possible edges exist — the "do the hubs
     // form a club" read that degree distribution alone can't answer.
@@ -1579,23 +1636,29 @@ object GraphOps {
   /** Symmetrized dominant-transition type-graph adjacency — shared by
     * eccentricity and betweenness; built on the hitsEdges artifact
     * (the one corpus-sized window pass, shared with i_graph_hits). */
+  /** The DIRECTED dominant-transition edges (the shared hitsEdges
+    * artifact — one corpus window pass, consumed by HITS, the motif
+    * census, and the undirected adjacency below). */
+  private def typeGraphDirEdges(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "hitsEdges") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val trans = Io.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type").as("src"))
+        .withColumn("dst", lead(col("src"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      val tot = trans.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+      Q.materialize(s, d, "hitsEdges")(
+        trans.join(tot, "src").filter(col("n") * 5 >= col("tot"))
+          .select(col("src"), col("dst")))
+    }
+
   private def typeGraphAdj(s: SparkSession, d: String): DataFrame =
     Q.memoized(s, d, "typeAdj") {
-      import org.apache.spark.sql.expressions.Window
-      val dirEdges = Q.memoized(s, d, "hitsEdges") {
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts_us"), col("event_id"))
-        val trans = Io.events(s, d)
-          .select(col("user_id"), col("ts_us"), col("event_id"),
-            col("event_type").as("src"))
-          .withColumn("dst", lead(col("src"), 1).over(w))
-          .filter(col("dst").isNotNull)
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
-        val tot = trans.groupBy(col("src")).agg(sum(col("n")).as("tot"))
-        Q.materialize(s, d, "hitsEdges")(
-          trans.join(tot, "src").filter(col("n") * 5 >= col("tot"))
-            .select(col("src"), col("dst")))
-      }
+      val dirEdges = typeGraphDirEdges(s, d)
       Q.materialize(s, d, "typeAdj")(
         dirEdges.union(
           dirEdges.select(col("dst").as("src"), col("src").as("dst")))
