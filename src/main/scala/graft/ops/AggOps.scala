@@ -69,6 +69,32 @@ object AggOps {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // EXACT distinct counting via the bitmap aggregate family (Spark
+    // 3.5+): bucket the key space (bitmap_bucket_number), OR together
+    // per-bucket position bitmaps (bitmap_construct_agg — a MERGEABLE
+    // binary buffer, unlike COUNT(DISTINCT)'s value buffer), popcount
+    // per bucket, sum. The 100 TB story is the point: partial
+    // aggregation applies at every stage, no distinct-value shuffle
+    // ever materializes, and the answer is exact — the middle ground
+    // between COUNT(DISTINCT) (exact, heavy) and HLL (mergeable,
+    // approximate). Oracle = plain COUNT(DISTINCT), proving exactness.
+    Q("d_agg_bitmap_distinct", (s, d) => {
+      Io.views(s, d)
+      s.sql(
+        """SELECT l_returnflag,
+          |  CAST(SUM(cnt) AS BIGINT) AS n_parts, CAST(SUM(n) AS BIGINT) AS n_rows
+          |FROM (
+          |  SELECT l_returnflag, bitmap_bucket_number(l_partkey) AS bkt,
+          |    bitmap_count(bitmap_construct_agg(
+          |      bitmap_bit_position(l_partkey))) AS cnt,
+          |    COUNT(*) AS n
+          |  FROM lineitem GROUP BY 1, 2)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }, Some(
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     Q("d_agg_multi_distinct", (s, d) => {
       Io.table(s, d, "lineitem")
         .groupBy(col("l_linestatus"))
