@@ -64,7 +64,10 @@ object ProbeBoot {
     time("hi collect")(hi.collect()(0))
     val point = orders.agg(count(lit(1)).as("n_orders"))
     time("assembled")(point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi)).count())
-    time("full query")(Registry.queries("g_bootstrap_ci")(spark, sfDir).count())
+    // collect(), not count(): count() lets Catalyst prune the decimal
+    // aggregates the probe exists to measure (the probe-lies failure
+    // mode in SKILL.md — 0.5 s by count vs 25 s real)
+    time("full query")(Registry.queries("g_bootstrap_ci")(spark, sfDir).collect())
     spark.stop()
   }
 }

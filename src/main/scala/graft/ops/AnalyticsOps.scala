@@ -1835,8 +1835,15 @@ object AnalyticsOps {
         .select(col("user_id"), col("value"), (num / den).as("f"))
         .select(col("user_id"), col("value"), col("f"),
           snap12(abs(col("value") - col("f"))).as("ae"),
-          snap12(lit(2.0) * abs(col("value") - col("f")) /
-            (abs(col("value")) + abs(col("f")))).as("sm"))
+          // sMAPE zero-denominator guard: a scored row with value = 0
+          // and every non-null lag 0 gives 0/0 — NaN in Spark vs
+          // DuckDB's own division-by-zero semantics (and 'nan' kills
+          // the oracle's VARCHAR→DECIMAL hop). Define the term as 0
+          // there (the forecast is exactly right), identically in the
+          // oracle.
+          snap12(when(abs(col("value")) + abs(col("f")) === 0.0, lit(0.0))
+            .otherwise(lit(2.0) * abs(col("value") - col("f")) /
+              (abs(col("value")) + abs(col("f"))))).as("sm"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_scored"),
           (decSum18(col("ae")) / count(lit(1))).as("mae"),
@@ -1865,7 +1872,8 @@ object AnalyticsOps {
          |sc AS (
          |  SELECT user_id, value, f,
          |    ${hop("ABS(value - f)")} AS ae,
-         |    ${hop("2.0 * ABS(value - f) / (ABS(value) + ABS(f))")} AS sm
+         |    ${hop("CASE WHEN ABS(value) + ABS(f) = 0 THEN 0.0" +
+        " ELSE 2.0 * ABS(value - f) / (ABS(value) + ABS(f)) END")} AS sm
          |  FROM fc WHERE l1 IS NOT NULL)
          |SELECT user_id, COUNT(*) AS n_scored,
          |  ${s18("ae")} / COUNT(*) AS mae,
@@ -2302,12 +2310,20 @@ object AnalyticsOps {
         .crossJoin(broadcast(pb))
         .select(col("variant").as("channel"), col("p_base"),
           col("p").as("p_removed"),
-          (lit(1.0) - col("p") / col("p_base")).as("removal_effect"))
+          // p_base = 0 (a corpus slice with zero converting journeys)
+          // would make 1 - p/p_base NaN/Inf with engine-divergent
+          // division-by-zero semantics downstream; emit NULL instead —
+          // CASE with no ELSE in the oracle, `when` with no otherwise
+          // here — so both engines propagate NULL identically through
+          // the share division.
+          when(col("p_base") =!= 0.0,
+            lit(1.0) - col("p") / col("p_base")).as("removal_effect"))
       val rTot = rem.agg(decSum18(col("removal_effect")).as("rt"))
       rem.crossJoin(broadcast(rTot))
         .select(col("channel"), col("p_base").as("p_conv_base"),
           col("p_removed").as("p_conv_removed"), col("removal_effect"),
-          (col("removal_effect") / col("rt")).as("attribution_share"))
+          when(col("rt") =!= 0.0,
+            col("removal_effect") / col("rt")).as("attribution_share"))
         .orderBy("channel")
     }, Some({
       def hop(x: String) =
@@ -2373,11 +2389,13 @@ object AnalyticsOps {
          |pb AS (SELECT p AS p_base FROM pc WHERE variant = 'base'),
          |rem AS (
          |  SELECT variant AS channel, p_base, p AS p_removed,
-         |    CAST(1 AS DOUBLE) - p / p_base AS removal_effect
+         |    CASE WHEN p_base <> 0
+         |      THEN CAST(1 AS DOUBLE) - p / p_base END AS removal_effect
          |  FROM pc CROSS JOIN pb WHERE variant <> 'base'),
          |rt AS (SELECT ${s18("removal_effect")} AS rt FROM rem)
          |SELECT channel, p_base AS p_conv_base, p_removed AS p_conv_removed,
-         |  removal_effect, removal_effect / rt AS attribution_share
+         |  removal_effect,
+         |  CASE WHEN rt <> 0 THEN removal_effect / rt END AS attribution_share
          |FROM rem CROSS JOIN rt ORDER BY channel""".stripMargin
     })),
 

@@ -161,6 +161,36 @@ object DedupOps {
   private[graft] def widevocabPairsBuildForPlan(s: SparkSession, d: String): DataFrame =
     widevocabPairsBuild(s, d, mat = false)
 
+  /** Prefix-postings build for h_prefix_filter_pairs — exposed
+    * un-materialized so PlanShapeSpec can pin the build's shape (the
+    * memoized artifact truncates lineage). The rarity order the prefix
+    * cut needs is simply (document frequency, bigram): a total order
+    * over the vocabulary that sorts INSIDE the doc-keyed window — no
+    * vocab-wide rank (and so no single-partition WindowExec) exists
+    * anywhere in the build. The df table attaches by a b-keyed
+    * equi-join; AQE broadcasts it while it fits and falls back to a
+    * shuffle join once the vocabulary outgrows the threshold. */
+  private[graft] def prefixPostingsBuildForPlan(
+      s: SparkSession, d: String): DataFrame = {
+    graft.functions.ExplodeNgrams.register(s)
+    // per-doc distinct-bigram count read off the memoized masks
+    // (popcount sum) — no second pass over the corpus
+    val sizes = bigramMasks(s, d).select(col("doc_id"),
+      expr("aggregate(transform(mask, x -> bit_count(x)), 0, (acc, v) -> acc + v)")
+        .cast("long").as("n"))
+    val tok = Io.table(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr("explode_ngrams(text, 2)").as("b"))
+      .distinct()
+    val dfTab = tok.groupBy("b").agg(count(lit(1)).as("dfb"))
+    tok.join(dfTab, "b")
+      .join(sizes, "doc_id")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("dfb"), col("b"))))
+      .filter(col("pos") <= col("n") - expr("(n * 9 + 9) DIV 10") + 1)
+      .select("doc_id", "b", "n")
+  }
+
   private def widevocabPairsBuild(s: SparkSession, d: String, mat: Boolean): DataFrame = {
     graft.functions.MinHashSig.register(s)
     def m(name: String)(df: DataFrame): DataFrame =
@@ -805,37 +835,22 @@ object DedupOps {
     // prunes before masks load, and the native bitmask verify keeps
     // exactly the qualifying pairs. 100 TB shape: prefix postings are
     // ~n/10 of the token table keyed by the RAREST tokens (the
-    // shortest posting lists); the df-rank table is vocabulary-sized
-    // (broadcast; its row_number window is vocab-bounded, never
-    // data-sized); the per-doc prefix cut is a doc-keyed window.
+    // shortest posting lists); rarity ordering needs no global rank at
+    // all — (dfb, b) itself is a total order over the vocabulary, so
+    // the per-doc prefix cut sorts on it directly inside the doc-keyed
+    // window and the df table attaches by a b-keyed equi-join (AQE
+    // broadcasts it when it fits, shuffles when the vocab outgrows the
+    // threshold — no vocab-sized single-partition stage anywhere).
     Q("h_prefix_filter_pairs", (s, d) => {
       graft.functions.ExplodeNgrams.register(s)
       graft.functions.DotProduct.register(s) // registers bitmask_jaccard
       val masks = bigramMasks(s, d)
-      // per-doc distinct-bigram count read off the memoized masks
-      // (popcount sum) — no second pass over the corpus
-      val sizes = masks.select(col("doc_id"),
-        expr("aggregate(transform(mask, x -> bit_count(x)), 0, (acc, v) -> acc + v)")
-          .cast("long").as("n"))
       // prefix postings memoized+materialized per corpus: a production
       // pipeline builds the postings index once; the self-join below
-      // would otherwise re-execute the tok/rank/window chain twice
+      // would otherwise re-execute the tok/df/window chain twice
       val prefix = Q.memoized(s, d, "prefixPostings") {
-        Q.materialize(s, d, "prefixPostings") {
-          val tok = Io.table(s, d, "documents")
-            .repartition(s.sparkContext.defaultParallelism)
-            .select(col("doc_id"), expr("explode_ngrams(text, 2)").as("b"))
-            .distinct()
-          val dfRank = tok.groupBy("b").agg(count(lit(1)).as("dfb"))
-            .withColumn("rank", row_number().over(
-              Window.orderBy(col("dfb"), col("b"))))
-          tok.join(broadcast(dfRank.select("b", "rank")), "b")
-            .join(sizes, "doc_id")
-            .withColumn("pos", row_number().over(
-              Window.partitionBy(col("doc_id")).orderBy(col("rank"))))
-            .filter(col("pos") <= col("n") - expr("(n * 9 + 9) DIV 10") + 1)
-            .select("doc_id", "b", "n")
-        }
+        Q.materialize(s, d, "prefixPostings")(
+          prefixPostingsBuildForPlan(s, d))
       }
       // size filter INSIDE the candidate join (postings carry n): at
       // τ=0.9 the 10·min ≥ 9·max cut discards most in-bucket pairs

@@ -33,6 +33,18 @@ object GraphOps {
   private def dSum18(x: String) =
     s"CAST(SUM(CAST($x AS DECIMAL(38,18))) AS DOUBLE)"
 
+  /** Two-way VARCHAR-hopped scale-18 oracle sum, for results emitted
+    * RAW (closeness, betweenness) rather than re-snapped at a coarser
+    * grain: the in-hop makes DuckDB's double→DECIMAL(38,18) capture
+    * the repr digits (matching Spark's repr-based cast, not the binary
+    * dust below them), and the out-hop parses exact digits back
+    * (DuckDB's direct decimal→double double-rounds once the unscaled
+    * value passes 2^53 — any sum ≥ ~10 at scale 18). The
+    * h_heaps_vocab_growth spelling; see .claude/skills/verify/SKILL.md. */
+  private def dSum18h(x: String) =
+    s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18)))" +
+      s" AS VARCHAR) AS DOUBLE)"
+
   /** Per-iteration 1e-12 snap: keeps the two engines bit-identical
     * across iterations (HALF_UP from DOUBLE on both). */
   private def snap12(c: Column): Column =
@@ -1328,7 +1340,7 @@ object GraphOps {
          |  JOIN sigma sv ON sv.src = sw.dst AND sv.dst = p.v
          |  WHERE sw.dst <> p.u AND sw.dst <> p.v
          |    AND sw.dist + sv.dist = p.duv),
-         |bw AS (SELECT w AS event_type, ${dSum18("term")} AS betweenness
+         |bw AS (SELECT w AS event_type, ${dSum18h("term")} AS betweenness
          |       FROM terms GROUP BY 1)
          |SELECT n.u AS event_type,
          |  COALESCE(b.betweenness, CAST(0.0 AS DOUBLE)) AS betweenness
@@ -1396,8 +1408,15 @@ object GraphOps {
     // > k, what fraction of possible edges exist — the "do the hubs
     // form a club" read that degree distribution alone can't answer.
     // Evaluated at the discrete degree p50/p75/p90 thresholds (member
-    // values via cume_dist, the h_quality_quantile discipline — an
-    // interpolated percentile can land between integer degrees). All
+    // values, the h_quality_quantile discipline — an interpolated
+    // percentile can land between integer degrees). The thresholds are
+    // CUME_DIST cuts computed WITHOUT ranking the node table: group the
+    // degree census per distinct degree, two-pass range-partitioned
+    // prefix-sum it (local running sum per range partition + a
+    // |partitions|-row broadcast offset table — the e_win_ntile_pct
+    // pattern), and cum(k)/N ≥ p picks min k. No corpus-derived table
+    // ever crosses a single-partition WindowExec; the only global
+    // window left runs over the |partitions|-row offset table. All
     // counts integer over the shared supported-graph artifacts: N(>k)
     // from the degree table, E(>k) from one pair-table pass keyed on
     // min(deg_a, deg_b); φ = 2E/(N(N−1)) is one int/int division. The
@@ -1406,12 +1425,36 @@ object GraphOps {
       import org.apache.spark.sql.expressions.Window
       val deg = supDeg(s, d)
       val pairs = supPairs(s, d)
-      val wCd = Window.orderBy(col("deg"))
-      // cume_dist over the node-degree table: |nodes|-bounded (the
-      // supported co-purchase graph's node census, not the corpus)
-      val cd = deg.withColumn("cd", cume_dist().over(wCd))
+      // per-degree census, range-cumulated: cum = #nodes with deg ≤ k.
+      // Materialized because three threshold branches consume it (a
+      // range repartition samples fresh bounds per execution — the
+      // g_cusum_changepoint lesson). The cross-partition offsets come
+      // from a |partitions|²-cell self-join over the 32-row per-
+      // partition count table instead of a prefix window — same
+      // metadata-sized work, and this query's plan carries NO
+      // unpartitioned WindowExec at all, bounded or otherwise.
+      val cum = Q.materialize(s, d, "richclub_cumdeg") {
+        val census = deg.groupBy(col("deg")).agg(count(lit(1)).as("cnt"))
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("deg"))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lcum", sum(col("cnt")).over(
+            Window.partitionBy(col("pid")).orderBy(col("deg"))))
+        val pcnts = census.groupBy(col("pid")).agg(sum(col("cnt")).as("pcnt"))
+        val tot = pcnts.agg(sum(col("pcnt")).as("n_total"))
+        val offs = pcnts.select(col("pid"), col("pcnt"))
+          .join(pcnts.select(col("pid").as("pid2"), col("pcnt").as("pcnt2")),
+            col("pid2") < col("pid"), "left")
+          .groupBy(col("pid"))
+          .agg(coalesce(sum(col("pcnt2")), lit(0L)).as("off"))
+          .crossJoin(broadcast(tot))
+          .select(col("pid"), col("off"), col("n_total"))
+        census.join(broadcast(offs), "pid")
+          .select(col("deg"), (col("lcum") + col("off")).as("cum"),
+            col("n_total"))
+      }
       val thr = Seq(0.5 -> "p50", 0.75 -> "p75", 0.9 -> "p90").map {
-        case (p, nm) => cd.filter(col("cd") >= p)
+        case (p, nm) => cum
+          .filter(col("cum").cast("double") / col("n_total") >= p)
           .agg(min(col("deg")).as("k")).select(lit(nm).as("q"), col("k"))
       }.reduce(_.union(_))
       val edgeDeg = pairs
@@ -1579,7 +1622,7 @@ object GraphOps {
          |$typeDistSql,
          |per AS (
          |  SELECT src AS event_type, COUNT(*) AS n_reach,
-         |    ${dSum18("CASE WHEN dist >= 1 THEN CAST(1 AS DOUBLE) / CAST(dist AS DOUBLE) END")}
+         |    ${dSum18h("CASE WHEN dist >= 1 THEN CAST(1 AS DOUBLE) / CAST(dist AS DOUBLE) END")}
          |      AS harmonic,
          |    CAST(SUM(dist) AS BIGINT) AS totd
          |  FROM d3 GROUP BY 1),

@@ -57,6 +57,11 @@ object Q {
   def coin(id: String): String =
     s"(CAST($id AS DECIMAL(38,0)) * 2654435761) % 4294967296"
 
+  // uniquifies the per-call ranked-table artifact name (two queries may
+  // rank the same (key, v) pair; the artifact is per-execution scratch,
+  // never shared)
+  private val pctlSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Exact interpolated percentiles (QUANTILE_CONT semantics — identical
     * interpolation to Spark's holistic `percentile`/`median` and
     * DuckDB's `quantile_cont`) WITHOUT a holistic aggregation buffer.
@@ -64,31 +69,58 @@ object Q {
     * Spark's `percentile(x, p)` is an ImperativeAggregate that buffers
     * every group value in one aggregation buffer — an OOM at 100 TB, and
     * skewed groups funnel entirely into one buffer. This helper is the
-    * mergeable two-pass form: row_number + count over a key-partitioned
-    * window (sort-based, spillable — the shuffle is one exchange on the
-    * group key), then ONE hash aggregate picks the two boundary ranks
-    * per percentile and the interpolation `lo + (hi − lo)·frac` is plain
-    * arithmetic. Value-identical to the holistic form: the kth smallest
-    * of a sorted multiset does not depend on tie order, and the
-    * interpolation expression is the same double arithmetic both engines
-    * run.
+    * mergeable two-pass form with a RANGE-PARTITIONED rank (the
+    * e_win_ntile_pct pattern): repartitionByRange on (key, v) spreads
+    * every group across the cluster, row_number ranks per (partition,
+    * key) in parallel, and the |keys|·|partitions|-row count table
+    * prefix-sums into per-key offsets (windowed per KEY over ≤32 pid
+    * rows — metadata-sized). A key-partitioned global window would
+    * instead sort each ENTIRE group on one task — for a handful of
+    * groups (or the constant-key whole-table percentile) that is a
+    * corpus-sized single-partition funnel, the exact class the
+    * PlanShapeSpec window gate bans. Then ONE hash aggregate picks the
+    * two boundary ranks per percentile and the interpolation
+    * `lo + (hi − lo)·frac` is plain arithmetic. Value-identical to the
+    * holistic form: the kth smallest of a sorted multiset does not
+    * depend on tie order (ties may split across range partitions; their
+    * ranks still form a contiguous block over equal values), and the
+    * interpolation expression is the same double arithmetic both
+    * engines run. The ranked table is materialized because two branches
+    * consume the range-sampled partitioning (bounds re-sample per
+    * execution — the g_cusum_changepoint lesson).
     *
     * `ps` maps fraction → output column name; output is one row per key.
     */
   def exactPercentiles(df: DataFrame, key: String, v: String,
       ps: Seq[(Double, String)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(key)).orderBy(col(v))
-    val wc = Window.partitionBy(col(key))
-    val ranked = df.select(col(key), col(v))
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(wc))
+    val s = df.sparkSession
+    val parts = s.sparkContext.defaultParallelism
+    val wLoc = Window.partitionBy(col("_pid"), col(key)).orderBy(col(v))
+    val ranked = materialize(s, "_pctl",
+      s"pctl_${key}_${v}_${pctlSeq.incrementAndGet()}") {
+      df.select(col(key), col(v))
+        .repartitionByRange(parts, col(key), col(v))
+        .withColumn("_pid", spark_partition_id())
+        .withColumn("_lrn", row_number().over(wLoc))
+    }
+    // per-(key, partition) counts → per-key exclusive prefix offsets +
+    // group sizes; the windows below run over ≤|partitions| rows per key
+    val offs = ranked.groupBy(col(key), col("_pid"))
+      .agg(count(lit(1)).as("_pcnt"))
+      .withColumn("_off", coalesce(sum(col("_pcnt")).over(
+        Window.partitionBy(col(key)).orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum(col("_pcnt")).over(Window.partitionBy(col(key))))
+      .select(col(key), col("_pid"), col("_off"), col("_n"))
+    val g0 = ranked.join(broadcast(offs), Seq(key, "_pid"))
+      .withColumn("_rn", col("_lrn") + col("_off"))
     val aggs = ps.flatMap { case (p, name) =>
       val lo = floor((col("_n") - 1) * lit(p)) + 1
       Seq(max(when(col("_rn") === lo, col(v))).as(s"_lo_$name"),
         max(when(col("_rn") === lo + 1, col(v))).as(s"_hi_$name"))
     }
-    val g = ranked.groupBy(col(key)).agg(count(lit(1)).as("_cnt"), aggs: _*)
+    val g = g0.groupBy(col(key)).agg(count(lit(1)).as("_cnt"), aggs: _*)
     val outs = ps.map { case (p, name) =>
       val pos = (col("_cnt") - 1) * lit(p)
       val frac = pos - floor(pos)

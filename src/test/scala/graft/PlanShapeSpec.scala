@@ -1029,4 +1029,73 @@ class PlanShapeSpec extends AnyFunSuite {
       !"""sum\(CASE WHEN keep[^)]*decimal\(38""".r.findFirstIn(gen).isDefined,
       "wide-decimal sum re-entered the xB hot loop")
   }
+
+  test("no checked query funnels corpus-derived data through a single-partition window") {
+    // Regression gate for the class behind the r10 findings
+    // (i_graph_rich_club's global cume_dist, the prefix-postings global
+    // row_number): a WindowExec with an EMPTY partitionSpec moves its
+    // whole input to one task — a scale-killer whenever that input
+    // grows with the data. Every checked query's pre-AQE physical plan
+    // is swept for empty-partition WindowExec / WindowGroupLimitExec
+    // nodes; the survivors below are each individually justified as
+    // running over a BOUNDED (post-aggregation, metadata-sized) table,
+    // so growth is capped by construction, not by luck. Memoized
+    // artifacts truncate lineage, so build-side windows are pinned via
+    // their *BuildForPlan twins in the dedicated tests above/below.
+    val bounded = Map(
+      // |cluster partitions|-row offset tables of the two-pass
+      // range-rank pattern (the pattern this gate exists to protect)
+      "e_win_ntile_pct" -> "32-row partition-offset table",
+      "g_cusum_changepoint" -> "32-row partition-offset table",
+      "g_mannwhitney_u" -> "32-row partition-offset table",
+      "g_auc_value" -> "32-row partition-offset table",
+      "g_abc_classification" -> "32-row partition-offset table",
+      "g_gini_spend" -> "32-row partition-offset table",
+      "g_pareto_share" -> "32-row partition-offset table",
+      "h_quality_qnorm" -> "32-row partition-offset table",
+      // post-aggregation histograms/censuses with a construction bound
+      "g_survival_km" -> "day-grain duration histogram (≤ data range in days)",
+      "g_ks_drift" -> "100-bin value histogram",
+      "g_bootstrap_ci" -> "B=200 replica-mean rows",
+      "g_tail_index" -> "top-101 spenders after TakeOrdered",
+      "e_drift_psi" -> "width-20 doc-length bucket histogram",
+      "h_len_histogram" -> "width-10 doc-length bucket histogram",
+      "i_graph_hits" -> "|event types| rows",
+      "h_zipf_fit" -> "top-1000 token rows",
+      "h_heaps_vocab_growth" -> "|sources| rows",
+      "h_mix_reweight" -> "|languages| rows",
+      "h_epoch_plan" -> "|sources| rows")
+    val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.sparkPlan
+        val empties = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w.getClass.getSimpleName
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w.getClass.getSimpleName
+        }
+        if (empties.nonEmpty && !bounded.contains(name)) Seq(name -> empties)
+        else Nil
+    }
+    assert(offenders.isEmpty,
+      s"unjustified single-partition window(s): ${offenders.mkString(", ")} — " +
+        "either convert to the two-pass range-rank pattern or add a " +
+        "justified bound to the whitelist")
+    // the whitelist must not rot: every entry still has to exhibit the
+    // window it justifies (a stale entry would mask a future regression
+    // under the same name)
+    val stale = bounded.keys.filter { name =>
+      Registry.queries.get(name).forall { fn =>
+        fn(spark, sf).queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+        }.isEmpty
+      }
+    }
+    assert(stale.isEmpty,
+      s"whitelist entries with no single-partition window anymore: " +
+        s"${stale.mkString(", ")} — remove them")
+  }
 }
