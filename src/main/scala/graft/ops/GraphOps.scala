@@ -45,6 +45,19 @@ object GraphOps {
     s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18)))" +
       s" AS VARCHAR) AS DOUBLE)"
 
+  /** Adamic–Adar per-wedge term 1/ln(deg(z)), guarded: wedge centers
+    * always have deg ≥ 2 by construction, but Catalyst pushes this
+    * projection BELOW the join onto the full degree table — where
+    * deg = 1 rows would hit ANSI divide-by-zero on ln(1). The
+    * otherwise-less `when` emits SQL NULL there, the EXACT mirror of
+    * the oracle's ELSE-less `CASE WHEN d.deg > 1 THEN … END`: if the
+    * support-pruning invariant ever breaks, BOTH engines skip the
+    * broken term in SUM identically instead of one silently dropping
+    * it while the other errors or returns ±Inf. GuardSpec pins this
+    * NULL-skip semantic on a constructed deg-1 center. */
+  private[graft] def adamicAdarTerm(zdeg: Column): Column =
+    snap12(when(zdeg > 1, lit(1.0) / log(zdeg.cast("double"))))
+
   /** Per-iteration 1e-12 snap: keeps the two engines bit-identical
     * across iterations (HALF_UP from DOUBLE on both). */
   private def snap12(c: Column): Column =
@@ -784,12 +797,7 @@ object GraphOps {
         .select(col("x.src").as("z"), col("x.dst").as("pa"), col("y.dst").as("pb"))
       val aa = wedges
         .join(deg.select(col("node").as("z"), col("deg").as("zdeg")), "z")
-        // guarded division: wedge centers always have deg ≥ 2, but
-        // Catalyst pushes this projection BELOW the join onto the full
-        // degree table — where deg = 1 rows would hit ANSI
-        // divide-by-zero on ln(1). The CASE keeps the pushdown legal.
-        .withColumn("term", snap12(when(col("zdeg") > 1,
-          lit(1.0) / log(col("zdeg").cast("double")))))
+        .withColumn("term", adamicAdarTerm(col("zdeg")))
         .groupBy(col("pa"), col("pb"))
         .agg(decSum18(col("term")).as("aa"), count(lit(1)).as("n_common"))
         .join(supPairs(s, d), Seq("pa", "pb"), "left_anti")

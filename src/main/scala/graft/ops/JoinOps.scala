@@ -22,6 +22,29 @@ object JoinOps {
     n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
   }
 
+  /** Month-partitioned parquet copy of orders (hive layout, `om=yyyy-MM`
+    * directories), memoized + written once per corpus under the
+    * artifact root. This is the layout a 100 TB lake actually has —
+    * date/source-partitioned files — and it exists so a checked row can
+    * prove DYNAMIC PARTITION PRUNING fires end-to-end: a dim-filtered
+    * join against it must show `dynamicpruning` in the scan's
+    * PartitionFilters (pinned in PlanShapeSpec), meaning Spark prunes
+    * whole partition directories at runtime from the dim filter instead
+    * of scanning all of them. The single biggest scan-saver at scale. */
+  private def dppOrders(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "dppOrders") {
+      val base = s.conf.get("spark.graft.artifactDir",
+        sys.props("java.io.tmpdir") + "/graft-artifacts")
+      val path = s"$base/${Integer.toHexString(d.hashCode)}_dpp_orders"
+      val t0 = System.nanoTime()
+      Io.table(s, d, "orders")
+        .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("om").parquet(path)
+      System.err.println(
+        f"[artifact] dppOrders built in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      s.read.parquet(path)
+    }
+
   val all: Seq[Q] = Seq(
     Q("c_join_bcast", (s, d) => {
       bcastNationRegion(s, d)
@@ -354,6 +377,33 @@ object JoinOps {
          |  ${dSum("l_extendedprice * (1 - l_discount)")} AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_totalprice > 400000 AND o_orderpriority = '1-URGENT'
-         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Dynamic partition pruning, end to end: Q1-month revenue off the
+    // month-partitioned orders copy, with the month set arriving
+    // through a broadcast dim JOIN (a derived month dimension filtered
+    // to months 1-3) — not a static predicate. The partitioned scan
+    // must read only the ~1/4 of partition directories the dim filter
+    // selects, at runtime, via the DPP subquery on the broadcast side;
+    // PlanShapeSpec pins `dynamicpruning` inside the scan's
+    // PartitionFilters. Oracle: the same aggregate as a plain predicate
+    // over the unpartitioned source table (DPP is result-invariant).
+    Q("c_join_dpp", (s, d) => {
+      val po = dppOrders(s, d)
+      val cal = Io.table(s, d, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("cm"),
+          month(col("o_orderdate")).as("mnum"))
+        .distinct()
+        .filter(col("mnum") <= 3)
+      po.join(broadcast(cal), po("om") === cal("cm"))
+        .groupBy(col("om"))
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice")).as("total_price"))
+        .orderBy("om")
+    }, Some(
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS om, COUNT(*) AS n_orders,
+         |  ${dSum("o_totalprice")} AS total_price
+         |FROM orders WHERE month(o_orderdate) <= 3
+         |GROUP BY om ORDER BY om""".stripMargin))
   )
 }

@@ -52,4 +52,30 @@ class GuardSpec extends AnyFunSuite {
     assert(rootMessages(e).contains("vocabulary exceeds 64"),
       s"expected the vocab-width guard, got: ${rootMessages(e).take(300)}")
   }
+
+  test("adamic-adar deg-1 wedge center yields NULL on both engines, not 1/ln(1)") {
+    // The support-pruned wedge construction guarantees deg(z) >= 2, but
+    // the 1/ln(deg) projection is pushed below the join onto the FULL
+    // degree table. If that invariant ever breaks, the Spark spelling
+    // (otherwise-less `when`) and the oracle spelling (ELSE-less CASE)
+    // must fail IDENTICALLY: a SQL NULL that SUM skips — never an ANSI
+    // divide-by-zero, an Infinity, or a silent 0 that only one engine
+    // contributes. Pin the Spark side on constructed deg-1/2/3 rows;
+    // the oracle side is NULL by the same ELSE-less CASE semantics of
+    // the SQL standard.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val rows = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("z", "zdeg")
+      .withColumn("term", graft.ops.GraphOps.adamicAdarTerm(col("zdeg")))
+    val collected = rows.orderBy("z").collect()
+    assert(collected(0).isNullAt(2),
+      "deg=1 must give NULL (mirrors the oracle's ELSE-less CASE), " +
+        s"got ${collected(0).get(2)}")
+    assert(!collected(1).isNullAt(2) && !collected(2).isNullAt(2))
+    // SUM skips the NULL — the aggregate equals the deg>=2 contribution
+    val total = rows.agg(sum(col("term"))).collect()(0).getDouble(0)
+    val expected = 1.0 / math.log(2.0) + 1.0 / math.log(3.0)
+    assert(math.abs(total - expected) < 1e-9,
+      s"NULL term must be skipped by SUM: $total vs $expected")
+  }
 }

@@ -1030,6 +1030,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "wide-decimal sum re-entered the xB hot loop")
   }
 
+  test("c_join_dpp: dynamic partition pruning reaches the partitioned scan") {
+    // the scan of the month-partitioned orders copy must carry a
+    // runtime dynamicpruning predicate on the partition column (fed by
+    // the broadcast month-dim subquery) — a static PartitionFilter or
+    // a full scan both fail this pin
+    val p = plan("c_join_dpp")
+    assert(p.contains("dynamicpruning"),
+      "partitioned scan lost its dynamic-pruning PartitionFilter")
+    assert(p.contains("PartitionFilters"),
+      "scan is not a partitioned file scan at all")
+  }
+
   test("no checked query funnels corpus-derived data through a single-partition window") {
     // Regression gate for the class behind the r10 findings
     // (i_graph_rich_club's global cume_dist, the prefix-postings global
