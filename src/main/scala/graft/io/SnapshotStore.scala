@@ -1,0 +1,78 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal snapshot-versioned parquet table: immutable version
+  * directories (`v=N/`) plus an atomically-swapped `_current` pointer
+  * file. The lakehouse primitives a 100 TB pipeline needs from a table
+  * format, on nothing but parquet + a filesystem rename:
+  *
+  *  - **versioned upsert (MERGE)**: `merge` computes the upserted image
+  *    (matched rows take the source's values, unmatched target rows
+  *    carry over, unmatched source rows insert) and `writeVersion`
+  *    lands it as a NEW immutable directory — existing versions are
+  *    never rewritten, so concurrent readers of version N are isolated
+  *    from the N+1 writer by construction (no file is ever mutated).
+  *  - **time travel**: `readVersion(root, n)` reads any retained
+  *    version; `currentVersion` resolves the pointer. Diffing two
+  *    versions recovers the CDC delta between them (the checked row
+  *    `e_snapshot_merge` proves the round trip against a relational
+  *    oracle).
+  *  - **atomic publish**: the pointer swap is a same-filesystem
+  *    `ATOMIC_MOVE` rename — readers see the old or the new current
+  *    version, never a partial state (the same discipline as the
+  *    write-audit-publish spec).
+  *
+  * On a real deployment `root` is an object-store/HDFS prefix and the
+  * pointer swap is the store's atomic rename/put-if-absent; the layout
+  * and semantics are unchanged.
+  */
+object SnapshotStore {
+
+  def versionPath(root: String, v: Int): String = s"$root/v=$v"
+
+  /** Write `df` as immutable version `v` and atomically publish the
+    * `_current` pointer to it. */
+  def writeVersion(df: DataFrame, root: String, v: Int): Unit = {
+    df.write.mode("overwrite").parquet(versionPath(root, v))
+    val dir = Paths.get(root)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s"_current.tmp$v")
+    Files.write(tmp, String.valueOf(v).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve("_current"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readVersion(s: SparkSession, root: String, v: Int): DataFrame =
+    s.read.parquet(versionPath(root, v))
+
+  def currentVersion(root: String): Int =
+    new String(Files.readAllBytes(Paths.get(root).resolve("_current")),
+      StandardCharsets.UTF_8).trim.toInt
+
+  def readCurrent(s: SparkSession, root: String): DataFrame =
+    readVersion(s, root, currentVersion(root))
+
+  /** MERGE `source` into `target` on `pk`: one full-outer join keyed on
+    * the PK — the single-shuffle merge shape. `valueCols` are the
+    * non-key columns; matched rows take the SOURCE value, unmatched
+    * target rows keep theirs (delete-free upsert), unmatched source
+    * rows insert. */
+  def merge(target: DataFrame, source: DataFrame, pk: String,
+      valueCols: Seq[String]): DataFrame = {
+    val t = target.select((pk +: valueCols).map(col): _*)
+      .withColumnRenamed(pk, "_tpk")
+    val renamedT = valueCols.foldLeft(t)((df, c) =>
+      df.withColumnRenamed(c, s"_t_$c"))
+    val s0 = source.select((pk +: valueCols).map(col): _*)
+    val joined = s0.join(renamedT, col(pk) === col("_tpk"), "full_outer")
+    val outPk = coalesce(col(pk), col("_tpk")).as(pk)
+    val outVals: Seq[Column] = valueCols.map(c =>
+      when(col(pk).isNotNull, col(c)).otherwise(col(s"_t_$c")).as(c))
+    joined.select(outPk +: outVals: _*)
+  }
+}

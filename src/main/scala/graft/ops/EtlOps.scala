@@ -71,6 +71,87 @@ object EtlOps {
         |FROM orders FULL OUTER JOIN old ON o_orderkey = old_key
         |GROUP BY status ORDER BY status""".stripMargin)),
 
+    // Snapshot-versioned MERGE round-trip through the SnapshotStore:
+    // v0 = the e_cdc_merge "previous snapshot" derivation, v1 = MERGE
+    // of current orders INTO THE STORE-READ v0 (the merge consumes
+    // parquet written by the store, not lineage), pointer published
+    // atomically. The checked query TIME-TRAVELS both versions back out
+    // and diffs them — recovering exactly the CDC delta the relational
+    // oracle computes from the source table. Green means: versioned
+    // writes land intact, old versions stay readable after the new one
+    // publishes (snapshot isolation by immutability), the merge shape
+    // (one PK-keyed full-outer shuffle) upserts correctly, and
+    // version-diff is a faithful CDC read. StorageLayoutSpec covers the
+    // pointer/isolation machinery on constructed data.
+    Q("e_snapshot_merge", (s, d) => {
+      import graft.io.SnapshotStore
+      val base = s.conf.get("spark.graft.artifactDir",
+        sys.props("java.io.tmpdir") + "/graft-artifacts")
+      val root = s"$base/${Integer.toHexString(d.hashCode)}_snap_orders"
+      Q.memoized(s, d, "snapOrders") {
+        val t0 = System.nanoTime()
+        val cur = Io.table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        // price drift in EXACT integer cents (90% = c − c DIV 10), not
+        // ROUND(x*0.9, 2): ROUND is engine-divergent on half boundaries
+        // (SKILL.md) and the version-diff emits the drift VALUE, which
+        // e_cdc_merge's status-only comparison never exposed
+        val cents = expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        val v0 = cur
+          .filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 5 === 0,
+              (cents - expr("CAST(CAST(o_totalprice AS DECIMAL(12,2))" +
+                " * 100 AS BIGINT) DIV 10")).cast("double") / 100.0)
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+        SnapshotStore.writeVersion(v0, root, 0)
+        val merged = SnapshotStore.merge(
+          SnapshotStore.readVersion(s, root, 0), cur,
+          "o_orderkey", Seq("o_totalprice"))
+        SnapshotStore.writeVersion(merged, root, 1)
+        System.err.println(f"[artifact] snapOrders built in ${
+          (System.nanoTime() - t0) / 1e9}%.2f s")
+        s.range(1).toDF("marker")
+      }
+      val prev = SnapshotStore.readVersion(s, root, 0)
+        .select(col("o_orderkey").as("old_key"),
+          col("o_totalprice").as("old_price"))
+      val cur = SnapshotStore.readVersion(s, root,
+        SnapshotStore.currentVersion(root))
+      cur.join(prev, col("o_orderkey") === col("old_key"), "full_outer")
+        .withColumn("status",
+          when(col("old_key").isNull, "insert")
+            .when(col("o_totalprice") =!= col("old_price"), "update")
+            .otherwise("unchanged"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          decSum(when(col("status") === "update",
+            col("o_totalprice") - col("old_price")).otherwise(lit(0.0)))
+            .as("price_delta"))
+        .orderBy("status")
+    }, Some(
+      """WITH cur AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |old AS (
+        |  SELECT o_orderkey AS old_key,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN
+        |      CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |        - CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 10
+        |        AS DOUBLE) / 100.0
+        |    ELSE o_totalprice END AS old_price
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |diff AS (
+        |  SELECT CASE WHEN old_key IS NULL THEN 'insert'
+        |              WHEN o_totalprice <> old_price THEN 'update'
+        |              ELSE 'unchanged' END AS status,
+        |         o_totalprice, old_price
+        |  FROM cur FULL OUTER JOIN old ON o_orderkey = old_key)
+        |SELECT status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN status = 'update'
+        |    THEN o_totalprice - old_price ELSE 0.0 END
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS price_delta
+        |FROM diff GROUP BY status ORDER BY status""".stripMargin)),
+
     // Null repair: synthesize nulls deterministically, then fill one
     // column and drop rows where another stays null.
     Q("e_fillna_dropna", (s, d) => {
