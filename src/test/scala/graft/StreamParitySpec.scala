@@ -233,6 +233,59 @@ class StreamParitySpec extends AnyFunSuite {
     assert(sunk.select("event_id").distinct().count() === evRows.size.toLong)
   }
 
+  test("rate-micro-batch source: deterministic unbounded-source ingestion, drain + resume") {
+    // The EXTERNAL-source ingestion shape (not a file listing, not a
+    // MemoryStream): an unbounded generator source drained in bounded
+    // Trigger.AvailableNow invocations with offsets in the checkpoint —
+    // the same operational pattern as a Kafka topic consumed by a
+    // scheduled job. rate-micro-batch is the deterministic stand-in:
+    // value is a global row sequence and timestamp is a pure function
+    // of it (startTimestamp + (value DIV rowsPerBatch) ·
+    // advanceMillisPerBatch, no wall clock), so EVERY drained row is
+    // assertable even though the number of drained batches is the
+    // scheduler's choice. Asserts: batch-aligned drain, gap-free
+    // exactly-once value sequence from 0, the timestamp law on every
+    // row, and checkpointed resume continuing the sequence.
+    import org.apache.spark.sql.streaming.Trigger
+    val outDir = java.nio.file.Files.createTempDirectory("graft_rate_out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_rate_ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 50)
+        .option("startTimestamp", 0L)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .outputMode(OutputMode.Append()).start()
+      assert(q.awaitTermination(120000),
+        "rate-micro-batch AvailableNow drain did not self-terminate")
+    }
+    def checkLaw(): Long = {
+      val sunk = spark.read.parquet(outDir)
+      val n = sunk.count()
+      assert(n > 0, "drain produced no rows")
+      assert(n % 50 === 0, s"drain not batch-aligned: $n rows")
+      // exactly-once + gap-free: values are exactly 0..n-1
+      assert(sunk.select("value").distinct().count() === n)
+      assert(sunk.agg(org.apache.spark.sql.functions.min("value"),
+        org.apache.spark.sql.functions.max("value")).head.toSeq ===
+        Seq(0L, n - 1))
+      // the deterministic timestamp law on every row
+      val lawBreaks = sunk.filter(
+        org.apache.spark.sql.functions.expr(
+          "unix_millis(timestamp) != (value DIV 50) * 1000")).count()
+      assert(lawBreaks === 0L, s"$lawBreaks rows broke the timestamp law")
+      n
+    }
+    drain()
+    val n1 = checkLaw()
+    drain()
+    val n2 = checkLaw()
+    assert(n2 > n1, "checkpointed resume did not continue the sequence")
+  }
+
   test("stream-stream time-bounded join: stream == batch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
