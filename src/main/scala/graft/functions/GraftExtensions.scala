@@ -63,7 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ExplodeNgramsPos].getName, "explode_ngrams_pos"),
       (children: Seq[Expression]) => ExplodeNgramsPos(
         children.head, children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("axpy"),
+      new ExpressionInfo(classOf[Axpy].getName, "axpy"),
+      (children: Seq[Expression]) => Axpy.build(children)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.EagerAggregation)
+    ext.injectColumnar(_ => new graft.plans.ColumnarAxpyRule)
   }
 }

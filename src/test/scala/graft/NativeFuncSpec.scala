@@ -305,4 +305,34 @@ class NativeFuncSpec extends AnyFunSuite {
     assert(err.getMessage.contains("not in vocabulary")
       || Option(err.getCause).exists(_.getMessage.contains("not in vocabulary")))
   }
+
+  test("columnar axpy: the ColumnarBatch-level map fires on a scan and is bit-identical to the row form") {
+    // The vectorized extension point: Project[axpy(x,a,b)] directly on
+    // the parquet scan must be rewritten to AxpyColumnarExec (the math
+    // runs on the scan's column vectors, ColumnarToRow moves ABOVE it),
+    // and its output must equal the relational a*x+b projection
+    // BIT-FOR-BIT — both paths are the same IEEE expression.
+    graft.functions.Axpy.register(spark)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_extendedprice"))
+    val columnar = li.select(expr("axpy(l_extendedprice, 2.5, -3.0)").as("y"))
+    columnar.collect() // settle AQE before reading the executed plan
+    val plan = columnar.queryExecution.executedPlan.toString
+    assert(plan.contains("AxpyColumnar"),
+      s"columnar rule did not fire on the scan projection:\n${plan.take(800)}")
+    val relational = li.select((lit(2.5) * col("l_extendedprice") - 3.0).as("y"))
+    val a = columnar.collect().map(_.getDouble(0)).sorted
+    val r = relational.collect().map(_.getDouble(0)).sorted
+    assert(a.length === r.length)
+    assert(a.indices.forall(i => a(i) == r(i)), "columnar path diverged from row path")
+    // a shape the rule must NOT match (projection over an aggregate —
+    // no columnar child) still computes correctly through the row-based
+    // expression
+    val agg = li.agg(sum(col("l_extendedprice")).as("s"))
+      .select(expr("axpy(s, 2.5, -3.0)").as("y"))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("AxpyColumnar"))
+    val expected = li.agg(sum(col("l_extendedprice"))).head.getDouble(0) * 2.5 - 3.0
+    assert(agg.head.getDouble(0) === expected)
+  }
 }
