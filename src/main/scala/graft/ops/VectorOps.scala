@@ -1406,7 +1406,84 @@ object VectorOps {
         |v3 AS (SELECT i AS j, w / nrm AS v FROM w3, n3)
         |SELECT long.vec_id, ${dSumHop12("long.x * v3.v")} AS pc1_score
         |FROM long JOIN v3 ON v3.j = long.i
-        |GROUP BY long.vec_id ORDER BY long.vec_id""".stripMargin))
+        |GROUP BY long.vec_id ORDER BY long.vec_id""".stripMargin)),
+
+    // Reciprocal-rank fusion (Cormack et al., SIGIR'09) of a lexical and
+    // a dense retriever — the standard hybrid-search combiner a RAG
+    // pipeline runs in front of an LLM. Arm 1 (lexical): all-integer
+    // term-frequency score over the fixed query terms, fused global
+    // top-50 (TakeOrderedAndProject — never a full sort). Arm 2 (dense):
+    // cosine of every embedding to the broadcast query vector (vec_id 0),
+    // rounded at 1e-6 before ranking (R5), fused top-50. Each 50-row arm
+    // is ranked by a window over its own BOUNDED output (whitelisted in
+    // the single-partition sweep — input capped at 50 by construction),
+    // then one doc-keyed full outer join fuses: rrf = Σ 1/(60+rank),
+    // absent arm contributes 0. Every term is an int/int IEEE division —
+    // bit-identical in both engines; the 2-term sum has one fixed
+    // association. Scale: both arms are scan + fused top-k (the classic
+    // distributed retrieval shape); fusion touches 100 rows.
+    Q("h_rrf_fusion", (s, d) => {
+      graft.functions.DotProduct.register(s)
+      val terms = Seq("spark", "join", "stream")
+      val toks = split(col("text"), " ")
+      val lexTop = Io.table(s, d, "documents")
+        .select(col("doc_id"),
+          terms.map(t => size(filter(toks, x => x === t)).cast("long"))
+            .reduce(_ + _).as("lex_score"))
+        .filter(col("lex_score") > 0)
+        .orderBy(col("lex_score").desc, col("doc_id")).limit(50)
+      val lexRank = lexTop.withColumn("rank_lex", row_number()
+        .over(Window.orderBy(col("lex_score").desc, col("doc_id"))))
+      val e = Io.table(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+      val denseTop = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          r6(cosine(col("embedding"), col("qemb"))).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id")).limit(50)
+      val denseRank = denseTop.withColumn("rank_dense", row_number()
+        .over(Window.orderBy(col("sim").desc, col("doc_id"))))
+      lexRank.select(col("doc_id"), col("rank_lex"))
+        .join(denseRank.select(col("doc_id"), col("rank_dense")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("rank_lex"), col("rank_dense"),
+          (coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_dense")), lit(0.0)))
+            .as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+        .limit(20)
+    }, Some(
+      s"""WITH lexTop AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(toks, x -> x = 'spark'))
+         |       + len(list_filter(toks, x -> x = 'join'))
+         |       + len(list_filter(toks, x -> x = 'stream')) AS BIGINT) AS lex_score
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |  WHERE len(list_filter(toks, x -> x = 'spark'))
+         |      + len(list_filter(toks, x -> x = 'join'))
+         |      + len(list_filter(toks, x -> x = 'stream')) > 0
+         |  ORDER BY lex_score DESC, doc_id LIMIT 50),
+         |lr AS (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+         |    (ORDER BY lex_score DESC, doc_id) AS INT) AS rank_lex
+         |  FROM lexTop),
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |denseTop AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    ROUND(list_cosine_similarity(
+         |      CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |  ORDER BY sim DESC, doc_id LIMIT 50),
+         |dr AS (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+         |    (ORDER BY sim DESC, doc_id) AS INT) AS rank_dense
+         |  FROM denseTop)
+         |SELECT COALESCE(lr.doc_id, dr.doc_id) AS doc_id, rank_lex, rank_dense,
+         |  COALESCE(CAST(1 AS DOUBLE) / (60 + rank_lex), CAST(0 AS DOUBLE))
+         |    + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_dense), CAST(0 AS DOUBLE))
+         |    AS rrf_score
+         |FROM lr FULL JOIN dr ON lr.doc_id = dr.doc_id
+         |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin))
   )
 
   /** Long form of the embeddings table: (vec_id, i, x) with 1-based

@@ -1042,6 +1042,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "scan is not a partitioned file scan at all")
   }
 
+  test("h_rrf_fusion: both retrieval arms fuse their top-50 (no global sort of an arm)") {
+    // each arm must reach its 50-row list via TakeOrderedAndProject —
+    // a corpus-wide Sort before the limit would be the 100 TB mistake;
+    // the only Sort allowed is the final ≤100-row fused-output ordering
+    val p = plan("h_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"),
+      "retrieval arm top-50 lost its TakeOrderedAndProject fusion")
+  }
+
   test("no checked query funnels corpus-derived data through a single-partition window") {
     // Regression gate for the class behind the r10 findings
     // (i_graph_rich_club's global cume_dist, the prefix-postings global
@@ -1076,7 +1085,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "h_zipf_fit" -> "top-1000 token rows",
       "h_heaps_vocab_growth" -> "|sources| rows",
       "h_mix_reweight" -> "|languages| rows",
-      "h_epoch_plan" -> "|sources| rows")
+      "h_epoch_plan" -> "|sources| rows",
+      // each retrieval arm is ranked AFTER its fused global top-50
+      // (TakeOrderedAndProject — pinned in the dedicated test), so the
+      // window input is capped at 50 rows by construction
+      "h_rrf_fusion" -> "two 50-row retrieval lists after TakeOrdered")
     val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan
