@@ -1483,8 +1483,127 @@ object VectorOps {
          |    + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_dense), CAST(0 AS DOUBLE))
          |    AS rrf_score
          |FROM lr FULL JOIN dr ON lr.doc_id = dr.doc_id
-         |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin))
+         |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    // SIGIR'98) — the diversification pass a RAG retriever runs on its
+    // top-k before prompting: greedily pick argmax λ·rel(d) −
+    // (1−λ)·max_{s∈S} sim(d,s), λ = 0.7, 5 picks from the top-20
+    // candidates of the dense arm. Scale split: the corpus-facing work
+    // is ONE scan + fused top-20 (memoized mmrCand artifact; build
+    // shape pinned via the un-materialized twin) and a 20×20
+    // broadcast pair table (mmrPairs); the greedy loop is 5 unrolled
+    // relational steps over those two bounded file-backed tables —
+    // per-query cost is independent of corpus size. Float discipline:
+    // relevance and pair sims floor-snap to integer micros at 1e-6
+    // (the sanctioned floor(v·1e6+0.5) spelling), so every MMR score
+    // is exact BIGINT arithmetic (score×10 = 7·rel_u − 3·pen_u) —
+    // zero float seams after the snap.
+    Q("h_mmr_rerank", (s, d) => {
+      val cand = mmrCand(s, d).select(col("doc_id"), col("rel_u"))
+      val pairs = mmrPairs(s, d)
+      def pick(selected: Vector[DataFrame], k: Int): DataFrame =
+        if (selected.isEmpty)
+          cand.select(lit(k).as("step"), col("doc_id"),
+              (lit(7L) * col("rel_u")).as("score_u10"))
+            .orderBy(col("score_u10").desc, col("doc_id")).limit(1)
+        else {
+          val sel = selected.map(_.select(col("doc_id"))).reduce(_ unionByName _)
+          val pen = pairs
+            .join(sel.select(col("doc_id").as("sb")), col("b") === col("sb"))
+            .groupBy(col("a")).agg(max(col("sim_u")).as("pen_u"))
+          cand
+            .join(sel.select(col("doc_id").as("sd")),
+              col("doc_id") === col("sd"), "left_anti")
+            .join(pen, col("doc_id") === col("a"))
+            .select(lit(k).as("step"), col("doc_id"),
+              (lit(7L) * col("rel_u") - lit(3L) * col("pen_u")).as("score_u10"))
+            .orderBy(col("score_u10").desc, col("doc_id")).limit(1)
+        }
+      var picks = Vector.empty[DataFrame]
+      for (k <- 1 to 5) picks = picks :+ pick(picks, k)
+      picks.reduce(_ unionByName _).orderBy("step")
+    }, Some {
+      def sk(k: Int): String =
+        (1 to k).map(j => s"SELECT doc_id FROM p$j").mkString(" UNION ALL ")
+      def stepK(k: Int): String =
+        s"""r$k AS (SELECT c.doc_id, 7 * c.rel_u - 3 * MAX(p.sim_u) AS score_u10
+           |  FROM cd c JOIN pr p ON p.a = c.doc_id
+           |    AND p.b IN (${sk(k - 1)})
+           |  WHERE c.doc_id NOT IN (${sk(k - 1)})
+           |  GROUP BY c.doc_id, c.rel_u),
+           |p$k AS (SELECT CAST($k AS INT) AS step, doc_id, score_u10 FROM r$k
+           |  ORDER BY score_u10 DESC, doc_id LIMIT 1)""".stripMargin
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |cd AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    CAST(FLOOR(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])) * 1e6 + 0.5) AS BIGINT) AS rel_u
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |  ORDER BY rel_u DESC, doc_id LIMIT 20),
+         |pr AS (
+         |  SELECT ca.doc_id AS a, cb.doc_id AS b,
+         |    CAST(FLOOR(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |      CAST(eb.embedding AS DOUBLE[])) * 1e6 + 0.5) AS BIGINT) AS sim_u
+         |  FROM cd ca JOIN embeddings ea ON ea.vec_id = ca.doc_id
+         |    JOIN cd cb ON cb.doc_id <> ca.doc_id
+         |    JOIN embeddings eb ON eb.vec_id = cb.doc_id),
+         |p1 AS (SELECT CAST(1 AS INT) AS step, doc_id, 7 * rel_u AS score_u10
+         |  FROM cd ORDER BY score_u10 DESC, doc_id LIMIT 1),
+         |${stepK(2)},
+         |${stepK(3)},
+         |${stepK(4)},
+         |${stepK(5)}
+         |SELECT step, doc_id, score_u10 FROM p1
+         |UNION ALL SELECT step, doc_id, score_u10 FROM p2
+         |UNION ALL SELECT step, doc_id, score_u10 FROM p3
+         |UNION ALL SELECT step, doc_id, score_u10 FROM p4
+         |UNION ALL SELECT step, doc_id, score_u10 FROM p5
+         |ORDER BY step""".stripMargin
+    })
   )
+
+  /** Top-20 dense candidates for the MMR row: one corpus scan + fused
+    * top-k vs the broadcast query vector, relevance floor-snapped to
+    * integer micros. Memoized + materialized (the retrieval "model");
+    * the un-materialized twin below carries the plan shape. */
+  private def mmrCand(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "mmrCand") {
+      Q.materialize(s, d, "mmrCand")(mmrCandBuild(s, d))
+    }
+
+  private def mmrCandBuild(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val e = Io.table(s, d, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"), col("embedding"),
+        floor(cosine(col("embedding"), col("qemb")) * lit(1e6) + lit(0.5))
+          .as("rel_u"))
+      .orderBy(col("rel_u").desc, col("doc_id")).limit(20)
+  }
+
+  /** Un-materialized twin for PlanShapeSpec (memoized artifacts
+    * truncate lineage — the pin must see the build, not the scan). */
+  def mmrCandBuildForPlan(s: SparkSession, d: String): DataFrame =
+    mmrCandBuild(s, d)
+
+  /** 20×20 candidate pair similarities in integer micros — the
+    * bounded broadcast self-join the greedy penalty terms read. */
+  private def mmrPairs(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "mmrPairs") {
+      Q.materialize(s, d, "mmrPairs") {
+        graft.functions.DotProduct.register(s)
+        val c = mmrCand(s, d)
+        val a = c.select(col("doc_id").as("a"), col("embedding").as("ea"))
+        val b = c.select(col("doc_id").as("b"), col("embedding").as("eb"))
+        a.join(broadcast(b), col("a") =!= col("b"))
+          .select(col("a"), col("b"),
+            floor(cosine(col("ea"), col("eb")) * lit(1e6) + lit(0.5))
+              .as("sim_u"))
+      }
+    }
 
   /** Long form of the embeddings table: (vec_id, i, x) with 1-based
     * dimension index and float→double widened values — the shared scan

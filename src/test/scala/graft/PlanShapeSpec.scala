@@ -1051,6 +1051,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "retrieval arm top-50 lost its TakeOrderedAndProject fusion")
   }
 
+  test("h_mmr_rerank: candidate build is a fused top-20, pair table broadcasts") {
+    // the corpus-facing stage of MMR is the memoized mmrCand artifact;
+    // its un-materialized twin must show scan + TakeOrderedAndProject
+    // (a global Sort before the 20-row cut would be the 100 TB mistake)
+    val p = executedPlan(graft.ops.VectorOps.mmrCandBuildForPlan(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "mmrCand build lost its fused top-20")
+    assert(!p.contains("SortMergeJoin"),
+      "mmrCand build grew an unexpected data-sized join")
+  }
+
   test("no checked query funnels corpus-derived data through a single-partition window") {
     // Regression gate for the class behind the r10 findings
     // (i_graph_rich_club's global cume_dist, the prefix-postings global
