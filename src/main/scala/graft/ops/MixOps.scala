@@ -1086,5 +1086,64 @@ object MixOps {
         |QUALIFY rk <= 10
         |ORDER BY source, rk""".stripMargin)),
 
+    // DPO/RLHF preference-pair mining: within each (lang, source)
+    // stratum, pair the highest-quality document (chosen) with the
+    // lowest (rejected), keeping only strata with a strict quality
+    // gap — the relational core of preference-dataset construction.
+    // Quality is ALL-INTEGER micro-units ((type-token ratio − stopword
+    // ratio) via BIGINT DIV — exact in both engines, zero float
+    // seams), and the per-stratum argmax/argmin is the max-of-struct
+    // idiom: ONE hash aggregate, no window, no self-join — at 100 TB
+    // this is a single stratum-keyed shuffle with map-side combine.
+    Q("h_dpo_pairs", (s, d) => {
+      val base = Io.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(toks).as("n_toks"),
+          size(array_distinct(toks)).as("n_dist"),
+          size(filter(toks, t => t === "the" || t === "a")).as("n_stop"))
+        .filter(col("n_toks") > 0)
+        .withColumn("q_u",
+          expr("(1000000 * CAST(n_dist AS BIGINT)) DIV n_toks" +
+            " - (1000000 * CAST(n_stop AS BIGINT)) DIV n_toks"))
+      val top = max(struct(col("q_u"), col("doc_id")))
+      val bot = min(struct(col("q_u"), col("doc_id")))
+      base.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          top.getField("doc_id").as("chosen_id"),
+          top.getField("q_u").as("chosen_q_u"),
+          bot.getField("doc_id").as("rejected_id"),
+          bot.getField("q_u").as("rejected_q_u"))
+        .filter(col("n_docs") >= 2 && col("chosen_q_u") > col("rejected_q_u"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("chosen_id"), col("rejected_id"),
+          (col("chosen_q_u") - col("rejected_q_u")).as("gap_u"))
+        .orderBy("lang", "source")
+    }, Some(
+      """WITH t AS (SELECT doc_id, lang, source,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, lang, source, len(toks) AS n_toks,
+        |    len(list_distinct(toks)) AS n_dist,
+        |    len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS n_stop
+        |  FROM t WHERE len(toks) > 0),
+        |q AS (SELECT doc_id, lang, source,
+        |    (1000000 * CAST(n_dist AS BIGINT)) // n_toks
+        |      - (1000000 * CAST(n_stop AS BIGINT)) // n_toks AS q_u
+        |  FROM m),
+        |r AS (SELECT lang, source, doc_id, q_u,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY q_u DESC, doc_id DESC) AS rn_max,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY q_u ASC, doc_id ASC) AS rn_min
+        |  FROM q)
+        |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MAX(CASE WHEN rn_max = 1 THEN doc_id END) AS chosen_id,
+        |  MAX(CASE WHEN rn_min = 1 THEN doc_id END) AS rejected_id,
+        |  MAX(CASE WHEN rn_max = 1 THEN q_u END)
+        |    - MAX(CASE WHEN rn_min = 1 THEN q_u END) AS gap_u
+        |FROM r GROUP BY lang, source
+        |HAVING COUNT(*) >= 2 AND MAX(CASE WHEN rn_max = 1 THEN q_u END)
+        |  > MAX(CASE WHEN rn_min = 1 THEN q_u END)
+        |ORDER BY lang, source""".stripMargin)),
+
   )
 }

@@ -1062,6 +1062,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "mmrCand build grew an unexpected data-sized join")
   }
 
+  test("h_dpo_pairs: one stratum-keyed hash aggregate, no window, no join") {
+    // the max-of-struct argmax must stay a single HashAggregate pair —
+    // a window or self-join spelling would double the corpus shuffle
+    // max(struct) compiles to SortAggregate (struct is not a mutable
+    // aggregation-buffer type) — what matters for 100 TB is the
+    // partial_max/partial_min pair (map-side combine before the one
+    // stratum-keyed shuffle), and the absence of window/join spellings
+    val p = plan("h_dpo_pairs")
+    assert(p.contains("partial_max(struct") && p.contains("partial_min(struct"),
+      "argmax/argmin lost their mergeable partial-aggregate form")
+    assert(!p.contains("WindowExec"),
+      "preference pairing regressed to a window spelling")
+    assert(!p.contains("Join"), "preference pairing grew a join")
+  }
+
   test("no checked query funnels corpus-derived data through a single-partition window") {
     // Regression gate for the class behind the r10 findings
     // (i_graph_rich_club's global cume_dist, the prefix-postings global
