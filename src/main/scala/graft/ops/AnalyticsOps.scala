@@ -2531,6 +2531,64 @@ object AnalyticsOps {
          |  CAST(SUM(CASE WHEN (($zx) >= 0) = (y = 1) THEN 1 ELSE 0 END)
          |       AS DOUBLE) / COUNT(*) AS accuracy
          |FROM ev CROSS JOIN wc""".stripMargin
-    }))
+    })),
+
+    // Pareto-skyline (maximal-vector) query: the efficiency frontier
+    // of customers — MAX total spend with MIN orders; no other
+    // customer has at-least-the-spend with at-most-the-orders (and
+    // strictly better in one). The naive spelling is an O(n²)
+    // dominance anti-join; a 2-D skyline instead reduces to a
+    // DISTRIBUTED PREFIX MIN: per distinct spend value take min
+    // orders, range-partition descending by spend, local strict-prefix
+    // min per partition window, cross-partition offsets via the ≤32-row
+    // pid table (the in-repo two-pass pattern — no single-partition
+    // window, no pairwise join), keep spend values whose min beats
+    // every strictly-larger spend, then one keyed join back to emit
+    // the frontier customers. All-integer (exact cents + counts), so
+    // dominance is engine-exact. The oracle keeps the NOT EXISTS
+    // spelling — same frontier, independently derived.
+    Q("g_pareto_skyline", (s, d) => {
+      val parts = s.sparkContext.defaultParallelism
+      val cust = Io.table(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100" +
+          " AS BIGINT)")).as("cents"),
+          count(lit(1)).as("n_ord"))
+      val m = cust.groupBy(col("cents")).agg(min(col("n_ord")).as("mn"))
+      val wLoc = Window.partitionBy(col("pid")).orderBy(col("cents").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = Q.materialize(s, d, "skyline_ranged") {
+        m.repartitionByRange(parts, col("cents").desc)
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lpm", min(col("mn")).over(wLoc))
+      }
+      val offs = local.groupBy(col("pid")).agg(min(col("mn")).as("pm"))
+        .withColumn("poff", min(col("pm")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("pid"), col("poff"))
+      val front = local.as("l")
+        .join(broadcast(offs.as("o")), col("l.pid") === col("o.pid"))
+        .withColumn("pre", least(
+          coalesce(col("l.lpm"), lit(Long.MaxValue)),
+          coalesce(col("o.poff"), lit(Long.MaxValue))))
+        .filter(col("l.mn") < col("pre"))
+        .select(col("l.cents").as("cents"), col("l.mn").as("mn"))
+      cust.join(front,
+          cust("cents") === front("cents") && cust("n_ord") === front("mn"))
+        .select(cust("o_custkey"), cust("cents"), cust("n_ord"))
+        .orderBy(col("cents").desc, col("o_custkey"))
+    }, Some(
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |             AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ord
+        |  FROM orders GROUP BY 1)
+        |SELECT a.o_custkey, a.cents, a.n_ord FROM cust a
+        |WHERE NOT EXISTS (SELECT 1 FROM cust b
+        |  WHERE b.cents >= a.cents AND b.n_ord <= a.n_ord
+        |    AND (b.cents > a.cents OR b.n_ord < a.n_ord))
+        |ORDER BY a.cents DESC, a.o_custkey""".stripMargin))
   )
 }

@@ -1099,6 +1099,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "g_abc_classification" -> "32-row partition-offset table",
       "g_gini_spend" -> "32-row partition-offset table",
       "g_pareto_share" -> "32-row partition-offset table",
+      "g_pareto_skyline" -> "32-row partition-offset table",
       "h_quality_qnorm" -> "32-row partition-offset table",
       // post-aggregation histograms/censuses with a construction bound
       "g_survival_km" -> "day-grain duration histogram (≤ data range in days)",
