@@ -956,6 +956,66 @@ object GraphOps {
          |WHERE p.support >= 3
          |ORDER BY lift DESC, p.pa, p.pb LIMIT 20""".stripMargin)),
 
+    // Sequential-pattern mining (the ordered half of i_assoc_rules,
+    // GSP/PrefixSpan's length-2 core): support of a→b = how many users
+    // have SOME a-event strictly before SOME b-event — subsequence
+    // order with arbitrary gap, NOT the consecutive-step transitions
+    // of g_markov_transitions. The reachability test needs only each
+    // user's FIRST a and LAST b (∃ a before b ⇔ first(a) < last(b)),
+    // so the corpus collapses to one user×type aggregate (≤|types|
+    // rows per user) and the pair stage is a user-keyed self-join of
+    // that bounded table — O(users·types²), never events². Confidence
+    // and lift are int-derived doubles emitted raw (int/int division
+    // and int64→double are engine-exact; quotients never snapped).
+    Q("i_seq_patterns", (s, d) => {
+      val ut = Io.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+      val tn = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+      val tot = ut.select(col("user_id")).distinct().agg(count(lit(1)).as("n_users"))
+      ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id")
+            && col("a.event_type") =!= col("b.event_type")
+            && col("a.first_us") < col("b.last_us"))
+        .groupBy(col("a.event_type").as("antecedent"),
+          col("b.event_type").as("consequent"))
+        .agg(count(lit(1)).as("support"))
+        .join(broadcast(tn.select(col("event_type").as("antecedent"),
+          col("n_t").as("n_a"))), "antecedent")
+        .join(broadcast(tn.select(col("event_type").as("consequent"),
+          col("n_t").as("n_b"))), "consequent")
+        .crossJoin(broadcast(tot))
+        .select(col("antecedent"), col("consequent"), col("support"),
+          (col("support").cast("double") / col("n_a")).as("confidence"),
+          ((col("support") * col("n_users")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        .orderBy(col("support").desc, col("antecedent"), col("consequent"))
+        .limit(15)
+    }, Some(
+      """WITH ut AS (
+        |  SELECT user_id, event_type,
+        |    MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY 1, 2),
+        |tn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+        |       FROM ut GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |        FROM ut),
+        |sp AS (
+        |  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+        |    CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type <> b.event_type AND a.first_us < b.last_us
+        |  GROUP BY 1, 2)
+        |SELECT sp.antecedent, sp.consequent, sp.support,
+        |  CAST(sp.support AS DOUBLE) / na.n_t AS confidence,
+        |  CAST(sp.support * n_users AS DOUBLE)
+        |    / CAST(na.n_t * nb.n_t AS DOUBLE) AS lift
+        |FROM sp JOIN tn na ON na.event_type = sp.antecedent
+        |  JOIN tn nb ON nb.event_type = sp.consequent
+        |  CROSS JOIN tot
+        |ORDER BY sp.support DESC, sp.antecedent, sp.consequent
+        |LIMIT 15""".stripMargin)),
+
     // Multi-source BFS on the SUPPORTED co-purchase graph: exact
     // min-hop distance from the seed set {node % 50 = 0} out to 4 hops
     // (-1 = unreached), reported as the distance histogram. This is the
