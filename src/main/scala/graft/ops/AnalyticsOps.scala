@@ -464,6 +464,103 @@ object AnalyticsOps {
         |WHERE ns.tmax >= 2
         |ORDER BY r.event_type""".stripMargin)),
 
+    // Holt-Winters additive TRIPLE smoothing (level + trend + weekly
+    // seasonality, m = 7 day-of-week slots) — the seasonal forecast
+    // g_holt_trend can't give. α = β = γ = ½, so the whole recurrence
+    // is exact binary halving over integer counts: both engines run
+    // the IDENTICAL inlined op tree (l_t recomputed inside b_t and
+    // every s_t, the g_holt_trend discipline) and IEEE rounds the same
+    // everywhere — no decimal snaps. The seasonal state is 7 explicit
+    // struct fields updated by a CASE on day-of-week (day % 7), the
+    // only spelling that works in BOTH a Spark aggregate() lambda and
+    // a DuckDB recursive CTE; the shared arithmetic is generated from
+    // one template so the two sides cannot drift. Corpus-sized work is
+    // one (type, day) hash aggregate; the fold runs over #days rows.
+    Q("g_holt_winters", (s, d) => {
+      def step(h: String, x: String, l: String, b: String, si: Int => String,
+          dow: String): (String, String, Int => String) = {
+        val sold = s"(CASE $dow ${(0 to 6).map(i =>
+          s"WHEN $i THEN ${si(i)}").mkString(" ")} END)"
+        val ln = s"($h * ($x - $sold) + $h * ($l + $b))"
+        val bn = s"($h * ($ln - $l) + $h * $b)"
+        val sn = (i: Int) =>
+          s"(CASE WHEN $dow = $i THEN $h * ($x - $ln) + $h * $sold" +
+            s" ELSE ${si(i)} END)"
+        (ln, bn, sn)
+      }
+      // 0.5D: Spark parses a bare 0.5 literal as DECIMAL(1,1)
+      val (ln, bn, sn) = step("0.5D", "CAST(e.cnt AS DOUBLE)", "acc.l", "acc.b",
+        i => s"acc.s$i", "CAST(e.day % 7 AS INT)")
+      val daily = Io.events(s, d).withColumn("day", day)
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+      val fold =
+        s"""aggregate(
+           |  slice(series, 2, size(series) - 1),
+           |  named_struct(
+           |    'l', CAST(element_at(series, 1).cnt AS DOUBLE),
+           |    'b', CAST(element_at(series, 2).cnt AS DOUBLE)
+           |       - CAST(element_at(series, 1).cnt AS DOUBLE),
+           |    ${(0 to 6).map(i => s"'s$i', CAST(0 AS DOUBLE)").mkString(", ")}),
+           |  (acc, e) -> named_struct(
+           |    'l', $ln, 'b', $bn,
+           |    ${(0 to 6).map(i => s"'s$i', ${sn(i)}").mkString(", ")}))""".stripMargin
+      daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("series"))
+        .filter(size(col("series")) >= 2)
+        .select(col("event_type"), size(col("series")).cast("long").as("n_days"),
+          expr(fold).as("hw"),
+          expr("CAST((element_at(series, -1).day + 1) % 7 AS INT)").as("ndow"))
+        .select(Seq(col("event_type"), col("n_days"),
+          col("hw.l").as("level"), col("hw.b").as("trend")) ++
+          (0 to 6).map(i => col(s"hw.s$i").as(s"s$i")) :+
+          expr("hw.l + hw.b + (CASE ndow " + (0 to 6).map(i =>
+            s"WHEN $i THEN hw.s$i").mkString(" ") + " END)").as("forecast_next"): _*)
+        .orderBy("event_type")
+    }, Some {
+      def step(h: String, x: String, l: String, b: String, si: Int => String,
+          dow: String): (String, String, Int => String) = {
+        val sold = s"(CASE $dow ${(0 to 6).map(i =>
+          s"WHEN $i THEN ${si(i)}").mkString(" ")} END)"
+        val ln = s"($h * ($x - $sold) + $h * ($l + $b))"
+        val bn = s"($h * ($ln - $l) + $h * $b)"
+        val sn = (i: Int) =>
+          s"(CASE WHEN $dow = $i THEN $h * ($x - $ln) + $h * $sold" +
+            s" ELSE ${si(i)} END)"
+        (ln, bn, sn)
+      }
+      val (ln, bn, sn) = step("0.5", "s.x", "r.l", "r.b",
+        i => s"r.s$i", "CAST(s.day % 7 AS INT)")
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |series AS (
+         |  SELECT event_type, day,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         |    CAST(cnt AS DOUBLE) AS x
+         |  FROM daily),
+         |ns AS (SELECT event_type, MAX(t) AS tmax, MAX(day) AS daymax
+         |       FROM series GROUP BY 1),
+         |rec AS (
+         |  SELECT s1.event_type, CAST(1 AS BIGINT) AS t,
+         |    s1.x AS l, s2.x - s1.x AS b,
+         |    ${(0 to 6).map(i => s"CAST(0 AS DOUBLE) AS s$i").mkString(", ")}
+         |  FROM series s1 JOIN series s2
+         |    ON s2.event_type = s1.event_type AND s1.t = 1 AND s2.t = 2
+         |  UNION ALL
+         |  SELECT r.event_type, r.t + 1, $ln AS l, $bn AS b,
+         |    ${(0 to 6).map(i => s"${sn(i)} AS s$i").mkString(", ")}
+         |  FROM rec r JOIN series s
+         |    ON s.event_type = r.event_type AND s.t = r.t + 1)
+         |SELECT r.event_type, CAST(ns.tmax AS BIGINT) AS n_days,
+         |  r.l AS level, r.b AS trend,
+         |  ${(0 to 6).map(i => s"r.s$i AS s$i").mkString(", ")},
+         |  r.l + r.b + (CASE CAST((ns.daymax + 1) % 7 AS INT) ${(0 to 6).map(i =>
+        s"WHEN $i THEN r.s$i").mkString(" ")} END) AS forecast_next
+         |FROM rec r JOIN ns ON ns.event_type = r.event_type AND r.t = ns.tmax
+         |WHERE ns.tmax >= 2
+         |ORDER BY r.event_type""".stripMargin
+    }),
+
     // Event-type transition matrix: first-order Markov counts over each
     // user's time-ordered event sequence, with row-normalized
     // probabilities — the behavior-model input (and the user_path
