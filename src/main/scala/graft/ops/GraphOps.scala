@@ -1016,6 +1016,51 @@ object GraphOps {
         |ORDER BY sp.support DESC, sp.antecedent, sp.consequent
         |LIMIT 15""".stripMargin)),
 
+    // Temporal-motif census (Paranjape, Benson & Leskovec, WSDM'17
+    // shape): time-RESPECTING 3-event sequences e1 < e2 < e3 within a
+    // δ = 24 h window per user, counted per ordered type triple — the
+    // temporal analogue of i_graph_motifs' static 3-node census. The
+    // strict event order is the integer composite (ts_us, event_id)
+    // (exact in both engines, no float anywhere); both expansion
+    // joins key on user_id with the δ band as a pushed filter, so at
+    // 100 TB this is two user-keyed shuffles whose fan-out the window
+    // bounds (power-user skew is the known hazard — the δ cap plus
+    // AQE skew splitting keep any one user's chain work sub-quadratic;
+    // a salting pass would shard the hottest users if δ grew).
+    Q("i_temporal_motifs", (s, d) => {
+      val delta = 86400000000L
+      val ev = Io.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+      def lt(a: String, b: String) =
+        (col(s"$a.ts_us") < col(s"$b.ts_us")) ||
+          (col(s"$a.ts_us") === col(s"$b.ts_us") &&
+            col(s"$a.event_id") < col(s"$b.event_id"))
+      ev.as("e1").join(ev.as("e2"),
+          col("e1.user_id") === col("e2.user_id") && lt("e1", "e2") &&
+            col("e2.ts_us") - col("e1.ts_us") <= delta)
+        .join(ev.as("e3"),
+          col("e2.user_id") === col("e3.user_id") && lt("e2", "e3") &&
+            col("e3.ts_us") - col("e1.ts_us") <= delta)
+        .groupBy(col("e1.event_type").as("t1"), col("e2.event_type").as("t2"),
+          col("e3.event_type").as("t3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    }, Some(
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events)
+        |SELECT e1.event_type AS t1, e2.event_type AS t2,
+        |  e3.event_type AS t3, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM e e1
+        |JOIN e e2 ON e1.user_id = e2.user_id
+        |  AND (e1.us < e2.us OR (e1.us = e2.us AND e1.event_id < e2.event_id))
+        |  AND e2.us - e1.us <= 86400000000
+        |JOIN e e3 ON e2.user_id = e3.user_id
+        |  AND (e2.us < e3.us OR (e2.us = e3.us AND e2.event_id < e3.event_id))
+        |  AND e3.us - e1.us <= 86400000000
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin)),
+
     // Multi-source BFS on the SUPPORTED co-purchase graph: exact
     // min-hop distance from the seed set {node % 50 = 0} out to 4 hops
     // (-1 = unreached), reported as the distance histogram. This is the
