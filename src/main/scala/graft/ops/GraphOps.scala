@@ -1016,6 +1016,56 @@ object GraphOps {
         |ORDER BY sp.support DESC, sp.antecedent, sp.consequent
         |LIMIT 15""".stripMargin)),
 
+    // Louvain local-moving step (Blondel et al. 2008, first sweep from
+    // singletons, parallel variant) on the WEIGHTED supported graph:
+    // every node evaluates joining each neighbor's community; from
+    // singleton init the modularity gain of i→{j} scaled by 2W² is the
+    // INTEGER 2W·w_ij − s_j·s_i (W2 = Σw both directions = 2W, weighted
+    // degrees s) — so the argmax is exact BIGINT comparison, no float
+    // anywhere. i moves iff the best gain is positive (tie → smallest
+    // j); output is the resulting community census. Scale: two keyed
+    // degree attaches on the memoized edge artifact + one node-keyed
+    // argmax window + one census agg — the per-sweep cost structure of
+    // every distributed Louvain.
+    Q("i_graph_louvain_step", (s, d) => {
+      val e = supWEdges(s, d)
+      val swd = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("sw"))
+      val wt = e.agg(sum(col("w")).as("w2"))
+      val g = e
+        .join(swd.select(col("node").as("src"), col("sw").as("si")), "src")
+        .join(swd.select(col("node").as("dst"), col("sw").as("sj")), "dst")
+        .crossJoin(broadcast(wt))
+        .select(col("src").as("i"), col("dst").as("j"),
+          (col("w2") * col("w") - col("sj") * col("si")).as("gain"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("i")).orderBy(col("gain").desc, col("j"))
+      g.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("i").as("node"),
+          when(col("gain") > 0, col("j")).otherwise(col("i")).as("community"))
+        .groupBy(col("community"))
+        .agg(count(lit(1)).as("size"),
+          sum(when(col("community") =!= col("node"), 1L).otherwise(0L))
+            .as("n_joined"))
+        .orderBy(col("size").desc, col("community"))
+        .limit(20)
+    }, Some(
+      s"""$supWSql,
+         |swd AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS sw
+         |        FROM swedges GROUP BY 1),
+         |wt AS (SELECT CAST(SUM(w) AS BIGINT) AS w2 FROM swedges),
+         |g AS (SELECT e.src AS i, e.dst AS j,
+         |        wt.w2 * e.w - sj.sw * si.sw AS gain
+         |      FROM swedges e JOIN swd si ON si.node = e.src
+         |        JOIN swd sj ON sj.node = e.dst CROSS JOIN wt),
+         |mv AS (SELECT i AS node,
+         |         CASE WHEN gain > 0 THEN j ELSE i END AS community
+         |       FROM g QUALIFY ROW_NUMBER() OVER
+         |         (PARTITION BY i ORDER BY gain DESC, j) = 1)
+         |SELECT community, CAST(COUNT(*) AS BIGINT) AS size,
+         |  CAST(SUM(CASE WHEN community <> node THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_joined
+         |FROM mv GROUP BY 1 ORDER BY size DESC, community LIMIT 20""".stripMargin)),
+
     // Temporal-motif census (Paranjape, Benson & Leskovec, WSDM'17
     // shape): time-RESPECTING 3-event sequences e1 < e2 < e3 within a
     // δ = 24 h window per user, counted per ordered type triple — the
