@@ -422,6 +422,27 @@ object EngineSurfaceOps {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50
         |             THEN 1 END) AS n_big
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // SQL pipe syntax (Spark 4.x `|>` operators, SIGMOD'24 "Pipe
+    // Syntax in SQL"): the same logical plan as a nested SELECT but
+    // written as a linear transform chain — purely a parser surface,
+    // so the oracle is the equivalent classic SQL and the plan (one
+    // scan + partial/final hash agg + sort) is identical. The sum
+    // keeps the decSum discipline (exact decimal, order-independent).
+    Q("f_pipe_syntax", (s, d) => {
+      Io.views(s, d)
+      s.sql(
+        """FROM lineitem
+          ||> WHERE l_quantity > 10
+          ||> AGGREGATE COUNT(*) AS n_rows,
+          |     CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+          |   GROUP BY l_returnflag
+          ||> ORDER BY l_returnflag""".stripMargin)
+    }, Some(
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_quantity > 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }
