@@ -460,6 +460,113 @@ object AggOps {
         |    <= quantile_cont(l_quantity, 0.5) * 0.05 AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Theta-sketch set algebra (Spark 4's Datasketches surface): the
+    // mergeable-sketch answer to distinct-INTERSECTION questions that
+    // HLL cannot express (HLL unions only). Per-event-type theta
+    // sketches over user_id are built once (one keyed aggregate —
+    // sketch bytes are what a 100 TB deployment persists per
+    // partition-grain), then click∩purchase, click∖purchase and the
+    // union-over-all-types are answered from the SKETCHES, never
+    // re-reading raw rows. Checked values are the exact counts
+    // (distinct-join / anti-join / count-distinct); each sketch
+    // estimate is asserted within 5% of exact. With default lgK=12 the
+    // sketches stay in exact mode below 4096 distinct keys, so the
+    // flags are deterministic at every SF; DuckDB has no theta sketch,
+    // so its twin emits the literal TRUE the Spark side must reproduce
+    // (the exact counts are the hash-checked payload).
+    Q("d_agg_theta_setops", (s, d) => {
+      val ev = Io.events(s, d).select(col("event_type"), col("user_id"))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      val uc = ev.filter(col("event_type") === "click")
+        .select(col("user_id")).distinct()
+      val up = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val exactBoth = uc.join(up, "user_id").agg(count(lit(1)).as("exact_both"))
+      val exactOnly = uc.join(up, Seq("user_id"), "left_anti")
+        .agg(count(lit(1)).as("exact_click_only"))
+      val exactAll = ev.agg(countDistinct(col("user_id")).as("exact_all"))
+      val ests = sk.filter(col("event_type") === "click")
+        .select(col("sk").as("skc"))
+        .crossJoin(broadcast(
+          sk.filter(col("event_type") === "purchase").select(col("sk").as("skp"))))
+        .select(
+          expr("theta_sketch_estimate(theta_intersection(skc, skp))").as("est_both"),
+          expr("theta_sketch_estimate(theta_difference(skc, skp))").as("est_only"))
+      val estAll = sk.agg(
+        expr("theta_sketch_estimate(theta_union_agg(sk))").as("est_all"))
+      ests.crossJoin(broadcast(exactBoth)).crossJoin(broadcast(exactOnly))
+        .crossJoin(broadcast(exactAll)).crossJoin(broadcast(estAll))
+        .select(col("exact_both"),
+          (abs(col("est_both") - col("exact_both")) <=
+            col("exact_both") * 0.05).as("inter_ok"),
+          col("exact_click_only"),
+          (abs(col("est_only") - col("exact_click_only")) <=
+            col("exact_click_only") * 0.05).as("diff_ok"),
+          col("exact_all"),
+          (abs(col("est_all") - col("exact_all")) <=
+            col("exact_all") * 0.05).as("union_ok"))
+    }, Some(
+      """WITH uc AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |up AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM uc JOIN up USING (user_id))
+        |    AS exact_both,
+        |  TRUE AS inter_ok,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM uc
+        |   WHERE user_id NOT IN (SELECT user_id FROM up)) AS exact_click_only,
+        |  TRUE AS diff_ok,
+        |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+        |    AS exact_all,
+        |  TRUE AS union_ok""".stripMargin)),
+
+    // KLL quantile sketch (Karnin-Lang-Liberty '16, Spark 4's
+    // Datasketches surface): the MERGEABLE quantile summary a 100 TB
+    // pipeline keeps when the exact two-pass percentile
+    // (d_agg_percentile) is one pass too many — one keyed aggregate
+    // builds the sketch, quantiles read off the bytes. Checked values
+    // are the exact type-7 percentiles (the mergeable windowed
+    // machinery, no holistic buffer); the KLL-returned values are
+    // asserted inside the exact [p−6.25%, p+6.25%] rank band — ~4× the
+    // sketch's 1.33% rank-error bound at k=200, so the flag is
+    // deterministic under any partial-merge order. Band edges use
+    // DYADIC ps (7/16, 9/16, 27/32, 31/32): exactly-representable
+    // doubles, so both engines interpolate bit-identically. The sketch
+    // row count (kll_sketch_get_n) is checked EXACTLY against
+    // count(*) — the merge loses no mass. DuckDB's twin runs its own
+    // t-digest (approx_quantile) through the same bands.
+    Q("d_agg_kll_quantiles", (s, d) => {
+      val li = Io.table(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+      val exact = Q.exactPercentiles(li, "l_returnflag", "l_quantity",
+        Seq((0.4375, "lo50"), (0.5, "exact_med"), (0.5625, "hi50"),
+          (0.84375, "lo90"), (0.9, "exact_p90"), (0.96875, "hi90")))
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(expr("kll_sketch_agg_double(CAST(l_quantity AS DOUBLE), 200)").as("sk"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_rows"),
+          expr("kll_sketch_get_quantile_double(sk, 0.5)").as("k50"),
+          expr("kll_sketch_get_quantile_double(sk, 0.9)").as("k90"),
+          expr("kll_sketch_get_n_double(sk)").as("k_n"))
+      exact.join(sk, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_med"), col("exact_p90"),
+          (col("k50") >= col("lo50") && col("k50") <= col("hi50")).as("k50_ok"),
+          (col("k90") >= col("lo90") && col("k90") <= col("hi90")).as("k90_ok"),
+          (col("k_n") === col("n_rows")).as("n_ok"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """SELECT l_returnflag,
+        |  QUANTILE_CONT(l_quantity, 0.5) AS exact_med,
+        |  QUANTILE_CONT(l_quantity, 0.9) AS exact_p90,
+        |  approx_quantile(l_quantity, 0.5)
+        |    BETWEEN QUANTILE_CONT(l_quantity, 0.4375)
+        |        AND QUANTILE_CONT(l_quantity, 0.5625) AS k50_ok,
+        |  approx_quantile(l_quantity, 0.9)
+        |    BETWEEN QUANTILE_CONT(l_quantity, 0.84375)
+        |        AND QUANTILE_CONT(l_quantity, 0.96875) AS k90_ok,
+        |  TRUE AS n_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Count-min sketch frequency estimation + heavy-hitter audit
     // (Cormode & Muthukrishnan '05). Unlike the engine-native HLL/KLL
     // sketches above (tolerance-flag oracles), this CMS is built from

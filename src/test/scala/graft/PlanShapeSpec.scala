@@ -300,11 +300,31 @@ class PlanShapeSpec extends AnyFunSuite {
     // (which buffers every group value in one aggregation buffer) may
     // appear in the executed plan. approx_percentile is allowed — the
     // sketch is mergeable.
-    for (q <- Seq("d_agg_percentile", "g_anomaly_mad", "d_agg_approx_pctl")) {
+    for (q <- Seq("d_agg_percentile", "g_anomaly_mad", "d_agg_approx_pctl",
+        "d_agg_kll_quantiles")) {
       val p = plan(q)
       assert("(?<!approx_)percentile\\(".r.findFirstIn(p).isEmpty
         && "\\bmedian\\(".r.findFirstIn(p).isEmpty,
         s"$q: holistic percentile/median aggregate in executed plan:\n" + p.take(2000))
+    }
+  }
+
+  test("Datasketches rows: sketch aggregates are partial/merge (mergeable)") {
+    // the 100 TB property of the theta/KLL rows: the sketch build is a
+    // two-phase aggregate (map-side partial sketches merged on the
+    // reduce side — the sketch bytes are what ships through the
+    // shuffle), and the only joins are broadcast scalar attaches.
+    for (q <- Seq("d_agg_theta_setops", "d_agg_kll_quantiles")) {
+      val p = plan(q)
+      val agg = if (q.contains("theta")) "theta_sketch_agg" else "kll_sketch_agg"
+      assert(p.contains(agg), s"$q: sketch aggregate missing from plan")
+      assert(p.contains(s"partial_$agg") || p.contains(s"merge_$agg")
+        || "ObjectHashAggregate.*partial".r.findFirstIn(p).isDefined
+        || p.contains("Partial"),
+        s"$q: no partial/merge phase for $agg — sketch not built map-side:\n"
+          + p.take(2000))
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: data-shuffling join in a scalar-attach plan:\n" + p.take(2000))
     }
   }
 
