@@ -834,6 +834,82 @@ object TextOps {
     //            h_repetition_filter's ratios are token-weighted)
     // Shape: one scan + one (doc,gram)-keyed agg — the same two-pass
     // plan at 100 TB, no wide rows, no holistic state.
+    // Decision-stump split finding (CART one-level, Gini impurity):
+    // the classic feature-selection primitive for filter-rule mining —
+    // which doc-length threshold best separates English from the rest.
+    // All split statistics are INTEGER conditional counts from ONE
+    // wide hash aggregate (9 thresholds × 2 counters + 2 totals in a
+    // single scan pass, no explode of the data, no shuffle beyond the
+    // 1-row all-reduce — the exact plan a 100 TB stump trainer runs per
+    // feature). Per-side Gini is a single int/int IEEE division
+    // (bit-identical cross-engine; n² fits int64 to n ~3e9); the
+    // weighted impurity combines the two product terms through the
+    // 1e-12 floor-snap so DuckDB's fused multiply-add cannot diverge
+    // (the h_bm25_rank seam lesson). Empty sides carry weight 0 and
+    // Gini 0.0 — no division by zero on either engine.
+    Q("h_feature_split_gini", (s, d) => {
+      val thrs = Seq(100, 150, 200, 250, 300, 350, 400, 450, 500)
+      val doc = Io.table(s, d, "documents")
+        .select(col("n_chars"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val aggs = thrs.flatMap { t =>
+        Seq(sum(when(col("n_chars") <= t, 1L).otherwise(0L)).as(s"nl_$t"),
+          sum(when(col("n_chars") <= t, col("y")).otherwise(0L)).as(s"al_$t"))
+      } ++ Seq(count(lit(1)).as("n"), sum(col("y")).as("a"))
+      val g = doc.agg(aggs.head, aggs.tail: _*)
+      val rows = g.select(explode(array(thrs.map(t =>
+        struct(lit(t).as("thr"), col(s"nl_$t").as("n_left"),
+          col(s"al_$t").as("en_left"), col("n"), col("a"))): _*)).as("r"))
+        .select(col("r.thr").as("thr"), col("r.n_left").as("n_left"),
+          col("r.en_left").as("en_left"),
+          (col("r.n") - col("r.n_left")).as("n_right"),
+          (col("r.a") - col("r.en_left")).as("en_right"),
+          col("r.n").as("n"))
+      def gini(nS: org.apache.spark.sql.Column, aS: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val bS = nS - aS
+        when(nS === 0L, 0.0).otherwise(
+          lit(1.0) - (aS * aS + bS * bS).cast("double") / (nS * nS).cast("double"))
+      }
+      val gL = gini(col("n_left"), col("en_left"))
+      val gR = gini(col("n_right"), col("en_right"))
+      def term(nS: org.apache.spark.sql.Column, gS: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        floor(nS.cast("double") / col("n").cast("double") * gS * 1e12 + 0.5)
+          .cast("long")
+      rows.select(col("thr"), col("n_left"), col("en_left"),
+        col("n_right"), col("en_right"),
+        gL.as("gini_left"), gR.as("gini_right"),
+        ((term(col("n_left"), gL) + term(col("n_right"), gR)).cast("double")
+          / 1e12).as("wgini"))
+        .orderBy("thr")
+    }, Some(
+      """WITH doc AS (SELECT n_chars,
+        |               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |             FROM documents),
+        |tot AS (SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS a FROM doc),
+        |th AS (SELECT UNNEST([100,150,200,250,300,350,400,450,500]) AS thr),
+        |cnt AS (SELECT thr,
+        |          COUNT(*) FILTER (WHERE n_chars <= thr) AS n_left,
+        |          CAST(COALESCE(SUM(y) FILTER (WHERE n_chars <= thr), 0)
+        |            AS BIGINT) AS en_left
+        |        FROM doc CROSS JOIN th GROUP BY thr),
+        |sides AS (SELECT thr, n_left, en_left,
+        |            n - n_left AS n_right, a - en_left AS en_right, n
+        |          FROM cnt CROSS JOIN tot),
+        |gi AS (SELECT *,
+        |  CASE WHEN n_left = 0 THEN 0.0 ELSE
+        |    1.0 - CAST(en_left*en_left + (n_left-en_left)*(n_left-en_left)
+        |               AS DOUBLE) / CAST(n_left*n_left AS DOUBLE) END AS gini_left,
+        |  CASE WHEN n_right = 0 THEN 0.0 ELSE
+        |    1.0 - CAST(en_right*en_right + (n_right-en_right)*(n_right-en_right)
+        |               AS DOUBLE) / CAST(n_right*n_right AS DOUBLE) END AS gini_right
+        |  FROM sides)
+        |SELECT thr, n_left, en_left, n_right, en_right, gini_left, gini_right,
+        |  CAST(CAST(FLOOR(CAST(n_left AS DOUBLE) / n * gini_left * 1e12 + 0.5)
+        |         AS BIGINT)
+        |     + CAST(FLOOR(CAST(n_right AS DOUBLE) / n * gini_right * 1e12 + 0.5)
+        |         AS BIGINT) AS DOUBLE) / 1e12 AS wgini
+        |FROM gi ORDER BY thr""".stripMargin)),
+
     Q("h_gopher_filters", (s, d) => {
       val stopList = array(Seq("the", "a", "to", "of", "and", "that",
         "with", "have").map(lit): _*)

@@ -1052,6 +1052,68 @@ object VectorOps {
     // is a (vec, sub)-windowed row_number; every distance accumulates
     // in DECIMAL(38,12) so the argmin tie-break (smallest label) is
     // engine-identical.
+    // Scalar quantization to int8 (SQ8) — the OTHER standard vector
+    // compression next to PQ: per-dimension min/max train pass, then
+    // code = ⌊(v−mn)·256/(mx−mn)⌋ clamped to [0,255], 4 bytes→1 byte
+    // per dim. The 100 TB shape: the trained quantizer is a 64-row
+    // broadcast (one tiny all-reduce), encoding is map-side, and the
+    // per-vector audit is one keyed aggregate — no shuffle of the
+    // vectors themselves. Engine-exactness: the code arithmetic is
+    // sub / ×256 (a power of two — exact) / one correctly-rounded
+    // division / floor — bit-identical cross-engine, so the codes and
+    // the integer census (code_sum, saturation counts) hash-check
+    // exactly; the midpoint-dequantization MSE snaps its one
+    // multiply-add seam and each squared term at 1e-12 (the
+    // g_price_elasticity floor-snap), summing exact BIGINT picounits.
+    Q("h_sq8_quant", (s, d) => {
+      val long = Io.table(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "f")))
+        .select(col("vec_id"), (col("pos0") + 1).as("pos"),
+          col("f").cast("double").as("v"))
+      val stats = long.groupBy(col("pos"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val coded = long.join(broadcast(stats), "pos")
+        .select(col("vec_id"), col("v"), col("mn"), col("mx"),
+          when(col("mx") === col("mn"), 0L).otherwise(
+            least(floor((col("v") - col("mn")) * 256.0 /
+              (col("mx") - col("mn"))), lit(255L))).as("code"))
+      // dequantize at the bucket midpoint; snap the (code+0.5)·step
+      // product before adding mn so a fused multiply-add cannot diverge
+      val m = floor((col("code").cast("double") + 0.5) *
+        ((col("mx") - col("mn")) / 256.0) * 1e12 + 0.5).cast("long")
+      val deq = col("mn") + m.cast("double") / 1e12
+      val e = col("v") - deq
+      coded.groupBy(col("vec_id"))
+        .agg(sum(col("code")).as("code_sum"),
+          sum(when(col("code") === 0L, 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("code") === 255L, 1L).otherwise(0L)).as("n_hi"),
+          (sum(floor(e * e * 1e12 + 0.5).cast("long")).cast("double") /
+            count(lit(1)) / 1e12).as("mse"))
+        .orderBy("vec_id")
+    }, Some(
+      """WITH lg AS (SELECT vec_id, CAST(i AS INT) AS pos,
+        |              CAST(embedding[i] AS DOUBLE) AS v
+        |            FROM embeddings,
+        |              (SELECT UNNEST(generate_series(1,
+        |                 (SELECT MAX(len(embedding)) FROM embeddings))) AS i)
+        |            WHERE i <= len(embedding)),
+        |st AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM lg GROUP BY pos),
+        |cd AS (SELECT vec_id, v, mn, mx,
+        |         CASE WHEN mx = mn THEN 0 ELSE
+        |           CAST(LEAST(FLOOR((v - mn) * 256.0 / (mx - mn)), 255.0)
+        |             AS BIGINT) END AS code
+        |       FROM lg JOIN st USING (pos)),
+        |dq AS (SELECT vec_id, code, v,
+        |         mn + CAST(FLOOR((code + 0.5) * ((mx - mn) / 256.0) * 1e12
+        |                         + 0.5) AS BIGINT) / 1e12 AS deq
+        |       FROM cd)
+        |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+        |  COUNT(*) FILTER (WHERE code = 0) AS n_lo,
+        |  COUNT(*) FILTER (WHERE code = 255) AS n_hi,
+        |  CAST(CAST(SUM(CAST(FLOOR((v - deq) * (v - deq) * 1e12 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS DOUBLE) / COUNT(*) / 1e12 AS mse
+        |FROM dq GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
     Q("h_pq_encode", (s, d) => {
       // Subspace count derived from the data (pqDims) matching the
       // oracle's (pos-1)//8 width-8 layout at any D; codebook and codes

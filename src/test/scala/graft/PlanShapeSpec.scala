@@ -328,6 +328,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("stump/SQ8 rows keep their map-side shapes") {
+    // h_feature_split_gini: ONE wide conditional aggregate over the
+    // scan — no join, no data-sized explode (the only Generate runs
+    // over the 1-row aggregate output).
+    val g = plan("h_feature_split_gini")
+    assert(!g.contains("SortMergeJoin") && !g.contains("BroadcastHashJoin"),
+      "gini stump grew a join:\n" + g.take(2000))
+    // h_sq8_quant: the trained quantizer attaches by BROADCAST (64-row
+    // per-dim stats); the vectors themselves never shuffle through a
+    // sort-merge join.
+    val q = plan("h_sq8_quant")
+    assert(q.contains("BroadcastHashJoin"), "SQ8 stats join not broadcast")
+    assert(!q.contains("SortMergeJoin"),
+      "SQ8 vectors shuffled through SMJ:\n" + q.take(2000))
+  }
+
   test("global ntile/pct_rank query has no single-partition window over the data") {
     // e_win_ntile_pct's two-pass rewrite: the data-sized window must be
     // partitioned by the range-partition id; the ranking functions
