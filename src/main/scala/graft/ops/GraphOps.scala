@@ -1152,6 +1152,60 @@ object GraphOps {
          |FROM sdeg s LEFT JOIN mind m ON s.node = m.node
          |GROUP BY 1 ORDER BY dist""".stripMargin)),
 
+    // Deterministic random-walk sampling — the node2vec/DeepWalk corpus
+    // generator (one fixed-length walk per node over the supported
+    // co-purchase graph), with the RNG replaced by the engine's seeded
+    // hash coin so the sampled corpus is REPRODUCIBLE at any cluster
+    // size: the next hop from node u at step t is the out-neighbor
+    // minimizing coin(u·7919 + v·104729 + t·15485863) (exact
+    // DECIMAL(38,0) arithmetic, the Q.coin discipline — identical in
+    // both engines at any id scale), ties broken by min neighbor id.
+    // Each of the 4 unrolled steps is ONE keyed equi-join of the
+    // |nodes|-row walk frontier against the edge list plus a
+    // two-aggregate argmin (min score, then min dst at that score) —
+    // no windows, no per-row state; at 100 TB the frontier join
+    // shuffles on node id exactly like one BFS round.
+    Q("i_graph_walk_sample", (s, d) => {
+      val edges = supEdges(s, d).select(col("src").as("node"), col("dst"))
+      // ONE linear chain — each step's frontier is consumed exactly once
+      // (no 2^h re-evaluation), and the argmin-with-tiebreak is the
+      // min-of-struct idiom (lexicographic (score, dst) min ≡ the
+      // oracle's min-score-then-min-dst two-aggregate spelling), so a
+      // step is join + ONE mergeable aggregate.
+      var acc = supDeg(s, d).select(col("node").as("start"), col("node"))
+      (1 to 4).foreach { t =>
+        val carried = Seq(col("start")) ++ (1 until t).map(k => col(s"s$k"))
+        acc = acc.join(edges, "node")
+          .withColumn("score",
+            expr(Q.coin(s"(node * 7919 + dst * 104729 + $t * 15485863)")))
+          .groupBy(carried: _*)
+          .agg(min(struct(col("score"), col("dst"))).as("m"))
+          .withColumn(s"s$t", col("m.dst"))
+          .withColumn("node", col(s"s$t"))
+          .drop("m")
+      }
+      acc.select(col("start"), col("s1"), col("s2"), col("s3"), col("s4"))
+        .orderBy("start")
+    }, Some {
+      def step(t: Int) =
+        s"""c$t AS (SELECT w.start, e.dst,
+           |  ${Q.coin(s"(w.node * 7919 + e.dst * 104729 + $t * 15485863)")}
+           |    AS score
+           |  FROM w${t - 1} w JOIN sedges e ON w.node = e.src),
+           |m$t AS (SELECT start, MIN(score) AS ms FROM c$t GROUP BY start),
+           |w$t AS (SELECT c$t.start, MIN(c$t.dst) AS node FROM c$t
+           |        JOIN m$t ON c$t.start = m$t.start AND c$t.score = m$t.ms
+           |        GROUP BY c$t.start)""".stripMargin
+      s"""$supSql,
+         |w0 AS (SELECT node AS start, node FROM sdeg),
+         |${(1 to 4).map(step).mkString(",\n")}
+         |SELECT w0.start, w1.node AS s1, w2.node AS s2, w3.node AS s3,
+         |  w4.node AS s4
+         |FROM w0 JOIN w1 USING (start) JOIN w2 USING (start)
+         |  JOIN w3 USING (start) JOIN w4 USING (start)
+         |ORDER BY start""".stripMargin
+    }),
+
     // Strongly-connected components of the DIRECTED behavior graph —
     // the one graph op the undirected co-purchase family can't express.
     // Nodes are event types; edges are the dominant observed
