@@ -1029,6 +1029,76 @@ object AnalyticsOps {
     // argument as g_autocorr's calendar series). The binned statistic
     // is a deterministic lower bound of the exact KS (exact needs a
     // global sort); bin width 5 over [0,500) covers the value domain.
+    // Pearson chi-square test of independence (event type × day of
+    // week): the categorical-association workhorse next to the KS /
+    // Mann-Whitney continuous tests. Observed counts are one hash
+    // aggregate over the scan; row/column marginals are two more
+    // bounded aggregates broadcast back onto the ≤|types|·7 cell table
+    // — at 100 TB the only corpus-sized pass is the first count.
+    // Engine-exactness: expected = rt·ct/n in correctly-rounded double
+    // ops (double-multiply spelling so the product cannot overflow
+    // int64 at any corpus size); each cell's (o−e)²/e contribution is
+    // 1e-12 floor-snapped to BIGINT picounits, so the per-row and
+    // grand-total sums are exact integer addition — no
+    // accumulation-order seam. Degrees of freedom are computed from the
+    // observed level censuses, not hard-coded.
+    Q("g_chi2_indep", (s, d) => {
+      val cells = Io.events(s, d)
+        .select(col("event_type"),
+          expr("(ts_us DIV 86400000000 + 4) % 7").as("dow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+      val ct = cells.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+      val n = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("event_type")).as("nt"),
+        countDistinct(col("dow")).as("nd"))
+      val e = col("rt").cast("double") * col("ct").cast("double") /
+        col("n").cast("double")
+      val dev = col("o").cast("double") - e
+      val contrib = floor(dev * dev / e * 1e12 + 0.5).cast("long")
+      val perCell = cells.join(rt, "event_type").join(broadcast(ct), "dow")
+        .crossJoin(broadcast(n))
+        .select(col("event_type"), col("o"), contrib.as("cp"),
+          ((col("nt") - 1) * (col("nd") - 1)).as("dof"))
+      val total = perCell.agg(sum(col("cp")).as("tp"))
+      perCell.groupBy(col("event_type"), col("dof"))
+        .agg(sum(col("o")).as("n_row"), sum(col("cp")).as("rp"))
+        .crossJoin(broadcast(total))
+        .select(col("event_type"), col("n_row"),
+          (col("rp").cast("double") / 1e12).as("chi2_row"),
+          (col("tp").cast("double") / 1e12).as("chi2_total"), col("dof"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH cells AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |    COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |          COUNT(DISTINCT event_type) AS nt,
+        |          COUNT(DISTINCT dow) AS nd
+        |        FROM cells),
+        |pc AS (SELECT cells.event_type, o,
+        |  CAST(FLOOR((o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |                  / CAST(n AS DOUBLE))
+        |           * (o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |                  / CAST(n AS DOUBLE))
+        |           / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |                  / CAST(n AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) AS cp,
+        |  (nt - 1) * (nd - 1) AS dof
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+        |    CROSS JOIN tot),
+        |gt AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp FROM pc)
+        |SELECT event_type, CAST(SUM(o) AS BIGINT) AS n_row,
+        |  CAST(CAST(SUM(cp) AS BIGINT) AS DOUBLE) / 1e12 AS chi2_row,
+        |  CAST(tp AS DOUBLE) / 1e12 AS chi2_total,
+        |  dof
+        |FROM pc CROSS JOIN gt GROUP BY event_type, dof, tp
+        |ORDER BY event_type""".stripMargin)),
+
     Q("g_ks_drift", (s, d) => {
       val binned = Io.events(s, d)
         .filter(col("event_type").isin("purchase", "click"))
