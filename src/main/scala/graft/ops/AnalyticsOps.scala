@@ -1029,6 +1029,123 @@ object AnalyticsOps {
     // argument as g_autocorr's calendar series). The binned statistic
     // is a deterministic lower bound of the exact KS (exact needs a
     // global sort); bin width 5 over [0,500) covers the value domain.
+    // Trailing 7-day rolling MEDIAN of daily event counts per type —
+    // the robust smoother the moving-average rows (g_ewma,
+    // g_moving_zscore) can't give when a day spikes. Spark has no
+    // holistic median over a window frame; the engine spelling is a
+    // banded self-join of the day spine (≤7-row fan-out per day,
+    // RANGE semantics so day gaps shrink the window rather than
+    // reaching further back) + ONE keyed aggregate collecting the ≤7
+    // values, sorted, with the explicit rank-k selection — (lo+hi)/2
+    // of exact BIGINT counts, zero float seams. The day spine is
+    // TIME-bounded metadata; the only corpus-sized pass is the daily
+    // count aggregate, so the shape is scan + bounded join + keyed agg
+    // at any corpus size.
+    Q("g_rolling_median", (s, d) => {
+      val daily = Io.events(s, d)
+        .select(col("event_type"), expr("ts_us DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+      val win = daily.select(col("event_type"), col("day").as("d2"), col("y"))
+        .join(daily.select(col("event_type"), col("day")), "event_type")
+        .filter(col("d2") >= col("day") - 6 && col("d2") <= col("day"))
+      win.groupBy(col("event_type"), col("day"))
+        .agg(sort_array(collect_list(col("y"))).as("w"),
+          count(lit(1)).as("n_window"))
+        .select(col("event_type"), col("day"), col("n_window"),
+          ((element_at(col("w"), expr("CAST((n_window + 1) DIV 2 AS INT)")) +
+            element_at(col("w"), expr("CAST(n_window DIV 2 + 1 AS INT)")))
+            .cast("double") / 2.0).as("med"))
+        .orderBy("event_type", "day")
+    }, Some(
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT a.event_type, a.day, b.y
+        |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |    AND b.day BETWEEN a.day - 6 AND a.day),
+        |agg AS (
+        |  SELECT event_type, day, list_sort(list(y)) AS w,
+        |    COUNT(*) AS n_window
+        |  FROM win GROUP BY 1, 2)
+        |SELECT event_type, day, n_window,
+        |  CAST(w[CAST((n_window + 1) // 2 AS INT)]
+        |     + w[CAST(n_window // 2 + 1 AS INT)] AS DOUBLE) / 2.0 AS med
+        |FROM agg ORDER BY event_type, day""".stripMargin)),
+
+    // Theil-Sen robust trend estimate over the daily purchase series
+    // (median of all pairwise slopes + median-residual intercept,
+    // Sen '68): the outlier-proof alternative to the OLS trend rows.
+    // Slopes are int/int IEEE divisions of exact count/day deltas
+    // (bit-identical cross-engine); both medians go through the same
+    // explicit rank-k selection spelled identically in both engines
+    // (never each engine's own median() — interpolation spellings
+    // differ), and the intercept residual snaps its m·x product at
+    // 1e-12 before subtracting so a fused multiply-add cannot diverge.
+    // Scale shape: the pair table is |days|² — TIME-bounded metadata,
+    // independent of corpus row count (the single-partition rank
+    // windows over it are whitelisted with that bound); the only
+    // corpus-sized pass is the daily count aggregate.
+    Q("g_theilsen_slope", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Io.events(s, d).filter(col("event_type") === "purchase")
+        .select(expr("ts_us DIV 86400000000").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("y"))
+      val ser = daily.crossJoin(broadcast(daily.agg(min(col("day")).as("d0"))))
+        .select((col("day") - col("d0")).as("x"), col("y"))
+      val slopes = ser.select(col("x").as("x1"), col("y").as("y1"))
+        .crossJoin(broadcast(ser.select(col("x").as("x2"), col("y").as("y2"))))
+        .filter(col("x1") < col("x2"))
+        .select(((col("y2") - col("y1")).cast("double") /
+          (col("x2") - col("x1")).cast("double")).as("m"))
+      def rankMedian(df: org.apache.spark.sql.DataFrame, c: String): org.apache.spark.sql.DataFrame = {
+        val ranked = df.withColumn("rn",
+          row_number().over(Window.orderBy(col(c))))
+        ranked.crossJoin(broadcast(df.agg(count(lit(1)).as("np"))))
+          .filter(col("rn") === expr("(np + 1) DIV 2") ||
+            col("rn") === expr("np DIV 2 + 1"))
+          .agg(((min(col(c)) + max(col(c))) / 2.0).as(s"med_$c"),
+            max(col("np")).as(s"n_$c"))
+      }
+      val ms = rankMedian(slopes, "m")
+      val resid = ser.crossJoin(broadcast(ms))
+        .select((col("y").cast("double") -
+          floor(col("med_m") * col("x").cast("double") * 1e12 + 0.5)
+            .cast("long").cast("double") / 1e12).as("r"))
+      val ic = rankMedian(resid, "r")
+      ms.crossJoin(broadcast(ic))
+        .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+        .select(col("n_days"), col("n_m").as("n_pairs"),
+          col("med_m").as("slope"), col("med_r").as("intercept"))
+    }, Some(
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |ser AS (SELECT day - (SELECT MIN(day) FROM daily) AS x, y FROM daily),
+        |slopes AS (
+        |  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS m
+        |  FROM ser a JOIN ser b ON a.x < b.x),
+        |rs AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM slopes),
+        |np AS (SELECT COUNT(*) AS np FROM slopes),
+        |ms AS (SELECT (MIN(m) + MAX(m)) / 2.0 AS med_m,
+        |         CAST(MAX(np) AS BIGINT) AS n_pairs
+        |       FROM rs CROSS JOIN np
+        |       WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1),
+        |resid AS (
+        |  SELECT CAST(y AS DOUBLE) -
+        |    CAST(CAST(FLOOR(med_m * CAST(x AS DOUBLE) * 1e12 + 0.5) AS BIGINT)
+        |      AS DOUBLE) / 1e12 AS r
+        |  FROM ser CROSS JOIN ms),
+        |rr AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn FROM resid),
+        |nr AS (SELECT COUNT(*) AS nr FROM resid),
+        |ic AS (SELECT (MIN(r) + MAX(r)) / 2.0 AS intercept
+        |       FROM rr CROSS JOIN nr
+        |       WHERE rn = (nr + 1) // 2 OR rn = nr // 2 + 1)
+        |SELECT (SELECT COUNT(*) FROM daily) AS n_days, ms.n_pairs,
+        |  ms.med_m AS slope, ic.intercept
+        |FROM ms CROSS JOIN ic""".stripMargin)),
+
     // Pearson chi-square test of independence (event type × day of
     // week): the categorical-association workhorse next to the KS /
     // Mann-Whitney continuous tests. Observed counts are one hash

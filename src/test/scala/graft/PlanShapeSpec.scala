@@ -1152,7 +1152,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // each retrieval arm is ranked AFTER its fused global top-50
       // (TakeOrderedAndProject — pinned in the dedicated test), so the
       // window input is capped at 50 rows by construction
-      "h_rrf_fusion" -> "two 50-row retrieval lists after TakeOrdered")
+      "h_rrf_fusion" -> "two 50-row retrieval lists after TakeOrdered",
+      // Theil-Sen ranks the |days|²-bounded slope-pair table and the
+      // |days|-row residual table — TIME-bounded metadata, independent
+      // of corpus row count
+      "g_theilsen_slope" -> "days²-bounded slope-pair table")
     val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan
