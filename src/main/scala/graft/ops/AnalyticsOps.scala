@@ -1029,6 +1029,46 @@ object AnalyticsOps {
     // argument as g_autocorr's calendar series). The binned statistic
     // is a deterministic lower bound of the exact KS (exact needs a
     // global sort); bin width 5 over [0,500) covers the value domain.
+    // Sample-ratio-mismatch guard (the first thing an experimentation
+    // platform checks before reading any A/B metric): users are
+    // assigned to arms by the deterministic Q.coin parity — the same
+    // coin the split/sample family uses, so this row also AUDITS that
+    // assignment — and the observed arm counts are tested against the
+    // expected 50/50 with a 1-dof chi-square goodness-of-fit. Every
+    // value is exact: counts are integers, n/2 is an exact dyadic
+    // double, each (o−e)²/e is one correctly-rounded division, and the
+    // two-term sum has no fma seam (terms are division results). One
+    // distinct-user aggregate + a 2-row rollup at any corpus size.
+    Q("g_ab_srm", (s, d) => {
+      val arms = Io.events(s, d).select(col("user_id")).distinct()
+        .select(expr(s"${Q.coin("user_id")} % 2").cast("long").as("arm"))
+        .groupBy(col("arm")).agg(count(lit(1)).as("o"))
+      val tot = arms.agg(sum(col("o")).as("n"))
+      val e = col("n").cast("double") / 2.0
+      val dev = col("o").cast("double") - e
+      arms.crossJoin(broadcast(tot))
+        .select(col("arm"), col("o"), col("n"), (dev * dev / e).as("term"))
+        .groupBy(col("n"))
+        .agg(min(when(col("arm") === 0, col("o"))).as("n_a"),
+          min(when(col("arm") === 1, col("o"))).as("n_b"),
+          sum(col("term")).as("chi2"))
+        .select(col("n").as("n_users"), col("n_a"), col("n_b"),
+          col("chi2"), (col("chi2") > 3.841459).as("srm_flag"))
+    }, Some(
+      s"""WITH arms AS (
+         |  SELECT ${Q.coin("user_id")} % 2 AS arm, COUNT(*) AS o
+         |  FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM arms),
+         |t AS (SELECT arm, o, n,
+         |        (o - CAST(n AS DOUBLE) / 2.0) * (o - CAST(n AS DOUBLE) / 2.0)
+         |          / (CAST(n AS DOUBLE) / 2.0) AS term
+         |      FROM arms CROSS JOIN tot)
+         |SELECT n AS n_users,
+         |  CAST(MIN(CASE WHEN arm = 0 THEN o END) AS BIGINT) AS n_a,
+         |  CAST(MIN(CASE WHEN arm = 1 THEN o END) AS BIGINT) AS n_b,
+         |  SUM(term) AS chi2, SUM(term) > 3.841459 AS srm_flag
+         |FROM t GROUP BY n""".stripMargin)),
+
     // Trailing 7-day rolling MEDIAN of daily event counts per type —
     // the robust smoother the moving-average rows (g_ewma,
     // g_moving_zscore) can't give when a day spikes. Spark has no

@@ -380,6 +380,49 @@ object TextOps {
         |  CAST(LENGTH(text) AS INT) AS text_len
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Hashing-trick featurization census (Weinberger et al. '09): map
+    // the unbounded token vocabulary into 256 signed feature buckets
+    // with the shared cross-engine polynomial hash, and report the
+    // collision profile per bucket — the question every
+    // fixed-width-feature trainer asks before committing to a hash
+    // width. Cost shape: the corpus-sized pass is the token-count
+    // aggregate; the per-token hash fold runs over the DISTINCT
+    // vocabulary only (Heaps-sublinear), then one 256-group aggregate.
+    // All outputs are integers — nothing to snap.
+    Q("h_feature_hashing", (s, d) => {
+      val vocab = Io.table(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("occ"))
+      val hashed = vocab.select(col("token"), col("occ"),
+        expr("aggregate(transform(sequence(1, length(token)), " +
+          "i -> CAST(ascii(substring(token, i, 1)) AS BIGINT)), 0L, " +
+          "(a, c) -> (a * 31 + c) % 1000000007)").as("hv"))
+        .select(col("occ"), (col("hv") % 256).as("bucket"),
+          when(expr("hv DIV 256") % 2 === 0, 1L)
+            .otherwise(-1L).as("sign"))
+      hashed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("occ")).as("occurrences"),
+          sum(col("sign") * col("occ")).as("signed_mass"))
+        .orderBy("bucket")
+    }, Some(
+      """WITH vocab AS (
+        |  SELECT t.tok AS token, COUNT(*) AS occ
+        |  FROM documents, LATERAL UNNEST(string_split(text, ' ')) AS t(tok)
+        |  WHERE t.tok <> '' GROUP BY 1),
+        |hashed AS (
+        |  SELECT occ,
+        |    list_reduce(list_transform(generate_series(1, length(token)),
+        |        i -> CAST(ascii(substr(token, i, 1)) AS BIGINT)),
+        |      (a, c) -> (a * 31 + c) % 1000000007) AS hv
+        |  FROM vocab)
+        |SELECT hv % 256 AS bucket, COUNT(*) AS n_tokens,
+        |  CAST(SUM(occ) AS BIGINT) AS occurrences,
+        |  CAST(SUM(CASE WHEN (hv // 256) % 2 = 0 THEN occ ELSE -occ END)
+        |    AS BIGINT) AS signed_mass
+        |FROM hashed GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // Corpus vocabulary statistics: global top-20 tokens by document
     // frequency and total occurrences — the vocabulary table every
     // tokenizer/quality pipeline starts from. Explode is map-side; the
