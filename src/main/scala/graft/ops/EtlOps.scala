@@ -231,6 +231,33 @@ object EtlOps {
     // once on o_orderkey, or zero shuffle if both are bucketed on it),
     // then a status classification and one status-keyed aggregate with
     // an exact decimal drift sum.
+    // Order-independent table checksum — the cross-system
+    // reconciliation primitive (does the replica hold exactly the rows
+    // the source holds?) that e_snapshot_diff's row-level diff builds
+    // on. Each row folds its business key + payload columns through
+    // the engine-portable Q.coin hash (exact DECIMAL(38,0) arithmetic
+    // at any id scale); the table digest is the plain SUM of row
+    // hashes, so it is insensitive to row order and partitioning,
+    // mergeable map-side, and any single-row difference moves it.
+    // Per-group subtotals let a mismatch be localized without a second
+    // full pass. Everything is integer-exact.
+    Q("e_table_checksum", (s, d) => {
+      val rowHash = expr(Q.coin(
+        "(l_orderkey * 1000003 + l_linenumber * 10007 + l_partkey * 31 " +
+          "+ l_suppkey * 7 + CAST(l_quantity AS BIGINT))")).cast("long")
+      Io.table(s, d, "lineitem")
+        .select(col("l_returnflag"), rowHash.as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+        .orderBy("l_returnflag")
+    }, Some(
+      s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(${Q.coin(
+             "(l_orderkey * 1000003 + l_linenumber * 10007 + l_partkey * 31 " +
+               "+ l_suppkey * 7 + CAST(l_quantity AS BIGINT))")} AS BIGINT))
+         |    AS BIGINT) AS checksum
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     Q("e_snapshot_diff", (s, d) => {
       val base = Io.table(s, d, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
