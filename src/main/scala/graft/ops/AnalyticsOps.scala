@@ -1029,6 +1029,56 @@ object AnalyticsOps {
     // argument as g_autocorr's calendar series). The binned statistic
     // is a deterministic lower bound of the exact KS (exact needs a
     // global sort); bin width 5 over [0,500) covers the value domain.
+    // Burstiness census of the daily event series (Fano factor
+    // var/mean = 1 for a Poisson process; Goh-Barabási burstiness
+    // B = (σ−μ)/(σ+μ) ∈ [−1, 1]): tells a capacity planner which
+    // event types arrive memorylessly and which clump. All moments are
+    // exact BIGINT sums (S1, S2 over integer daily counts), so
+    // mean = S1/n and fano = (n·S2 − S1²)/(n·S1) are single int/int
+    // IEEE divisions — bit-identical cross-engine — and burstiness is
+    // sqrt/sub/add/div of those identical doubles (sqrt is correctly
+    // rounded in both engines; no multiply-add shape anywhere). One
+    // corpus pass + a |types|-row rollup.
+    Q("g_burstiness", (s, d) => {
+      val daily = Io.events(s, d)
+        .select(col("event_type"), expr("ts_us DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("y")).as("s1"),
+          sum(col("y") * col("y")).as("s2"))
+        .select(col("event_type"), col("n_days"),
+          (col("s1").cast("double") / col("n_days").cast("double")).as("mean"),
+          ((col("n_days") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n_days") * col("s1")).cast("double")).as("fano"),
+          {
+            val sg = sqrt((col("n_days") * col("s2") - col("s1") * col("s1"))
+              .cast("double") /
+              (col("n_days") * col("n_days")).cast("double"))
+            val mu = col("s1").cast("double") / col("n_days").cast("double")
+            ((sg - mu) / (sg + mu)).as("burstiness")
+          })
+        .orderBy("event_type")
+    }, Some(
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, COUNT(*) AS n_days,
+        |        CAST(SUM(y) AS BIGINT) AS s1,
+        |        CAST(SUM(y * y) AS BIGINT) AS s2
+        |      FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+        |  CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+        |    / CAST(n_days * s1 AS DOUBLE) AS fano,
+        |  (SQRT(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+        |        / CAST(n_days * n_days AS DOUBLE))
+        |   - CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |  / (SQRT(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+        |          / CAST(n_days * n_days AS DOUBLE))
+        |     + CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) AS burstiness
+        |FROM m ORDER BY event_type""".stripMargin)),
+
     // Sample-ratio-mismatch guard (the first thing an experimentation
     // platform checks before reading any A/B metric): users are
     // assigned to arms by the deterministic Q.coin parity — the same

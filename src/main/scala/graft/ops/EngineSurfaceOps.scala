@@ -424,6 +424,33 @@ object EngineSurfaceOps {
         |             THEN 1 END) AS n_big
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Column-level encryption round-trip (aes_encrypt/aes_decrypt,
+    // GCM): the at-rest protection surface a governed lakehouse pairs
+    // with mask()/k-anonymity. GCM output is IV-randomized, so the
+    // CIPHERTEXT is not oracle-checkable; the checked contract is the
+    // round-trip itself — decrypt(encrypt(x)) must give back exactly
+    // the source column (emitted and hash-matched against the raw
+    // oracle values) plus the deterministic ciphertext length. ECB
+    // would be checkable but is the wrong cipher to showcase; length +
+    // exact round-trip pins the codec without weakening the crypto.
+    // Map-side scalar expressions — scan-parallel at any scale.
+    Q("f_aes_roundtrip", (s, d) => {
+      Io.views(s, d)
+      s.sql(
+        """SELECT c_custkey,
+          |  CAST(aes_decrypt(
+          |    aes_encrypt(CAST(c_name AS BINARY), '0123456789abcdef0123456789abcdef'),
+          |    '0123456789abcdef0123456789abcdef') AS STRING) AS name_rt,
+          |  length(aes_encrypt(CAST(c_name AS BINARY),
+          |    '0123456789abcdef0123456789abcdef')) - length(c_name)
+          |    AS cipher_overhead
+          |FROM customer WHERE c_custkey <= 100
+          |ORDER BY c_custkey""".stripMargin)
+    }, Some(
+      """SELECT c_custkey, c_name AS name_rt,
+        |  28 AS cipher_overhead
+        |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin)),
+
     // SQL pipe syntax (Spark 4.x `|>` operators, SIGMOD'24 "Pipe
     // Syntax in SQL"): the same logical plan as a nested SELECT but
     // written as a linear transform chain — purely a parser surface,

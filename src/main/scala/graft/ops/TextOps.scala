@@ -380,6 +380,62 @@ object TextOps {
         |  CAST(LENGTH(text) AS INT) AS text_len
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Mutual-information feature ranking (the filter-method companion
+    // to the h_feature_split_gini wrapper): I(X; lang) for two
+    // candidate features — the bucketed doc length and the source tag
+    // — computed from ONE unioned (feature, x, y) count table, so
+    // adding features is adding rows, not passes. Margins and totals
+    // are bounded keyed aggregates broadcast back onto the ≤|levels|²
+    // cell table. Engine-exactness: every probability is an exact
+    // int-ratio double, ln runs on the bit-identical quotient (the
+    // g_price_elasticity LN class), and each cell's p·ln term is
+    // 1e-12 floor-snapped to BIGINT so the cell sum has no
+    // accumulation-order seam.
+    Q("h_feature_mi", (s, d) => {
+      val doc = Io.table(s, d, "documents")
+      val proj = doc.select(lit("len_bucket").as("f"),
+        least(expr("n_chars DIV 100"), lit(5L)).cast("string").as("x"),
+        col("lang").as("y"))
+        .unionByName(doc.select(lit("source").as("f"),
+          col("source").as("x"), col("lang").as("y")))
+      val cells = proj.groupBy(col("f"), col("x"), col("y"))
+        .agg(count(lit(1)).as("cxy"))
+      val rx = cells.groupBy(col("f"), col("x")).agg(sum(col("cxy")).as("rx"))
+      val cy = cells.groupBy(col("f"), col("y")).agg(sum(col("cxy")).as("cy"))
+      val tot = cells.groupBy(col("f")).agg(sum(col("cxy")).as("n"))
+      val term = floor(
+        (col("cxy").cast("double") / col("n").cast("double")) *
+          log((col("cxy") * col("n")).cast("double") /
+            (col("rx") * col("cy")).cast("double")) * 1e12 + 0.5).cast("long")
+      cells.join(rx, Seq("f", "x")).join(cy, Seq("f", "y"))
+        .join(broadcast(tot), "f")
+        .groupBy(col("f"), col("n"))
+        .agg(sum(term).as("mip"), count(lit(1)).as("n_cells"))
+        .select(col("f").as("feature"), col("n"), col("n_cells"),
+          (col("mip").cast("double") / 1e12).as("mi"))
+        .orderBy("feature")
+    }, Some(
+      """WITH proj AS (
+        |  SELECT 'len_bucket' AS f,
+        |    CAST(LEAST(n_chars // 100, 5) AS VARCHAR) AS x, lang AS y
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', source, lang FROM documents),
+        |cells AS (SELECT f, x, y, COUNT(*) AS cxy FROM proj GROUP BY 1, 2, 3),
+        |rx AS (SELECT f, x, CAST(SUM(cxy) AS BIGINT) AS rx
+        |       FROM cells GROUP BY 1, 2),
+        |cy AS (SELECT f, y, CAST(SUM(cxy) AS BIGINT) AS cy
+        |       FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT f, CAST(SUM(cxy) AS BIGINT) AS n FROM cells GROUP BY 1)
+        |SELECT f AS feature, n, COUNT(*) AS n_cells,
+        |  CAST(CAST(SUM(CAST(FLOOR(
+        |    (CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    LN(CAST(cxy * n AS DOUBLE) / CAST(rx * cy AS DOUBLE)) * 1e12
+        |    + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS mi
+        |FROM cells JOIN rx USING (f, x) JOIN cy USING (f, y)
+        |  JOIN tot USING (f)
+        |GROUP BY f, n ORDER BY feature""".stripMargin)),
+
     // Hashing-trick featurization census (Weinberger et al. '09): map
     // the unbounded token vocabulary into 256 signed feature buckets
     // with the shared cross-engine polynomial hash, and report the
