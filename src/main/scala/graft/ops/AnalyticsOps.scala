@@ -1029,6 +1029,76 @@ object AnalyticsOps {
     // argument as g_autocorr's calendar series). The binned statistic
     // is a deterministic lower bound of the exact KS (exact needs a
     // global sort); bin width 5 over [0,500) covers the value domain.
+    // Matched-item price indices (Laspeyres / Paasche / Fisher): the
+    // standard way a pricing team tracks "did prices move or did the
+    // mix move" — base-month part prices and quantities joined to each
+    // later month over the MATCHED part set. Per-(part, month) price
+    // is an exact-decimal-sum / count quotient (raw double, engine-
+    // identical); each Σ p·q basket term is floor-snapped at 1e-6 to
+    // BIGINT micros before summing (products reach ~1e7, so micro
+    // grain keeps the snap inside int64 at this SF — and the snap is
+    // per-part, so the cross-part sum is exact integer addition);
+    // Fisher is the correctly-rounded sqrt of the two identical
+    // ratios. The base month index is exactly 1.0 (x/x). Shape: one
+    // corpus pass to the (part, month) grain, then part-keyed joins
+    // and a months-bounded rollup.
+    Q("g_price_index", (s, d) => {
+      val pm = Io.table(s, d, "lineitem")
+        .select(col("l_partkey").as("part"),
+          expr("year(l_shipdate) * 100 + month(l_shipdate)").as("ym"),
+          col("l_extendedprice"), col("l_quantity"))
+        .groupBy(col("part"), col("ym"))
+        .agg((decSum(col("l_extendedprice")) / count(lit(1))).as("p"),
+          decSum(col("l_quantity")).as("q"))
+      val base = pm.crossJoin(broadcast(pm.agg(min(col("ym")).as("ym0"))))
+        .filter(col("ym") === col("ym0"))
+        .select(col("part"), col("p").as("p0"), col("q").as("q0"))
+      def mic(c: org.apache.spark.sql.Column) =
+        floor(c * 1e6 + 0.5).cast("long")
+      pm.join(base, "part")
+        .groupBy(col("ym"))
+        .agg(count(lit(1)).as("n_matched"),
+          sum(mic(col("p") * col("q0"))).as("ptq0"),
+          sum(mic(col("p0") * col("q0"))).as("p0q0"),
+          sum(mic(col("p") * col("q"))).as("ptqt"),
+          sum(mic(col("p0") * col("q"))).as("p0qt"))
+        .select(col("ym"), col("n_matched"),
+          (col("ptq0").cast("double") / col("p0q0").cast("double"))
+            .as("laspeyres"),
+          (col("ptqt").cast("double") / col("p0qt").cast("double"))
+            .as("paasche"),
+          sqrt((col("ptq0").cast("double") / col("p0q0").cast("double")) *
+            (col("ptqt").cast("double") / col("p0qt").cast("double")))
+            .as("fisher"))
+        .orderBy("ym")
+    }, Some(
+      s"""WITH pm AS (
+         |  SELECT l_partkey AS part,
+         |    year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+         |    ${Q.dSum("l_extendedprice")} / COUNT(*) AS p,
+         |    ${Q.dSum("l_quantity")} AS q
+         |  FROM lineitem GROUP BY 1, 2),
+         |base AS (
+         |  SELECT part, p AS p0, q AS q0 FROM pm
+         |  WHERE ym = (SELECT MIN(ym) FROM pm)),
+         |m AS (
+         |  SELECT ym, COUNT(*) AS n_matched,
+         |    CAST(SUM(CAST(FLOOR(p * q0 * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS ptq0,
+         |    CAST(SUM(CAST(FLOOR(p0 * q0 * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS p0q0,
+         |    CAST(SUM(CAST(FLOOR(p * q * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS ptqt,
+         |    CAST(SUM(CAST(FLOOR(p0 * q * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS p0qt
+         |  FROM pm JOIN base USING (part) GROUP BY 1)
+         |SELECT ym, n_matched,
+         |  CAST(ptq0 AS DOUBLE) / CAST(p0q0 AS DOUBLE) AS laspeyres,
+         |  CAST(ptqt AS DOUBLE) / CAST(p0qt AS DOUBLE) AS paasche,
+         |  SQRT((CAST(ptq0 AS DOUBLE) / CAST(p0q0 AS DOUBLE)) *
+         |       (CAST(ptqt AS DOUBLE) / CAST(p0qt AS DOUBLE))) AS fisher
+         |FROM m ORDER BY ym""".stripMargin)),
+
     // Burstiness census of the daily event series (Fano factor
     // var/mean = 1 for a Poisson process; Goh-Barabási burstiness
     // B = (σ−μ)/(σ+μ) ∈ [−1, 1]): tells a capacity planner which

@@ -424,6 +424,31 @@ object EngineSurfaceOps {
         |             THEN 1 END) AS n_big
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Display-formatting surface (report/export layer): grouped-digit
+    // number formatting, zero-padded fixed-width ids, and pattern
+    // date formatting. Inputs are kept INTEGER/date so the row checks
+    // the formatting codecs, not float shortest-repr differences
+    // (format_number on doubles rounds half-even from the binary
+    // value — a cross-engine trap this row deliberately avoids).
+    // Map-side scalar expressions.
+    Q("f_format_funcs", (s, d) => {
+      Io.views(s, d)
+      s.sql(
+        """SELECT o_orderkey,
+          |  format_number(o_orderkey * 1000, 0) AS grouped,
+          |  format_string('%08d', o_orderkey) AS padded,
+          |  date_format(o_orderdate, 'yyyy-MM-dd') AS d_iso,
+          |  date_format(o_orderdate, 'yyyy/MM') AS d_ym
+          |FROM orders WHERE o_orderkey <= 200
+          |ORDER BY o_orderkey""".stripMargin)
+    }, Some(
+      """SELECT o_orderkey,
+        |  format('{:,}', o_orderkey * 1000) AS grouped,
+        |  printf('%08d', o_orderkey) AS padded,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS d_iso,
+        |  strftime(o_orderdate, '%Y/%m') AS d_ym
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin)),
+
     // Column-level encryption round-trip (aes_encrypt/aes_decrypt,
     // GCM): the at-rest protection surface a governed lakehouse pairs
     // with mask()/k-anonymity. GCM output is IV-randomized, so the
