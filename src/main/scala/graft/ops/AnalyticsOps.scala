@@ -1029,6 +1029,137 @@ object AnalyticsOps {
     // argument as g_autocorr's calendar series). The binned statistic
     // is a deterministic lower bound of the exact KS (exact needs a
     // global sort); bin width 5 over [0,500) covers the value domain.
+    // Season-adjusted anomaly detection: residual of each day's count
+    // against its (type, weekday) MEDIAN baseline, flagged when the
+    // absolute residual exceeds 3× the per-type MAD of residuals — the
+    // robust composite of g_seasonality_dow and g_anomaly_mad that
+    // doesn't let a weekly rhythm masquerade as anomalies. Exactness:
+    // counts are integers, each median is the (lo+hi)/2 rank-k pick
+    // over a SORTED bounded list (weekday groups ≤⌈days/7⌉ values,
+    // residual lists ≤days values — both TIME-bounded), so every
+    // residual is an exact dyadic double and the 3×MAD comparison is
+    // engine-identical. Emits the anomalous days only.
+    Q("g_seasonal_anomaly", (s, d) => {
+      val daily = Io.events(s, d)
+        .select(col("event_type"), expr("ts_us DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+        .withColumn("dow", (col("day") + 4) % 7)
+      val base = daily.groupBy(col("event_type"), col("dow"))
+        .agg(sort_array(collect_list(col("y"))).as("w"),
+          count(lit(1)).as("nw"))
+        .select(col("event_type"), col("dow"),
+          ((element_at(col("w"), expr("CAST((nw + 1) DIV 2 AS INT)")) +
+            element_at(col("w"), expr("CAST(nw DIV 2 + 1 AS INT)")))
+            .cast("double") / 2.0).as("med"))
+      val resid = daily.join(base, Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("y"), col("med"),
+          (col("y").cast("double") - col("med")).as("resid"))
+      val mad = resid.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(abs(col("resid")))).as("w"),
+          count(lit(1)).as("nr"))
+        .select(col("event_type"),
+          ((element_at(col("w"), expr("CAST((nr + 1) DIV 2 AS INT)")) +
+            element_at(col("w"), expr("CAST(nr DIV 2 + 1 AS INT)"))) / 2.0)
+            .as("mad"))
+      resid.join(broadcast(mad), "event_type")
+        .filter(abs(col("resid")) > col("mad") * 3.0)
+        .select(col("event_type"), col("day"), col("y"), col("med"),
+          col("resid"), col("mad"))
+        .orderBy("event_type", "day")
+    }, Some(
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (SELECT *, (day + 4) % 7 AS dow FROM daily),
+        |base AS (
+        |  SELECT event_type, dow,
+        |    CAST(w[CAST((nw + 1) // 2 AS INT)]
+        |       + w[CAST(nw // 2 + 1 AS INT)] AS DOUBLE) / 2.0 AS med
+        |  FROM (SELECT event_type, dow, list_sort(list(y)) AS w,
+        |          COUNT(*) AS nw
+        |        FROM dw GROUP BY 1, 2)),
+        |resid AS (
+        |  SELECT dw.event_type, dw.day, dw.y, base.med,
+        |    CAST(dw.y AS DOUBLE) - base.med AS resid
+        |  FROM dw JOIN base ON dw.event_type = base.event_type
+        |    AND dw.dow = base.dow),
+        |mad AS (
+        |  SELECT event_type,
+        |    (w[CAST((nr + 1) // 2 AS INT)]
+        |     + w[CAST(nr // 2 + 1 AS INT)]) / 2.0 AS mad
+        |  FROM (SELECT event_type, list_sort(list(ABS(resid))) AS w,
+        |          COUNT(*) AS nr
+        |        FROM resid GROUP BY 1))
+        |SELECT resid.event_type, day, y, med, resid, mad.mad AS mad
+        |FROM resid JOIN mad USING (event_type)
+        |WHERE ABS(resid) > mad * 3.0
+        |ORDER BY event_type, day""".stripMargin)),
+
+    // Historical-simulation Value-at-Risk + expected shortfall (CVaR)
+    // of the day-over-day revenue move, per event type: the risk
+    // question "how bad is the worst 5% of daily swings, and how bad
+    // is the average of that tail". Deliberately the DISCRETE order
+    // statistic (k = max(1, ⌈0.05·n⌉) smallest move) — how
+    // historical-simulation VaR is actually defined — so there is no
+    // interpolation seam at all: daily revenues are exact decimal
+    // sums, deltas are subtractions of identical doubles, the rank
+    // window is type-partitioned with a (delta, day) total order, and
+    // CVaR is a decimal-mean over the identical selected tail. One
+    // corpus pass + days-bounded windows.
+    Q("g_var_cvar", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Io.events(s, d)
+        .select(col("event_type"), expr("ts_us DIV 86400000000").as("day"),
+          col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(decSum(col("value")).as("rev"))
+      val delta = daily
+        .withColumn("prev", lag(col("rev"), 1).over(
+          Window.partitionBy(col("event_type")).orderBy(col("day"))))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), col("day"),
+          (col("rev") - col("prev")).as("delta"))
+      val ranked = delta.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("delta"), col("day"))))
+      val n = delta.groupBy(col("event_type")).agg(count(lit(1)).as("n_moves"))
+      ranked.join(broadcast(n), "event_type")
+        .withColumn("k", greatest(lit(1L),
+          ceil(col("n_moves").cast("double") * 0.05).cast("long")))
+        .filter(col("rn") <= col("k"))
+        .groupBy(col("event_type"), col("n_moves"), col("k"))
+        .agg(max(when(col("rn") === col("k"), col("delta"))).as("var5"),
+          (decSum(col("delta")) / count(lit(1))).as("cvar5"))
+        .select(col("event_type"), col("n_moves"), col("k").as("tail_k"),
+          col("var5"), col("cvar5"))
+        .orderBy("event_type")
+    }, Some(
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    ${Q.dSum("value")} AS rev
+         |  FROM events GROUP BY 1, 2),
+         |delta AS (
+         |  SELECT event_type, day,
+         |    rev - LAG(rev, 1) OVER (PARTITION BY event_type ORDER BY day)
+         |      AS delta
+         |  FROM daily QUALIFY delta IS NOT NULL),
+         |rk AS (
+         |  SELECT event_type, delta,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY delta, day) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n_moves
+         |  FROM delta),
+         |sel AS (
+         |  SELECT *, GREATEST(1, CAST(CEIL(CAST(n_moves AS DOUBLE) * 0.05)
+         |    AS BIGINT)) AS k
+         |  FROM rk)
+         |SELECT event_type, n_moves, k AS tail_k,
+         |  MAX(CASE WHEN rn = k THEN delta END) AS var5,
+         |  ${Q.dSum("delta")} / COUNT(*) AS cvar5
+         |FROM sel WHERE rn <= k
+         |GROUP BY event_type, n_moves, k ORDER BY event_type""".stripMargin)),
+
     // Matched-item price indices (Laspeyres / Paasche / Fisher): the
     // standard way a pricing team tracks "did prices move or did the
     // mix move" — base-month part prices and quantities joined to each
