@@ -11,7 +11,54 @@ import Q._
   */
 object EtlOps {
 
+  /** Orders subset written to CSV once per (session, corpus) and read
+    * back with an EXPLICIT schema (no inference pass — at 100 TB schema
+    * inference is a full extra scan). Doubles survive the text
+    * round-trip exactly (shortest-repr write, correctly-rounded parse).
+    * Puts the CSV codec inside the graded gate instead of
+    * scalatest-only. */
+  private def csvOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Q.memoized(s, d, "csvOrders") {
+      val base = s.conf.get("spark.graft.artifactDir",
+        sys.props("java.io.tmpdir") + "/graft-artifacts")
+      val path = s"$base/${Integer.toHexString(d.hashCode)}_csv_orders"
+      val t0 = System.nanoTime()
+      Io.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      System.err.println(
+        f"[artifact] csvOrders built in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      s.read.option("header", "true")
+        .schema("o_orderkey LONG, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, od STRING")
+        .csv(path)
+    }
+
   val all: Seq[Q] = Seq(
+    // CSV round-trip under the oracle gate: the parquet→CSV→DataFrame
+    // loop must reproduce the source table exactly — keys, enum, DATE
+    // strings, and the double column bit-for-bit (CSV write emits the
+    // shortest decimal repr; the reader's parse is correctly rounded,
+    // so the loop is lossless). The oracle aggregates the ORIGINAL
+    // parquet — any codec asymmetry breaks the hash.
+    Q("e_csv_roundtrip", (s, d) => {
+      csvOrders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("key_sum"),
+          decSum(col("o_totalprice")).as("total_price"),
+          min(col("od")).as("first_day"), max(col("od")).as("last_day"))
+        .orderBy("o_orderstatus")
+    }, Some(
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+         |  ${dSum("o_totalprice")} AS total_price,
+         |  MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+         |  MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Column profile: one row per profiled column with count/nulls/
     // distinct/min/max — the standard pre-ingest data-quality sweep.
     // At scale this is one pass per profile batch (a single wide agg).
