@@ -1268,6 +1268,52 @@ object DedupOps {
         |FROM (SELECT cluster_rep, COUNT(*) AS csize FROM rep GROUP BY cluster_rep)
         |GROUP BY csize ORDER BY csize""".stripMargin))),
 
+    // Edit-distance audit of the LSH candidate pairs: character-level
+    // Levenshtein over a deterministic 1-in-7 sample of the
+    // banded-MinHash candidates — the second-stage verifier an
+    // entity-resolution / fine-dedup pipeline runs when token-set
+    // Jaccard is too coarse (word swaps vs true edits). Sampling is
+    // how a production audit actually runs (the full candidate set is
+    // dup-heavy-quadratic in a crawly corpus — 246k pairs at sf0.1 —
+    // and char-level DP is O(len²) per pair); the sample coin is the
+    // pair key itself, so both engines audit the identical subset.
+    // The Spark side uses the BANDED 3-arg levenshtein (threshold 100
+    // → O(len·k) instead of O(len²), the API a scale deployment needs)
+    // with its -1 over-threshold sentinel mirrored by a CASE in the
+    // oracle. Distance is an exact integer; normalized similarity is
+    // one int/int IEEE division.
+    Q("h_edit_distance_pairs", (s, d) => {
+      val docs = Io.table(s, d, "documents").select(col("doc_id"), col("text"))
+      minhashNearDupPairs(s, d, byLang = true)
+        .filter((col("doc_a") + col("doc_b")) % 7 === 0)
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+          "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb"), 100).as("edit_dist"),
+          greatest(length(col("ta")), length(col("tb"))).as("mx"))
+        .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+          when(col("edit_dist") >= 0,
+            lit(1.0) - col("edit_dist").cast("double") /
+              col("mx").cast("double")).as("edit_sim"))
+        .orderBy("doc_a", "doc_b")
+    }, Some(ccOracle(
+      """, ed AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(levenshtein(da.text, db.text) AS INT) AS ld,
+        |    GREATEST(LENGTH(da.text), LENGTH(db.text)) AS mx
+        |  FROM pairs p
+        |  JOIN documents da ON da.doc_id = p.doc_a
+        |  JOIN documents db ON db.doc_id = p.doc_b
+        |  WHERE (p.doc_a + p.doc_b) % 7 = 0)
+        |SELECT doc_a, doc_b,
+        |  CASE WHEN ld > 100 THEN -1 ELSE ld END AS edit_dist,
+        |  CASE WHEN ld > 100 THEN NULL
+        |       ELSE 1.0 - CAST(ld AS DOUBLE) / CAST(mx AS DOUBLE) END
+        |    AS edit_sim
+        |FROM ed ORDER BY doc_a, doc_b""".stripMargin))),
+
     // Cross-language near-duplicate census: how much near-dup mass
     // (token-set Jaccard ≥ 0.9) CROSSES language tags — the
     // mix-planning red flag for machine-translated or boilerplate
