@@ -1029,6 +1029,73 @@ object AnalyticsOps {
     // argument as g_autocorr's calendar series). The binned statistic
     // is a deterministic lower bound of the exact KS (exact needs a
     // global sort); bin width 5 over [0,500) covers the value domain.
+    // Behavioral predictability: Shannon entropy of the next-event
+    // distribution, marginal H(next) vs conditional H(next|current),
+    // per current event type — the information-theoretic reading of
+    // the Markov-transition family (how much knowing the current step
+    // buys). Transitions come from the same user-keyed lead() pass the
+    // Markov/SCC rows use; probabilities are exact int ratios, ln runs
+    // on bit-identical quotients, and every p·ln term is 1e-12
+    // floor-snapped (the h_feature_mi discipline) so sums are exact
+    // integer addition. Output: per-source conditional entropy + the
+    // shared marginal entropy and information gain.
+    Q("g_sequence_entropy", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val trans = Io.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type").as("src"))
+        .withColumn("dst", lead(col("src"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+      val bySrc = trans.groupBy(col("src")).agg(sum(col("c")).as("ns"))
+      val tot = trans.agg(sum(col("c")).as("n"))
+      val hCondTerm = floor((col("c").cast("double") / col("ns").cast("double")) *
+        log(col("ns").cast("double") / col("c").cast("double")) * 1e12 + 0.5)
+        .cast("long")
+      val perSrc = trans.join(bySrc, "src")
+        .groupBy(col("src"), col("ns"))
+        .agg(sum(hCondTerm).as("hp"), count(lit(1)).as("n_dst"))
+        .select(col("src"), col("ns").as("n_trans"), col("n_dst"),
+          (col("hp").cast("double") / 1e12).as("h_cond"))
+      val byDst = trans.groupBy(col("dst")).agg(sum(col("c")).as("nd"))
+      val hMarg = byDst.crossJoin(broadcast(tot))
+        .select(floor((col("nd").cast("double") / col("n").cast("double")) *
+          log(col("n").cast("double") / col("nd").cast("double")) * 1e12 + 0.5)
+          .cast("long").as("t"))
+        .agg((sum(col("t")).cast("double") / 1e12).as("h_marg"))
+      perSrc.crossJoin(broadcast(hMarg))
+        .select(col("src"), col("n_trans"), col("n_dst"), col("h_cond"),
+          col("h_marg"))
+        .orderBy("src")
+    }, Some(
+      """WITH tr AS (
+        |  SELECT src, dst, COUNT(*) AS c FROM (
+        |    SELECT event_type AS src,
+        |      LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id) AS dst
+        |    FROM events)
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |bs AS (SELECT src, CAST(SUM(c) AS BIGINT) AS ns FROM tr GROUP BY 1),
+        |bd AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS nd FROM tr GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tr),
+        |ps AS (
+        |  SELECT tr.src, ns, COUNT(*) AS n_dst,
+        |    CAST(CAST(SUM(CAST(FLOOR(
+        |      (CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)) *
+        |      LN(CAST(ns AS DOUBLE) / CAST(c AS DOUBLE)) * 1e12 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS h_cond
+        |  FROM tr JOIN bs USING (src) GROUP BY 1, 2),
+        |hm AS (
+        |  SELECT CAST(CAST(SUM(CAST(FLOOR(
+        |      (CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      LN(CAST(n AS DOUBLE) / CAST(nd AS DOUBLE)) * 1e12 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS h_marg
+        |  FROM bd CROSS JOIN tot)
+        |SELECT src, ns AS n_trans, n_dst, h_cond, hm.h_marg
+        |FROM ps CROSS JOIN hm ORDER BY src""".stripMargin)),
+
     // Season-adjusted anomaly detection: residual of each day's count
     // against its (type, weekday) MEDIAN baseline, flagged when the
     // absolute residual exceeds 3× the per-type MAD of residuals — the
