@@ -36,7 +36,46 @@ object EtlOps {
         .csv(path)
     }
 
+  /** Customer subset written to JSON-lines once per (session, corpus)
+    * and read back with an explicit schema — same graded-gate treatment
+    * as [[csvOrders]] for the second interchange codec. */
+  private def jsonCustomer(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Q.memoized(s, d, "jsonCustomer") {
+      val base = s.conf.get("spark.graft.artifactDir",
+        sys.props("java.io.tmpdir") + "/graft-artifacts")
+      val path = s"$base/${Integer.toHexString(d.hashCode)}_json_customer"
+      val t0 = System.nanoTime()
+      Io.table(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal"))
+        .write.mode("overwrite").json(path)
+      System.err.println(
+        f"[artifact] jsonCustomer built in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      s.read.schema("c_custkey LONG, c_name STRING, c_mktsegment STRING, " +
+        "c_acctbal DOUBLE").json(path)
+    }
+
   val all: Seq[Q] = Seq(
+    // JSON-lines round-trip under the oracle gate (the Jackson codec
+    // path — entirely disjoint from the CSV reader): explicit read
+    // schema, doubles lossless through shortest-repr text, oracle
+    // aggregates the ORIGINAL parquet.
+    Q("e_json_roundtrip", (s, d) => {
+      jsonCustomer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_custkey")).as("key_sum"),
+          decSum(col("c_acctbal")).as("balance"),
+          min(col("c_name")).as("first_name"))
+        .orderBy("c_mktsegment")
+    }, Some(
+      s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+         |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+         |  ${dSum("c_acctbal")} AS balance,
+         |  MIN(c_name) AS first_name
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // CSV round-trip under the oracle gate: the parquet→CSV→DataFrame
     // loop must reproduce the source table exactly — keys, enum, DATE
     // strings, and the double column bit-for-bit (CSV write emits the
