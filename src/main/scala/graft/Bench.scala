@@ -176,8 +176,12 @@ object Bench {
         "h_bpe_merges", "h_bpe_tokenize", // bpeWords, bpeB*/bpeT*
         "h_kmeans_lloyd",       // kmC1 (k-means/silhouette/semdedup)
         "g_markov_attribution", // mkvM0..4
-        "g_mannwhitney_u",
-        "h_mmr_rerank")         // mmrCand -> mmrPairs (round-11)      // mannwhitney_ranged
+        "g_mannwhitney_u",      // mannwhitney_ranged
+        "h_mmr_rerank",         // mmrCand -> mmrPairs (round-11)
+        "c_join_dpp",           // dppOrders partitioned copy
+        "e_csv_roundtrip",      // csvOrders CSV write
+        "e_json_roundtrip",     // jsonCustomer JSON write
+        "e_snapshot_merge")     // snapOrders snapshot chain
       val jitHot = Seq("h_cosine_topk", "h_crosslang_neardup",
         "h_dedup_threshold_sweep", "h_ngram_jaccard", "d_agg_corr_matrix",
         "h_cluster_size_hist")

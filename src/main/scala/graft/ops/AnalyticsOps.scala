@@ -156,6 +156,22 @@ object AnalyticsOps {
   /** Exact decimal aggregate → double via VARCHAR (out-hop only). */
   private def dHop(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
 
+  /** THE Holt-Winters recurrence template — one definition feeding BOTH
+    * the Spark aggregate() fold lambda and the DuckDB recursive CTE, so
+    * the two engines' op trees cannot drift (the comment above promises
+    * exactly this; a review found two verbatim copies instead). */
+  private def hwStep(h: String, x: String, l: String, b: String,
+      si: Int => String, dow: String): (String, String, Int => String) = {
+    val sold = s"(CASE $dow ${(0 to 6).map(i =>
+      s"WHEN $i THEN ${si(i)}").mkString(" ")} END)"
+    val ln = s"($h * ($x - $sold) + $h * ($l + $b))"
+    val bn = s"($h * ($ln - $l) + $h * $b)"
+    val sn = (i: Int) =>
+      s"(CASE WHEN $dow = $i THEN $h * ($x - $ln) + $h * $sold" +
+        s" ELSE ${si(i)} END)"
+    (ln, bn, sn)
+  }
+
   val all: Seq[Q] = Seq(
     // Pivot (statuses are a fixed domain → stable column names).
     Q("d_pivot", (s, d) => {
@@ -477,19 +493,8 @@ object AnalyticsOps {
     // one template so the two sides cannot drift. Corpus-sized work is
     // one (type, day) hash aggregate; the fold runs over #days rows.
     Q("g_holt_winters", (s, d) => {
-      def step(h: String, x: String, l: String, b: String, si: Int => String,
-          dow: String): (String, String, Int => String) = {
-        val sold = s"(CASE $dow ${(0 to 6).map(i =>
-          s"WHEN $i THEN ${si(i)}").mkString(" ")} END)"
-        val ln = s"($h * ($x - $sold) + $h * ($l + $b))"
-        val bn = s"($h * ($ln - $l) + $h * $b)"
-        val sn = (i: Int) =>
-          s"(CASE WHEN $dow = $i THEN $h * ($x - $ln) + $h * $sold" +
-            s" ELSE ${si(i)} END)"
-        (ln, bn, sn)
-      }
       // 0.5D: Spark parses a bare 0.5 literal as DECIMAL(1,1)
-      val (ln, bn, sn) = step("0.5D", "CAST(e.cnt AS DOUBLE)", "acc.l", "acc.b",
+      val (ln, bn, sn) = hwStep("0.5D", "CAST(e.cnt AS DOUBLE)", "acc.l", "acc.b",
         i => s"acc.s$i", "CAST(e.day % 7 AS INT)")
       val daily = Io.events(s, d).withColumn("day", day)
         .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
@@ -517,18 +522,7 @@ object AnalyticsOps {
             s"WHEN $i THEN hw.s$i").mkString(" ") + " END)").as("forecast_next"): _*)
         .orderBy("event_type")
     }, Some {
-      def step(h: String, x: String, l: String, b: String, si: Int => String,
-          dow: String): (String, String, Int => String) = {
-        val sold = s"(CASE $dow ${(0 to 6).map(i =>
-          s"WHEN $i THEN ${si(i)}").mkString(" ")} END)"
-        val ln = s"($h * ($x - $sold) + $h * ($l + $b))"
-        val bn = s"($h * ($ln - $l) + $h * $b)"
-        val sn = (i: Int) =>
-          s"(CASE WHEN $dow = $i THEN $h * ($x - $ln) + $h * $sold" +
-            s" ELSE ${si(i)} END)"
-        (ln, bn, sn)
-      }
-      val (ln, bn, sn) = step("0.5", "s.x", "r.l", "r.b",
+      val (ln, bn, sn) = hwStep("0.5", "s.x", "r.l", "r.b",
         i => s"r.s$i", "CAST(s.day % 7 AS INT)")
       s"""WITH RECURSIVE daily AS (
          |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS cnt

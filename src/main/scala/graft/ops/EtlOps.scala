@@ -20,16 +20,13 @@ object EtlOps {
   private def csvOrders(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     Q.memoized(s, d, "csvOrders") {
-      val base = s.conf.get("spark.graft.artifactDir",
-        sys.props("java.io.tmpdir") + "/graft-artifacts")
-      val path = s"$base/${Integer.toHexString(d.hashCode)}_csv_orders"
+      val path = Q.artifactPath(s, d, "csv_orders")
       val t0 = System.nanoTime()
       Io.table(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
         .write.mode("overwrite").option("header", "true").csv(path)
-      System.err.println(
-        f"[artifact] csvOrders built in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      Q.logArtifact("csvOrders", t0)
       s.read.option("header", "true")
         .schema("o_orderkey LONG, o_orderstatus STRING, " +
           "o_totalprice DOUBLE, od STRING")
@@ -42,16 +39,13 @@ object EtlOps {
   private def jsonCustomer(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     Q.memoized(s, d, "jsonCustomer") {
-      val base = s.conf.get("spark.graft.artifactDir",
-        sys.props("java.io.tmpdir") + "/graft-artifacts")
-      val path = s"$base/${Integer.toHexString(d.hashCode)}_json_customer"
+      val path = Q.artifactPath(s, d, "json_customer")
       val t0 = System.nanoTime()
       Io.table(s, d, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
           col("c_acctbal"))
         .write.mode("overwrite").json(path)
-      System.err.println(
-        f"[artifact] jsonCustomer built in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      Q.logArtifact("jsonCustomer", t0)
       s.read.schema("c_custkey LONG, c_name STRING, c_mktsegment STRING, " +
         "c_acctbal DOUBLE").json(path)
     }
@@ -171,9 +165,7 @@ object EtlOps {
     // pointer/isolation machinery on constructed data.
     Q("e_snapshot_merge", (s, d) => {
       import graft.io.SnapshotStore
-      val base = s.conf.get("spark.graft.artifactDir",
-        sys.props("java.io.tmpdir") + "/graft-artifacts")
-      val root = s"$base/${Integer.toHexString(d.hashCode)}_snap_orders"
+      val root = Q.artifactPath(s, d, "snap_orders")
       Q.memoized(s, d, "snapOrders") {
         val t0 = System.nanoTime()
         val cur = Io.table(s, d, "orders")
@@ -322,26 +314,33 @@ object EtlOps {
     // the source holds?) that e_snapshot_diff's row-level diff builds
     // on. Each row folds its business key + payload columns through
     // the engine-portable Q.coin hash (exact DECIMAL(38,0) arithmetic
-    // at any id scale); the table digest is the plain SUM of row
-    // hashes, so it is insensitive to row order and partitioning,
-    // mergeable map-side, and any single-row difference moves it.
-    // Per-group subtotals let a mismatch be localized without a second
-    // full pass. Everything is integer-exact.
+    // at any id scale); the digest is the DECIMAL(38,0) sum of row
+    // hashes reduced mod 2^62 — insensitive to row order and
+    // partitioning, mergeable map-side, any single-row difference
+    // moves it, and the modular reduction keeps the emitted value in
+    // BIGINT on BOTH engines at any group size (a plain BIGINT sum
+    // wraps silently in Spark but overflows DuckDB's HUGEINT cast
+    // past ~4.3e9 rows/group — the exact divergence a reconciliation
+    // digest must not have). Per-group subtotals localize a mismatch
+    // without a second full pass.
     Q("e_table_checksum", (s, d) => {
       val rowHash = expr(Q.coin(
         "(l_orderkey * 1000003 + l_linenumber * 10007 + l_partkey * 31 " +
-          "+ l_suppkey * 7 + CAST(l_quantity AS BIGINT))")).cast("long")
+          "+ l_suppkey * 7 + CAST(l_quantity AS BIGINT))"))
       Io.table(s, d, "lineitem")
-        .select(col("l_returnflag"), rowHash.as("h"))
+        .select(col("l_returnflag"),
+          rowHash.cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("h")) % lit(4611686018427387904L)).cast("long")
+            .as("checksum"))
         .orderBy("l_returnflag")
     }, Some(
       s"""SELECT l_returnflag, COUNT(*) AS n_rows,
          |  CAST(SUM(CAST(${Q.coin(
              "(l_orderkey * 1000003 + l_linenumber * 10007 + l_partkey * 31 " +
-               "+ l_suppkey * 7 + CAST(l_quantity AS BIGINT))")} AS BIGINT))
-         |    AS BIGINT) AS checksum
+               "+ l_suppkey * 7 + CAST(l_quantity AS BIGINT))")} AS DECIMAL(38,0)))
+         |    % 4611686018427387904 AS BIGINT) AS checksum
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     Q("e_snapshot_diff", (s, d) => {

@@ -33,15 +33,12 @@ object JoinOps {
     * of scanning all of them. The single biggest scan-saver at scale. */
   private def dppOrders(s: SparkSession, d: String): DataFrame =
     Q.memoized(s, d, "dppOrders") {
-      val base = s.conf.get("spark.graft.artifactDir",
-        sys.props("java.io.tmpdir") + "/graft-artifacts")
-      val path = s"$base/${Integer.toHexString(d.hashCode)}_dpp_orders"
+      val path = Q.artifactPath(s, d, "dpp_orders")
       val t0 = System.nanoTime()
       Io.table(s, d, "orders")
         .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
         .write.mode("overwrite").partitionBy("om").parquet(path)
-      System.err.println(
-        f"[artifact] dppOrders built in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      Q.logArtifact("dppOrders", t0)
       s.read.parquet(path)
     }
 

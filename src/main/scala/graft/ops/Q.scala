@@ -97,12 +97,23 @@ object Q {
     val s = df.sparkSession
     val parts = s.sparkContext.defaultParallelism
     val wLoc = Window.partitionBy(col("_pid"), col(key)).orderBy(col(v))
-    val ranked = materialize(s, "_pctl",
-      s"pctl_${key}_${v}_${pctlSeq.incrementAndGet()}") {
-      df.select(col(key), col(v))
+    // per-execution SCRATCH, always a localCheckpoint — never the
+    // parquet artifact store: the ranked table is input-sized and
+    // per-call-unique (pctlSeq), so routing it through the shared
+    // store would write an unbounded stream of never-reused,
+    // never-deleted corpus-sized copies.
+    val ranked = {
+      val t0 = System.nanoTime()
+      val out = df.select(col(key), col(v))
         .repartitionByRange(parts, col(key), col(v))
         .withColumn("_pid", spark_partition_id())
         .withColumn("_lrn", row_number().over(wLoc))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      System.err.println(f"[artifact] pctl_${key}_${v}_" +
+        f"${pctlSeq.incrementAndGet()} built in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      out
     }
     // per-(key, partition) counts → per-key exclusive prefix offsets +
     // group sizes; the windows below run over ≤|partitions| rows per key
@@ -209,6 +220,23 @@ object Q {
     // under the first timed queries
     s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
+
+  /** Root-convention path for corpus-derived artifact DIRECTORIES that
+    * live outside the memo/materialize flow (derived CSV/JSON copies,
+    * partitioned-parquet layouts, snapshot roots): one spelling of the
+    * artifact root + corpus prefix, so a convention change lands
+    * everywhere at once. */
+  def artifactPath(s: SparkSession, d: String, name: String): String = {
+    val base = s.conf.get("spark.graft.artifactDir",
+      sys.props("java.io.tmpdir") + "/graft-artifacts")
+    s"$base/${Integer.toHexString(d.hashCode)}_$name"
+  }
+
+  /** The one [artifact] stderr line every build prints (bench totals
+    * decompose into build-vs-query time from the log alone). */
+  def logArtifact(name: String, t0: Long): Unit =
+    System.err.println(
+      f"[artifact] $name built in ${(System.nanoTime() - t0) / 1e9}%.2f s")
 
   private def storeMode(s: SparkSession): String =
     try s.conf.get("spark.graft.artifactStore", "local")

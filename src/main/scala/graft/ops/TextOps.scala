@@ -920,19 +920,6 @@ object TextOps {
          |  CAST(total_tokens AS DOUBLE) / n_words AS tokens_per_word
          |FROM agg ORDER BY lang""".stripMargin)),
 
-    // Gopher document-quality rules (Rae et al., arXiv:2112.11446
-    // §A1.1) — the integer-exact subset that discriminates on this
-    // corpus, each rule restated as a cross-multiplied INTEGER
-    // comparison so there is not a single floating-point value in the
-    // query (no snaps, no boundary classes):
-    //   wc_ok   50 ≤ |words| ≤ 100000
-    //   mwl_ok  3 ≤ mean word length ≤ 10   (3n ≤ Σlen ≤ 10n)
-    //   stop_ok ≥ 2 distinct stopwords from the Gopher list
-    //   dup_ok  chars inside duplicated word-2-grams ≤ 20% of text
-    //           (5·dup_chars ≤ |text| — Gopher's char-weighted rule;
-    //            h_repetition_filter's ratios are token-weighted)
-    // Shape: one scan + one (doc,gram)-keyed agg — the same two-pass
-    // plan at 100 TB, no wide rows, no holistic state.
     // Decision-stump split finding (CART one-level, Gini impurity):
     // the classic feature-selection primitive for filter-rule mining —
     // which doc-length threshold best separates English from the rest.
@@ -1009,6 +996,19 @@ object TextOps {
         |         AS BIGINT) AS DOUBLE) / 1e12 AS wgini
         |FROM gi ORDER BY thr""".stripMargin)),
 
+    // Gopher document-quality rules (Rae et al., arXiv:2112.11446
+    // §A1.1) — the integer-exact subset that discriminates on this
+    // corpus, each rule restated as a cross-multiplied INTEGER
+    // comparison so there is not a single floating-point value in the
+    // query (no snaps, no boundary classes):
+    //   wc_ok   50 ≤ |words| ≤ 100000
+    //   mwl_ok  3 ≤ mean word length ≤ 10   (3n ≤ Σlen ≤ 10n)
+    //   stop_ok ≥ 2 distinct stopwords from the Gopher list
+    //   dup_ok  chars inside duplicated word-2-grams ≤ 20% of text
+    //           (5·dup_chars ≤ |text| — Gopher's char-weighted rule;
+    //            h_repetition_filter's ratios are token-weighted)
+    // Shape: one scan + one (doc,gram)-keyed agg — the same two-pass
+    // plan at 100 TB, no wide rows, no holistic state.
     Q("h_gopher_filters", (s, d) => {
       val stopList = array(Seq("the", "a", "to", "of", "and", "that",
         "with", "have").map(lit): _*)

@@ -47,9 +47,13 @@ object AxpyRewrite extends Rule[SparkPlan] {
         if child.supportsColumnar && a.foldable && b.foldable &&
           a.dataType == DoubleType && b.dataType == DoubleType =>
       val idx = child.output.indexWhere(_.exprId == attr.exprId)
-      if (idx < 0) p
+      val (av, bv) = (a.eval(), b.eval())
+      // a NULL coefficient must keep the row path (nullSafeEval returns
+      // NULL per row; unboxing null would silently compute with 0.0 —
+      // a semantics change, not a strategy swap)
+      if (idx < 0 || av == null || bv == null) p
       else AxpyColumnarExec(
-        a.eval().asInstanceOf[Double], b.eval().asInstanceOf[Double],
+        av.asInstanceOf[Double], bv.asInstanceOf[Double],
         idx, p.output, child)
   }
 }
