@@ -61,9 +61,23 @@ object SnapshotStore {
     * the PK — the single-shuffle merge shape. `valueCols` are the
     * non-key columns; matched rows take the SOURCE value, unmatched
     * target rows keep theirs (delete-free upsert), unmatched source
-    * rows insert. */
+    * rows insert.
+    *
+    * Source PK uniqueness is ASSERTED up front: a duplicated source key
+    * would fan out through the outer join and land duplicated rows in
+    * the new version — standard MERGE semantics (Delta/Iceberg) raise
+    * on multi-match rather than corrupt the table, and so does this.
+    * The check is one keyed aggregate over the DELTA (source), not the
+    * target — at 100 TB the delta is the small side, and a real MERGE
+    * engine pays the same multi-match detection pass. */
   def merge(target: DataFrame, source: DataFrame, pk: String,
       valueCols: Seq[String]): DataFrame = {
+    val dup = source.groupBy(col(pk)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge: source is not unique on pk '$pk' (e.g. ${dup.head.get(0)} " +
+        s"appears ${dup.head.getLong(1)} times); a multi-match MERGE " +
+        "would duplicate rows in the new version")
     val t = target.select((pk +: valueCols).map(col): _*)
       .withColumnRenamed(pk, "_tpk")
     val renamedT = valueCols.foldLeft(t)((df, c) =>

@@ -1295,13 +1295,23 @@ object AnalyticsOps {
     // var/mean = 1 for a Poisson process; Goh-Barabási burstiness
     // B = (σ−μ)/(σ+μ) ∈ [−1, 1]): tells a capacity planner which
     // event types arrive memorylessly and which clump. All moments are
-    // exact BIGINT sums (S1, S2 over integer daily counts), so
-    // mean = S1/n and fano = (n·S2 − S1²)/(n·S1) are single int/int
-    // IEEE divisions — bit-identical cross-engine — and burstiness is
-    // sqrt/sub/add/div of those identical doubles (sqrt is correctly
-    // rounded in both engines; no multiply-add shape anywhere). One
-    // corpus pass + a |types|-row rollup.
+    // exact BIGINT sums (S1, S2 over integer daily counts; S2 is exact
+    // while Σy² < 2^63 — daily per-type rates to ~3e9/day), and the
+    // moment PRODUCTS n·S2, S1², n·S1 run in DECIMAL(19,0)-promoted
+    // arithmetic: at large corpora the raw BIGINT products pass 2^63,
+    // where Spark (non-ANSI) wraps silently while DuckDB raises — the
+    // e_table_checksum divergence class. The decimal difference comes
+    // back to double through the VARCHAR hop on the DuckDB side
+    // (direct decimal→double double-rounds past 2^53 unscaled) and a
+    // plain cast on the Spark side (repr-based, correctly rounded), so
+    // fano = (n·S2 − S1²)/(n·S1) is a division of bit-identical
+    // doubles at ANY corpus size; burstiness is sqrt/sub/add/div of
+    // those identical doubles (sqrt correctly rounded in both engines;
+    // no multiply-add shape anywhere). n_days² stays BIGINT — bounded
+    // by the square of the calendar span, not the corpus. One corpus
+    // pass + a |types|-row rollup.
     Q("g_burstiness", (s, d) => {
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
       val daily = Io.events(s, d)
         .select(col("event_type"), expr("ts_us DIV 86400000000").as("day"))
         .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
@@ -1310,12 +1320,16 @@ object AnalyticsOps {
           sum(col("y") * col("y")).as("s2"))
         .select(col("event_type"), col("n_days"),
           (col("s1").cast("double") / col("n_days").cast("double")).as("mean"),
-          ((col("n_days") * col("s2") - col("s1") * col("s1")).cast("double") /
-            (col("n_days") * col("s1")).cast("double")).as("fano"),
           {
-            val sg = sqrt((col("n_days") * col("s2") - col("s1") * col("s1"))
-              .cast("double") /
-              (col("n_days") * col("n_days")).cast("double"))
+            val num = (col("n_days").cast(dec19) * col("s2") -
+              col("s1").cast(dec19) * col("s1")).cast("double")
+            val den = (col("n_days").cast(dec19) * col("s1")).cast("double")
+            (num / den).as("fano")
+          },
+          {
+            val num = (col("n_days").cast(dec19) * col("s2") -
+              col("s1").cast(dec19) * col("s1")).cast("double")
+            val sg = sqrt(num / (col("n_days") * col("n_days")).cast("double"))
             val mu = col("s1").cast("double") / col("n_days").cast("double")
             ((sg - mu) / (sg + mu)).as("burstiness")
           })
@@ -1328,18 +1342,22 @@ object AnalyticsOps {
         |m AS (SELECT event_type, COUNT(*) AS n_days,
         |        CAST(SUM(y) AS BIGINT) AS s1,
         |        CAST(SUM(y * y) AS BIGINT) AS s2
-        |      FROM daily GROUP BY 1)
+        |      FROM daily GROUP BY 1),
+        |v AS (SELECT event_type, n_days, s1,
+        |        CAST(CAST(CAST(n_days AS DECIMAL(19,0)) * s2
+        |          - CAST(s1 AS DECIMAL(19,0)) * s1 AS VARCHAR) AS DOUBLE)
+        |          AS num,
+        |        CAST(CAST(CAST(n_days AS DECIMAL(19,0)) * s1 AS VARCHAR)
+        |          AS DOUBLE) AS den
+        |      FROM m)
         |SELECT event_type, n_days,
         |  CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
-        |  CAST(n_days * s2 - s1 * s1 AS DOUBLE)
-        |    / CAST(n_days * s1 AS DOUBLE) AS fano,
-        |  (SQRT(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
-        |        / CAST(n_days * n_days AS DOUBLE))
+        |  num / den AS fano,
+        |  (SQRT(num / CAST(n_days * n_days AS DOUBLE))
         |   - CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
-        |  / (SQRT(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
-        |          / CAST(n_days * n_days AS DOUBLE))
+        |  / (SQRT(num / CAST(n_days * n_days AS DOUBLE))
         |     + CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) AS burstiness
-        |FROM m ORDER BY event_type""".stripMargin)),
+        |FROM v ORDER BY event_type""".stripMargin)),
 
     // Sample-ratio-mismatch guard (the first thing an experimentation
     // platform checks before reading any A/B metric): users are

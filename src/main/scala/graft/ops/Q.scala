@@ -62,6 +62,44 @@ object Q {
   // never shared)
   private val pctlSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  // Per-session registry of the percentile ranked-table scratch
+  // checkpoints, so a long session repeatedly CONSTRUCTING percentile
+  // queries does not accumulate pinned storage until releaseSession /
+  // ContextCleaner GC (r11 ADVICE): the oldest scratch beyond the cap
+  // is unpersisted eagerly. The cap (32) is far above any
+  // construct-many-then-run-the-first window a real caller has — an
+  // unpersisted localCheckpoint cannot recompute (lineage truncated),
+  // so a consumer must not hold >32 un-run percentile queries before
+  // running the first; every harness caller (Verify/Bench/specs) runs
+  // each query as it is built.
+  private val pctlScratch = new java.util.concurrent.ConcurrentHashMap[
+    Int, java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]]
+  private val PctlScratchCap = 32
+
+  private def trackPctlScratch(s: SparkSession, df: DataFrame): Unit =
+    try {
+      df.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          val dq = pctlScratch.computeIfAbsent(System.identityHashCode(s),
+            _ => new java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]])
+          dq.synchronized {
+            dq.addLast(l.rdd)
+            while (dq.size > PctlScratchCap) dq.pollFirst().unpersist(false)
+          }
+        case _ => ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Unpersist every tracked percentile scratch checkpoint of session
+    * `s` — the scoped release hook for callers that construct many
+    * percentile queries and are done consuming them. */
+  def releasePercentileScratch(s: SparkSession): Unit = {
+    val dq = pctlScratch.remove(System.identityHashCode(s))
+    if (dq != null) dq.synchronized {
+      while (!dq.isEmpty) dq.pollFirst().unpersist(false)
+    }
+  }
+
   /** Exact interpolated percentiles (QUANTILE_CONT semantics — identical
     * interpolation to Spark's holistic `percentile`/`median` and
     * DuckDB's `quantile_cont`) WITHOUT a holistic aggregation buffer.
@@ -90,11 +128,38 @@ object Q {
     * execution — the g_cusum_changepoint lesson).
     *
     * `ps` maps fraction → output column name; output is one row per key.
+    *
+    * **The 100 TB swap is a tested knob, not prose**: with the session
+    * conf `spark.graft.percentileMode=approx` this routes to ONE
+    * mergeable hash aggregate of `approx_percentile` sketches
+    * (accuracy from `spark.graft.percentileAccuracy`, default 10000 —
+    * rank error ≤ n/accuracy) instead of the two-pass exact rank. Same
+    * output schema (key + named double columns); values carry the
+    * sketch's rank-error bound instead of exact interpolation.
+    * PercentileSwapSpec proves the consumer rows' outputs are
+    * unchanged (g_rfm_segments) or inside the rank-error band (the
+    * percentile-emitting consumers) at the tested SFs.
     */
   def exactPercentiles(df: DataFrame, key: String, v: String,
       ps: Seq[(Double, String)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = df.sparkSession
+    val mode =
+      try s.conf.get("spark.graft.percentileMode", "exact")
+      catch { case _: Throwable => "exact" }
+    if (mode == "approx") {
+      val acc =
+        try s.conf.get("spark.graft.percentileAccuracy", "10000").toInt
+        catch { case _: Throwable => 10000 }
+      // one mergeable sketch aggregate — partial sketches merge
+      // map-side, no input-sized scratch, no range shuffle; the cast
+      // keeps the exact path's double output type (approx_percentile
+      // returns an actual element of v's input type)
+      val aggs = ps.map { case (p, name) =>
+        percentile_approx(col(v), lit(p), lit(acc)).cast("double").as(name)
+      }
+      return df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    }
     val parts = s.sparkContext.defaultParallelism
     val wLoc = Window.partitionBy(col("_pid"), col(key)).orderBy(col(v))
     // per-execution SCRATCH, always a localCheckpoint — never the
@@ -113,6 +178,7 @@ object Q {
       System.err.println(f"[artifact] pctl_${key}_${v}_" +
         f"${pctlSeq.incrementAndGet()} built in " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      trackPctlScratch(s, out)
       out
     }
     // per-(key, partition) counts → per-key exclusive prefix offsets +
@@ -212,6 +278,7 @@ object Q {
     */
   def releaseSession(s: SparkSession): Unit = {
     val sid = System.identityHashCode(s)
+    pctlScratch.remove(sid) // blocks unpersisted below with everything else
     val it = memo.keySet.iterator()
     while (it.hasNext) if (it.next()._1 == sid) it.remove()
     val lit = buildLocks.keySet.iterator()
@@ -219,6 +286,20 @@ object Q {
     // blocking: let the removal storm finish HERE, not asynchronously
     // under the first timed queries
     s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
+  /** Collision-resistant corpus-directory digest for artifact naming:
+    * SHA-1 prefix of the full path (the 32-bit String.hashCode used
+    * before r12 made two corpora colliding — or two sessions on
+    * different corpora sharing a tmp root — silently overwrite each
+    * other's derived copies mid-read). 12 hex chars = 48 bits; a
+    * deterministic function of the path, so cross-SESSION artifact
+    * reuse on the SAME corpus (ArtifactStoreSpec's fresh-session read)
+    * still works. */
+  def dirDigest(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"$b%02x").mkString
   }
 
   /** Root-convention path for corpus-derived artifact DIRECTORIES that
@@ -229,7 +310,7 @@ object Q {
   def artifactPath(s: SparkSession, d: String, name: String): String = {
     val base = s.conf.get("spark.graft.artifactDir",
       sys.props("java.io.tmpdir") + "/graft-artifacts")
-    s"$base/${Integer.toHexString(d.hashCode)}_$name"
+    s"$base/${dirDigest(d)}_$name"
   }
 
   /** The one [artifact] stderr line every build prints (bench totals
@@ -268,7 +349,7 @@ object Q {
       case "parquet" =>
         val base = s.conf.get("spark.graft.artifactDir",
           sys.props("java.io.tmpdir") + "/graft-artifacts")
-        val path = s"$base/${Integer.toHexString(dir.hashCode)}_$name"
+        val path = s"$base/${dirDigest(dir)}_$name"
         df.write.mode("overwrite").parquet(path)
         s.read.parquet(path)
       case _ =>

@@ -390,8 +390,17 @@ object TextOps {
     // int-ratio double, ln runs on the bit-identical quotient (the
     // g_price_elasticity LN class), and each cell's p·ln term is
     // 1e-12 floor-snapped to BIGINT so the cell sum has no
-    // accumulation-order seam.
+    // accumulation-order seam. The count products inside the ln
+    // (cxy·n, rx·cy — up to n² at a cell that owns the corpus) run in
+    // DECIMAL(19,0)-promoted arithmetic, not raw BIGINT: past 2^63
+    // Spark (non-ANSI) wraps silently while DuckDB raises, the
+    // e_table_checksum divergence class. Each decimal product returns
+    // to double via the VARCHAR hop on the DuckDB side (direct
+    // decimal→double double-rounds past 2^53 unscaled) and the plain
+    // repr-based cast on the Spark side, so the ln argument is a
+    // division of bit-identical doubles at ANY corpus size.
     Q("h_feature_mi", (s, d) => {
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
       val doc = Io.table(s, d, "documents")
       val proj = doc.select(lit("len_bucket").as("f"),
         least(expr("n_chars DIV 100"), lit(5L)).cast("string").as("x"),
@@ -405,8 +414,9 @@ object TextOps {
       val tot = cells.groupBy(col("f")).agg(sum(col("cxy")).as("n"))
       val term = floor(
         (col("cxy").cast("double") / col("n").cast("double")) *
-          log((col("cxy") * col("n")).cast("double") /
-            (col("rx") * col("cy")).cast("double")) * 1e12 + 0.5).cast("long")
+          log((col("cxy").cast(dec19) * col("n")).cast("double") /
+            (col("rx").cast(dec19) * col("cy")).cast("double")) * 1e12 +
+          0.5).cast("long")
       cells.join(rx, Seq("f", "x")).join(cy, Seq("f", "y"))
         .join(broadcast(tot), "f")
         .groupBy(col("f"), col("n"))
@@ -430,7 +440,9 @@ object TextOps {
         |SELECT f AS feature, n, COUNT(*) AS n_cells,
         |  CAST(CAST(SUM(CAST(FLOOR(
         |    (CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE)) *
-        |    LN(CAST(cxy * n AS DOUBLE) / CAST(rx * cy AS DOUBLE)) * 1e12
+        |    LN(CAST(CAST(CAST(cxy AS DECIMAL(19,0)) * n AS VARCHAR) AS DOUBLE)
+        |       / CAST(CAST(CAST(rx AS DECIMAL(19,0)) * cy AS VARCHAR)
+        |              AS DOUBLE)) * 1e12
         |    + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS mi
         |FROM cells JOIN rx USING (f, x) JOIN cy USING (f, y)
         |  JOIN tot USING (f)

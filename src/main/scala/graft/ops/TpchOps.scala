@@ -59,7 +59,7 @@ object TpchOps {
     * re-derived per query. Concurrent builds are benign (both threads
     * register equivalent checkpointed frames; last wins). */
   private def psView(s: SparkSession, d: String): String = {
-    val view = s"ps_cat_${Integer.toHexString(d.hashCode)}"
+    val view = s"ps_cat_${Q.dirDigest(d)}"
     Q.memoized(s, d, "tpchPsCat") {
       Io.views(s, d)
       val df = Q.materialize(s, d, "tpchPsCat")(s.sql(psDerivation))
@@ -299,7 +299,7 @@ object TpchOps {
       Q("t_q11",
         (s, d) => {
           Io.views(s, d)
-          val view = s"q11v_${Integer.toHexString(d.hashCode)}"
+          val view = s"q11v_${Q.dirDigest(d)}"
           Q.memoized(s, d, "tpchQ11V") {
             val df = Q.materialize(s, d, "tpchQ11V")(
               s.sql(vBody(s"SELECT * FROM ${psView(s, d)}")))

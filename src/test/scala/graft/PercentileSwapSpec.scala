@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Q
+
+/** The documented 100 TB percentile swap as a TESTED knob (r11 VERDICT
+  * item 5): `spark.graft.percentileMode=approx` routes
+  * Q.exactPercentiles to one mergeable approx_percentile hash
+  * aggregate. This spec proves, on the real tables:
+  *
+  *  1. the helper's sketch guarantee — every approx value lies inside
+  *     the exact rank-error band [exact(p−δ), exact(p+δ)],
+  *     δ = 2/accuracy (2× the documented n/accuracy rank bound mapped
+  *     to percentile space, slack for the sketch's merge error);
+  *  2. the flagship consumer g_rfm_segments returns IDENTICAL rows in
+  *     both modes (threshold-vs-value scoring absorbs the epsilon);
+  *  3. every exactPercentiles consumer runs green in approx mode with
+  *     the exact mode's schema, and the percentile-EMITTING consumers'
+  *     values sit inside a per-column band derived from the exact
+  *     output.
+  */
+class PercentileSwapSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf01 = "/root/testdata/sf0.01"
+
+  private def withApprox[A](accuracy: Int = 100000)(body: => A): A = {
+    spark.conf.set("spark.graft.percentileMode", "approx")
+    spark.conf.set("spark.graft.percentileAccuracy", accuracy.toString)
+    try body
+    finally {
+      spark.conf.unset("spark.graft.percentileMode")
+      spark.conf.unset("spark.graft.percentileAccuracy")
+    }
+  }
+
+  test("approx mode lands inside the exact rank-error band") {
+    val li = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .select(col("l_returnflag").as("k"), col("l_extendedprice").as("v"))
+    val acc = 10000
+    val ps = Seq((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.99, "p99"))
+    val delta = 2.0 / acc
+    val bandPs = ps.flatMap { case (p, n) =>
+      Seq((math.max(0.0, p - delta), s"lo_$n"),
+        (math.min(1.0, p + delta), s"hi_$n"))
+    }
+    val band = Q.exactPercentiles(li, "k", "v", bandPs)
+      .collect().map(r => r.getString(0) ->
+        bandPs.indices.map(i => r.getDouble(i + 1))).toMap
+    val approx = withApprox(acc) {
+      Q.exactPercentiles(li, "k", "v", ps)
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => r.getDouble(i + 1))).toMap
+    }
+    assert(approx.keySet === band.keySet)
+    for ((k, vs) <- approx; (v, i) <- vs.zipWithIndex) {
+      val lo = band(k)(2 * i); val hi = band(k)(2 * i + 1)
+      assert(lo <= v && v <= hi,
+        s"key $k ${ps(i)._2}: approx $v outside exact band [$lo, $hi]")
+    }
+  }
+
+  test("g_rfm_segments is unchanged under the approx swap") {
+    val fn = SparkEntry.queries("g_rfm_segments")
+    val exact = fn(spark, sf01).collect().toSeq
+    val approx = withApprox()(fn(spark, sf01).collect().toSeq)
+    assert(approx === exact)
+  }
+
+  test("every consumer runs green in approx mode with the exact schema") {
+    val consumers = Seq("d_agg_percentile", "d_agg_boxplot",
+      "d_agg_approx_pctl", "d_agg_kll_quantiles", "g_anomaly_mad",
+      "g_fulfillment_latency", "g_rfm_segments")
+    for (name <- consumers) {
+      val fn = SparkEntry.queries(name)
+      val exact = fn(spark, sf01)
+      val (approxSchema, approxRows) = withApprox() {
+        val df = fn(spark, sf01); (df.schema, df.count())
+      }
+      assert(approxSchema === exact.schema, s"$name schema drifted")
+      assert(approxRows === exact.count(), s"$name row count drifted")
+    }
+  }
+
+  test("percentile-emitting consumers stay inside the rank-error band") {
+    // g_fulfillment_latency: the approx values must land inside the
+    // exact band [exact(p−δ), exact(p+δ)] over the same latency
+    // distribution, δ = sketch rank error (1/accuracy) + 3 order
+    // statistics of slack (the sketch returns an actual data VALUE, so
+    // even a perfect rank lands on a bracketing order statistic, not
+    // the interpolated point — at p99 those can be days apart).
+    val fn = SparkEntry.queries("g_fulfillment_latency")
+    // row = (o_orderpriority, n_lines, p50_days, p90_days, p99_days)
+    val exactRows = fn(spark, sf01).collect()
+    val approx = withApprox()(fn(spark, sf01).collect())
+      .map(r => r.getString(0) -> (2 until r.length).map(r.getDouble)).toMap
+    val nMin = exactRows.map(_.getLong(1)).min
+    val acc = 100000
+    val delta = 1.0 / acc + 3.0 / nMin
+    // same latency derivation as the op (spec fixture)
+    val lat = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .select(col("l_orderkey"),
+        expr("CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP))" +
+          " DIV 86400000000 AS BIGINT)").as("sday"))
+      .join(spark.read.parquet(s"$sf01/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+            " DIV 86400000000 AS BIGINT)").as("oday")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        (col("sday") - col("oday")).cast("double").as("lat_days"))
+    val ps = Seq(0.5, 0.9, 0.99)
+    val bandPs = ps.zipWithIndex.flatMap { case (p, i) =>
+      Seq((math.max(0.0, p - delta), s"lo_$i"),
+        (math.min(1.0, p + delta), s"hi_$i"))
+    }
+    val band = Q.exactPercentiles(lat, "o_orderpriority", "lat_days", bandPs)
+      .collect().map(r => r.getString(0) ->
+        bandPs.indices.map(i => r.getDouble(i + 1))).toMap
+    assert(approx.keySet === band.keySet)
+    for ((k, vs) <- approx; (v, i) <- vs.zipWithIndex) {
+      val lo = band(k)(2 * i); val hi = band(k)(2 * i + 1)
+      assert(lo <= v && v <= hi,
+        s"$k p=${ps(i)}: approx $v outside exact band [$lo, $hi]")
+    }
+  }
+}
