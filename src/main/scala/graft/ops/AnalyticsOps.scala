@@ -140,6 +140,14 @@ object AnalyticsOps {
       s" AS VARCHAR) AS DECIMAL(38,12)) AS DOUBLE)"
   private def decSum18(c: org.apache.spark.sql.Column) =
     sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 18))).cast("double")
+  /** RAW (un-hopped) scale-18 oracle sum — legal ONLY for results that
+    * are re-snapped at a coarser grain (≤1e-12) before emission, where
+    * DuckDB's in-cast dust capture and out-cast double-rounding (both
+    * ~1e-16 relative — see BASELINE.md's scale-18 defect class) sit
+    * orders below the snap. r12 audit: the single consumer here
+    * (g_theil_spend's sum_termg) is dSnap6-wrapped on emission. Any
+    * sum emitted RAW must use the two-way-hopped s18/dSum18h spelling
+    * (Heaps lesson) instead. */
   private def dSum18(x: String) =
     s"CAST(SUM(CAST($x AS DECIMAL(38,18))) AS DOUBLE)"
 

@@ -30,6 +30,13 @@ object GraphOps {
     * merge order of partial aggregates cannot perturb the result). */
   private def decSum18(c: Column): Column =
     sum(c.cast(DecimalType(38, 18))).cast("double")
+  /** RAW (un-hopped) scale-18 oracle sum — legal ONLY for results
+    * re-snapped at a coarser grain before emission, where DuckDB's
+    * in-cast dust capture / out-cast double-rounding (~1e-16 relative)
+    * sit orders below the snap. r12 audit of the four consumers:
+    * pagerank ×2 (sum feeds dSnap12 — 4 orders of headroom),
+    * modularity and adamic-adar (dSnap6-wrapped — 9+ orders). A sum
+    * emitted RAW must use dSum18h below (betweenness/closeness do). */
   private def dSum18(x: String) =
     s"CAST(SUM(CAST($x AS DECIMAL(38,18))) AS DOUBLE)"
 

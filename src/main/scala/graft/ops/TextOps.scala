@@ -1301,6 +1301,10 @@ object TextOps {
         .select(col("m_lang"),
           log(col("n_l").cast("double") / col("n_all"))
             .cast(dec12).cast("double").as("lp_prior"))
+      // ll is consumed RAW by the argmax comparison (never re-snapped),
+      // so its oracle twin below uses the two-way VARCHAR hop — the
+      // per-doc sums run to |ll| ~1e2-1e3 (unscaled > 2^53 at scale 18)
+      // where DuckDB's direct out-cast double-rounds (r12 audit)
       val scored = docTok.join(model, "t")
         .groupBy(col("doc_id"), col("lang"), col("m_lang"))
         .agg(sum(col("lp").cast(dec18)).cast("double").as("ll"))
@@ -1341,7 +1345,8 @@ object TextOps {
         |  FROM documents GROUP BY 1),
         |scored AS (
         |  SELECT dt.doc_id, dt.lang, m.m_lang,
-        |    CAST(SUM(CAST(m.lp AS DECIMAL(38,18))) AS DOUBLE) AS ll
+        |    CAST(CAST(SUM(CAST(CAST(m.lp AS VARCHAR) AS DECIMAL(38,18)))
+        |      AS VARCHAR) AS DOUBLE) AS ll
         |  FROM dt JOIN model m ON m.t = dt.t
         |  GROUP BY 1, 2, 3),
         |pred AS (
