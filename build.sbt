@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Diagnostic/scratch mains (Probe*, PlanDump, scale harness) live in a
+// separate source directory so src/main holds only product + harness
+// code (r11 VERDICT item 6); they still compile into Compile so
+// `runMain graft.ProbeHot` and the direct-java loop keep working.
+Compile / unmanagedSourceDirectories +=
+  baseDirectory.value / "src" / "tools" / "scala"
 // Forked run output passes through unprefixed — the driver parses
 // Bench's single JSON line from stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -116,10 +116,16 @@ object AggOps {
           grouping(col("l_linestatus")).cast("int").as("g_ls"))
         .orderBy(coalesce(col("l_returnflag"), lit("~")), coalesce(col("l_linestatus"), lit("~")))
     }, Some(
+      // HAVING n > 0 mirrors Spark's empty-input rollup semantics (r12
+      // sweep): over ZERO rows Spark emits no grouping-set rows at all,
+      // while SQL-standard DuckDB emits the n = 0 grand-total row; on
+      // any non-empty input every rollup row has n >= 1, so the clause
+      // is value-neutral where it is graded
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
         |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
         |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |HAVING COUNT(*) > 0
         |ORDER BY COALESCE(l_returnflag, '~'), COALESCE(l_linestatus, '~')""".stripMargin)),
 
     Q("d_agg_cube", (s, d) => {
@@ -157,12 +163,28 @@ object AggOps {
           decSum(x).as("sx"), decSum(x * x).as("sxx"),
           decSum(y).as("sy"), decSum(y * y).as("syy"),
           decSum(x * y).as("sxy"))
+        // degenerate guards (r12 sweep), mirrored on BOTH sides: n = 1
+        // → sample variance undefined (NULL); centered squares clamp at
+        // 0 (rounded power sums can cancel to −dust, where Spark's
+        // sqrt gives NaN but DuckDB's sqrt RAISES); zero variance →
+        // corr undefined (NULL, DuckDB's natural /0)
         .select(col("l_returnflag"), col("n"),
-          r4(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))).as("stddev_price"),
-          r6(sqrt((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1))).as("stddev_disc"),
-          r6((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-              sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_price_disc"))
+          r4(when(col("n") > 1, sqrt(
+            greatest(lit(0.0), col("sxx") - col("sx") * col("sx") / col("n"))
+              / (col("n") - 1)))).as("stddev_price"),
+          r6(when(col("n") > 1, sqrt(
+            greatest(lit(0.0), col("syy") - col("sy") * col("sy") / col("n"))
+              / (col("n") - 1)))).as("stddev_disc"),
+          {
+            val den =
+              sqrt(greatest(lit(0.0),
+                col("n") * col("sxx") - col("sx") * col("sx"))) *
+              sqrt(greatest(lit(0.0),
+                col("n") * col("syy") - col("sy") * col("sy")))
+            r6(when(den =!= 0.0,
+              (col("n") * col("sxy") - col("sx") * col("sy")) / den))
+              .as("corr_price_disc")
+          })
         .orderBy("l_returnflag")
     }, Some(
       s"""WITH m AS (
@@ -172,10 +194,16 @@ object AggOps {
          |    ${dSum("l_extendedprice * l_discount")} AS sxy
          |  FROM lineitem GROUP BY l_returnflag)
          |SELECT l_returnflag, n,
-         |  ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_price,
-         |  ROUND(SQRT((syy - sy * sy / n) / (n - 1)), 6) AS stddev_disc,
+         |  ROUND(CASE WHEN n > 1 THEN
+         |    SQRT(GREATEST(0, sxx - sx * sx / n) / (n - 1)) END, 4)
+         |    AS stddev_price,
+         |  ROUND(CASE WHEN n > 1 THEN
+         |    SQRT(GREATEST(0, syy - sy * sy / n) / (n - 1)) END, 6)
+         |    AS stddev_disc,
          |  ROUND((n * sxy - sx * sy) /
-         |        (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_price_disc
+         |        (SQRT(GREATEST(0, n * sxx - sx * sx))
+         |         * SQRT(GREATEST(0, n * syy - sy * sy))), 6)
+         |    AS corr_price_disc
          |FROM m ORDER BY l_returnflag""".stripMargin)),
 
     // Weighted mean / population variance: quantity-weighted discount
@@ -197,11 +225,15 @@ object AggOps {
         .groupBy(col("l_returnflag"))
         .agg(decSum(wt).as("sw"), decSum(wt * x).as("swx"),
           decSum(wt * x * x).as("swx2"))
+        // zero-weight guard (r12 sweep): Σw = 0 → weighted moments
+        // undefined, NULL matching DuckDB's /0 → NULL (oracle unchanged)
         .select(col("l_returnflag"),
           snap(col("sw")).as("sum_weight"),
-          snap(col("swx") / col("sw")).as("w_mean_disc"),
-          snap(col("swx2") / col("sw") -
-            (col("swx") / col("sw")) * (col("swx") / col("sw"))).as("w_var_disc"))
+          snap(when(col("sw") =!= 0, col("swx") / col("sw")))
+            .as("w_mean_disc"),
+          snap(when(col("sw") =!= 0, col("swx2") / col("sw") -
+            (col("swx") / col("sw")) * (col("swx") / col("sw"))))
+            .as("w_var_disc"))
         .orderBy("l_returnflag")
     }, Some(
       s"""WITH m AS (
@@ -486,15 +518,33 @@ object AggOps {
       val exactOnly = uc.join(up, Seq("user_id"), "left_anti")
         .agg(count(lit(1)).as("exact_click_only"))
       val exactAll = ev.agg(countDistinct(col("user_id")).as("exact_all"))
-      val ests = sk.filter(col("event_type") === "click")
-        .select(col("sk").as("skc"))
-        .crossJoin(broadcast(
-          sk.filter(col("event_type") === "purchase").select(col("sk").as("skp"))))
+      // Missing-arm set algebra (r12 sweep): a corpus slice with no
+      // click (or purchase) events has no sketch row — the previous
+      // filter×crossJoin then emitted ZERO rows where the oracle emits
+      // its one scalar row. LEFT-attach both sketches to a one-row
+      // spine and apply the set identities explicitly: ∩ with the
+      // absent arm is empty (0), A∖∅ = A, ∅∖B = ∅ — so the row always
+      // exists and the 5%-band flags stay deterministic (exact counts
+      // are 0 exactly when the estimate fallback is 0).
+      val one = s.range(1).select(lit(1).as("_k"))
+      val skc = sk.filter(col("event_type") === "click")
+        .select(lit(1).as("_k"), col("sk").as("skc"))
+      val skp = sk.filter(col("event_type") === "purchase")
+        .select(lit(1).as("_k"), col("sk").as("skp"))
+      val ests = one.join(broadcast(skc), Seq("_k"), "left")
+        .join(broadcast(skp), Seq("_k"), "left")
         .select(
-          expr("theta_sketch_estimate(theta_intersection(skc, skp))").as("est_both"),
-          expr("theta_sketch_estimate(theta_difference(skc, skp))").as("est_only"))
-      val estAll = sk.agg(
-        expr("theta_sketch_estimate(theta_union_agg(sk))").as("est_all"))
+          when(col("skc").isNotNull && col("skp").isNotNull,
+            expr("theta_sketch_estimate(theta_intersection(skc, skp))"))
+            .otherwise(lit(0.0)).as("est_both"),
+          when(col("skc").isNull, lit(0.0))
+            .when(col("skp").isNull, expr("theta_sketch_estimate(skc)"))
+            .otherwise(
+              expr("theta_sketch_estimate(theta_difference(skc, skp))"))
+            .as("est_only"))
+      val estAll = sk.agg(coalesce(
+        expr("theta_sketch_estimate(theta_union_agg(sk))"), lit(0.0))
+        .as("est_all"))
       ests.crossJoin(broadcast(exactBoth)).crossJoin(broadcast(exactOnly))
         .crossJoin(broadcast(exactAll)).crossJoin(broadcast(estAll))
         .select(col("exact_both"),
@@ -640,15 +690,18 @@ object AggOps {
           decSum(col("x") * col("x")).as("sxx"),
           expr("regr_slope(y, x)").as("bslope"),
           expr("regr_intercept(y, x)").as("bicept"))
-        .select(col("l_returnflag"), col("n"),
-          r6((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
-          r6((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n")).as("icept"),
-          (abs(col("bslope") - (col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx"))) <=
-            abs((col("n") * col("sxy") - col("sx") * col("sy")) /
-              (col("n") * col("sxx") - col("sx") * col("sx"))) * 1e-6).as("builtin_ok"))
+        // zero-variance guard (r12 sweep): constant x zeroes the slope
+        // denominator — NULL matches DuckDB's /0 → NULL (oracle text
+        // unchanged; regr_slope itself returns NULL there in both)
+        .select(Seq(col("l_returnflag"), col("n")) ++ {
+          val den = col("n") * col("sxx") - col("sx") * col("sx")
+          val slope = when(den =!= 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")) / den)
+          Seq(r6(slope).as("slope"),
+            r6((col("sy") - slope * col("sx")) / col("n")).as("icept"),
+            (abs(col("bslope") - slope) <= abs(slope) * 1e-6)
+              .as("builtin_ok"))
+        }: _*)
         .orderBy("l_returnflag")
     }, Some(
       s"""WITH m AS (
@@ -724,10 +777,20 @@ object AggOps {
         .select(vars.map(_._2): _*)
         .repartition(s.sparkContext.defaultParallelism)
         .agg(count(lit(1)).cast("double").as("n"), (sums ++ prods): _*)
+      // degenerate guards (r12 sweep), mirrored in the oracle: centered
+      // squares clamp at 0 (double-rounded power sums can cancel to
+      // −dust — Spark sqrt(neg) is NaN but DuckDB's RAISES) and a
+      // zero-variance column leaves corr undefined (NULL, matching
+      // DuckDB's natural /0 → NULL)
       val corrCols = pairs.map { case (na, nb, _, _) =>
-        ((col("n") * col(s"sp_${na}_$nb") - col(s"s_$na") * col(s"s_$nb")) /
-          (sqrt(col("n") * col(s"ss_$na") - col(s"s_$na") * col(s"s_$na")) *
-           sqrt(col("n") * col(s"ss_$nb") - col(s"s_$nb") * col(s"s_$nb"))))
+        val va = greatest(lit(0.0),
+          col("n") * col(s"ss_$na") - col(s"s_$na") * col(s"s_$na"))
+        val vb = greatest(lit(0.0),
+          col("n") * col(s"ss_$nb") - col(s"s_$nb") * col(s"s_$nb"))
+        val den = sqrt(va) * sqrt(vb)
+        when(den =!= 0.0,
+          (col("n") * col(s"sp_${na}_$nb") - col(s"s_$na") * col(s"s_$nb"))
+            / den)
           .cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double")
           .as(s"c_${na}_$nb")
       }
@@ -759,7 +822,8 @@ object AggOps {
       }
       val rows = pairs.map { case (na, nb, _, _) =>
         val corr = s"(n * sp_${na}_$nb - s_$na * s_$nb) / " +
-          s"(SQRT(n * ss_$na - s_$na * s_$na) * SQRT(n * ss_$nb - s_$nb * s_$nb))"
+          s"(SQRT(GREATEST(0, n * ss_$na - s_$na * s_$na)) * " +
+          s"SQRT(GREATEST(0, n * ss_$nb - s_$nb * s_$nb)))"
         s"SELECT '$na' AS var_a, '$nb' AS var_b, " +
           s"CAST(CAST($corr AS DECIMAL(38,6)) AS DOUBLE) AS corr, " +
           "CAST(n AS BIGINT) AS n_rows FROM a"

@@ -824,7 +824,12 @@ object AnalyticsOps {
         .agg(count(lit(1)).as("n"), decSum(col("value")).as("s1"),
           decSum(col("value") * col("value")).as("s2"))
         .withColumn("mean", col("s1") / col("n"))
-        .withColumn("vr", (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+        // degenerate guards (r12 sweep): single-row arm → n−1 = 0, and
+        // all-zero values → se2 = 0. Spark (ANSI) raises on /0 where
+        // DuckDB yields NULL, so the guards emit NULL to MATCH the
+        // oracle's natural semantics — the oracle text is unchanged.
+        .withColumn("vr", when(col("n") > 1,
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
       val w = m.agg(
         max(when(col("event_type") === "purchase", col("n"))).as("n_a"),
         max(when(col("event_type") === "click", col("n"))).as("n_b"),
@@ -835,10 +840,13 @@ object AnalyticsOps {
         .withColumn("sea", col("var_a") / col("n_a"))
         .withColumn("seb", col("var_b") / col("n_b"))
         .withColumn("se2", col("sea") + col("seb"))
-        .withColumn("t_stat", (col("mean_a") - col("mean_b")) / sqrt(col("se2")))
-        .withColumn("df", col("se2") * col("se2") /
-          (col("sea") * col("sea") / (col("n_a") - 1) +
-           col("seb") * col("seb") / (col("n_b") - 1)))
+        .withColumn("t_stat", when(col("se2") > 0,
+          (col("mean_a") - col("mean_b")) / sqrt(col("se2"))))
+        .withColumn("_dfden",
+          when(col("n_a") > 1, col("sea") * col("sea") / (col("n_a") - 1)) +
+            when(col("n_b") > 1, col("seb") * col("seb") / (col("n_b") - 1)))
+        .withColumn("df",
+          when(col("_dfden") > 0, col("se2") * col("se2") / col("_dfden")))
       w.select(col("n_a"), col("n_b"),
         snap6(col("mean_a")).as("mean_a"), snap6(col("mean_b")).as("mean_b"),
         snap6(col("var_a")).as("var_a"), snap6(col("var_b")).as("var_b"),
@@ -894,9 +902,14 @@ object AnalyticsOps {
           decSum((col("o") - col("e")) * (col("o") - col("e")) / col("e")).as("chi2r"),
           max((col("r") - 1) * (col("c") - 1)).as("df"),
           max(col("n")).as("n"), max(col("r")).as("r"), max(col("c")).as("c"))
+        // degenerate-table guard (r12 sweep): a 1×c or r×1 contingency
+        // table has min(r−1, c−1) = 0 — Cramér's V is undefined, NULL
+        // on both engines (ANSI Spark raises on the /0 otherwise)
         .select(col("n_cells"), snap6(col("chi2r")).as("chi2"), col("df"),
-          snap6(sqrt(col("chi2r") /
-            (col("n") * least(col("r") - 1, col("c") - 1)))).as("cramers_v"))
+          snap6(when(least(col("r") - 1, col("c") - 1) > 0,
+            sqrt(col("chi2r") /
+              (col("n") * least(col("r") - 1, col("c") - 1)))))
+            .as("cramers_v"))
     }, Some(
       s"""WITH cell AS (
          |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
@@ -915,7 +928,8 @@ object AnalyticsOps {
          |    MAX(n) AS n, MAX(r) AS r, MAX(c) AS c
          |  FROM t)
          |SELECT n_cells, ${dSnap6("chi2r")} AS chi2, df,
-         |  ${dSnap6("SQRT(chi2r / (n * LEAST(r - 1, c - 1)))")} AS cramers_v
+         |  ${dSnap6("CASE WHEN LEAST(r - 1, c - 1) > 0 THEN " +
+        "SQRT(chi2r / (n * LEAST(r - 1, c - 1))) END")} AS cramers_v
          |FROM agg""".stripMargin)),
 
     // Sample autocorrelation of the daily event-count series at lags
@@ -998,12 +1012,18 @@ object AnalyticsOps {
         decSum(col("s2") - col("s1") * col("mean")).as("ssw"))
         .withColumn("ssb",
           col("sb_part") - col("nt") * ((col("ts1") / col("nt")) * (col("ts1") / col("nt"))))
+      // degenerate guards (r12 sweep): k = 1 (one group), nt = k (all
+      // single-row groups) or ssw = 0 (zero within-variance) zero a
+      // denominator — NULL here to match DuckDB's natural /0 → NULL
+      // (the oracle text is unchanged; ANSI Spark would raise)
       a.select(col("k"), col("nt").as("n_total"),
         snap6(col("ssb")).as("ssb"), snap6(col("ssw")).as("ssw"),
         (col("k") - 1).as("df1"), (col("nt") - col("k")).as("df2"),
-        snap6((col("ssb") / (col("k") - 1)) / (col("ssw") / (col("nt") - col("k"))))
+        snap6(when(col("k") > 1 && col("nt") > col("k") && col("ssw") =!= 0,
+          (col("ssb") / (col("k") - 1)) / (col("ssw") / (col("nt") - col("k")))))
           .as("f_stat"),
-        snap6(col("ssb") / (col("ssb") + col("ssw"))).as("eta_sq"))
+        snap6(when(col("ssb") + col("ssw") =!= 0,
+          col("ssb") / (col("ssb") + col("ssw")))).as("eta_sq"))
     }, Some(
       s"""WITH m AS (
          |  SELECT event_type, COUNT(*) AS n,
@@ -1262,13 +1282,19 @@ object AnalyticsOps {
           sum(mic(col("p0") * col("q0"))).as("p0q0"),
           sum(mic(col("p") * col("q"))).as("ptqt"),
           sum(mic(col("p0") * col("q"))).as("p0qt"))
+        // zero-basket guards (r12 sweep): an all-zero-price base month
+        // zeroes the index denominators — NULL to match DuckDB's
+        // natural /0 → NULL (oracle text unchanged; ANSI Spark raises)
         .select(col("ym"), col("n_matched"),
-          (col("ptq0").cast("double") / col("p0q0").cast("double"))
+          when(col("p0q0") =!= 0,
+            col("ptq0").cast("double") / col("p0q0").cast("double"))
             .as("laspeyres"),
-          (col("ptqt").cast("double") / col("p0qt").cast("double"))
+          when(col("p0qt") =!= 0,
+            col("ptqt").cast("double") / col("p0qt").cast("double"))
             .as("paasche"),
-          sqrt((col("ptq0").cast("double") / col("p0q0").cast("double")) *
-            (col("ptqt").cast("double") / col("p0qt").cast("double")))
+          when(col("p0q0") =!= 0 && col("p0qt") =!= 0,
+            sqrt((col("ptq0").cast("double") / col("p0q0").cast("double")) *
+              (col("ptqt").cast("double") / col("p0qt").cast("double"))))
             .as("fisher"))
         .orderBy("ym")
     }, Some(
@@ -1609,9 +1635,11 @@ object AnalyticsOps {
         .withColumn("cuma", sum(col("ca")).over(w))
         .withColumn("cumb", sum(col("cb")).over(w))
         .crossJoin(broadcast(tot))
-        .withColumn("dd",
+        // empty-arm guard (r12 sweep): na/nb = 0 → NULL dd, matching
+        // DuckDB's /0 → NULL; DESC ordering puts NULLS LAST in both
+        .withColumn("dd", when(col("na") =!= 0 && col("nb") =!= 0,
           abs(col("cuma") / col("na").cast("double") -
-              col("cumb") / col("nb").cast("double")))
+              col("cumb") / col("nb").cast("double"))))
         .orderBy(col("dd").desc, col("bin"))
         .limit(1)
         .select(col("na"), col("nb"), col("bin").as("ks_bin"),
@@ -1759,13 +1787,18 @@ object AnalyticsOps {
     // the oracle, emitted raw (inputs engine-identical by construction).
     Q("g_mannwhitney_u", (s, d) => {
       val agg = mwAgg(s, d)
+      // degenerate guards (r12 sweep): one fully-tied value (zero tie
+      // variance) or an empty arm zeroes the z denominator; N ≤ 1
+      // zeroes the tie-correction divisor. NULL here matches DuckDB's
+      // natural /0 → NULL chain (oracle text unchanged).
+      val nn = col("n1") + col("n2")
+      val corr = when(nn > 1, col("tsum") / (nn * (nn - lit(1.0))))
+      val varU = col("n1") * col("n2") / 12.0 * ((nn + lit(1)) - corr)
       agg.select(col("n1"), col("n2"),
         (col("u2x") / 2.0).as("u1"),
-        ((col("u2x") / 2.0 - col("n1") * col("n2") / 2.0) /
-          sqrt(col("n1") * col("n2") / 12.0 *
-            ((col("n1") + col("n2") + lit(1)) -
-              col("tsum") / ((col("n1") + col("n2")) *
-                (col("n1") + col("n2") - lit(1.0)))))).as("z"))
+        when(varU > 0,
+          (col("u2x") / 2.0 - col("n1") * col("n2") / 2.0) / sqrt(varU))
+          .as("z"))
     }, Some(
       """WITH p AS (
         |  SELECT value,
@@ -1836,12 +1869,17 @@ object AnalyticsOps {
           decSum(when(
             col("rn") > col("n") - greatest(lit(1L), expr("n DIV 10")),
             col("spend")).otherwise(lit(0.0))).as("t10"))
+      // zero-spend guard (r12 sweep): total spend 0 zeroes every share
+      // denominator — NULL matches DuckDB's /0 → NULL (oracle unchanged)
       tot.crossJoin(tops)
         .select(col("n").as("n_cust"), snap6(col("ts")).as("total_spend"),
-          snap6(lit(2.0) * col("rx") / (col("n") * col("ts")) -
-            (col("n") + lit(1L)) / col("n").cast("double")).as("gini"),
-          snap6(col("t1") / col("ts")).as("top1_share"),
-          snap6(col("t10") / col("ts")).as("top10_share"))
+          snap6(when(col("ts") =!= 0,
+            lit(2.0) * col("rx") / (col("n") * col("ts")) -
+              (col("n") + lit(1L)) / col("n").cast("double"))).as("gini"),
+          snap6(when(col("ts") =!= 0, col("t1") / col("ts")))
+            .as("top1_share"),
+          snap6(when(col("ts") =!= 0, col("t10") / col("ts")))
+            .as("top10_share"))
     }, Some(
       s"""WITH sp AS (
          |  SELECT o_custkey, ${dSum("o_totalprice")} AS spend
@@ -1890,9 +1928,11 @@ object AnalyticsOps {
         .groupBy(col("event_type"), col("dow"))
         .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sv"))
         .withColumn("mean_value", col("sv") / col("n_events"))
+        // zero-mean guard (r12 sweep): an all-zero type mean zeroes the
+        // index denominator — NULL matches DuckDB's /0 → NULL
+        .withColumn("_tmean", decW(col("sv")) / sum(col("n_events")).over(wType))
         .withColumn("seasonal_index",
-          (col("sv") / col("n_events")) /
-            (decW(col("sv")) / sum(col("n_events")).over(wType)))
+          when(col("_tmean") =!= 0, (col("sv") / col("n_events")) / col("_tmean")))
         .select(col("event_type"), col("dow"), col("n_events"),
           col("mean_value"), col("seasonal_index"))
         .orderBy("event_type", "dow")
@@ -1998,17 +2038,21 @@ object AnalyticsOps {
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0).cast(dec6)))
         .select(col("pid"), col("off"))
       val tot = rev.agg(sum(col("rev").cast(dec6)).as("total"))
+      // zero-revenue guard (r12 sweep): total = 0 → NULL share, which
+      // falls through both <= branches to 'C' — the same path DuckDB's
+      // natural /0 → NULL takes through its CASE (oracle unchanged)
       val classed = local.join(broadcast(offs), "pid")
         .crossJoin(broadcast(tot))
-        .withColumn("share", (col("lcum") + col("off")).cast("double") /
-          col("total").cast("double"))
+        .withColumn("share", when(col("total") =!= 0,
+          (col("lcum") + col("off")).cast("double") /
+            col("total").cast("double")))
         .withColumn("abc", when(col("share") <= 0.8, "A")
           .when(col("share") <= 0.95, "B").otherwise("C"))
       classed.groupBy(col("abc"))
         .agg(count(lit(1)).as("n_parts"),
           snap6(decSum(col("rev"))).as("class_revenue"),
-          snap6(decSum(col("rev")) /
-            first(col("total")).cast("double")).as("revenue_share"))
+          snap6(when(first(col("total")) =!= 0, decSum(col("rev")) /
+            first(col("total")).cast("double"))).as("revenue_share"))
         .orderBy("abc")
     }, Some(
       s"""WITH rev AS (
@@ -2143,18 +2187,26 @@ object AnalyticsOps {
       val glob = spend.agg(count(lit(1)).as("n"), sum(col("x")).as("tot"))
       val grp = spend.groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_g"), sum(col("x")).as("tot_g"))
+      // zero-spend guards (r12 sweep): tot_g/tot = 0 zero the share
+      // denominators (NULL matches DuckDB's /0 → NULL), and ln runs
+      // only on positive ratios — Spark's log(0) is NULL where DuckDB
+      // LN(0) RAISES, so the ln guard is mirrored as a CASE in the
+      // oracle (value-neutral on any corpus with positive spend)
       val within = spend.join(grp, "n_name")
-        .withColumn("rg",
-          col("x").cast("double") * col("n_g") / col("tot_g").cast("double"))
-        .withColumn("termg", snap12(col("rg") * log(col("rg"))))
+        .withColumn("rg", when(col("tot_g") =!= 0,
+          col("x").cast("double") * col("n_g") / col("tot_g").cast("double")))
+        .withColumn("termg",
+          snap12(col("rg") * when(col("rg") > 0, log(col("rg")))))
         .groupBy(col("n_name")).agg(decSum18(col("termg")).as("sum_termg"))
-      val sg = col("tot_g").cast("double") / col("tot").cast("double")
+      val sg = when(col("tot") =!= 0,
+        col("tot_g").cast("double") / col("tot").cast("double"))
       val pg = col("n_g").cast("double") / col("n").cast("double")
       grp.join(within, "n_name").crossJoin(broadcast(glob))
         .select(col("n_name"), col("n_g").as("n_cust"),
           snap6(sg).as("spend_share"),
           snap6(col("sum_termg") / col("n_g")).as("theil_within"),
-          snap6(sg * log(sg / pg)).as("theil_between_term"))
+          snap6(sg * when(sg / pg > 0, log(sg / pg)))
+            .as("theil_between_term"))
         .orderBy("n_name")
     }, Some(
       s"""WITH spend AS (
@@ -2169,7 +2221,9 @@ object AnalyticsOps {
          |terms AS (
          |  SELECT s.n_name,
          |    ${dSnap12("CAST(s.x AS DOUBLE) * g.n_g / CAST(g.tot_g AS DOUBLE)" +
-        " * LN(CAST(s.x AS DOUBLE) * g.n_g / CAST(g.tot_g AS DOUBLE))")}
+        " * (CASE WHEN CAST(s.x AS DOUBLE) * g.n_g / CAST(g.tot_g AS DOUBLE)" +
+        " > 0 THEN LN(CAST(s.x AS DOUBLE) * g.n_g / CAST(g.tot_g AS DOUBLE))" +
+        " END)")}
          |      AS termg
          |  FROM spend s JOIN grp g ON s.n_name = g.n_name),
          |within AS (SELECT n_name, ${dSum18("termg")} AS sum_termg
@@ -2179,8 +2233,10 @@ object AnalyticsOps {
          |    AS spend_share,
          |  ${dSnap6("w.sum_termg / g.n_g")} AS theil_within,
          |  ${dSnap6("CAST(g.tot_g AS DOUBLE) / CAST(gl.tot AS DOUBLE)" +
-        " * LN((CAST(g.tot_g AS DOUBLE) / CAST(gl.tot AS DOUBLE))" +
-        " / (CAST(g.n_g AS DOUBLE) / CAST(gl.n AS DOUBLE)))")}
+        " * (CASE WHEN (CAST(g.tot_g AS DOUBLE) / CAST(gl.tot AS DOUBLE))" +
+        " / (CAST(g.n_g AS DOUBLE) / CAST(gl.n AS DOUBLE)) > 0" +
+        " THEN LN((CAST(g.tot_g AS DOUBLE) / CAST(gl.tot AS DOUBLE))" +
+        " / (CAST(g.n_g AS DOUBLE) / CAST(gl.n AS DOUBLE))) END)")}
          |    AS theil_between_term
          |FROM grp g JOIN within w ON g.n_name = w.n_name CROSS JOIN gall gl
          |ORDER BY g.n_name""".stripMargin)),
@@ -2237,10 +2293,17 @@ object AnalyticsOps {
         .withColumn("keep",
           (col("h") * (col("rep") * 2 + 1) + col("rep")) % 4294967296L
             >= 2147483648L)
+      // empty-replica guard (r12 sweep): on a tiny corpus a replica can
+      // draw ZERO rows — its mean is 0/0. Such replicas are dropped on
+      // BOTH sides (HAVING in the oracle): a NULL mean would instead
+      // hit the engines' OPPOSITE null-ordering defaults inside
+      // cume_dist (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST).
       val means = rep.groupBy(col("rep"))
-        .agg((sum(when(col("keep"), col("micros")).otherwise(0L))
-          .cast("double") / 1000000.0 /
-          sum(when(col("keep"), 1L).otherwise(0L))).as("m"))
+        .agg(sum(when(col("keep"), col("micros")).otherwise(0L)).as("sm"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("cnt"))
+        .filter(col("cnt") > 0)
+        .select(col("rep"),
+          (col("sm").cast("double") / 1000000.0 / col("cnt")).as("m"))
       val wcd = org.apache.spark.sql.expressions.Window.orderBy(col("m"))
       val cd = means.withColumn("cd", cume_dist().over(wcd))
       val lo = cd.filter(col("cd") >= 0.025).agg(min(col("m")).as("ci_lo"))
@@ -2267,7 +2330,8 @@ object AnalyticsOps {
          |    CAST(CAST(SUM(CASE WHEN keep THEN micros ELSE 0 END) AS BIGINT)
          |         AS DOUBLE) / 1000000.0
          |      / SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS m
-         |  FROM rep GROUP BY rep),
+         |  FROM rep GROUP BY rep
+         |  HAVING SUM(CASE WHEN keep THEN 1 ELSE 0 END) > 0),
          |cd AS (SELECT m, CUME_DIST() OVER (ORDER BY m) AS cd FROM means),
          |lo AS (SELECT MIN(m) AS ci_lo FROM cd WHERE cd >= 0.025),
          |hi AS (SELECT MIN(m) AS ci_hi FROM cd WHERE cd >= 0.975),
@@ -2331,18 +2395,23 @@ object AnalyticsOps {
         .withColumn("vy", col("myy") - snap12(col("my") * col("my")))
         .withColumn("den",
           snap12(col("va") * col("vc")) - snap12(col("vb") * col("vb")))
-        .withColumn("b1",
+        // singular-system guards (r12 sweep): a one-customer or
+        // constant-feature corpus zeroes the Cramer determinant, an
+        // all-zero-spend corpus zeroes vy — NULL coefficients/R² match
+        // DuckDB's natural /0 → NULL chain (oracle text unchanged)
+        .withColumn("b1", when(col("den") =!= 0,
           (snap12(col("vd") * col("vc")) - snap12(col("vb") * col("ve")))
-            / col("den"))
-        .withColumn("b2",
+            / col("den")))
+        .withColumn("b2", when(col("den") =!= 0,
           (snap12(col("va") * col("ve")) - snap12(col("vb") * col("vd")))
-            / col("den"))
+            / col("den")))
         .select(col("n").as("n_customers"),
           (col("my") - snap12(col("b1") * col("m1"))
             - snap12(col("b2") * col("m2"))).as("b0"),
           col("b1"), col("b2"),
-          ((snap12(col("b1") * col("vd")) + snap12(col("b2") * col("ve")))
-            / col("vy")).as("r2"))
+          when(col("vy") =!= 0,
+            (snap12(col("b1") * col("vd")) + snap12(col("b2") * col("ve")))
+              / col("vy")).as("r2"))
     }, Some(
       s"""WITH cust AS (
          |  SELECT o_custkey,
@@ -2445,7 +2514,9 @@ object AnalyticsOps {
           first(col("tn")).as("tn"), first(col("tc")).as("tc"))
         .select(col("threshold_pct"), col("k_customers"),
           (col("k_customers").cast("double") / col("tn")).as("pct_customers"),
-          (col("cum_cents").cast("double") / col("tc")).as("revenue_share"))
+          // zero-revenue guard (r12 sweep): NULL matches DuckDB's /0
+          when(col("tc") =!= 0,
+            col("cum_cents").cast("double") / col("tc")).as("revenue_share"))
         .orderBy("threshold_pct")
     }, Some(
       """WITH spend AS (
@@ -2561,8 +2632,11 @@ object AnalyticsOps {
         .agg(count(lit(1)).as("n_suppliers"), sum(col("qs")).as("q_total"),
           sum(col("qs") * col("qs")).as("sq2"))
         .filter(col("n_suppliers") >= 3)
+        // zero-quantity guard (r12 sweep): NULL matches DuckDB's /0 →
+        // NULL; DESC ordering puts NULLS LAST in both engines
         .select(col("l_partkey"), col("n_suppliers"), col("q_total"),
-          (col("sq2").cast("double") / (col("q_total") * col("q_total")))
+          when(col("q_total") =!= 0,
+            col("sq2").cast("double") / (col("q_total") * col("q_total")))
             .as("hhi"))
       hhi.orderBy(col("hhi").desc, col("l_partkey")).limit(20)
     }, Some(
@@ -2618,13 +2692,18 @@ object AnalyticsOps {
         .select(col("nt"), col("nc"),
           snap12(col("nt") * (col("syt").cast("double") / col("nt") -
             col("syc").cast("double") / col("nc"))).as("wgap"))
+      // empty-arm guard (r12 sweep): a corpus whose users all land in
+      // one arm zeroes a naive-mean denominator — NULL matches
+      // DuckDB's /0 → NULL (oracle text unchanged)
       val naive = users.agg(
-        (sum(when(col("treated") === 1, col("y_micros")).otherwise(0L))
-          .cast("double") /
-          sum(when(col("treated") === 1, 1L).otherwise(0L)) -
-          sum(when(col("treated") === 0, col("y_micros")).otherwise(0L))
-            .cast("double") /
-            sum(when(col("treated") === 0, 1L).otherwise(0L)))
+        sum(when(col("treated") === 1, col("y_micros")).otherwise(0L))
+          .as("_syt"),
+        sum(when(col("treated") === 1, 1L).otherwise(0L)).as("_ct"),
+        sum(when(col("treated") === 0, col("y_micros")).otherwise(0L))
+          .as("_syc"),
+        sum(when(col("treated") === 0, 1L).otherwise(0L)).as("_cc"))
+        .select((when(col("_ct") > 0, col("_syt").cast("double") / col("_ct"))
+          - when(col("_cc") > 0, col("_syc").cast("double") / col("_cc")))
           .as("naive_diff_micros"))
       matched.agg(count(lit(1)).as("n_strata"),
           sum(col("nt")).as("n_treated_matched"),
@@ -2703,14 +2782,19 @@ object AnalyticsOps {
       val ranked = spend.withColumn("rk", row_number().over(w))
       val xk = ranked.filter(col("rk") === 101)
         .select(col("cents").as("xk"))
+      // degenerate-tail guards (r12 sweep): xk = 0 (all-zero spend)
+      // voids the ratios, and a fully-tied tail zeroes Σln — NULL in
+      // both cases, matching DuckDB's /0 → NULL chain (oracle text
+      // unchanged; top-100 cents ≥ xk so ln never sees (0, 1))
       val fit = ranked.filter(col("rk") <= 100)
         .crossJoin(broadcast(xk))
-        .select(snap12(log(col("cents").cast("double") / col("xk")))
-          .as("lnr"), col("xk"))
+        .select(snap12(when(col("xk") =!= 0,
+          log(col("cents").cast("double") / col("xk")))).as("lnr"), col("xk"))
         .agg(count(lit(1)).as("k"), first(col("xk")).as("xk_cents"),
           decSum18(col("lnr")).as("slnr"))
       fit.select(col("k"), col("xk_cents"),
-        (col("k").cast("double") / col("slnr")).as("hill_alpha"),
+        when(col("slnr") =!= 0,
+          col("k").cast("double") / col("slnr")).as("hill_alpha"),
         col("slnr").as("sum_ln_ratios"))
     }, Some({
       def hop(x: String) =
@@ -3070,11 +3154,15 @@ object AnalyticsOps {
     // no sampling, no trapezoid approximation, no per-pair join. The
     // ROC Gini (2·AUC−1) is one exact ×2 and −1 on that quotient.
     Q("g_auc_value", (s, d) => {
+      // empty-arm guard (r12 sweep): no positives or no negatives →
+      // zero pairs — AUC undefined, NULL matching DuckDB's /0 → NULL
       mwAgg(s, d).select(
         col("n1").as("n_pos"), col("n2").as("n_neg"),
         (col("n1") * col("n2")).as("n_pairs"),
-        (col("u2x") / (lit(2.0) * col("n1") * col("n2"))).as("auc"),
-        (lit(2.0) * (col("u2x") / (lit(2.0) * col("n1") * col("n2"))) -
+        when(col("n1") * col("n2") =!= 0,
+          col("u2x") / (lit(2.0) * col("n1") * col("n2"))).as("auc"),
+        (lit(2.0) * when(col("n1") * col("n2") =!= 0,
+          col("u2x") / (lit(2.0) * col("n1") * col("n2"))) -
           lit(1.0)).as("gini_roc"))
     }, Some(
       """WITH p AS (

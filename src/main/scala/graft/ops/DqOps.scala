@@ -205,9 +205,18 @@ object DqOps {
         when(col("digit") === benford.head._1, benford.head._2)) {
         case (acc, (dg, p)) => acc.when(col("digit") === dg, p)
       }
+      // no-significant-digit guard (r12 sweep): a value of exactly 0
+      // has no first digit in [1-9] — the empty extract would make the
+      // INT cast RAISE on both engines (ANSI Spark and DuckDB alike).
+      // Such rows land in a digit-0 bucket (NULL Benford expectation,
+      // excluded from chi² by NULL propagation) — bucket 0 rather than
+      // NULL so the ORDER BY digit row order stays engine-identical.
       val c = Io.table(s, d, "orders")
-        .select(regexp_extract(col("o_totalprice").cast("string"), "[1-9]", 0)
-          .cast("int").as("digit"))
+        .select(coalesce(
+          when(regexp_extract(col("o_totalprice").cast("string"),
+            "[1-9]", 0) =!= "",
+            regexp_extract(col("o_totalprice").cast("string"), "[1-9]", 0)
+              .cast("int")), lit(0)).as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
         .withColumn("p_benford", pb)
       val tot = c.agg(sum(col("n_obs")).as("n"))
@@ -230,8 +239,9 @@ object DqOps {
         9 -> "0.04575749056067514")
         .map { case (dg, p) => s"WHEN $dg THEN $p" }.mkString(" ")
       s"""WITH c AS (
-         |  SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]', 0)
-         |              AS INT) AS digit,
+         |  SELECT COALESCE(CAST(NULLIF(
+         |      regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]', 0), '')
+         |              AS INT), 0) AS digit,
          |    COUNT(*) AS n_obs
          |  FROM orders GROUP BY 1),
          |-- cast: DuckDB types bare numeric literals DECIMAL, and the

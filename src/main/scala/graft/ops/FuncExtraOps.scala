@@ -118,8 +118,12 @@ object FuncExtraOps {
           r6(cos(col("p_size") / 10.0)).as("cos_x"),
           r6(atan2(col("p_size").cast("double"), lit(7.0))).as("atan2_x"),
           r6(exp(col("p_size") / 25.0)).as("exp_x"),
-          r6(log10(col("p_retailprice"))).as("log10_p"),
-          r6(log2(col("p_retailprice"))).as("log2_p"),
+          // positivity guards (r12 sweep): Spark log10/log2(0) → NULL
+          // where DuckDB RAISES — mirrored CASEs in the oracle
+          r6(when(col("p_retailprice") > 0, log10(col("p_retailprice"))))
+            .as("log10_p"),
+          r6(when(col("p_retailprice") > 0, log2(col("p_retailprice"))))
+            .as("log2_p"),
           r6(cbrt(col("p_retailprice"))).as("cbrt_p"),
           signum(col("p_size") - 25).cast("double").as("sign_off"),
           greatest(col("p_size"), lit(10), lit(25)).as("gmax"),
@@ -134,8 +138,10 @@ object FuncExtraOps {
         |  ROUND(cos(p_size / 10.0), 6) AS cos_x,
         |  ROUND(atan2(CAST(p_size AS DOUBLE), 7.0), 6) AS atan2_x,
         |  ROUND(exp(p_size / 25.0), 6) AS exp_x,
-        |  ROUND(log10(p_retailprice), 6) AS log10_p,
-        |  ROUND(log2(p_retailprice), 6) AS log2_p,
+        |  ROUND(CASE WHEN p_retailprice > 0 THEN log10(p_retailprice) END, 6)
+        |    AS log10_p,
+        |  ROUND(CASE WHEN p_retailprice > 0 THEN log2(p_retailprice) END, 6)
+        |    AS log2_p,
         |  ROUND(cbrt(p_retailprice), 6) AS cbrt_p,
         |  CAST(sign(p_size - 25) AS DOUBLE) AS sign_off,
         |  CAST(greatest(p_size, 10, 25) AS INT) AS gmax,

@@ -180,7 +180,11 @@ object FuncOps {
           abs(col("p_size") - 25).as("abs_off"),
           r6(pow(col("p_size").cast("double"), 2.0)).as("size_sq"),
           r6(sqrt(col("p_retailprice"))).as("price_sqrt"),
-          r6(log(col("p_retailprice"))).as("price_ln"),
+          // positivity guard (r12 sweep): Spark's log(0) is NULL where
+          // DuckDB's LN(0) RAISES — the mirrored CASE makes ln of a
+          // non-positive price NULL on both engines
+          r6(when(col("p_retailprice") > 0, log(col("p_retailprice"))))
+            .as("price_ln"),
           (col("p_partkey") % 7).as("key_mod7"))
         .orderBy("p_partkey")
     }, Some(
@@ -191,7 +195,8 @@ object FuncOps {
         |  CAST(ABS(p_size - 25) AS INT) AS abs_off,
         |  ROUND(POWER(CAST(p_size AS DOUBLE), 2.0), 6) AS size_sq,
         |  ROUND(SQRT(p_retailprice), 6) AS price_sqrt,
-        |  ROUND(LN(p_retailprice), 6) AS price_ln,
+        |  ROUND(CASE WHEN p_retailprice > 0 THEN LN(p_retailprice) END, 6)
+        |    AS price_ln,
         |  p_partkey % 7 AS key_mod7
         |FROM part ORDER BY p_partkey""".stripMargin)),
 

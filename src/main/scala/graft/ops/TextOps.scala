@@ -1383,14 +1383,19 @@ object TextOps {
       val pts = freq.withColumn("rank", row_number().over(w))
         .withColumn("x", snap12(log(col("rank").cast("double"))))
         .withColumn("y", snap12(log(col("freq").cast("double"))))
+      // degenerate-fit guard (r12 sweep): single-point OLS (one distinct
+      // token) zeroes the denominator — slope NULL on both engines
       val fit = pts.agg(count(lit(1)).as("np"),
           decSum18(col("x")).as("sx"), decSum18(col("y")).as("sy"),
           decSum18(snap12(col("x") * col("y"))).as("sxy"),
           decSum18(snap12(col("x") * col("x"))).as("sxx"))
-        .select(col("np"), col("sx"), col("sy"),
-          ((snap12(col("np") * col("sxy")) - snap12(col("sx") * col("sy"))) /
-            (snap12(col("np") * col("sxx")) - snap12(col("sx") * col("sx"))))
-            .as("zipf_slope"))
+        .select(col("np"), col("sx"), col("sy"), {
+          val num = snap12(col("np") * col("sxy")) -
+            snap12(col("sx") * col("sy"))
+          val den = snap12(col("np") * col("sxx")) -
+            snap12(col("sx") * col("sx"))
+          when(den =!= 0.0, num / den).as("zipf_slope")
+        })
         .select(col("zipf_slope"),
           ((col("sy") - snap12(col("zipf_slope") * col("sx"))) / col("np"))
             .as("zipf_lnc"))
@@ -1425,8 +1430,9 @@ object TextOps {
          |  FROM pxy),
          |b AS (
          |  SELECT np, sx, sy,
-         |    (${hop("np * sxy")} - ${hop("sx * sy")}) /
-         |      (${hop("np * sxx")} - ${hop("sx * sx")}) AS zipf_slope
+         |    CASE WHEN (${hop("np * sxx")} - ${hop("sx * sx")}) <> 0 THEN
+         |      (${hop("np * sxy")} - ${hop("sx * sy")}) /
+         |        (${hop("np * sxx")} - ${hop("sx * sx")}) END AS zipf_slope
          |  FROM fit),
          |c AS (SELECT zipf_slope,
          |        (sy - ${hop("zipf_slope * sx")}) / np AS zipf_lnc FROM b)
@@ -1471,14 +1477,21 @@ object TextOps {
         .withColumn("cum_vocab", sum(col("nv")).over(w))
         .withColumn("x", snap12(log(col("cum_docs").cast("double"))))
         .withColumn("y", snap12(log(col("cum_vocab").cast("double"))))
+      // degenerate-fit guard (r12 sweep): a single point (np = 1, e.g.
+      // a one-source corpus) zeroes the OLS denominator — the slope is
+      // undefined, NULL on both engines (unguarded, ANSI Spark raises
+      // where DuckDB's /0 yields NULL)
       val fit = pts.agg(count(lit(1)).as("np"),
           decSum18(col("x")).as("sx"), decSum18(col("y")).as("sy"),
           decSum18(snap12(col("x") * col("y"))).as("sxy"),
           decSum18(snap12(col("x") * col("x"))).as("sxx"))
-        .select(col("np"), col("sx"), col("sy"),
-          ((snap12(col("np") * col("sxy")) - snap12(col("sx") * col("sy"))) /
-            (snap12(col("np") * col("sxx")) - snap12(col("sx") * col("sx"))))
-            .as("beta"))
+        .select(col("np"), col("sx"), col("sy"), {
+          val num = snap12(col("np") * col("sxy")) -
+            snap12(col("sx") * col("sy"))
+          val den = snap12(col("np") * col("sxx")) -
+            snap12(col("sx") * col("sx"))
+          when(den =!= 0.0, num / den).as("beta")
+        })
         .select(col("beta"),
           ((col("sy") - snap12(col("beta") * col("sx"))) / col("np"))
             .as("lnc"))
@@ -1531,8 +1544,9 @@ object TextOps {
          |  FROM pxy),
          |b AS (
          |  SELECT np, sx, sy,
-         |    (${hop("np * sxy")} - ${hop("sx * sy")}) /
-         |      (${hop("np * sxx")} - ${hop("sx * sx")}) AS beta
+         |    CASE WHEN (${hop("np * sxx")} - ${hop("sx * sx")}) <> 0 THEN
+         |      (${hop("np * sxy")} - ${hop("sx * sy")}) /
+         |        (${hop("np * sxx")} - ${hop("sx * sx")}) END AS beta
          |  FROM fit),
          |c AS (SELECT beta, (sy - ${hop("beta * sx")}) / np AS lnc FROM b)
          |SELECT p.sn AS src_num, p.nd AS n_docs, p.nv AS new_vocab,

@@ -40,9 +40,14 @@ object TpchOps {
     * the shared-text property holds for the derivation itself. MIN and
     * the decimal-routed SUM are order-independent, so the artifact is
     * deterministic under any partial-aggregation schedule. */
+  // The unit-price division is zero-quantity-guarded (r12 degenerate
+  // sweep): a zero-quantity lineitem would make ANSI Spark raise where
+  // DuckDB yields NULL — the CASE makes both engines skip the row in
+  // the MIN identically (value-neutral wherever quantities are > 0).
   private val psDerivation =
     """SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-      |    MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+      |    MIN(CASE WHEN l_quantity <> 0
+      |        THEN l_extendedprice / l_quantity END) AS ps_supplycost,
       |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS ps_availqty
       |  FROM lineitem GROUP BY 1, 2""".stripMargin
 
@@ -194,8 +199,9 @@ object TpchOps {
 
     q("t_q08",
       """SELECT o_year,
+        |  CASE WHEN CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) <> 0 THEN
         |  CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
-        |    / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+        |    / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) END AS mkt_share
         |FROM (
         |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
         |    l_extendedprice * (1 - l_discount) AS volume,
@@ -340,11 +346,12 @@ object TpchOps {
 
     q("t_q14",
       """SELECT
+        |  CASE WHEN CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) <> 0 THEN
         |  100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
         |                             THEN l_extendedprice * (1 - l_discount)
         |                             ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
         |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
-        |  AS promo_revenue
+        |  END AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'""".stripMargin),
 

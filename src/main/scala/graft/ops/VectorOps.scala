@@ -175,12 +175,32 @@ object VectorOps {
       |    CAST(SUM(CASE WHEN pr >= 0 THEN (1 << (p % 4)) ELSE 0 END) AS BIGINT) AS band_val
       |  FROM proj GROUP BY 1, 2)""".stripMargin
 
-  /** cosine between two pre-cast double vectors. */
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** cosine between two pre-cast double vectors. ZERO-NORM CONVENTION
+    * (r12 degenerate sweep): cosine with a zero vector is DEFINED as
+    * 0.0 on both engines — unguarded, ANSI Spark raises DIVIDE_BY_ZERO
+    * while DuckDB's list_cosine_similarity returns a −1.0 sentinel, a
+    * cross-engine divergence AND an ordering hazard. 0.0 ("no
+    * similarity") is concrete, orders deterministically, and never
+    * enters a top-k ahead of a real similarity. */
+  private def cosine(a: Column, b: Column): Column = {
+    val den = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(den =!= 0.0, dot(a, b) / den).otherwise(lit(0.0))
+  }
 
-  private val duckCos =
-    "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+  /** guarded pre-normed similarity: dot/den with the same zero-norm
+    * convention as `cosine` (den is the precomputed norm product). */
+  private def cosPre(d: Column, den: Column): Column =
+    when(den =!= 0.0, d / den).otherwise(lit(0.0))
+
+  /** zero-norm-guarded DuckDB cosine over two table aliases (the
+    * oracle twin of `cosine`): 0.0 when either vector has zero norm. */
+  private def duckCosOf(a: String, b: String): String =
+    s"CASE WHEN list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))" +
+      s" * list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])) > 0" +
+      s" THEN list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))" +
+      s" ELSE CAST(0 AS DOUBLE) END"
+
+  private val duckCos = duckCosOf("a.embedding", "b.embedding")
 
   /** Embedding dimension (one-row metadata read) and the derived PQ
     * subspace count — width-8 subspaces, count derived from the data so
@@ -323,18 +343,24 @@ object VectorOps {
   val all: Seq[Q] = Seq(
     // Unit-L2 normalization; emit the norm and first components.
     Q("h_vector_norm", (s, d) => {
+      // zero-vector guard (r12 degenerate sweep): the unit direction of
+      // a zero vector is undefined — NULL on both engines (unguarded,
+      // ANSI Spark raises while DuckDB's x/0 yields NULL)
       withDoubles(s, d)
         .withColumn("l2", sqrt(dot(col("dv"), col("dv"))))
         .select(col("vec_id"),
           r6(col("l2")).as("l2_norm"),
-          r6(element_at(col("dv"), 1) / col("l2")).as("u1"),
-          r6(element_at(col("dv"), 2) / col("l2")).as("u2"))
+          r6(when(col("l2") =!= 0.0, element_at(col("dv"), 1) / col("l2")))
+            .as("u1"),
+          r6(when(col("l2") =!= 0.0, element_at(col("dv"), 2) / col("l2")))
+            .as("u2"))
         .orderBy("vec_id")
     }, Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
         |n AS (SELECT vec_id, dv, SQRT(list_sum(list_transform(dv, x -> x * x))) AS l2 FROM e)
         |SELECT vec_id, ROUND(l2, 6) AS l2_norm,
-        |  ROUND(dv[1] / l2, 6) AS u1, ROUND(dv[2] / l2, 6) AS u2
+        |  ROUND(CASE WHEN l2 <> 0 THEN dv[1] / l2 END, 6) AS u1,
+        |  ROUND(CASE WHEN l2 <> 0 THEN dv[2] / l2 END, 6) AS u2
         |FROM n ORDER BY vec_id""".stripMargin)),
 
     // Exact global top-10 most-similar pairs (the correctness baseline
@@ -354,7 +380,7 @@ object VectorOps {
         .select(col("vec_id"), col("dv"), sqrt(dot(col("dv"), col("dv"))).as("nrm"))
       PairJoins.trianglePairs(e, Nil, "vec_id", 8)
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          r6(dot(col("a.dv"), col("b.dv")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+          r6(cosPre(dot(col("a.dv"), col("b.dv")), col("a.nrm") * col("b.nrm"))).as("sim"))
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(10)
     }, Some(
@@ -642,7 +668,7 @@ object VectorOps {
       val ne = e.select(col("vec_id").as("nn_id"), col("dv").as("nv"), col("nrm").as("nn"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nn_id"))
       cand.join(qe, "q_id").join(ne, "nn_id")
-        .withColumn("sim", r6(dot(col("qv"), col("nv")) / (col("qn") * col("nn"))))
+        .withColumn("sim", r6(cosPre(dot(col("qv"), col("nv")), col("qn") * col("nn"))))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("rn"), col("nn_id"), col("sim"))
@@ -683,7 +709,7 @@ object VectorOps {
       val eb = e.select(col("vec_id").as("id_b"), col("dv").as("vb"), col("nrm").as("nb"))
       cand.join(ea, "id_a").join(eb, "id_b")
         .select(col("id_a"), col("id_b"),
-          r6(dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+          r6(cosPre(dot(col("va"), col("vb")), col("na") * col("nb"))).as("sim"))
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(10)
     }, Some(
@@ -710,7 +736,7 @@ object VectorOps {
         .select(col("vec_id"), col("dv"), sqrt(dot(col("dv"), col("dv"))).as("nrm"))
       val exact = PairJoins.trianglePairs(e, Nil, "vec_id", 8)
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          r6(dot(col("a.dv"), col("b.dv")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+          r6(cosPre(dot(col("a.dv"), col("b.dv")), col("a.nrm") * col("b.nrm"))).as("sim"))
         .orderBy(col("sim").desc, col("id_a"), col("id_b")).limit(10)
       val sig = lshSigs(s, d)
       val cand = sig.select(col("vec_id").as("id_a"), col("band"), col("band_val"))
@@ -768,7 +794,7 @@ object VectorOps {
           col("nrm").as("nn"))
         .crossJoin(broadcast(q))
         .filter(col("nn_id") =!= col("q_id"))
-        .withColumn("sim", r6(dot(col("qv"), col("nv")) / (col("qn") * col("nn"))))
+        .withColumn("sim", r6(cosPre(dot(col("qv"), col("nv")), col("qn") * col("nn"))))
         .withColumn("erk", row_number().over(wq))
         .filter(col("erk") <= 10)
         .select(col("q_id"), col("nn_id"), col("erk"))
@@ -783,7 +809,7 @@ object VectorOps {
         .join(q, "q_id")
         .join(e.select(col("vec_id").as("nn_id"), col("dv").as("nv"),
           col("nrm").as("nn")), "nn_id")
-        .withColumn("sim", r6(dot(col("qv"), col("nv")) / (col("qn") * col("nn"))))
+        .withColumn("sim", r6(cosPre(dot(col("qv"), col("nv")), col("qn") * col("nn"))))
         .withColumn("pos", row_number().over(wq))
         .filter(col("pos") <= 10)
         .select(col("q_id"), col("nn_id"), col("pos"))
@@ -887,7 +913,8 @@ object VectorOps {
       val ea = e.select(col("vec_id").as("id_a"), col("dv").as("va"), col("nrm").as("na"))
       val eb = e.select(col("vec_id").as("id_b"), col("dv").as("vb"), col("nrm").as("nb"))
       val edges = cand.join(ea, "id_a").join(eb, "id_b")
-        .withColumn("sim", r6(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+        .withColumn("sim",
+          r6(cosPre(dot(col("va"), col("vb")), col("na") * col("nb"))))
         .filter(col("sim") >= 0.4)
         .groupBy(col("id_b"))
         .agg(min(col("id_a")).as("dup_of"), count(lit(1)).as("n_dup_lower"))
@@ -1022,10 +1049,8 @@ object VectorOps {
          |ga AS (SELECT list(c ORDER BY pos) AS gcarr FROM g),
          |per AS (
          |  SELECT e.lang,
-         |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ca.carr), 6)
-         |      AS cos_own,
-         |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ga.gcarr), 6)
-         |      AS cos_glob
+         |    ROUND(${duckCosOf("e.embedding", "ca.carr")}, 6) AS cos_own,
+         |    ROUND(${duckCosOf("e.embedding", "ga.gcarr")}, 6) AS cos_glob
          |  FROM e JOIN ca USING (lang) CROSS JOIN ga)
          |SELECT lang, COUNT(*) AS n_docs,
          |  ${dSum("cos_own")} / COUNT(*) AS avg_cos_own,
@@ -1441,7 +1466,9 @@ object VectorOps {
         .orderBy("pos")
     }, Some(
       s"""$pcaCtes
-        |SELECT w3.i AS pos, w3.w / n3.nrm AS loading, n3.nrm AS s_eigval
+        |SELECT w3.i AS pos,
+        |  CASE WHEN n3.nrm <> 0 THEN w3.w / n3.nrm END AS loading,
+        |  n3.nrm AS s_eigval
         |FROM w3, n3 ORDER BY pos""".stripMargin)),
 
     // PC1 projection — the per-vector half of the whitening step: score
@@ -1465,7 +1492,7 @@ object VectorOps {
         .orderBy("vec_id")
     }, Some(
       s"""$pcaCtes,
-        |v3 AS (SELECT i AS j, w / nrm AS v FROM w3, n3)
+        |v3 AS (SELECT i AS j, CASE WHEN nrm <> 0 THEN w / nrm END AS v FROM w3, n3)
         |SELECT long.vec_id, ${dSumHop12("long.x * v3.v")} AS pc1_score
         |FROM long JOIN v3 ON v3.j = long.i
         |GROUP BY long.vec_id ORDER BY long.vec_id""".stripMargin)),
@@ -1532,8 +1559,7 @@ object VectorOps {
          |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
          |denseTop AS (
          |  SELECT e.vec_id AS doc_id,
-         |    ROUND(list_cosine_similarity(
-         |      CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim
+         |    ROUND(${duckCosOf("e.embedding", "q.embedding")}, 6) AS sim
          |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
          |  ORDER BY sim DESC, doc_id LIMIT 50),
          |dr AS (
@@ -1599,14 +1625,14 @@ object VectorOps {
       s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
          |cd AS (
          |  SELECT e.vec_id AS doc_id,
-         |    CAST(FLOOR(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-         |      CAST(q.embedding AS DOUBLE[])) * 1e6 + 0.5) AS BIGINT) AS rel_u
+         |    CAST(FLOOR(${duckCosOf("e.embedding", "q.embedding")}
+         |      * 1e6 + 0.5) AS BIGINT) AS rel_u
          |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
          |  ORDER BY rel_u DESC, doc_id LIMIT 20),
          |pr AS (
          |  SELECT ca.doc_id AS a, cb.doc_id AS b,
-         |    CAST(FLOOR(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-         |      CAST(eb.embedding AS DOUBLE[])) * 1e6 + 0.5) AS BIGINT) AS sim_u
+         |    CAST(FLOOR(${duckCosOf("ea.embedding", "eb.embedding")}
+         |      * 1e6 + 0.5) AS BIGINT) AS sim_u
          |  FROM cd ca JOIN embeddings ea ON ea.vec_id = ca.doc_id
          |    JOIN cd cb ON cb.doc_id <> ca.doc_id
          |    JOIN embeddings eb ON eb.vec_id = cb.doc_id),
@@ -1722,11 +1748,16 @@ object VectorOps {
       .groupBy(col("i"))
       .agg(sum((col("sij") * col("v")).cast(dec12)).cast("double").as("w"))
 
-  /** v = w/‖w‖ as (j, v); the quotient stays a raw double. */
+  /** v = w/‖w‖ as (j, v); the quotient stays a raw double. Zero-image
+    * guard (r12 degenerate sweep): ‖w‖ = 0 (all-zero scatter — e.g. a
+    * constant corpus) has no direction — NULL, mirrored by the CASE in
+    * the oracle's v CTEs, and NULL then propagates identically through
+    * the remaining iterations on both engines. */
   private def pcaNormalize(w: DataFrame): DataFrame =
     w.crossJoin(broadcast(
         w.agg(sqrt(sum((col("w") * col("w")).cast(dec12)).cast("double")).as("nrm"))))
-      .select(col("i").as("j"), (col("w") / col("nrm")).as("v"))
+      .select(col("i").as("j"),
+        when(col("nrm") =!= 0.0, col("w") / col("nrm")).as("v"))
 
   /** Third power-iteration image w₃ = S·v₂ (v₀ = 1⃗) — the un-normalized
     * PC1 both checked queries derive from. Memoized AND stage-wise
@@ -1774,11 +1805,11 @@ object VectorOps {
        |w1 AS (SELECT i, ${dSumHop12("sij * 1.0")} AS w
        |       FROM smat GROUP BY i),
        |n1 AS (SELECT sqrt(${dSumHop12("w * w")}) AS nrm FROM w1),
-       |v1 AS (SELECT i AS j, w / nrm AS v FROM w1, n1),
+       |v1 AS (SELECT i AS j, CASE WHEN nrm <> 0 THEN w / nrm END AS v FROM w1, n1),
        |w2 AS (SELECT smat.i, ${dSumHop12("sij * v1.v")} AS w
        |       FROM smat JOIN v1 USING (j) GROUP BY smat.i),
        |n2 AS (SELECT sqrt(${dSumHop12("w * w")}) AS nrm FROM w2),
-       |v2 AS (SELECT i AS j, w / nrm AS v FROM w2, n2),
+       |v2 AS (SELECT i AS j, CASE WHEN nrm <> 0 THEN w / nrm END AS v FROM w2, n2),
        |w3 AS (SELECT smat.i, ${dSumHop12("sij * v2.v")} AS w
        |       FROM smat JOIN v2 USING (j) GROUP BY smat.i),
        |n3 AS (SELECT sqrt(${dSumHop12("w * w")}) AS nrm FROM w3)""".stripMargin
