@@ -53,6 +53,62 @@ class StatefulSpec extends AnyFunSuite {
     finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("RocksDB changelog checkpointing: parity + state-store metrics surface") {
+    // The production streaming surface r11 left unexercised: changelog
+    // checkpointing (per-batch delta files instead of full RocksDB
+    // snapshot uploads — the low-latency-commit mode a long-running
+    // job runs) plus the observability contract: state-store memory
+    // and commit latency must be readable from StreamingQueryProgress
+    // alone, because that is what a production monitor scrapes.
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val changelog =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val savedP = spark.conf.getOption(provider)
+    val savedC = spark.conf.getOption(changelog)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelog, "true")
+    try {
+      val evs = Io.events(spark, sf)
+        .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+        .as[Ev].collect().toSeq
+      val (first, second) = evs.splitAt(evs.size / 2)
+      val mem = MemoryStream[Ev]
+      val q = Streams.runningUserCounts(mem.toDS()).writeStream
+        .format("memory").queryName("rc_changelog")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        mem.addData(first); q.processAllAvailable()
+        mem.addData(second); q.processAllAvailable()
+        val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        assert(progress.nonEmpty, "no progress with state operators")
+        val so = progress.last.stateOperators.head
+        val batchUsers = evs.map(_.user_id).distinct.size.toLong
+        assert(so.numRowsTotal === batchUsers,
+          s"state rows ${so.numRowsTotal} != $batchUsers distinct users")
+        assert(so.commitTimeMs >= 0L, "commit latency not surfaced")
+        import scala.jdk.CollectionConverters._
+        val cm = so.customMetrics.asScala
+        assert(cm.keys.exists(_.startsWith("rocksdb")),
+          s"no rocksdb metrics among ${cm.keys.toSeq.sorted}")
+        val memKeys = cm.keys.filter(k =>
+          k.startsWith("rocksdb") && k.toLowerCase.contains("memory"))
+        assert(memKeys.nonEmpty && memKeys.forall(k => cm(k) >= 0L),
+          s"rocksdb memory usage not surfaced; rocksdb metrics = " +
+            cm.keys.filter(_.startsWith("rocksdb")).toSeq.sorted)
+      } finally q.stop()
+      val streamed = spark.table("rc_changelog").as[UserCount].collect()
+        .groupBy(_.user_id).view.mapValues(_.map(_.n).max).toMap
+      val batch = evs.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+      assert(streamed === batch)
+    } finally {
+      savedP.fold(spark.conf.unset(provider))(spark.conf.set(provider, _))
+      savedC.fold(spark.conf.unset(changelog))(spark.conf.set(changelog, _))
+    }
+  }
+
   test("transformWithState activity summary converges to batch aggregates (RocksDB)") {
     // Spark 4's typed-state-variable API; requires the RocksDB provider
     import spark.implicits._

@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Scale-slope gate (r11 VERDICT item 1): read target/scale_check.json
+(written by graft.ScaleCheck over sf0.1 vs the ScaleGen sf1 corpus) and
+gate every row's warm-time slope:
+
+  linear rows:     t(sf1)/t(sf0.1) <= 12   (10x data; ~linear with
+                                            per-stage constant
+                                            amortization headroom)
+  quadratic rows:  <= 130                  (the exact all-pairs
+                                            yardsticks are O(n^2) BY
+                                            DESIGN: 10x docs = 100x
+                                            pairs, +30% headroom)
+
+Rows whose sf0.1 warm time is under 0.3 s use max(a_warm, 0.3) as the
+slope base — a 0.05 s -> 0.7 s move is fixed-overhead amortization
+(job scheduling, artifact memo hits), not an algorithmic slope.
+
+Also regenerates SCALE.md with the full table. Exit 1 on any gate
+failure or failed sf1 run.
+"""
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+LINEAR_MAX = 12.0
+QUAD_MAX = 130.0
+MIN_BASE = 0.3
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        HERE, "..", "target", "scale_check.json")
+    rows = json.load(open(path))
+    bad = []
+    lines = []
+    for r in rows:
+        quad = r.get("quadratic", False)
+        cap = QUAD_MAX if quad else LINEAR_MAX
+        if r["b_warm"] < 0:
+            bad.append((r["q"], "sf1 run FAILED"))
+            verdict = "FAIL(run)"
+            slope = float("nan")
+        else:
+            base = max(r["a_warm"], MIN_BASE)
+            slope = r["b_warm"] / base
+            if slope > cap:
+                bad.append((r["q"], f"slope {slope:.1f}x > {cap:.0f}x"))
+                verdict = "FAIL"
+            else:
+                verdict = "ok"
+        lines.append(
+            f"| {r['q']} | {r['a_cold']:.2f} | {r['a_warm']:.2f} "
+            f"| {r['b_cold']:.2f} | {r['b_warm']:.2f} "
+            f"| {slope:.1f}x | {'O(n²) yardstick' if quad else 'linear'} "
+            f"| {verdict} |")
+
+    md = [
+        "# SCALE — empirical scale-slope evidence (r12)",
+        "",
+        "`graft.ScaleGen` derives an sf1 corpus (10× the sf0.1 bench",
+        "scale: 6M lineitem / 1.5M orders / 1M events / 50k documents /",
+        "20k embeddings; FK-consistent key-replica offsets, per-replica",
+        "word mutation so text replicas are NOT near-duplicates, ±0.5%",
+        "embedding perturbation). `graft.ScaleCheck` runs the heaviest",
+        "checked rows at both scales in one session (cold = first run",
+        "incl. that SF's memoized artifact builds, warm = steady state)",
+        "and `tools/scale_gate.py` enforces near-linear warm slopes:",
+        f"≤{LINEAR_MAX:.0f}× for linear rows, ≤{QUAD_MAX:.0f}× for the",
+        "documented exact-all-pairs yardsticks, slope base floored at",
+        f"{MIN_BASE} s (fixed-overhead amortization is not a slope).",
+        "",
+        "",
+        "The bounded-vocabulary docMasks dedup variants",
+        "(h_minhash_lsh_dedup / h_dedup_clusters / h_cluster_size_hist /",
+        "h_dedup_method_agreement) are NOT in this table by design:",
+        "their single-long token masks carry a fail-loud 64-token",
+        "vocabulary guard, and the sf1 corpus's grown vocabulary (89",
+        "tokens) correctly RAISED it in the r12 run — the open-vocab",
+        "scale path (h_exact_dedup / h_line_dedup / h_minhash_widevocab)",
+        "is what is measured here.",
+        "",
+        "| query | sf0.1 cold | sf0.1 warm | sf1 cold | sf1 warm "
+        "| warm slope | class | gate |",
+        "|---|---|---|---|---|---|---|---|",
+    ] + lines + [
+        "",
+        f"Gate: {'PASS — every row inside its slope cap' if not bad else 'FAIL: ' + '; '.join(f'{q} ({why})' for q, why in bad)}",
+        "",
+        "Reproduce: `runMain graft.ScaleGen` (writes /tmp/graft-sf1),",
+        "`runMain graft.ScaleCheck`, `python3 tools/scale_gate.py`.",
+    ]
+    out = os.path.join(HERE, "..", "SCALE.md")
+    with open(out, "w") as f:
+        f.write("\n".join(md) + "\n")
+    for q, why in bad:
+        print(f"FAIL {q}: {why}")
+    print(f"== scale gate: {len(rows) - len(bad)}/{len(rows)} rows pass; "
+          f"SCALE.md written ==")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
