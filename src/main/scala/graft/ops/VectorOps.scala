@@ -570,6 +570,138 @@ object VectorOps {
          |  JOIN ev b ON b.cell = p.probe_cell AND b.vec_id <> p.q_id
          |QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin)),
 
+    // The IVF recall/cost CURVE — the knob itself as a checked row
+    // (r11 VERDICT stretch): for nprobe = 1..4, recall@3 of the probed
+    // candidate set against the exact per-query cosine top-3, next to
+    // the candidate count that is the knob's price. This is the table
+    // an index operator actually reads to pick nprobe. Shape at
+    // 100 TB: the quantizer is the shared exact-decimal coarse
+    // assignment (centroids broadcast, one cell shuffle), the
+    // candidate census is ONE probe-rank-keyed equi-join counted
+    // cumulatively over the 4-row nprobe spine, and the ground truth
+    // is per-QUERY exact cosine (20 queries × n — linear, not the
+    // all-pairs yardstick). Everything emitted is an integer or an
+    // int/int division (engine-exact, no snaps).
+    Q("h_ann_nprobe_curve", (s, d) => {
+      graft.functions.SqDistDec.register(s)
+      val e = Io.table(s, d, "embeddings")
+      val cent = e.select(col("label").as("c_label"),
+          posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .groupBy(col("c_label"), col("pos0"))
+        .agg((decSum12(col("v").cast("double")) / count(lit(1))).as("c"))
+      val centArr = cent.groupBy(col("c_label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos0"), col("c")))),
+          x => x.getField("c")).as("carr"))
+      val dist = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centArr))
+        .select(col("vec_id"), col("c_label"),
+          expr("sq_dist_dec(embedding, carr)").as("d2"))
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2"), col("c_label"))
+      val ranked = dist.withColumn("rn", row_number().over(wCell))
+      val cells = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label").as("cell"))
+      val qprobes = ranked.filter(col("rn") <= 4 && col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("c_label").as("probe_cell"),
+          col("rn").as("prn"))
+      val ev = e.select(col("vec_id")).join(cells, "vec_id")
+      // candidate census per (query, probe rank): home cells are
+      // unique, so each (q, v) candidate appears at exactly one prn
+      val cand = qprobes.join(ev,
+          col("probe_cell") === col("cell") && col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"), col("prn"))
+      val spine = s.range(1, 5).select(col("id").cast("int").as("nprobe"))
+      val costs = spine.join(cand, col("prn") <= col("nprobe"))
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("n_candidates"))
+      // exact per-query ground truth: top-3 by cosine over ALL vectors
+      val ed = withDoubles(s, d).select(col("vec_id"), col("dv"))
+      val qv = ed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("dv").as("qv"))
+      val wK = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val truth = qv.join(ed, col("q_id") =!= col("vec_id"))
+        .withColumn("sim", r6(cosine(col("qv"), col("dv"))))
+        .withColumn("trn", row_number().over(wK))
+        .filter(col("trn") <= 3)
+        .select(col("q_id"), col("vec_id"))
+      // minimal probe rank that reaches each true neighbor
+      val reach = truth.join(cand, Seq("q_id", "vec_id"), "left")
+      spine.join(costs, Seq("nprobe"), "left")
+        .crossJoin(broadcast(reach.agg(count(lit(1)).as("n_truth"))
+          .select(col("n_truth"))))
+        .join(reach.crossJoin(spine.select(col("nprobe").as("k")))
+          .filter(col("prn") <= col("k"))
+          .groupBy(col("k").as("nprobe")).agg(count(lit(1)).as("n_hits")),
+          Seq("nprobe"), "left")
+        .select(col("nprobe"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("n_truth"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          when(col("n_truth") > 0,
+            coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_truth").cast("double")).as("recall_at_3"))
+        .orderBy("nprobe")
+    }, Some(
+      s"""WITH cent AS (
+         |  SELECT label AS c_label, i AS pos,
+         |    ${dSum12("CAST(embedding[i] AS DOUBLE)")} / COUNT(*) AS c
+         |  FROM embeddings,
+         |    (SELECT UNNEST(generate_series(1,
+         |       (SELECT MAX(len(embedding)) FROM embeddings))) AS i)
+         |  GROUP BY label, i),
+         |dist AS (
+         |  SELECT e.vec_id, cent.c_label,
+         |    CAST(SUM(CAST((CAST(e.embedding[cent.pos] AS DOUBLE) - cent.c)
+         |                  * (CAST(e.embedding[cent.pos] AS DOUBLE) - cent.c)
+         |             AS DECIMAL(38,12))) AS DOUBLE) AS d2
+         |  FROM embeddings e, cent
+         |  GROUP BY e.vec_id, cent.c_label),
+         |ranked AS (
+         |  SELECT vec_id, c_label,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                       ORDER BY d2, c_label) AS rn
+         |  FROM dist),
+         |cells AS (SELECT vec_id, c_label AS cell FROM ranked WHERE rn = 1),
+         |qprobes AS (
+         |  SELECT vec_id AS q_id, c_label AS probe_cell, rn AS prn
+         |  FROM ranked WHERE rn <= 4 AND vec_id < 20),
+         |cand AS (
+         |  SELECT p.q_id, c.vec_id, p.prn
+         |  FROM qprobes p JOIN cells c
+         |    ON c.cell = p.probe_cell AND c.vec_id <> p.q_id),
+         |spine AS (SELECT CAST(UNNEST(generate_series(1, 4)) AS INT)
+         |          AS nprobe),
+         |costs AS (
+         |  SELECT s.nprobe, COUNT(*) AS n_candidates
+         |  FROM spine s JOIN cand ON cand.prn <= s.nprobe
+         |  GROUP BY s.nprobe),
+         |truth AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 20
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |    ORDER BY ROUND($duckCos, 6) DESC, b.vec_id) <= 3),
+         |reach AS (
+         |  SELECT t.q_id, t.vec_id, cand.prn
+         |  FROM truth t LEFT JOIN cand
+         |    ON cand.q_id = t.q_id AND cand.vec_id = t.vec_id),
+         |nt AS (SELECT COUNT(*) AS n_truth FROM reach),
+         |hits AS (
+         |  SELECT s.nprobe, COUNT(*) AS n_hits
+         |  FROM spine s JOIN reach r ON r.prn <= s.nprobe
+         |  GROUP BY s.nprobe)
+         |SELECT s.nprobe,
+         |  CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  nt.n_truth,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CASE WHEN nt.n_truth > 0 THEN
+         |    CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+         |      / CAST(nt.n_truth AS DOUBLE) END AS recall_at_3
+         |FROM spine s
+         |  LEFT JOIN costs c USING (nprobe)
+         |  LEFT JOIN hits h ON h.nprobe = s.nprobe
+         |  CROSS JOIN nt
+         |ORDER BY s.nprobe""".stripMargin)),
+
     // Lloyd's k-means, the IVF index BUILD step made explicit: K=4
     // centroids seeded from vec_id < 4 (deterministic init — rand()
     // init is unreproducible across engines and retries), one full
