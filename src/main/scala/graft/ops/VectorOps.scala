@@ -611,8 +611,12 @@ object VectorOps {
           col("probe_cell") === col("cell") && col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id"), col("prn"))
       val spine = s.range(1, 5).select(col("id").cast("int").as("nprobe"))
-      val costs = spine.join(cand, col("prn") <= col("nprobe"))
-        .groupBy(col("nprobe")).agg(count(lit(1)).as("n_candidates"))
+      // census by probe rank FIRST (≤4 rows), then the cumulative sum
+      // over the 4×4 spine join — the nprobe fan-out never touches
+      // data-sized rows
+      val prnCounts = cand.groupBy(col("prn")).agg(count(lit(1)).as("c"))
+      val costs = spine.join(prnCounts, col("prn") <= col("nprobe"))
+        .groupBy(col("nprobe")).agg(sum(col("c")).as("n_candidates"))
       // exact per-query ground truth: top-3 by cosine over ALL vectors
       val ed = withDoubles(s, d).select(col("vec_id"), col("dv"))
       val qv = ed.filter(col("vec_id") < 20)
@@ -670,9 +674,10 @@ object VectorOps {
          |    ON c.cell = p.probe_cell AND c.vec_id <> p.q_id),
          |spine AS (SELECT CAST(UNNEST(generate_series(1, 4)) AS INT)
          |          AS nprobe),
+         |prnc AS (SELECT prn, COUNT(*) AS c FROM cand GROUP BY prn),
          |costs AS (
-         |  SELECT s.nprobe, COUNT(*) AS n_candidates
-         |  FROM spine s JOIN cand ON cand.prn <= s.nprobe
+         |  SELECT s.nprobe, CAST(SUM(c) AS BIGINT) AS n_candidates
+         |  FROM spine s JOIN prnc ON prnc.prn <= s.nprobe
          |  GROUP BY s.nprobe),
          |truth AS (
          |  SELECT a.vec_id AS q_id, b.vec_id

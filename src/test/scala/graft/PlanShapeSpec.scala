@@ -625,6 +625,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("nprobe curve: map-side quantizer, keyed candidates, bounded fan-out") {
+    // the recall/cost-curve row (r12): the coarse quantizer must be the
+    // native map-side sq_dist_dec against broadcast centroids, the
+    // candidate census a KEYED (cell) equi-join, and every nested-loop
+    // join a BOUNDED-side broadcast — the 10-row centroid array (×2:
+    // quantizer + truth prep), the 20-query exact-truth side, the
+    // 4-row nprobe spine (costs + hits) and the one-row n_truth
+    // scalar: ≤6 total. A data-sized cartesian or an unkeyed
+    // candidate path would be the 100 TB mistake.
+    val p = plan("h_ann_nprobe_curve").split("== Initial Plan ==").head
+    assert(p.contains("sq_dist_dec"),
+      "native sq_dist_dec missing — quantizer is not map-side")
+    assert(!p.contains("CartesianProduct"), "a data-sized cartesian appeared")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 6,
+      s"$bnlj BroadcastNestedLoopJoins — more than the sanctioned bounded " +
+        "broadcasts:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), "no keyed join in the executed plan")
+  }
+
   test("semdedup: native cell distances, within-cell pairs stay a keyed join") {
     // SemDeDup's 100 TB claim is the clustering itself: the only
     // all-pairs work happens WITHIN a cell, as a keyed self-join on the
