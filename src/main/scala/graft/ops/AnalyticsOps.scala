@@ -989,6 +989,70 @@ object AnalyticsOps {
          |FROM ps ORDER BY lag""".stripMargin
     }),
 
+    // Cross-correlation of the click and purchase daily series at lags
+    // −3..+3 — the lead/lag read g_autocorr can't give: does click
+    // volume LEAD purchase volume (r peaks at positive lag), lag it,
+    // or move coincidentally? The attribution/capacity question asked
+    // before trusting any same-day conversion metric. Same scale shape
+    // as g_autocorr: ONE map-side-combined conditional count per day
+    // (both series from one pass), the lag pairing is a calendar-sized
+    // equi-join on (day + lag), Pearson r from exact DECIMAL(38,0)
+    // integer power sums, zero-variance lags NULL (mirrored guard —
+    // the r12 degenerate-sweep discipline), r snapped at 1e-6.
+    Q("g_xcorr_lead", (s, d) => {
+      val daily = Io.events(s, d).groupBy(day.as("dd"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("cx"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("cy"))
+      val lags = s.range(-3, 4).select(col("id").as("lag"))
+      val paired = daily.crossJoin(broadcast(lags))
+        .select(col("lag"), (col("dd") + col("lag")).as("dk"),
+          col("cx").as("x"))
+        .join(daily.select(col("dd").as("dk"), col("cy").as("y")), "dk")
+      val dec = (c: org.apache.spark.sql.Column) =>
+        sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double")
+      paired.groupBy(col("lag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dec(col("x")).as("sx"), dec(col("y")).as("sy"),
+          dec(col("x") * col("y")).as("sxy"),
+          dec(col("x") * col("x")).as("sxx"),
+          dec(col("y") * col("y")).as("syy"))
+        .select(col("lag"), col("n").cast("long").as("n_pairs"),
+          snap6(when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+                     (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+               sqrt(col("n") * col("syy") - col("sy") * col("sy")))))
+            .as("xcorr"))
+        .orderBy("lag")
+    }, Some {
+      val dec = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(38,0))) AS DOUBLE)"
+      s"""WITH daily AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS dd,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS cx,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS cy
+         |  FROM events GROUP BY 1),
+         |paired AS (
+         |  SELECT l.lag, a.cx AS x, b.cy AS y
+         |  FROM daily a CROSS JOIN (SELECT UNNEST(range(-3, 4)) AS lag) l
+         |  JOIN daily b ON a.dd + l.lag = b.dd),
+         |ps AS (
+         |  SELECT lag, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${dec("x")} AS sx, ${dec("y")} AS sy, ${dec("x * y")} AS sxy,
+         |    ${dec("x * x")} AS sxx, ${dec("y * y")} AS syy
+         |  FROM paired GROUP BY lag)
+         |SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+         |  ${dSnap6(
+             """CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+               |  THEN (n * sxy - sx * sy)
+               |       / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+               |  END""".stripMargin)} AS xcorr
+         |FROM ps ORDER BY lag""".stripMargin
+    }),
+
     // One-way ANOVA across ALL event-type arms (the k-group extension
     // of g_ab_welch): F statistic and effect size η² from per-group
     // (n, Σx, Σx²) exact decimal power sums — still one
@@ -3187,6 +3251,86 @@ object AnalyticsOps {
         |  CAST(2 AS DOUBLE) * (u2x / (CAST(2 AS DOUBLE) * n1 * n2))
         |    - CAST(1 AS DOUBLE) AS gini_roc
         |FROM a""".stripMargin)),
+
+    // Decile lift/gains table of `value` as a purchase ranker — the
+    // model-eval report published NEXT TO the scalar AUC (g_auc_value):
+    // per score decile, the purchase rate, cumulative gain share and
+    // lift over the base rate — what a targeting team reads to pick a
+    // cutoff. Deciles come from the GLOBAL rank of every scored event
+    // via the distributed two-pass range-rank (range partition by
+    // (value DESC, event_id), per-partition row_number, ≤|partitions|
+    // offset rows — never a single-partition window; the ranged table
+    // is materialized, the cusum lesson), decile = (rn−1)·10 DIV n + 1
+    // in pure integers. Counts are integers; rate/share/lift are
+    // int-derived doubles (rate raw int/int, lift a division of two
+    // such — engine-exact, zero snaps); zero-positive corpora emit
+    // NULL share/lift (mirrored guard, r12 sweep discipline). The
+    // final census window runs over the 10 decile rows (bounded by
+    // construction).
+    Q("g_lift_decile", (s, d) => {
+      val parts = s.sparkContext.defaultParallelism
+      val ev = Io.events(s, d)
+        .select(col("event_id"), col("value"),
+          (col("event_type") === "purchase").cast("long").as("y"))
+      val wLoc = Window.partitionBy(col("pid"))
+        .orderBy(col("value").desc, col("event_id"))
+      val local = Q.materialize(s, d, "lift_ranked") {
+        ev.repartitionByRange(parts, col("value").desc, col("event_id"))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lrn", row_number().over(wLoc))
+      }
+      val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("off"))
+      val tot = ev.agg(count(lit(1)).as("n"), sum(col("y")).as("ty"))
+      val perDec = local.join(broadcast(offs), "pid")
+        .crossJoin(broadcast(tot))
+        .withColumn("decile",
+          expr("CAST((lrn + off - 1) * 10 DIV n AS INT) + 1"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_events"), sum(col("y")).as("n_pos"),
+          max(col("n")).as("n"), max(col("ty")).as("ty"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDec
+        .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+        .select(col("decile"), col("n_events"), col("n_pos"),
+          (col("n_pos").cast("double") / col("n_events")).as("rate"),
+          when(col("ty") > 0,
+            col("cum_pos").cast("double") / col("ty")).as("cum_gain"),
+          when(col("ty") > 0,
+            (col("n_pos").cast("double") / col("n_events")) /
+              (col("ty").cast("double") / col("n"))).as("lift"))
+        .orderBy("decile")
+    }, Some(
+      """WITH ev AS (
+        |  SELECT event_id, value,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |ranked AS (
+        |  SELECT y,
+        |    ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn
+        |  FROM ev),
+        |tot AS (SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS ty FROM ev),
+        |dec AS (
+        |  SELECT CAST((rn - 1) * 10 // n AS INT) + 1 AS decile, y
+        |  FROM ranked CROSS JOIN tot),
+        |per AS (
+        |  SELECT decile, COUNT(*) AS n_events, CAST(SUM(y) AS BIGINT) AS n_pos
+        |  FROM dec GROUP BY decile)
+        |SELECT p.decile, p.n_events, p.n_pos,
+        |  CAST(p.n_pos AS DOUBLE) / p.n_events AS rate,
+        |  CASE WHEN t.ty > 0 THEN
+        |    CAST(SUM(p.n_pos) OVER (ORDER BY p.decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / t.ty END AS cum_gain,
+        |  CASE WHEN t.ty > 0 THEN
+        |    (CAST(p.n_pos AS DOUBLE) / p.n_events)
+        |      / (CAST(t.ty AS DOUBLE) / t.n) END AS lift
+        |FROM per p CROSS JOIN tot t
+        |ORDER BY p.decile""".stripMargin)),
 
     // Logistic regression by batch gradient descent — purchase-vs-click
     // from (value, hour-of-day), THREE fixed full-batch iterations from

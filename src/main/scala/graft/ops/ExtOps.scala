@@ -103,6 +103,30 @@ object ExtOps {
         |FROM embeddings, (SELECT UNNEST(generate_series(1, 64)) AS i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin)),
 
+    // The Generator/UDTF extension point as a CHECKED row (previously
+    // scalatest-only): the native ExplodeNgrams table function fans the
+    // corpus into word TRIGRAMS inside GenerateExec — the same
+    // distributed per-row expansion explode() gets, no driver
+    // involvement — and the census is hash-checked against a DuckDB
+    // twin that builds the identical trigrams relationally (split with
+    // trailing-empty-token retention on both engines — the tokenizer-
+    // parity class). Top-20 fused via TakeOrderedAndProject.
+    Q("u_udtf_ngrams", (s, d) => {
+      graft.functions.ExplodeNgrams.register(s)
+      Io.table(s, d, "documents")
+        .selectExpr("explode_ngrams(text, 3) AS trigram")
+        .groupBy(col("trigram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("trigram"))
+        .limit(20)
+    }, Some(
+      """WITH t AS (
+        |  SELECT UNNEST(list_transform(generate_series(1, len(toks) - 2),
+        |           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+        |    AS trigram
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+        |SELECT trigram, COUNT(*) AS cnt FROM t
+        |GROUP BY trigram ORDER BY cnt DESC, trigram LIMIT 20""".stripMargin)),
+
     // Multimodal plumbing: media as opaque binary + typed metadata. The
     // "decode" here is a deterministic metadata extractor over the bytes
     // (real decoders slot into the same per-row map; see

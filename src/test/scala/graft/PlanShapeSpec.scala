@@ -1158,6 +1158,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "g_pareto_share" -> "32-row partition-offset table",
       "g_pareto_skyline" -> "32-row partition-offset table",
       "h_quality_qnorm" -> "32-row partition-offset table",
+      // two windows: the 32-row offset table of the range-rank decile
+      // assignment + the cumulative gain over the ≤10 decile census
+      "g_lift_decile" -> "32-row partition-offset table + 10-row decile census",
       // post-aggregation histograms/censuses with a construction bound
       "g_survival_km" -> "day-grain duration histogram (≤ data range in days)",
       "g_ks_drift" -> "100-bin value histogram",
