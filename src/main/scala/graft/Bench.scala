@@ -181,6 +181,7 @@ object Bench {
         "c_join_dpp",           // dppOrders partitioned copy
         "e_csv_roundtrip",      // csvOrders CSV write
         "e_json_roundtrip",     // jsonCustomer JSON write
+        "e_schema_evolution",   // evolvedOrders two-generation write
         "e_snapshot_merge")     // snapOrders snapshot chain
       val jitHot = Seq("h_cosine_topk", "h_crosslang_neardup",
         "h_dedup_threshold_sweep", "h_ngram_jaccard", "d_agg_corr_matrix",

@@ -50,7 +50,54 @@ object EtlOps {
         "c_acctbal DOUBLE").json(path)
     }
 
+  /** Two-generation parquet table under one root (gen=1 lacks the
+    * o_orderpriority column added in gen=2) — the schema-EVOLUTION read
+    * path (`mergeSchema`: union footers, null-fill old files) inside
+    * the graded gate instead of scalatest-only. Built once per
+    * (session, corpus); at 100 TB this is exactly how a long-lived
+    * table reads after a column addition without a rewrite. */
+  private def evolvedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Q.memoized(s, d, "evolvedOrders") {
+      val path = Q.artifactPath(s, d, "evolved_orders")
+      val t0 = System.nanoTime()
+      val o = Io.table(s, d, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$path/gen=2")
+      Q.logArtifact("evolvedOrders", t0)
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$path/gen=1", s"$path/gen=2")
+    }
+
   val all: Seq[Q] = Seq(
+    // Schema-evolution read under the oracle gate: the merged-footer
+    // read of the two-generation table must reproduce the ORIGINAL
+    // orders exactly — pre-evolution rows surface with a NULL in the
+    // added column (bucketed '(pre-evolution)'), and counts/keys/money
+    // reconcile against the oracle's single-schema derivation of the
+    // same split. Any null-fill or column-alignment defect in the
+    // evolved read breaks the hash.
+    Q("e_schema_evolution", (s, d) => {
+      evolvedOrders(s, d)
+        .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)"))
+          .as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("key_sum"),
+          decSum(col("o_totalprice")).as("total_price"))
+        .orderBy("priority")
+    }, Some(
+      s"""SELECT
+         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+         |       ELSE '(pre-evolution)' END AS priority,
+         |  COUNT(*) AS n_orders,
+         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+         |  ${dSum("o_totalprice")} AS total_price
+         |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin)),
+
     // JSON-lines round-trip under the oracle gate (the Jackson codec
     // path — entirely disjoint from the CSV reader): explicit read
     // schema, doubles lossless through shortest-repr text, oracle
