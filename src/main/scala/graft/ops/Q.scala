@@ -137,8 +137,11 @@ object Q {
     * output schema (key + named double columns); values carry the
     * sketch's rank-error bound instead of exact interpolation.
     * PercentileSwapSpec proves the consumer rows' outputs are
-    * unchanged (g_rfm_segments) or inside the rank-error band (the
-    * percentile-emitting consumers) at the tested SFs.
+    * row-identical (g_rfm_segments at sf0.01), boundary-sliver-bounded
+    * (rfm at sf0.1: 14 of 14,999 customers move — tied integer
+    * dimensions put quintile thresholds ON data values, where the
+    * sketch may return the adjacent order statistic), or inside the
+    * rank-error band (the percentile-emitting consumers).
     */
   def exactPercentiles(df: DataFrame, key: String, v: String,
       ps: Seq[(Double, String)]): DataFrame = {

@@ -61,11 +61,36 @@ class PercentileSwapSpec extends AnyFunSuite {
     }
   }
 
-  test("g_rfm_segments is unchanged under the approx swap") {
+  test("g_rfm_segments is unchanged under the approx swap (sf0.01)") {
     val fn = SparkEntry.queries("g_rfm_segments")
     val exact = fn(spark, sf01).collect().toSeq
     val approx = withApprox()(fn(spark, sf01).collect().toSeq)
     assert(approx === exact)
+  }
+
+  test("g_rfm_segments drift under the approx swap is boundary-only (sf0.1)") {
+    // At sf0.1 the swap is NOT row-identical and cannot be: the R/F
+    // dimensions are heavily tied integers, so a quintile threshold
+    // can land exactly ON a data value — exact interpolation keeps it
+    // there while the sketch may return the adjacent order statistic,
+    // flipping exactly the customers AT the boundary (the epsilon the
+    // op's own comment documents). The checked contract is therefore:
+    // census mass conserved, and the moved mass is a boundary sliver
+    // (≤1% of customers), not a re-segmentation.
+    val fn = SparkEntry.queries("g_rfm_segments")
+    val d = "/root/testdata/sf0.1"
+    def census(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = census(fn(spark, d).collect())
+    val approx = withApprox()(census(fn(spark, d).collect()))
+    assert(exact.values.sum === approx.values.sum, "census mass not conserved")
+    val keys = exact.keySet ++ approx.keySet
+    val moved = keys.toSeq.map(k =>
+      math.abs(exact.getOrElse(k, 0L) - approx.getOrElse(k, 0L))).sum / 2
+    val total = exact.values.sum
+    info(s"approx swap moved $moved of $total customers across segments")
+    assert(moved <= total / 100,
+      s"$moved of $total customers moved — more than a boundary sliver")
   }
 
   test("every consumer runs green in approx mode with the exact schema") {
