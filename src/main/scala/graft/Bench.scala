@@ -181,8 +181,13 @@ object Bench {
         "c_join_dpp",           // dppOrders partitioned copy
         "e_csv_roundtrip",      // csvOrders CSV write
         "e_json_roundtrip",     // jsonCustomer JSON write
+        "e_orc_roundtrip",      // orcLineitem ORC write
         "e_schema_evolution",   // evolvedOrders two-generation write
-        "e_snapshot_merge")     // snapOrders snapshot chain
+        "e_snapshot_merge",     // snapOrders snapshot chain
+        "g_calibration_ece",    // calibBins
+        "g_cuped",              // cupedTreatMoments
+        "h_kl_source_shift",    // klSourceTok
+        "h_embed_drift")        // embedDriftCent
       val jitHot = Seq("h_cosine_topk", "h_crosslang_neardup",
         "h_dedup_threshold_sweep", "h_ngram_jaccard", "d_agg_corr_matrix",
         "h_cluster_size_hist")

@@ -2013,6 +2013,296 @@ object AnalyticsOps {
          |     / SUM(n_events) OVER (PARTITION BY event_type)) AS seasonal_index
          |FROM g ORDER BY event_type, dow""".stripMargin)),
 
+    // Classical seasonal decomposition (the moving-average STL
+    // ancestor): daily order revenue = trend + seasonal + residual,
+    // with trend a centered 7-observation moving average (only days
+    // with a full window emitted), seasonal the day-of-week mean of
+    // the detrended series, residual the remainder. The corpus-sized
+    // work is ONE hash aggregate to day grain; every window after that
+    // runs over the calendar-bounded daily table (≤ data range in
+    // days at ANY corpus size — same justification as g_survival_km's
+    // whitelist entry). Parity is integer-exact end to end: revenue in
+    // half-up cents via the floor(x*100+0.5) snap (exact IEEE in both
+    // engines; CAST double→int truncates in Spark but ROUNDS in
+    // DuckDB, so never cast), the 7-day total and the 7×detrended
+    // value (7·rev − t7) stay BIGINT, and the emitted doubles are
+    // int→double conversions and correctly-rounded divisions only —
+    // no decimal seams, no transcendentals. Int64 headroom: t7 at a
+    // 10×-sf1 corpus is ~7e11 cents ≪ 2⁶³.
+    Q("g_stl_decompose", (s, d) => {
+      val daily = Io.table(s, d, "orders")
+        .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+            " DIV 86400000000").as("day"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("rev_c"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val k = daily
+        .withColumn("t7", sum(col("rev_c")).over(w7))
+        .withColumn("cnt", count(lit(1)).over(w7))
+        .filter(col("cnt") === 7)
+        .withColumn("dt7", lit(7) * col("rev_c") - col("t7"))
+        .withColumn("dow", (col("day") + 3) % 7)
+      val sea = k.groupBy(col("dow"))
+        .agg(sum(col("dt7")).as("s_num"), count(lit(1)).as("s_cnt"))
+      val seasonal = (col("s_num").cast("double") / col("s_cnt")) / 700.0
+      k.join(broadcast(sea), "dow")
+        .select(col("day"), col("dow"),
+          (col("rev_c").cast("double") / 100.0).as("revenue"),
+          (col("t7").cast("double") / 700.0).as("trend"),
+          seasonal.as("seasonal"),
+          (col("dt7").cast("double") / 700.0 - seasonal).as("residual"))
+        .orderBy("day")
+    }, Some(
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT day, rev_c,
+        |    CAST(SUM(rev_c) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7,
+        |    COUNT(*) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt
+        |  FROM daily),
+        |k AS (
+        |  SELECT day, rev_c, t7, 7 * rev_c - t7 AS dt7, (day + 3) % 7 AS dow
+        |  FROM w WHERE cnt = 7),
+        |sea AS (
+        |  SELECT dow, CAST(SUM(dt7) AS BIGINT) AS s_num, COUNT(*) AS s_cnt
+        |  FROM k GROUP BY 1)
+        |SELECT k.day, k.dow,
+        |  CAST(k.rev_c AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(k.t7 AS DOUBLE) / 700.0 AS trend,
+        |  (CAST(s.s_num AS DOUBLE) / s.s_cnt) / 700.0 AS seasonal,
+        |  CAST(k.dt7 AS DOUBLE) / 700.0
+        |    - (CAST(s.s_num AS DOUBLE) / s.s_cnt) / 700.0 AS residual
+        |FROM k JOIN sea s USING (dow) ORDER BY day""".stripMargin)),
+
+    // DAU/MAU stickiness — the engagement ratio every product
+    // analytics stack reports: per calendar month, mean daily active
+    // users over monthly active users. Two corpus scans (daily
+    // distinct users keyed on (month, day); monthly distinct users
+    // keyed on month — DAU cannot be rolled up into MAU, distinctness
+    // does not compose across days), joined on the ≤|months| grain.
+    // At 100 TB both aggregates partial-combine on their keys; the
+    // join side is calendar-bounded. All counts are integers; the two
+    // ratios are int-chain IEEE divisions — bit-identical cross-engine.
+    Q("g_stickiness_dau_mau", (s, d) => {
+      val ev = Io.events(s, d)
+        .select(date_format(col("ts_t"), "yyyy-MM").as("month"),
+          expr("ts_us DIV 86400000000").as("day"), col("user_id"))
+      val daily = ev.groupBy(col("month"), col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+      val monthly = ev.groupBy(col("month"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      daily.join(monthly, "month")
+        .select(col("month"), col("n_days"), col("sum_dau"), col("mau"),
+          (col("sum_dau").cast("double") / col("n_days")).as("avg_dau"),
+          (col("sum_dau").cast("double") / col("n_days") / col("mau"))
+            .as("stickiness"))
+        .orderBy("month")
+    }, Some(
+      """WITH ev AS (
+        |  SELECT strftime(ts, '%Y-%m') AS month,
+        |    epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |daily AS (
+        |  SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(dau) AS BIGINT) AS sum_dau
+        |  FROM (SELECT month, day, COUNT(DISTINCT user_id) AS dau
+        |        FROM ev GROUP BY 1, 2)
+        |  GROUP BY month),
+        |monthly AS (
+        |  SELECT month, COUNT(DISTINCT user_id) AS mau FROM ev GROUP BY 1)
+        |SELECT d.month, d.n_days, d.sum_dau, m.mau,
+        |  CAST(d.sum_dau AS DOUBLE) / d.n_days AS avg_dau,
+        |  CAST(d.sum_dau AS DOUBLE) / d.n_days / m.mau AS stickiness
+        |FROM daily d JOIN monthly m USING (month) ORDER BY month""".stripMargin)),
+
+    // CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    // al. 2013) — the variance-reduction estimator every mature A/B
+    // platform applies before reading a treatment effect: per-user
+    // pre-period spend x (before the corpus time midpoint) and
+    // post-period spend y, θ = cov(x,y)/var(x) over ALL users, and the
+    // adjusted effect (ȳ_t − ȳ_c) − θ(x̄_t − x̄_c). Shape: one keyed
+    // hash-agg to the user grain, one 2-row treat-level moment
+    // aggregate (materialized — three tiny consumers), global moments
+    // re-summed from the two treat rows (decimal sums associate), then
+    // pure scalar math. Parity: the g_ols_multi discipline — per-user
+    // sums in DECIMAL(16,6), int128-promoted decimal moment products,
+    // dHop out-hops, every multiply seam 1e-12-snapped, singular
+    // guards (var(x)=0 → NULL θ) matching DuckDB's /0 → NULL.
+    Q("g_cuped", (s, d) => {
+      val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val dec16 = org.apache.spark.sql.types.DecimalType(16, 6)
+      val ev = Io.events(s, d).filter(col("value").isNotNull)
+      val mid = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+        .select(expr("(mn + mx) DIV 2").as("mid_us"))
+      val users = ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts_us") < col("mid_us"), col("value"))
+            .otherwise(0.0).cast(dec18)).cast(dec16).as("x"),
+          sum(when(col("ts_us") >= col("mid_us"), col("value"))
+            .otherwise(0.0).cast(dec18)).cast(dec16).as("y"))
+        .withColumn("treat", (col("user_id") % 2).cast("int"))
+      val t = Q.materialize(s, d, "cupedTreatMoments")(
+        users.groupBy(col("treat")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy")))
+      val g = t.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+          sum(col("sy")).as("sy"), sum(col("sxx")).as("sxx"),
+          sum(col("sxy")).as("sxy"), sum(col("syy")).as("syy"))
+        .select(col("n"),
+          (col("sx").cast("double") / col("n")).as("mx"),
+          (col("sy").cast("double") / col("n")).as("my"),
+          (col("sxx").cast("double") / col("n")).as("mxx"),
+          (col("sxy").cast("double") / col("n")).as("mxy"),
+          (col("syy").cast("double") / col("n")).as("myy"))
+        .withColumn("vxx", col("mxx") - snap12(col("mx") * col("mx")))
+        .withColumn("vxy", col("mxy") - snap12(col("mx") * col("my")))
+        .withColumn("vyy", col("myy") - snap12(col("my") * col("my")))
+        .withColumn("theta", when(col("vxx") =!= 0, col("vxy") / col("vxx")))
+        .withColumn("rho2", when(snap12(col("vxx") * col("vyy")) =!= 0,
+          snap12(col("vxy") * col("vxy"))
+            / snap12(col("vxx") * col("vyy"))))
+        .select(col("theta"), col("rho2"))
+      val wide = t.select(col("treat"), col("n"),
+          (col("sx").cast("double") / col("n")).as("mxt"),
+          (col("sy").cast("double") / col("n")).as("myt"))
+        .agg(sum(col("n")).as("n_users"),
+          max(when(col("treat") === 1, col("n"))).as("n_treat"),
+          max(when(col("treat") === 0, col("n"))).as("n_ctrl"),
+          max(when(col("treat") === 1, col("mxt"))).as("mx_t"),
+          max(when(col("treat") === 0, col("mxt"))).as("mx_c"),
+          max(when(col("treat") === 1, col("myt"))).as("my_t"),
+          max(when(col("treat") === 0, col("myt"))).as("my_c"))
+      wide.crossJoin(broadcast(g))
+        .select(col("n_users"), col("n_treat"), col("n_ctrl"), col("theta"),
+          (col("my_t") - col("my_c")).as("diff_raw"),
+          (col("my_t") - col("my_c")
+            - snap12(col("theta") * (col("mx_t") - col("mx_c"))))
+            .as("diff_cuped"),
+          col("rho2"), (lit(1.0) - col("rho2")).as("var_ratio"))
+    }, Some(
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, value
+         |  FROM events WHERE value IS NOT NULL),
+         |mid AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM ev),
+         |users AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CAST(CASE WHEN ts_us < mid_us THEN value ELSE 0 END
+         |         AS DECIMAL(18,6))) AS DECIMAL(16,6)) AS x,
+         |    CAST(SUM(CAST(CASE WHEN ts_us >= mid_us THEN value ELSE 0 END
+         |         AS DECIMAL(18,6))) AS DECIMAL(16,6)) AS y,
+         |    CAST(user_id % 2 AS INT) AS treat
+         |  FROM ev CROSS JOIN mid GROUP BY user_id),
+         |t AS (
+         |  SELECT treat, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(CAST(x AS DECIMAL(19,6)) * x) AS sxx,
+         |    SUM(CAST(x AS DECIMAL(19,6)) * y) AS sxy,
+         |    SUM(CAST(y AS DECIMAL(19,6)) * y) AS syy
+         |  FROM users GROUP BY 1),
+         |g AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+         |    SUM(sxx) AS sxx, SUM(sxy) AS sxy, SUM(syy) AS syy
+         |  FROM t),
+         |b AS (
+         |  SELECT n,
+         |    ${dHop("sx")} / n AS mx, ${dHop("sy")} / n AS my,
+         |    ${dHop("sxx")} / n AS mxx, ${dHop("sxy")} / n AS mxy,
+         |    ${dHop("syy")} / n AS myy
+         |  FROM g),
+         |c AS (
+         |  SELECT n,
+         |    mxx - ${dSnapHop12("mx * mx")} AS vxx,
+         |    mxy - ${dSnapHop12("mx * my")} AS vxy,
+         |    myy - ${dSnapHop12("my * my")} AS vyy
+         |  FROM b),
+         |sol AS (
+         |  SELECT
+         |    CASE WHEN vxx <> 0 THEN vxy / vxx END AS theta,
+         |    CASE WHEN ${dSnapHop12("vxx * vyy")} <> 0 THEN
+         |      ${dSnapHop12("vxy * vxy")} / ${dSnapHop12("vxx * vyy")}
+         |    END AS rho2
+         |  FROM c),
+         |tm AS (
+         |  SELECT treat, n,
+         |    ${dHop("sx")} / n AS mxt, ${dHop("sy")} / n AS myt
+         |  FROM t),
+         |w AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS n_users,
+         |    CAST(MAX(CASE WHEN treat = 1 THEN n END) AS BIGINT) AS n_treat,
+         |    CAST(MAX(CASE WHEN treat = 0 THEN n END) AS BIGINT) AS n_ctrl,
+         |    MAX(CASE WHEN treat = 1 THEN mxt END) AS mx_t,
+         |    MAX(CASE WHEN treat = 0 THEN mxt END) AS mx_c,
+         |    MAX(CASE WHEN treat = 1 THEN myt END) AS my_t,
+         |    MAX(CASE WHEN treat = 0 THEN myt END) AS my_c
+         |  FROM tm)
+         |SELECT w.n_users, w.n_treat, w.n_ctrl, sol.theta,
+         |  w.my_t - w.my_c AS diff_raw,
+         |  w.my_t - w.my_c
+         |    - ${dSnapHop12("sol.theta * (w.mx_t - w.mx_c)")} AS diff_cuped,
+         |  sol.rho2, CAST(1 AS DOUBLE) - sol.rho2 AS var_ratio
+         |FROM w CROSS JOIN sol""".stripMargin)),
+
+    // Two-proportion power analysis (MDE and required sample size) —
+    // the pre-test planning op of an experimentation platform: per
+    // event type, the minimum detectable effect at α=0.05 two-sided /
+    // 80% power for the observed base rate p (share of events with
+    // value ≥ 50) and current n, plus the per-arm n required to detect
+    // a 5% relative lift. One wide corpus-scan hash aggregate; the z
+    // constants are spelled as identical literals on both sides, so
+    // every derived value is a chain of correctly-rounded IEEE ops on
+    // int-ratio doubles (sqrt included) — bit-identical cross-engine.
+    // Zero/degenerate base rates leave relative fields NULL via the
+    // guarded CASE on both engines.
+    Q("g_power_mde", (s, d) => {
+      val z = lit(1.959963984540054) + lit(0.8416212335729143)
+      val p = col("n_hits").cast("double") / col("n")
+      Io.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") >= 50.0, 1L).otherwise(0L)).as("n_hits"))
+        .withColumn("p", p)
+        .withColumn("mde_abs",
+          z * sqrt(lit(2.0) * col("p") * (lit(1.0) - col("p")) / col("n")))
+        .withColumn("mde_rel",
+          when(col("p") > 0, col("mde_abs") / col("p")))
+        .withColumn("n_req_5pct", when(col("p") > 0,
+          ceil(z * z * lit(2.0) * col("p") * (lit(1.0) - col("p"))
+            / (lit(0.05) * col("p") * (lit(0.05) * col("p"))))
+            .cast("long")))
+        .select(col("event_type"), col("n"), col("n_hits"), col("p"),
+          col("mde_abs"), col("mde_rel"), col("n_req_5pct"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH g AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hits
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |k AS (
+        |  SELECT event_type, n, n_hits,
+        |    CAST(n_hits AS DOUBLE) / n AS p,
+        |    (1.959963984540054 + 0.8416212335729143) AS z
+        |  FROM g)
+        |SELECT event_type, n, n_hits, p,
+        |  z * SQRT(2.0 * p * (CAST(1 AS DOUBLE) - p) / n) AS mde_abs,
+        |  CASE WHEN p > 0 THEN
+        |    z * SQRT(2.0 * p * (CAST(1 AS DOUBLE) - p) / n) / p END AS mde_rel,
+        |  CASE WHEN p > 0 THEN
+        |    CAST(CEIL(z * z * 2.0 * p * (CAST(1 AS DOUBLE) - p)
+        |      / (0.05 * p * (0.05 * p))) AS BIGINT) END AS n_req_5pct
+        |FROM k ORDER BY event_type""".stripMargin)),
+
     // Difference-in-differences — the standard quasi-experimental
     // estimate: treat = user_id parity, post = events after the corpus
     // time midpoint (both data-derived, no magic constants), DiD =
@@ -2930,6 +3220,60 @@ object AnalyticsOps {
          |FROM lat GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin)),
 
+    // Conversion-latency distribution — the funnel-TIMING companion to
+    // g_funnel's step counts: per acquisition day-of-week (DOW of the
+    // user's first click), the p50/p90 of hours from first click to
+    // first subsequent purchase. Two keyed aggregates (first click per
+    // user, first qualifying purchase per user) and the distributed
+    // two-pass range-rank percentiles (Q.exactPercentiles — no
+    // single-partition window, swap-to-sketch knob included); the mean
+    // is an exact BIGINT micros sum over converters. Latency doubles
+    // are int→double conversions divided by the same literal on both
+    // engines; percentile interpolation is snapped at 1e-6 against
+    // DuckDB's quantile_cont (the g_fulfillment_latency pairing).
+    Q("g_funnel_time", (s, d) => {
+      val ev = Io.events(s, d)
+      val c0 = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("c0"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(c0, "user_id").filter(col("ts_us") >= col("c0"))
+        .groupBy(col("user_id"), col("c0"))
+        .agg(min(col("ts_us")).as("p0"))
+        .select(((expr("c0 DIV 86400000000") + 3) % 7).as("dow"),
+          (col("p0") - col("c0")).as("dmic"),
+          ((col("p0") - col("c0")).cast("double") / 3600000000.0)
+            .as("lat_hours"))
+      val n = conv.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_conv"), sum(col("dmic")).as("sum_mic"))
+      Q.exactPercentiles(conv, "dow", "lat_hours",
+          Seq((0.5, "p50r"), (0.9, "p90r")))
+        .join(n, "dow")
+        .select(col("dow"), col("n_conv"),
+          ((col("sum_mic").cast("double") / col("n_conv")) / 3600000000.0)
+            .as("mean_hours"),
+          snap6(col("p50r")).as("p50_hours"),
+          snap6(col("p90r")).as("p90_hours"))
+        .orderBy("dow")
+    }, Some(
+      s"""WITH c0 AS (
+         |  SELECT user_id, MIN(epoch_us(ts)) AS c0
+         |  FROM events WHERE event_type = 'click' GROUP BY 1),
+         |p0 AS (
+         |  SELECT e.user_id, c0.c0, MIN(epoch_us(e.ts)) AS p0
+         |  FROM events e JOIN c0 USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c0.c0
+         |  GROUP BY 1, 2),
+         |lat AS (
+         |  SELECT (c0 // 86400000000 + 3) % 7 AS dow, p0 - c0 AS dmic,
+         |    CAST(p0 - c0 AS DOUBLE) / 3600000000.0 AS lat_hours
+         |  FROM p0)
+         |SELECT dow, COUNT(*) AS n_conv,
+         |  (CAST(CAST(SUM(dmic) AS BIGINT) AS DOUBLE) / COUNT(*))
+         |    / 3600000000.0 AS mean_hours,
+         |  ${dSnap6("quantile_cont(lat_hours, 0.5)")} AS p50_hours,
+         |  ${dSnap6("quantile_cont(lat_hours, 0.9)")} AS p90_hours
+         |FROM lat GROUP BY dow ORDER BY dow""".stripMargin)),
+
     // Cohort LTV curve — the revenue companion to g_cohort_retention:
     // users grouped by the epoch-week of their FIRST event, cumulative
     // purchase value per cohort member at each cohort age. Integer
@@ -3426,6 +3770,80 @@ object AnalyticsOps {
          |       AS DOUBLE) / COUNT(*) AS accuracy
          |FROM ev CROSS JOIN wc""".stripMargin
     })),
+
+    // Calibration audit (reliability table + Expected Calibration
+    // Error) — the standard model-eval op run before shipping any
+    // scored model: bucket a fixed sigmoid score over purchase-vs-
+    // click events into 10 equal-width probability bins and compare
+    // mean predicted probability to the observed purchase rate;
+    // ECE = Σ_b (n_b/N)·|avg_p_b − rate_b|. One corpus-scan hash
+    // aggregate to the ≤10-bin table (materialized once — three tiny
+    // consumers would otherwise re-scan the corpus), then scalar
+    // broadcasts. Parity: the sigmoid is 1e-12-snapped (hop twin),
+    // per-row scores enter the bin sums as floor(p·1e12+0.5) BIGINTs
+    // (exact IEEE in both engines, int64-safe to ~9e6 rows/bin at
+    // 10×-sf1), rates are int/int divisions, and the cross-bin ECE
+    // sum is a 10-term BIGINT sum of floor-snapped terms — no
+    // order-dependent double accumulation anywhere.
+    Q("g_calibration_ece", (s, d) => {
+      def s12(c: org.apache.spark.sql.Column) = snap12(c)
+      val p = s12(lit(1.0) /
+        (lit(1.0) + exp(-((col("value") - 40.0) / 30.0))))
+      val bins = Q.materialize(s, d, "calibBins")(
+        Io.events(s, d)
+          .filter(col("event_type").isin("purchase", "click") &&
+            col("value").isNotNull)
+          .select(when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("y"), p.as("p"))
+          .groupBy(least(lit(9L), floor(col("p") * 10).cast("long")).as("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+            sum(floor(col("p") * 1e12 + 0.5).cast("long")).as("sp12"))
+          .withColumn("avg_p",
+            col("sp12").cast("double") / col("n") / 1e12)
+          .withColumn("rate", col("n_pos").cast("double") / col("n")))
+      val tot = bins.agg(sum(col("n")).as("n_total"))
+      val withN = bins.crossJoin(broadcast(tot))
+        .withColumn("gap", abs(col("avg_p") - col("rate")))
+      val ece = withN.agg(sum(
+        floor(col("n").cast("double") * col("gap") / col("n_total") * 1e12
+          + 0.5).cast("long")).as("e12"))
+      withN.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n"), col("n_pos"), col("avg_p"),
+          col("rate"), col("gap"),
+          (col("e12").cast("double") / 1e12).as("ece"))
+        .orderBy("bin")
+    }, Some {
+      val sg = "CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)" +
+        " + EXP(-((value - 40.0) / 30.0)))"
+      val pHop = s"CAST(CAST(CAST(CASE WHEN ABS($sg) < 5e-13" +
+        s" THEN CAST(0 AS DOUBLE) ELSE $sg END" +
+        " AS VARCHAR) AS DECIMAL(38,12)) AS DOUBLE)"
+      s"""WITH ev AS (
+         |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         |    $pHop AS p
+         |  FROM events
+         |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+         |b AS (
+         |  SELECT LEAST(9, CAST(FLOOR(p * 10) AS BIGINT)) AS bin,
+         |    COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+         |    CAST(SUM(CAST(FLOOR(p * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS sp12
+         |  FROM ev GROUP BY 1),
+         |k AS (
+         |  SELECT bin, n, n_pos,
+         |    CAST(sp12 AS DOUBLE) / n / 1e12 AS avg_p,
+         |    CAST(n_pos AS DOUBLE) / n AS rate
+         |  FROM b),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM k),
+         |e AS (
+         |  SELECT CAST(SUM(CAST(FLOOR(CAST(n AS DOUBLE)
+         |    * ABS(avg_p - rate) / n_total * 1e12 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS e12
+         |  FROM k, t)
+         |SELECT k.bin, k.n, k.n_pos, k.avg_p, k.rate,
+         |  ABS(k.avg_p - k.rate) AS gap,
+         |  CAST(e.e12 AS DOUBLE) / 1e12 AS ece
+         |FROM k, e ORDER BY bin""".stripMargin
+    }),
 
     // Pareto-skyline (maximal-vector) query: the efficiency frontier
     // of customers — MAX total spend with MIN orders; no other

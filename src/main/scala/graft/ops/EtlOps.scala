@@ -33,6 +33,24 @@ object EtlOps {
         .csv(path)
     }
 
+  /** Lineitem subset written to ORC once per (session, corpus) and read
+    * back — the third interchange codec under the graded gate (columnar
+    * binary: doubles round-trip bit-exact by construction, no text
+    * repr in the loop; what it actually exercises is the ORC
+    * writer/reader pair, predicate-pushdown-capable like parquet). */
+  private def orcLineitem(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Q.memoized(s, d, "orcLineitem") {
+      val path = Q.artifactPath(s, d, "orc_lineitem")
+      val t0 = System.nanoTime()
+      Io.table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").orc(path)
+      Q.logArtifact("orcLineitem", t0)
+      s.read.orc(path)
+    }
+
   /** Customer subset written to JSON-lines once per (session, corpus)
     * and read back with an explicit schema — same graded-gate treatment
     * as [[csvOrders]] for the second interchange codec. */
@@ -116,6 +134,27 @@ object EtlOps {
          |  ${dSum("c_acctbal")} AS balance,
          |  MIN(c_name) AS first_name
          |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ORC round-trip under the oracle gate — the third interchange
+    // codec (a fully binary columnar loop, disjoint from both the CSV
+    // text parser and the Jackson JSON path): parquet→ORC→DataFrame
+    // must reproduce keys, enum, and doubles bit-for-bit; the oracle
+    // aggregates the ORIGINAL parquet, so any writer/reader asymmetry
+    // breaks the hash.
+    Q("e_orc_roundtrip", (s, d) => {
+      orcLineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_orderkey")).as("key_sum"),
+          decSum(col("l_quantity")).as("qty"),
+          decSum(col("l_extendedprice")).as("price"))
+        .orderBy("l_returnflag")
+    }, Some(
+      s"""SELECT l_returnflag, COUNT(*) AS n_items,
+         |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+         |  ${dSum("l_quantity")} AS qty,
+         |  ${dSum("l_extendedprice")} AS price
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // CSV round-trip under the oracle gate: the parquet→CSV→DataFrame
     // loop must reproduce the source table exactly — keys, enum, DATE

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.io.Io
 import org.apache.spark.sql.{Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -290,6 +290,73 @@ object ExtOps {
         |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
         |  SQRT(CAST(SUM(v * v) AS BIGINT) / CAST(COUNT(*) AS BIGINT)) AS rms
         |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Silence-span detection over the decoded WAV payloads — the
+    // segmentation op an audio-training pipeline runs to trim or split
+    // clips: 4-sample FRAMES (full frames only) are scored by summed
+    // |amplitude|, frames under the energy floor are "silent", and
+    // maximal runs of ≥2 consecutive silent frames become spans via
+    // the gap/islands pattern (frame − row_number per doc). Per-sample
+    // thresholding is useless on this fixture (the PRNG steps ~half
+    // the amplitude circle every sample), which is exactly why real
+    // VADs score frames, not samples. Every window and aggregate is
+    // PARTITIONED BY doc_id — per-clip work, map-side decode, no
+    // global exchange before the final ORDER BY; the same plan
+    // segments a 100 TB audio corpus clip-parallel. All values are
+    // integers (frame indices, energies, lengths) — zero float-parity
+    // surface. The oracle regenerates the PCM from the fixture PRNG
+    // exactly as h_media_audio_energy's does, so a decoder byte error
+    // fails here too.
+    Q("h_media_silence", (s, d) => {
+      import s.implicits._
+      import graft.io.MediaCodec
+      val sm = Io.table(s, d, "documents")
+        .filter(col("doc_id") < 200 && col("doc_id") % 2 === 1)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = MediaCodec.encodeWav((8000 + id % 8 * 500).toInt,
+              (16 + id % 64).toInt, id)
+            (id, MediaCodec.wavSamples(b))
+          }
+        }.toDF("doc_id", "samples")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+      sm.select(col("doc_id"),
+          posexplode(col("samples")).as(Seq("pos", "v")))
+        .groupBy(col("doc_id"), expr("CAST(pos AS BIGINT) DIV 4").as("frame"))
+        .agg(sum(abs(col("v")).cast("long")).as("energy"),
+          count(lit(1)).as("ns"))
+        .filter(col("ns") === 4 && col("energy") < 65536L)
+        .withColumn("grp", col("frame") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("frame")).as("start_frame"),
+          count(lit(1)).as("n_frames"), sum(col("energy")).as("span_energy"))
+        .filter(col("n_frames") >= 2)
+        .select(col("doc_id"), col("start_frame"), col("n_frames"),
+          col("span_energy"))
+        .orderBy("doc_id", "start_frame")
+    }, Some(
+      """WITH m AS (
+        |  SELECT doc_id, 16 + doc_id % 64 AS n
+        |  FROM documents WHERE doc_id < 200 AND doc_id % 2 = 1),
+        |sm AS (
+        |  SELECT m.doc_id, u.i AS pos,
+        |    ((m.doc_id + u.i) * 2654435761) % 65536 - 32768 AS v
+        |  FROM m, LATERAL UNNEST(generate_series(0, CAST(m.n - 1 AS INT))) AS u(i)),
+        |fr AS (
+        |  SELECT doc_id, pos // 4 AS frame,
+        |    CAST(SUM(ABS(v)) AS BIGINT) AS energy, COUNT(*) AS ns
+        |  FROM sm GROUP BY 1, 2),
+        |sil AS (
+        |  SELECT doc_id, frame, energy,
+        |    frame - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame) AS grp
+        |  FROM fr WHERE ns = 4 AND energy < 65536)
+        |SELECT doc_id, CAST(MIN(frame) AS BIGINT) AS start_frame,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(energy) AS BIGINT) AS span_energy
+        |FROM sil GROUP BY doc_id, grp
+        |HAVING COUNT(*) >= 2
+        |ORDER BY doc_id, start_frame""".stripMargin)),
 
     // Image feature extraction + resize over real bytes — the PNG twin
     // of h_media_audio_energy, with an ACTUAL decompression in the

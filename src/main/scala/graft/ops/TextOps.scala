@@ -175,6 +175,134 @@ object TextOps {
         |SELECT bigram, COUNT(*) AS cnt FROM b
         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin)),
 
+    // Generation-eval metrics — BLEU-2 (clipped n-gram precision with
+    // brevity penalty, Papineni et al. 2002) and ROUGE-1 recall/F1 —
+    // over adjacent same-lang doc pairs (even doc_id = candidate, the
+    // next odd id = reference): the MT/summarization eval harness a
+    // training pipeline runs over (model output, reference) pairs.
+    // Shape at 100 TB: per-doc n-gram COUNT tables (multiplicity, not
+    // sets) from two corpus scans, clipped overlap via an equi-join on
+    // (pair, gram) — every stage keys on doc or (doc, gram), nothing
+    // quadratic. Parity: clipped counts and lengths are INTEGERS, so
+    // every precision/recall is an int/int IEEE division and F1/BLEU
+    // chain multiply-sqrt-divide identically-rounded doubles; the one
+    // transcendental (the brevity EXP) is 1e-12-snapped on both sides
+    // (house libm discipline). Zero-overlap pairs LEFT-join to clip 0;
+    // one-token candidates leave p2 (and thus BLEU) NULL in both
+    // engines via the /0 → NULL convention.
+    Q("h_bleu_rouge_pairs", (s, d) => {
+      def snap12(c: org.apache.spark.sql.Column) =
+        c.cast(org.apache.spark.sql.types.DecimalType(38, 12)).cast("double")
+      val docs = Io.table(s, d, "documents")
+      val lens = docs.select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("len"))
+      val pairs = lens.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("doc_c"), col("lang"), col("len").as("len_c"))
+        .join(lens.filter(col("doc_id") % 2 === 1)
+            .select((col("doc_id") - 1).as("doc_c"), col("lang").as("lang_r"),
+              col("len").as("len_r"), (col("doc_id")).as("doc_r")),
+          Seq("doc_c"))
+        .filter(col("lang") === col("lang_r"))
+        .select(col("doc_c"), col("doc_r"), col("lang"), col("len_c"),
+          col("len_r"))
+      val t = toks
+      val bigrams = zip_with(slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1), (a, b) => concat(a, lit(" "), b))
+      def counts(gram: org.apache.spark.sql.Column) =
+        docs.select(col("doc_id"), explode(gram).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      def clipped(cts: org.apache.spark.sql.DataFrame, out: String) =
+        cts.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("doc_c"), col("g"), col("cnt").as("cc"))
+          .join(cts.filter(col("doc_id") % 2 === 1)
+              .select((col("doc_id") - 1).as("doc_c"), col("g"),
+                col("cnt").as("cr")),
+            Seq("doc_c", "g"))
+          .groupBy(col("doc_c"))
+          .agg(sum(least(col("cc"), col("cr"))).as(out))
+      val m = pairs
+        .join(clipped(counts(t), "clip1"), Seq("doc_c"), "left")
+        .join(clipped(counts(bigrams), "clip2"), Seq("doc_c"), "left")
+        .select(col("doc_c"), col("doc_r"), col("lang"), col("len_c"),
+          col("len_r"), coalesce(col("clip1"), lit(0L)).as("clip1"),
+          coalesce(col("clip2"), lit(0L)).as("clip2"))
+        .withColumn("p1", col("clip1").cast("double") / col("len_c"))
+        .withColumn("p2", when(col("len_c") - 1 > 0,
+          col("clip2").cast("double") / (col("len_c") - 1)))
+        .withColumn("brevity", snap12(exp(least(lit(0.0),
+          lit(1.0) - col("len_r").cast("double") / col("len_c")))))
+        .withColumn("rouge1_r", col("clip1").cast("double") / col("len_r"))
+      m.select(col("doc_c"), col("doc_r"), col("lang"), col("len_c"),
+          col("len_r"), col("clip1"), col("clip2"), col("p1"), col("p2"),
+          col("brevity"),
+          (col("brevity") * sqrt(col("p1") * col("p2"))).as("bleu2"),
+          col("rouge1_r"),
+          when(col("p1") + col("rouge1_r") > 0,
+            lit(2.0) * col("p1") * col("rouge1_r") /
+              (col("p1") + col("rouge1_r"))).otherwise(lit(0.0))
+            .as("rouge1_f"))
+        .orderBy("doc_c")
+    }, Some {
+      // 1e-12 snap with the VARCHAR in-hop (DuckDB's direct
+      // double→DECIMAL cast has the multiply-boundary defect; the
+      // repr-based hop matches Spark's cast) — dSnap12 house spelling.
+      val bexp = "EXP(LEAST(CAST(0 AS DOUBLE), " +
+        "CAST(1 AS DOUBLE) - CAST(len_r AS DOUBLE) / len_c))"
+      val brevity = s"CAST(CAST(CAST(CASE WHEN ABS($bexp) < 5e-13 " +
+        s"THEN CAST(0 AS DOUBLE) ELSE $bexp END " +
+        "AS VARCHAR) AS DECIMAL(38,12)) AS DOUBLE)"
+      s"""WITH lens AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+         |  FROM documents),
+         |p AS (
+         |  SELECT c.doc_id AS doc_c, r.doc_id AS doc_r, c.lang,
+         |         c.len AS len_c, r.len AS len_r
+         |  FROM lens c JOIN lens r ON r.doc_id = c.doc_id + 1
+         |  WHERE c.doc_id % 2 = 0 AND c.lang = r.lang),
+         |uni AS (
+         |  SELECT doc_id, g, COUNT(*) AS cnt
+         |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS g
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |big AS (
+         |  SELECT doc_id, g, COUNT(*) AS cnt
+         |  FROM (SELECT doc_id,
+         |          UNNEST(list_transform(generate_series(1, len(toks) - 1),
+         |                 i -> toks[i] || ' ' || toks[i + 1])) AS g
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |              FROM documents))
+         |  GROUP BY 1, 2),
+         |c1 AS (
+         |  SELECT a.doc_id AS doc_c,
+         |         CAST(SUM(LEAST(a.cnt, b.cnt)) AS BIGINT) AS clip1
+         |  FROM uni a JOIN uni b ON b.doc_id = a.doc_id + 1 AND a.g = b.g
+         |  WHERE a.doc_id % 2 = 0 GROUP BY 1),
+         |c2 AS (
+         |  SELECT a.doc_id AS doc_c,
+         |         CAST(SUM(LEAST(a.cnt, b.cnt)) AS BIGINT) AS clip2
+         |  FROM big a JOIN big b ON b.doc_id = a.doc_id + 1 AND a.g = b.g
+         |  WHERE a.doc_id % 2 = 0 GROUP BY 1),
+         |m AS (
+         |  SELECT p.doc_c, p.doc_r, p.lang, p.len_c, p.len_r,
+         |    COALESCE(c1.clip1, 0) AS clip1, COALESCE(c2.clip2, 0) AS clip2
+         |  FROM p LEFT JOIN c1 USING (doc_c) LEFT JOIN c2 USING (doc_c)),
+         |k AS (
+         |  SELECT doc_c, doc_r, lang, len_c, len_r, clip1, clip2,
+         |    CAST(clip1 AS DOUBLE) / len_c AS p1,
+         |    CASE WHEN len_c - 1 > 0
+         |         THEN CAST(clip2 AS DOUBLE) / (len_c - 1) END AS p2,
+         |    $brevity AS brevity,
+         |    CAST(clip1 AS DOUBLE) / len_r AS rouge1_r
+         |  FROM m)
+         |SELECT doc_c, doc_r, lang, len_c, len_r, clip1, clip2, p1, p2,
+         |  brevity, brevity * SQRT(p1 * p2) AS bleu2, rouge1_r,
+         |  CASE WHEN p1 + rouge1_r > 0
+         |       THEN 2 * p1 * rouge1_r / (p1 + rouge1_r)
+         |       ELSE CAST(0 AS DOUBLE) END AS rouge1_f
+         |FROM k ORDER BY doc_c""".stripMargin
+    }),
+
     // TF-IDF, top-5 terms per document (smoothed idf = ln((N+1)/(df+1))).
     Q("h_tfidf_topterms", (s, d) => {
       val docs = Io.table(s, d, "documents")
@@ -399,6 +527,75 @@ object TextOps {
     // decimal→double double-rounds past 2^53 unscaled) and the plain
     // repr-based cast on the Spark side, so the ln argument is a
     // division of bit-identical doubles at ANY corpus size.
+    // Distribution-shift census — D_KL(P_source ‖ P_corpus) over the
+    // unigram token distribution, add-1 smoothed over the shared
+    // vocabulary: the number a data-mixing pipeline reads to see how
+    // far each source's language drifts from the pool (feeds sampling
+    // temperature / reweighting decisions; complements h_dsir_weights'
+    // per-doc importance weights). Cost shape: ONE corpus scan to the
+    // (source, token) count table (materialized — it feeds both the
+    // corpus-marginal rollup and the cell join), then everything is
+    // vocabulary-bounded: the full |sources|×|V| smoothed cell table
+    // (absent tokens included — their add-1 mass is part of proper
+    // KL), a broadcast 1-row (V, N) scalar, and a per-source sum.
+    // Parity: the h_feature_mi discipline — LN arguments are hopped
+    // int-ratio doubles from DECIMAL(19,0) products, each term
+    // floor-snapped at 1e-12 to BIGINT, per-source sums exact integer.
+    Q("h_kl_source_shift", (s, d) => {
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val st = Q.materialize(s, d, "klSourceTok")(
+        Io.table(s, d, "documents")
+          .select(col("source"), explode(toks).as("t"))
+          .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_st")))
+      val ct = st.groupBy(col("t")).agg(sum(col("c_st")).as("c_t"))
+      val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+      val vn = ct.agg(count(lit(1)).as("v"), sum(col("c_t")).as("nn"))
+      val cells = ct.crossJoin(broadcast(ns))
+        .join(st, Seq("source", "t"), "left")
+        .crossJoin(broadcast(vn))
+        .select(col("source"), col("n_s"), col("v"), col("nn"),
+          coalesce(col("c_st"), lit(0L)).as("c_st"), col("c_t"))
+      val term = floor(
+        ((col("c_st") + 1).cast("double") / (col("n_s") + col("v"))
+          .cast("double")) *
+          log(((col("c_st") + 1).cast(dec19) * (col("nn") + col("v")))
+            .cast("double") /
+            ((col("n_s") + col("v")).cast(dec19) * (col("c_t") + 1))
+              .cast("double")) * 1e12 + 0.5).cast("long")
+      cells.groupBy(col("source"), col("n_s"), col("v"))
+        .agg(sum(term).as("klp"), count(lit(1)).as("n_terms"))
+        .select(col("source"), col("n_s").as("n_tokens"),
+          col("v").as("vocab"), col("n_terms"),
+          (col("klp").cast("double") / 1e12).as("kl_nats"))
+        .orderBy("source")
+    }, Some(
+      """WITH st AS (
+        |  SELECT source, t, COUNT(*) AS c_st
+        |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |ct AS (SELECT t, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s
+        |       FROM st GROUP BY 1),
+        |vn AS (SELECT COUNT(*) AS v, CAST(SUM(c_t) AS BIGINT) AS nn FROM ct),
+        |cells AS (
+        |  SELECT ns.source, ns.n_s, vn.v, vn.nn,
+        |    COALESCE(st.c_st, 0) AS c_st, ct.c_t
+        |  FROM ct CROSS JOIN ns
+        |  LEFT JOIN st ON st.source = ns.source AND st.t = ct.t
+        |  CROSS JOIN vn)
+        |SELECT source, n_s AS n_tokens, v AS vocab,
+        |  COUNT(*) AS n_terms,
+        |  CAST(CAST(SUM(CAST(FLOOR(
+        |    (CAST(c_st + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE)) *
+        |    LN(CAST(CAST(CAST(c_st + 1 AS DECIMAL(19,0)) * (nn + v)
+        |            AS VARCHAR) AS DOUBLE)
+        |       / CAST(CAST(CAST(n_s + v AS DECIMAL(19,0)) * (c_t + 1)
+        |              AS VARCHAR) AS DOUBLE)) * 1e12
+        |    + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS kl_nats
+        |FROM cells
+        |GROUP BY source, n_s, v ORDER BY source""".stripMargin)),
+
     Q("h_feature_mi", (s, d) => {
       val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
       val doc = Io.table(s, d, "documents")

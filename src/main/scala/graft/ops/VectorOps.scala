@@ -428,6 +428,86 @@ object VectorOps {
          |     (SELECT MAX(len(embedding)) FROM embeddings))) AS i)
          |GROUP BY label, i ORDER BY label, pos""".stripMargin)),
 
+    // Embedding-distribution drift monitor — the check an embedding
+    // pipeline runs between two corpus snapshots (here the deterministic
+    // even/odd vec_id halves) before trusting an index or a trained
+    // probe: per label, the cosine between the two halves' centroids
+    // and the L2 centroid shift. Shape: ONE posexploded pass to
+    // (label, half, dim) exact-decimal means (the h_centroids plan),
+    // then a |labels|×dims self-join — metadata-sized at any corpus
+    // scale. Parity: means are decimal-sum/int-count raw quotients
+    // (engine-identical); the cross-dim reductions (dot, norms,
+    // squared diff) are 64-term floor(x·1e12+0.5) BIGINT sums — no
+    // order-dependent double accumulation; cosine divides through
+    // identically-rounded sqrt/product chains with zero-norm guards
+    // (NULL on both engines).
+    Q("h_embed_drift", (s, d) => {
+      // materialized: the even/odd branches below would otherwise each
+      // re-run the posexploded corpus pass
+      val cent = Q.materialize(s, d, "embedDriftCent")(
+        Io.table(s, d, "embeddings")
+          .select(col("label"), (col("vec_id") % 2).cast("int").as("half"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("half"), col("pos"))
+          .agg(count(lit(1)).as("n"),
+            (decSum12(col("v").cast("double")) / count(lit(1))).as("c")))
+      val a = cent.filter(col("half") === 0)
+        .select(col("label"), col("pos"), col("c").as("ca"), col("n").as("na"))
+      val b = cent.filter(col("half") === 1)
+        .select(col("label"), col("pos"), col("c").as("cb"), col("n").as("nb"))
+      def t12(c: Column) = floor(c * 1e12 + 0.5).cast("long")
+      val dotD = col("dot12").cast("double") / 1e12
+      val naaD = col("naa12").cast("double") / 1e12
+      val nbbD = col("nbb12").cast("double") / 1e12
+      a.join(b, Seq("label", "pos"))
+        .groupBy(col("label"))
+        .agg(max(col("na")).as("n_even"), max(col("nb")).as("n_odd"),
+          sum(t12(col("ca") * col("cb"))).as("dot12"),
+          sum(t12(col("ca") * col("ca"))).as("naa12"),
+          sum(t12(col("cb") * col("cb"))).as("nbb12"),
+          sum(t12((col("ca") - col("cb")) * (col("ca") - col("cb"))))
+            .as("dd12"))
+        .select(col("label"), col("n_even"), col("n_odd"),
+          when(col("naa12") > 0 && col("nbb12") > 0,
+            dotD / sqrt(naaD * nbbD)).as("centroid_cos"),
+          sqrt(col("dd12").cast("double") / 1e12).as("centroid_l2"))
+        .orderBy("label")
+    }, Some(
+      s"""WITH cent AS (
+         |  SELECT label, CAST(vec_id % 2 AS INT) AS half, i AS pos,
+         |    COUNT(*) AS n,
+         |    ${dSum12("CAST(embedding[i] AS DOUBLE)")} / COUNT(*) AS c
+         |  FROM embeddings,
+         |    (SELECT UNNEST(generate_series(1,
+         |       (SELECT MAX(len(embedding)) FROM embeddings))) AS i)
+         |  GROUP BY 1, 2, 3),
+         |j AS (
+         |  SELECT a.label, a.n AS na, b.n AS nb, a.c AS ca, b.c AS cb
+         |  FROM cent a JOIN cent b
+         |    ON a.label = b.label AND a.pos = b.pos
+         |   AND a.half = 0 AND b.half = 1),
+         |g AS (
+         |  SELECT label,
+         |    CAST(MAX(na) AS BIGINT) AS n_even,
+         |    CAST(MAX(nb) AS BIGINT) AS n_odd,
+         |    CAST(SUM(CAST(FLOOR(ca * cb * 1e12 + 0.5) AS BIGINT))
+         |         AS BIGINT) AS dot12,
+         |    CAST(SUM(CAST(FLOOR(ca * ca * 1e12 + 0.5) AS BIGINT))
+         |         AS BIGINT) AS naa12,
+         |    CAST(SUM(CAST(FLOOR(cb * cb * 1e12 + 0.5) AS BIGINT))
+         |         AS BIGINT) AS nbb12,
+         |    CAST(SUM(CAST(FLOOR((ca - cb) * (ca - cb) * 1e12 + 0.5)
+         |         AS BIGINT)) AS BIGINT) AS dd12
+         |  FROM j GROUP BY 1)
+         |SELECT label, n_even, n_odd,
+         |  CASE WHEN naa12 > 0 AND nbb12 > 0 THEN
+         |    (CAST(dot12 AS DOUBLE) / 1e12)
+         |      / SQRT((CAST(naa12 AS DOUBLE) / 1e12)
+         |             * (CAST(nbb12 AS DOUBLE) / 1e12))
+         |  END AS centroid_cos,
+         |  SQRT(CAST(dd12 AS DOUBLE) / 1e12) AS centroid_l2
+         |FROM g ORDER BY label""".stripMargin)),
+
     // IVF-style ANN: coarse-quantize every vector to its nearest label
     // centroid (the inverted-file cell), then run top-3 search only
     // within the probe cell. The 100 TB shape: centroids broadcast,

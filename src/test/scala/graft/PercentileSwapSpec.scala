@@ -96,7 +96,7 @@ class PercentileSwapSpec extends AnyFunSuite {
   test("every consumer runs green in approx mode with the exact schema") {
     val consumers = Seq("d_agg_percentile", "d_agg_boxplot",
       "d_agg_approx_pctl", "d_agg_kll_quantiles", "g_anomaly_mad",
-      "g_fulfillment_latency", "g_rfm_segments")
+      "g_fulfillment_latency", "g_rfm_segments", "g_funnel_time")
     for (name <- consumers) {
       val fn = SparkEntry.queries(name)
       val exact = fn(spark, sf01)

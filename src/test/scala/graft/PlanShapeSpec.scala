@@ -1180,7 +1180,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // Theil-Sen ranks the |days|²-bounded slope-pair table and the
       // |days|-row residual table — TIME-bounded metadata, independent
       // of corpus row count
-      "g_theilsen_slope" -> "days²-bounded slope-pair table")
+      "g_theilsen_slope" -> "days²-bounded slope-pair table",
+      // centered 7-observation MA over the day-grain revenue series —
+      // calendar-bounded (≤ data range in days), same class as
+      // g_survival_km's duration histogram
+      "g_stl_decompose" -> "day-grain revenue series (≤ data range in days)")
     val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan
