@@ -119,6 +119,38 @@ class SourceSpec extends AnyFunSuite {
       .count() === n.count())
   }
 
+  test("custom DSv2 source: determinism, planning-time filter pushdown, column pruning") {
+    def read = spark.read.format("graft.sources.SyntheticDocs")
+      .option("docs", "1000").option("partitions", "8").load()
+    // deterministic across independent reads, full count
+    assert(read.count() === 1000L)
+    val a = read.filter(col("doc_id") === 5).select("text", "lang", "source")
+      .collect().head
+    val b = read.filter(col("doc_id") === 5).select("text", "lang", "source")
+      .collect().head
+    assert(a === b)
+    assert(a.getString(0).nonEmpty)
+    // planning-time pushdown: a doc_id range narrows the id interval
+    // BEFORE partitions are planned → fewer input partitions (the DSv2
+    // analogue of partition pruning), and no post-scan Filter remains
+    // for the absorbed predicate
+    val pruned = read.filter(col("doc_id") >= 995L)
+    assert(pruned.count() === 5L)
+    assert(pruned.rdd.getNumPartitions === 5,
+      "pushed range did not reduce planned partitions (5 ids → 5 tasks)")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("SyntheticDocs[995,1000)"),
+      s"scan description missing narrowed range:\n$plan")
+    // column pruning reaches the reader: readSchema is the projection
+    val slim = read.select("doc_id", "lang")
+    val desc = slim.queryExecution.executedPlan.toString
+    assert(desc.contains("cols=doc_id,lang"),
+      s"pruned read schema not visible in scan:\n$desc")
+    // a residual (non-doc_id) predicate still evaluates correctly
+    val en = read.filter(col("lang") === "en").count()
+    assert(en > 0 && en < 1000)
+  }
+
   test("partition pruning skips non-matching partitions") {
     val dir = Files.createTempDirectory("graft_part").toString
     Io.table(spark, sf, "orders")
