@@ -89,4 +89,48 @@ object SnapshotStore {
       when(col(pk).isNotNull, col(c)).otherwise(col(s"_t_$c")).as(c))
     joined.select(outPk +: outVals: _*)
   }
+
+  /** List the version numbers present under `root` (any `v=N` dir). */
+  def listVersions(root: String): Seq[Int] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val st = Files.list(dir)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    try {
+      val it = st.iterator()
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.startsWith("v=")) out += name.drop(2).toInt
+      }
+    } finally st.close()
+    out.toSeq.sorted
+  }
+
+  /** VACUUM: retire version directories older than the newest
+    * `keepLast` versions. The published current version is always
+    * retained regardless of age (a vacuum must never break the
+    * pointer), deletion is per-version-directory (never touches
+    * retained versions or the pointer file), and the operation is
+    * idempotent — re-running deletes nothing new. Returns
+    * (removed, retained), both ascending. On a real deployment this is
+    * the object-store prefix delete a table format's retention job
+    * issues; expired time-travel reads fail loudly (the directory is
+    * gone), exactly like an expired snapshot in Delta/Iceberg. */
+  def vacuum(root: String, keepLast: Int): (Seq[Int], Seq[Int]) = {
+    require(keepLast >= 1, s"vacuum: keepLast must be >= 1, got $keepLast")
+    val versions = listVersions(root)
+    val cur = currentVersion(root)
+    val keepFloor = versions.takeRight(keepLast).headOption.getOrElse(cur)
+    val (keep, drop) = versions.partition(v => v >= keepFloor || v == cur)
+    drop.foreach { v =>
+      val p = Paths.get(versionPath(root, v))
+      // depth-first delete of the immutable version directory
+      val st = Files.walk(p)
+      try {
+        val it = st.sorted(java.util.Comparator.reverseOrder()).iterator()
+        while (it.hasNext) Files.delete(it.next())
+      } finally st.close()
+    }
+    (drop, keep)
+  }
 }

@@ -258,4 +258,39 @@ class StorageLayoutSpec extends AnyFunSuite {
       .select(col("c.k")).as[Long].collect().sorted
     assert(delta.toSeq === Seq(2L, 4L), s"version diff wrong: ${delta.toSeq}")
   }
+
+  test("snapshot store: vacuum retires old versions, keeps current, is idempotent") {
+    import graft.io.SnapshotStore
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    (0 to 3).foreach { v =>
+      SnapshotStore.writeVersion(
+        Seq((1L, v.toDouble)).toDF("k", "price"), root, v)
+    }
+    assert(SnapshotStore.listVersions(root) === Seq(0, 1, 2, 3))
+    // keep the newest 2 → v0/v1 retired, v2/v3 retained
+    val (removed, retained) = SnapshotStore.vacuum(root, keepLast = 2)
+    assert(removed === Seq(0, 1) && retained === Seq(2, 3),
+      s"vacuum removed=$removed retained=$retained")
+    assert(SnapshotStore.listVersions(root) === Seq(2, 3))
+    // the current pointer still resolves and reads the newest image
+    assert(SnapshotStore.currentVersion(root) === 3)
+    assert(SnapshotStore.readCurrent(spark, root)
+      .as[(Long, Double)].collect().toSeq === Seq((1L, 3.0)))
+    // retained time travel works; expired time travel fails loudly
+    assert(SnapshotStore.readVersion(spark, root, 2)
+      .as[(Long, Double)].collect().toSeq === Seq((1L, 2.0)))
+    intercept[Exception] {
+      SnapshotStore.readVersion(spark, root, 0).collect()
+    }
+    // idempotent: a second vacuum removes nothing
+    val (removed2, retained2) = SnapshotStore.vacuum(root, keepLast = 2)
+    assert(removed2.isEmpty && retained2 === Seq(2, 3))
+    // the current version survives even a keepLast that would drop it
+    SnapshotStore.vacuum(root, keepLast = 1)
+    assert(SnapshotStore.listVersions(root) === Seq(3))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.vacuum(root, keepLast = 0)
+    }
+  }
 }
