@@ -2079,6 +2079,102 @@ object AnalyticsOps {
         |    - (CAST(s.s_num AS DOUBLE) / s.s_cnt) / 700.0 AS residual
         |FROM k JOIN sea s USING (dow) ORDER BY day""".stripMargin)),
 
+    // New-vs-returning user census per day — the growth accounting
+    // every product report leads with (day grain: integer epoch days,
+    // no calendar/locale surface at all). Two keyed aggregates
+    // (per-user first event; per-day distinct actives) joined on the
+    // user grain; "new on day t" = the user's first-ever event falls
+    // on t. All counts integers, the share an int/int division. At
+    // 100 TB both aggregates partial-combine and the join shuffles on
+    // user_id once.
+    Q("g_new_vs_returning", (s, d) => {
+      val ev = Io.events(s, d)
+        .select(expr("ts_us DIV 86400000000").as("day"), col("user_id"),
+          col("ts_us"))
+      val firstD = ev.groupBy(col("user_id"))
+        .agg(expr("MIN(ts_us) DIV 86400000000").as("f_day"))
+      ev.select(col("day"), col("user_id")).distinct()
+        .join(firstD, "user_id")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("active_users"),
+          sum(when(col("f_day") === col("day"), 1L).otherwise(0L))
+            .as("new_users"))
+        .select(col("day"), col("active_users"), col("new_users"),
+          (col("active_users") - col("new_users")).as("returning_users"),
+          (col("new_users").cast("double") / col("active_users"))
+            .as("new_share"))
+        .orderBy("day")
+    }, Some(
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+        |    epoch_us(ts) AS ts_us
+        |  FROM events),
+        |firstd AS (
+        |  SELECT user_id, MIN(ts_us) // 86400000000 AS f_day
+        |  FROM ev GROUP BY 1),
+        |act AS (SELECT DISTINCT day, user_id FROM ev)
+        |SELECT day, COUNT(*) AS active_users,
+        |  CAST(SUM(CASE WHEN f_day = day THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_users,
+        |  COUNT(*) - CAST(SUM(CASE WHEN f_day = day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS returning_users,
+        |  CAST(SUM(CASE WHEN f_day = day THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS new_share
+        |FROM act JOIN firstd USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin)),
+
+    // Inter-purchase time distribution — the repeat-behavior metric a
+    // retention model trains on: per-user gaps between consecutive
+    // purchases (user-keyed LAG window — distributed, no global
+    // exchange), then n/mean/p50/p90 of the gap in days over all gaps.
+    // The mean is an exact BIGINT micros sum; gap days divide the same
+    // literal on both engines; percentiles run through the two-pass
+    // range-rank (single logical key — the offset windows stay
+    // ≤32-row, the ranked shuffle ranges on the value) paired with
+    // quantile_cont at 1e-6.
+    Q("g_interpurchase_time", (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val gaps = Io.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(lit("all").as("k"), (col("ts_us") - col("prev")).as("gmic"),
+          ((col("ts_us") - col("prev")).cast("double") / 86400000000.0)
+            .as("gap_days"))
+      val n = gaps.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gmic")).as("sum_mic"))
+      Q.exactPercentiles(gaps, "k", "gap_days",
+          Seq((0.5, "p50r"), (0.9, "p90r")))
+        .join(n, "k")
+        .select(col("n_gaps"),
+          ((col("sum_mic").cast("double") / col("n_gaps")) / 86400000000.0)
+            .as("mean_days"),
+          snap6(col("p50r")).as("p50_days"),
+          snap6(col("p90r")).as("p90_days"))
+        .orderBy("n_gaps")
+    }, Some(
+      s"""WITH p AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+         |  WHERE event_type = 'purchase'),
+         |g AS (
+         |  SELECT ts_us - LAG(ts_us) OVER (
+         |    PARTITION BY user_id ORDER BY ts_us) AS gmic
+         |  FROM p),
+         |k AS (
+         |  SELECT 'all' AS kk, gmic,
+         |    CAST(gmic AS DOUBLE) / 86400000000.0 AS gap_days
+         |  FROM g WHERE gmic IS NOT NULL)
+         |-- grouped on the constant key so an empty gap set yields ZERO
+         |-- rows (matching Spark's groupBy), not one all-NULL row
+         |SELECT COUNT(*) AS n_gaps,
+         |  (CAST(CAST(SUM(gmic) AS BIGINT) AS DOUBLE) / COUNT(*))
+         |    / 86400000000.0 AS mean_days,
+         |  ${dSnap6("quantile_cont(gap_days, 0.5)")} AS p50_days,
+         |  ${dSnap6("quantile_cont(gap_days, 0.9)")} AS p90_days
+         |FROM k GROUP BY kk ORDER BY n_gaps""".stripMargin)),
+
     // DAU/MAU stickiness — the engagement ratio every product
     // analytics stack reports: per calendar month, mean daily active
     // users over monthly active users. Two corpus scans (daily
