@@ -151,6 +151,28 @@ class SourceSpec extends AnyFunSuite {
     assert(en > 0 && en < 1000)
   }
 
+  test("custom DSv2 sink: task-commit counting, atomic publish, abort leaves no trace") {
+    import graft.sources.CountingSink
+    val docs = Io.table(spark, sf, "nation").select(col("n_nationkey").cast("long").as("k"))
+    val expected = docs.count()
+    CountingSink.clear("t1")
+    docs.repartition(4).write.format("graft.sources.CountingSink")
+      .option("name", "t1").mode("append").save()
+    val (rows, tasks) = CountingSink.result("t1").get
+    assert(rows === expected, s"sink counted $rows, expected $expected")
+    assert(tasks === 4, s"expected one commit message per task, got $tasks")
+    // abort path: a rejected record fails the job and publishes NOTHING
+    CountingSink.clear("t2")
+    val poisoned = docs.union(spark.range(1).select(lit(-1L).as("k")))
+    intercept[Exception] {
+      poisoned.write.format("graft.sources.CountingSink")
+        .option("name", "t2").option("failOnNegativeFirstColumn", "true")
+        .mode("append").save()
+    }
+    assert(CountingSink.result("t2").isEmpty,
+      "aborted job must not publish partial results")
+  }
+
   test("partition pruning skips non-matching partitions") {
     val dir = Files.createTempDirectory("graft_part").toString
     Io.table(spark, sf, "orders")
