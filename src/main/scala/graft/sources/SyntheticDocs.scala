@@ -30,10 +30,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    projected columns (text generation — the expensive part — is
   *    skipped entirely when `text` is pruned away).
   *
+  * The same provider also serves MICRO-BATCH STREAMING reads
+  * (`spark.readStream.format(...)`): the stream offset is the next
+  * unread doc_id, each trigger admits at most `rowsPerBatch` ids, and
+  * because row content is a pure function of the id, replay from any
+  * committed checkpoint offset is exactly-once by construction — the
+  * one-provider-both-modes shape of a production connector.
+  *
   * Usage: `spark.read.format("graft.sources.SyntheticDocs")
   * .option("docs", n).option("partitions", p).load()`. Exercised by
   * SourceSpec (row determinism, pushdown partition-pruning proof,
-  * pruned-schema proof).
+  * pruned-schema proof, rate-limited micro-batch stream parity).
   */
 class SyntheticDocs extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -88,14 +95,17 @@ object SyntheticDocs {
     override def name(): String = s"synthetic_docs($nDocs)"
     override def schema(): StructType = SyntheticDocs.schema
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_READ)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new DocsScanBuilder(
         Option(options.get("docs")).map(_.toLong).getOrElse(nDocs),
-        Option(options.get("partitions")).map(_.toInt).getOrElse(nParts))
+        Option(options.get("partitions")).map(_.toInt).getOrElse(nParts),
+        Option(options.get("rowsPerBatch")).map(_.toLong).getOrElse(0L))
   }
 
-  private final class DocsScanBuilder(nDocs: Long, nParts: Int)
+  private final class DocsScanBuilder(nDocs: Long, nParts: Int,
+      rowsPerBatch: Long)
       extends ScanBuilder with SupportsPushDownFilters
       with SupportsPushDownRequiredColumns {
     private var lo = 0L // inclusive
@@ -126,13 +136,25 @@ object SyntheticDocs {
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
 
-    override def build(): Scan = new DocsScan(lo, hi, nParts, required)
+    override def build(): Scan =
+      new DocsScan(lo, hi, nParts, required, rowsPerBatch)
   }
 
   private final class DocsScan(lo: Long, hi: Long, nParts: Int,
-      required: StructType) extends Scan with Batch {
+      required: StructType, rowsPerBatch: Long) extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+
+    /** Micro-batch STREAMING read over the same id space — the offset
+      * is simply the next unread doc_id, serialized as its decimal
+      * string; each trigger admits at most `rowsPerBatch` ids (0 = all
+      * available), so the stream replays deterministically from any
+      * committed checkpoint offset (exactly-once by construction: the
+      * rows of [start, end) depend on nothing but the ids). */
+    override def toMicroBatchStream(
+        checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new DocsMicroBatch(lo, hi, nParts, required,
+        if (rowsPerBatch <= 0) hi - lo else rowsPerBatch)
     override def description(): String =
       s"SyntheticDocs[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
 
@@ -154,6 +176,45 @@ object SyntheticDocs {
   }
 
   private case class DocsPartition(lo: Long, hi: Long) extends InputPartition
+
+  private final class DocsMicroBatch(lo: Long, hi: Long, nParts: Int,
+      required: StructType, rowsPerBatch: Long)
+      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    import org.apache.spark.sql.connector.read.streaming.Offset
+    case class DocOffset(v: Long) extends Offset {
+      override def json(): String = v.toString
+    }
+    // the engine calls latestOffset once per trigger; admit at most
+    // rowsPerBatch new ids each time
+    private var admitted = lo
+    override def initialOffset(): Offset = DocOffset(lo)
+    override def latestOffset(): Offset = {
+      admitted = math.min(hi, admitted + rowsPerBatch)
+      DocOffset(admitted)
+    }
+    override def deserializeOffset(json: String): Offset =
+      DocOffset(json.toLong)
+    override def planInputPartitions(start: Offset,
+        end: Offset): Array[InputPartition] = {
+      val a = start.asInstanceOf[DocOffset].v
+      val b = end.asInstanceOf[DocOffset].v
+      val span = math.max(0L, b - a)
+      if (span == 0L) return Array.empty
+      val parts = math.min(nParts.toLong, span).toInt
+      Array.tabulate(parts) { i =>
+        DocsPartition(a + span * i / parts,
+          a + span * (i + 1) / parts): InputPartition
+      }
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new DocsReaderFactory(required)
+    override def commit(end: Offset): Unit = {
+      // a restart resumes from the committed checkpoint offset; keep
+      // the admission watermark at least there so replay is append-only
+      admitted = math.max(admitted, end.asInstanceOf[DocOffset].v)
+    }
+    override def stop(): Unit = ()
+  }
 
   private final class DocsReaderFactory(required: StructType)
       extends PartitionReaderFactory {

@@ -151,6 +151,28 @@ class SourceSpec extends AnyFunSuite {
     assert(en > 0 && en < 1000)
   }
 
+  test("custom DSv2 source streams in rate-limited micro-batches, parity with batch") {
+    val dir = Files.createTempDirectory("graft_dsv2_stream").toString
+    val df = spark.readStream.format("graft.sources.SyntheticDocs")
+      .option("docs", "100").option("partitions", "4")
+      .option("rowsPerBatch", "40").load()
+    val q = df.writeStream.format("memory").queryName("sdocs_stream")
+      .option("checkpointLocation", dir).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sdocs_stream")
+    assert(streamed.count() === 100)
+    // rate limiting really happened: 100 ids at 40/trigger → ≥3 batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      s"expected ≥3 non-empty micro-batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    // streamed rows are exactly the batch read (same id space, same
+    // deterministic generator)
+    val batch = spark.read.format("graft.sources.SyntheticDocs")
+      .option("docs", "100").option("partitions", "4").load()
+    assert(streamed.orderBy("doc_id").collect().toSeq ===
+      batch.orderBy("doc_id").collect().toSeq)
+  }
+
   test("custom DSv2 sink: task-commit counting, atomic publish, abort leaves no trace") {
     import graft.sources.CountingSink
     val docs = Io.table(spark, sf, "nation").select(col("n_nationkey").cast("long").as("k"))
