@@ -187,7 +187,8 @@ object Bench {
         "g_calibration_ece",    // calibBins
         "g_cuped",              // cupedTreatMoments
         "h_kl_source_shift",    // klSourceTok
-        "h_embed_drift")        // embedDriftCent
+        "h_embed_drift",        // embedDriftCent
+        "g_markov_steady_state") // markovSteadyTr
       val jitHot = Seq("h_cosine_topk", "h_crosslang_neardup",
         "h_dedup_threshold_sweep", "h_ngram_jaccard", "d_agg_corr_matrix",
         "h_cluster_size_hist")

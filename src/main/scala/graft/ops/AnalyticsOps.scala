@@ -595,6 +595,103 @@ object AnalyticsOps {
          |  ${dSnap6("n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)")} AS p
          |FROM c ORDER BY from_type, to_type""".stripMargin)),
 
+    // Stationary distribution of the event-type Markov chain — THREE
+    // unrolled power-iteration steps from the uniform vector (the
+    // g_logistic_gd loop discipline): each step is a join of the
+    // ≤|types|-row π vector against the ≤|types|²-row transition
+    // matrix and a per-type sum — metadata-sized work after the one
+    // corpus pass that builds the transition counts; the same plan
+    // updates a 100 TB chain because the matrix is type-bounded.
+    // Parity: transition probabilities are int/int IEEE ratios, each
+    // π·P product term enters the per-type sum as floor(x·1e12+0.5)
+    // BIGINT (no order-dependent double accumulation), and types that
+    // lose all mass join back LEFT with an explicit 0.0 on both
+    // engines. Dangling types (no outgoing edges) leak mass rather
+    // than teleport — emitted `mass` makes the leak visible.
+    Q("g_markov_steady_state", (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val c = Io.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val r = c.groupBy(col("from_type")).agg(sum(col("n")).as("rs"))
+      val tr = Q.materialize(s, d, "markovSteadyTr")(
+        c.join(r, "from_type")
+          .select(col("from_type"), col("to_type"),
+            (col("n").cast("double") / col("rs")).as("pr")))
+      val types = Io.events(s, d).select(col("event_type").as("t")).distinct()
+      val k = types.agg(count(lit(1)).as("k"))
+      val p0 = types.crossJoin(broadcast(k))
+        .select(col("t"), (lit(1.0) / col("k")).as("p"))
+      def step(pi: org.apache.spark.sql.DataFrame) =
+        pi.join(tr, pi("t") === tr("from_type"))
+          .select(col("to_type").as("t"),
+            floor(col("p") * col("pr") * 1e12 + 0.5).cast("long").as("c12"))
+          .groupBy(col("t")).agg(sum(col("c12")).as("s12"))
+          .select(col("t"), (col("s12").cast("double") / 1e12).as("p"))
+      val p3 = step(step(step(p0)))
+      val mass = p3.agg(
+        sum(floor(col("p") * 1e12 + 0.5).cast("long")).as("m12"))
+      types.join(p3, Seq("t"), "left")
+        .join(r.withColumnRenamed("from_type", "t"), Seq("t"), "left")
+        .crossJoin(broadcast(mass))
+        .select(col("t").as("event_type"),
+          coalesce(col("rs"), lit(0L)).as("n_out"),
+          coalesce(col("p"), lit(0.0)).as("steady_p"),
+          (col("m12").cast("double") / 1e12).as("mass"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS rs
+        |      FROM c GROUP BY 1),
+        |tr AS (
+        |  SELECT c.from_type, c.to_type, CAST(c.n AS DOUBLE) / r.rs AS pr
+        |  FROM c JOIN r USING (from_type)),
+        |types AS (SELECT DISTINCT event_type AS t FROM events),
+        |kk AS (SELECT COUNT(*) AS k FROM types),
+        |p0 AS (SELECT t, CAST(1 AS DOUBLE) / k AS p FROM types, kk),
+        |s1 AS (
+        |  SELECT tr.to_type AS t,
+        |    CAST(SUM(CAST(FLOOR(p0.p * tr.pr * 1e12 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS s12
+        |  FROM p0 JOIN tr ON p0.t = tr.from_type GROUP BY 1),
+        |p1 AS (SELECT t, CAST(s12 AS DOUBLE) / 1e12 AS p FROM s1),
+        |s2 AS (
+        |  SELECT tr.to_type AS t,
+        |    CAST(SUM(CAST(FLOOR(p1.p * tr.pr * 1e12 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS s12
+        |  FROM p1 JOIN tr ON p1.t = tr.from_type GROUP BY 1),
+        |p2 AS (SELECT t, CAST(s12 AS DOUBLE) / 1e12 AS p FROM s2),
+        |s3 AS (
+        |  SELECT tr.to_type AS t,
+        |    CAST(SUM(CAST(FLOOR(p2.p * tr.pr * 1e12 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS s12
+        |  FROM p2 JOIN tr ON p2.t = tr.from_type GROUP BY 1),
+        |p3 AS (SELECT t, CAST(s12 AS DOUBLE) / 1e12 AS p FROM s3),
+        |mass AS (
+        |  SELECT CAST(SUM(CAST(FLOOR(p * 1e12 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS m12 FROM p3)
+        |SELECT ty.t AS event_type,
+        |  COALESCE(r.rs, 0) AS n_out,
+        |  COALESCE(p3.p, CAST(0 AS DOUBLE)) AS steady_p,
+        |  CAST(mass.m12 AS DOUBLE) / 1e12 AS mass
+        |FROM types ty
+        |LEFT JOIN p3 ON p3.t = ty.t
+        |LEFT JOIN r ON r.from_type = ty.t
+        |CROSS JOIN mass
+        |ORDER BY event_type""".stripMargin)),
+
     // Inactivity / churn census: per user, last-seen time, days silent
     // relative to the corpus watermark (max ts), and a churned flag at
     // the 7-day threshold. One aggregate on user + one broadcast of

@@ -839,6 +839,65 @@ object GraphOps {
     // association double expression, snapped at 1e-6 (safe: inputs are
     // engine-identical and the value is not a bare quotient of a
     // decimal sum). Scale: edge-keyed equi-joins + one global agg.
+    // Reciprocity of the DIRECTED event-type transition graph — the
+    // standard digraph health metric (how symmetric is the flow):
+    // unweighted edge reciprocity (share of non-loop directed edges
+    // whose reverse edge exists) and weighted reciprocity
+    // (Σ min(n_ij, n_ji) / Σ n_ij over i≠j, Squartini et al.'s W⁺
+    // form). One corpus pass to the type-bounded transition counts,
+    // then a self-join of the ≤|types|² edge table on the swapped key.
+    // ALL-INTEGER outputs and ratios — zero float-parity surface.
+    Q("i_graph_reciprocity", (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val c = Io.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull &&
+          col("to_type") =!= col("from_type"))
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val rev = c.select(col("from_type").as("to_type"),
+        col("to_type").as("from_type"), col("n").as("n_rev"))
+      c.join(rev, Seq("from_type", "to_type"), "left")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("n_rev").isNotNull, 1L).otherwise(0L))
+            .as("n_reciprocated"),
+          sum(col("n")).as("w_total"),
+          sum(least(col("n"), coalesce(col("n_rev"), lit(0L))))
+            .as("w_reciprocated"))
+        .select(col("n_edges"), col("n_reciprocated"),
+          (col("n_reciprocated").cast("double") / col("n_edges"))
+            .as("edge_reciprocity"),
+          col("w_total"), col("w_reciprocated"),
+          (col("w_reciprocated").cast("double") / col("w_total"))
+            .as("weighted_reciprocity"))
+    }, Some(
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM seq
+        |  WHERE to_type IS NOT NULL AND to_type <> from_type
+        |  GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_edges,
+        |  CAST(SUM(CASE WHEN r.n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_reciprocated,
+        |  CAST(SUM(CASE WHEN r.n IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS edge_reciprocity,
+        |  CAST(SUM(c.n) AS BIGINT) AS w_total,
+        |  CAST(SUM(LEAST(c.n, COALESCE(r.n, 0))) AS BIGINT)
+        |    AS w_reciprocated,
+        |  CAST(SUM(LEAST(c.n, COALESCE(r.n, 0))) AS DOUBLE)
+        |    / CAST(SUM(c.n) AS BIGINT) AS weighted_reciprocity
+        |FROM c
+        |LEFT JOIN c r ON r.from_type = c.to_type AND r.to_type = c.from_type""".stripMargin)),
+
     Q("i_graph_assortativity", (s, d) => {
       val se = supEdges(s, d)
       val deg = supDeg(s, d)

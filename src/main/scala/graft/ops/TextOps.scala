@@ -688,6 +688,69 @@ object TextOps {
         |    AS BIGINT) AS signed_mass
         |FROM hashed GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // Statistical watermark detection (Kirchenbauer et al. 2023,
+    // arXiv:2301.10226 — the green-list z-test): screen documents for
+    // LLM-watermarked synthetic text by testing whether "green" tokens
+    // (here: shared cross-engine polynomial hash parity — the
+    // h_feature_hashing hash, so both engines bucket identically) are
+    // over-represented vs the null 1/2. Per doc: z = (2·g − n)/√n over
+    // token OCCURRENCES; emit docs with z ≥ 2 (one-sided ~2.3% false
+    // positives on clean text — the screening threshold, not a
+    // verdict). Cost shape: one corpus pass to (doc, token) counts;
+    // the hash folds over the DISTINCT vocabulary only
+    // (Heaps-sublinear) and joins back token-keyed. All counts are
+    // integers; z is an exact-int numerator over a correctly-rounded
+    // √n — bit-identical cross-engine.
+    Q("h_watermark_detect", (s, d) => {
+      val tf = Io.table(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("occ"))
+      val vocab = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+        .select(col("token"),
+          (expr("aggregate(transform(sequence(1, length(token)), " +
+            "i -> CAST(ascii(substring(token, i, 1)) AS BIGINT)), 0L, " +
+            "(a, c) -> (a * 31 + c) % 1000000007)") % 2 === 0)
+            .as("green"))
+      tf.join(vocab, "token")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("occ")).as("n_tokens"),
+          sum(when(col("green"), col("occ")).otherwise(0L)).as("n_green"))
+        .withColumn("green_frac",
+          col("n_green").cast("double") / col("n_tokens"))
+        .withColumn("z",
+          (lit(2L) * col("n_green") - col("n_tokens")).cast("double")
+            / sqrt(col("n_tokens").cast("double")))
+        .filter(col("z") >= 2.0)
+        .select(col("doc_id"), col("n_tokens"), col("n_green"),
+          col("green_frac"), col("z"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS occ
+        |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE token <> '' GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT token,
+        |    list_reduce(list_transform(generate_series(1, length(token)),
+        |        i -> CAST(ascii(substr(token, i, 1)) AS BIGINT)),
+        |      (a, c) -> (a * 31 + c) % 1000000007) % 2 = 0 AS green
+        |  FROM (SELECT DISTINCT token FROM tf)),
+        |g AS (
+        |  SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN green THEN occ ELSE 0 END) AS BIGINT)
+        |      AS n_green
+        |  FROM tf JOIN vocab USING (token) GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_green,
+        |  CAST(n_green AS DOUBLE) / n_tokens AS green_frac,
+        |  CAST(2 * n_green - n_tokens AS DOUBLE)
+        |    / SQRT(CAST(n_tokens AS DOUBLE)) AS z
+        |FROM g
+        |WHERE CAST(2 * n_green - n_tokens AS DOUBLE)
+        |      / SQRT(CAST(n_tokens AS DOUBLE)) >= 2.0
+        |ORDER BY doc_id""".stripMargin)),
+
     // Corpus vocabulary statistics: global top-20 tokens by document
     // frequency and total occurrences — the vocabulary table every
     // tokenizer/quality pipeline starts from. Explode is map-side; the
