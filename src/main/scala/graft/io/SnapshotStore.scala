@@ -90,7 +90,11 @@ object SnapshotStore {
     joined.select(outPk +: outVals: _*)
   }
 
-  /** List the version numbers present under `root` (any `v=N` dir). */
+  /** List the version numbers present under `root` (any `v=N` dir).
+    * Non-numeric `v=` entries (a stray `v=tmp`, a writer's scratch dir)
+    * are skipped rather than thrown on — one foreign directory must not
+    * break listing/vacuum for the whole table root. Tombstoned dirs
+    * (`_vacuum_v=N`, see [[vacuum]]) never match the prefix. */
   def listVersions(root: String): Seq[Int] = {
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) return Seq.empty
@@ -100,7 +104,8 @@ object SnapshotStore {
       val it = st.iterator()
       while (it.hasNext) {
         val name = it.next().getFileName.toString
-        if (name.startsWith("v=")) out += name.drop(2).toInt
+        if (name.startsWith("v="))
+          name.drop(2).toIntOption.foreach(out += _)
       }
     } finally st.close()
     out.toSeq.sorted
@@ -112,25 +117,52 @@ object SnapshotStore {
     * pointer), deletion is per-version-directory (never touches
     * retained versions or the pointer file), and the operation is
     * idempotent — re-running deletes nothing new. Returns
-    * (removed, retained), both ascending. On a real deployment this is
-    * the object-store prefix delete a table format's retention job
-    * issues; expired time-travel reads fail loudly (the directory is
-    * gone), exactly like an expired snapshot in Delta/Iceberg. */
+    * (removed, retained), both ascending.
+    *
+    * Expiry is FAILURE-ATOMIC: each retired version is first renamed to
+    * a `_vacuum_v=N` tombstone (one same-filesystem ATOMIC_MOVE), then
+    * the tombstone's files are deleted. A crash mid-delete leaves only
+    * a tombstone — `listVersions` never reports it and `readVersion`
+    * fails loudly on the missing `v=N` path — so a partially-deleted
+    * version can never be read silently with missing rows. The next
+    * vacuum sweeps any leftover tombstones first. On a real deployment
+    * this is the object-store prefix delete a table format's retention
+    * job issues; expired time-travel reads fail loudly, exactly like an
+    * expired snapshot in Delta/Iceberg. */
   def vacuum(root: String, keepLast: Int): (Seq[Int], Seq[Int]) = {
     require(keepLast >= 1, s"vacuum: keepLast must be >= 1, got $keepLast")
+    val dir = Paths.get(root)
+    // finish any interrupted prior vacuum: tombstones are already
+    // retired (invisible to listVersions/readVersion) — just reclaim
+    if (Files.isDirectory(dir)) {
+      val st = Files.list(dir)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith("_vacuum_")) deleteTree(p)
+        }
+      } finally st.close()
+    }
     val versions = listVersions(root)
     val cur = currentVersion(root)
     val keepFloor = versions.takeRight(keepLast).headOption.getOrElse(cur)
     val (keep, drop) = versions.partition(v => v >= keepFloor || v == cur)
     drop.foreach { v =>
       val p = Paths.get(versionPath(root, v))
-      // depth-first delete of the immutable version directory
-      val st = Files.walk(p)
-      try {
-        val it = st.sorted(java.util.Comparator.reverseOrder()).iterator()
-        while (it.hasNext) Files.delete(it.next())
-      } finally st.close()
+      val tomb = dir.resolve(s"_vacuum_v=$v")
+      // retire first (atomic) — the version disappears all-or-nothing
+      Files.move(p, tomb, StandardCopyOption.ATOMIC_MOVE)
+      deleteTree(tomb)
     }
     (drop, keep)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    val st = Files.walk(p)
+    try {
+      val it = st.sorted(java.util.Comparator.reverseOrder()).iterator()
+      while (it.hasNext) Files.delete(it.next())
+    } finally st.close()
   }
 }

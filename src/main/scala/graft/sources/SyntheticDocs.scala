@@ -87,6 +87,21 @@ object SyntheticDocs {
     sb.toString
   }
 
+  /** Length of textFor(id) WITHOUT building the string: sum of the
+    * word-table lengths plus separators — so projecting `n_chars` (or
+    * nothing) never pays string materialization (the pruning contract
+    * the reader advertises). */
+  def nCharsFor(id: Long): Long = {
+    val n = 5 + (mix(id) >>> 4) % 26
+    var sum = n - 1 // single-space separators
+    var i = 0L
+    while (i < n) {
+      sum += vocab(((mix(id * 1024 + i) >>> 8) % vocab.length).toInt).length
+      i += 1
+    }
+    sum
+  }
+
   def langFor(id: Long): String = langs(((mix(id) >>> 16) % 4).toInt)
   def sourceFor(id: Long): String = sources(((mix(id) >>> 24) % 5).toInt)
 
@@ -179,19 +194,28 @@ object SyntheticDocs {
 
   private final class DocsMicroBatch(lo: Long, hi: Long, nParts: Int,
       required: StructType, rowsPerBatch: Long)
-      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-    import org.apache.spark.sql.connector.read.streaming.Offset
+      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
     case class DocOffset(v: Long) extends Offset {
       override def json(): String = v.toString
     }
-    // the engine calls latestOffset once per trigger; admit at most
-    // rowsPerBatch new ids each time
-    private var admitted = lo
     override def initialOffset(): Offset = DocOffset(lo)
-    override def latestOffset(): Offset = {
-      admitted = math.min(hi, admitted + rowsPerBatch)
-      DocOffset(admitted)
-    }
+    // Admission control is STATELESS: the engine hands in the batch's
+    // actual start offset (from the offset log on a checkpoint restart),
+    // and the end is computed from it — never from driver-local state.
+    // A mutable `admitted` watermark re-initialized on restart regressed
+    // the offset log and re-emitted already-delivered ids, because the
+    // engine plans the next batch BEFORE replaying commit() for the last
+    // committed one (the RatePerMicroBatchStream pattern fixes exactly
+    // this). Exercised by SourceSpec's stop/restart no-duplicates test.
+    override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+      DocOffset(math.min(hi, start.asInstanceOf[DocOffset].v + rowsPerBatch))
+    override def latestOffset(): Offset =
+      throw new UnsupportedOperationException(
+        "latestOffset(Offset, ReadLimit) should be called instead of this")
+    override def reportLatestOffset(): Offset = DocOffset(hi)
     override def deserializeOffset(json: String): Offset =
       DocOffset(json.toLong)
     override def planInputPartitions(start: Offset,
@@ -208,11 +232,7 @@ object SyntheticDocs {
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new DocsReaderFactory(required)
-    override def commit(end: Offset): Unit = {
-      // a restart resumes from the committed checkpoint offset; keep
-      // the admission watermark at least there so replay is append-only
-      admitted = math.max(admitted, end.asInstanceOf[DocOffset].v)
-    }
+    override def commit(end: Offset): Unit = ()
     override def stop(): Unit = ()
   }
 
@@ -224,15 +244,16 @@ object SyntheticDocs {
         private var id = dp.lo - 1
         override def next(): Boolean = { id += 1; id < dp.hi }
         override def get(): InternalRow = {
-          // materialize only the projected columns; `text` is the
-          // expensive one and is skipped when pruned
-          lazy val text = textFor(id)
+          // materialize only the projected columns; `text` — the
+          // expensive one — is built ONLY when projected (n_chars is
+          // computed arithmetically, so select(doc_id, n_chars) never
+          // pays string materialization)
           InternalRow.fromSeq(required.fieldNames.toSeq.map {
             case "doc_id" => id
-            case "text" => UTF8String.fromString(text)
+            case "text" => UTF8String.fromString(textFor(id))
             case "lang" => UTF8String.fromString(langFor(id))
             case "source" => UTF8String.fromString(sourceFor(id))
-            case "n_chars" => text.length.toLong
+            case "n_chars" => nCharsFor(id)
             case other => throw new IllegalArgumentException(other)
           })
         }

@@ -173,6 +173,141 @@ class SourceSpec extends AnyFunSuite {
       batch.orderBy("doc_id").collect().toSeq)
   }
 
+  test("custom DSv2 stream: checkpoint restart resumes without duplicates") {
+    // Regression test for the restart-duplication bug: a driver-local
+    // admission watermark re-initialized on restart made the engine's
+    // pre-commit-replay latestOffset() regress the offset log, and the
+    // resumed stream re-emitted already-delivered ids. Admission control
+    // now derives each batch's end from the ENGINE's start offset
+    // (SupportsAdmissionControl), so a resume is append-only from the
+    // committed offset.
+    val ckpt = Files.createTempDirectory("graft_dsv2_restart").toString
+    def stream = spark.readStream.format("graft.sources.SyntheticDocs")
+      .option("docs", "600").option("partitions", "4")
+      .option("rowsPerBatch", "30").load()
+    // foreachBatch sinks support checkpoint recovery (the memory sink
+    // does not); each incarnation collects its delivered ids driver-side
+    val got1 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q1 = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("doc_id").collect().foreach(r => got1.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", ckpt).trigger(
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(100)).start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (got1.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    } finally q1.stop()
+    assert(!got1.isEmpty, "first incarnation delivered nothing")
+    // the exactly-once contract is against the COMMITTED offset (the
+    // last batch may be sink-written but not yet offset-committed at
+    // stop — replaying IT is correct at-least-once sink behavior; the
+    // bug being regression-tested was re-emitting ids from BEFORE the
+    // committed offset because latestOffset() ignored the engine start)
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong)
+    assert(commits.nonEmpty, "no committed batch before stop")
+    val committedEnd = {
+      val off = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$ckpt/offsets/${commits.max}"))
+      off.get(off.size - 1).trim.toLong // DocOffset serializes as its id
+    }
+    assert(committedEnd > 0 && committedEnd < 600,
+      s"want a mid-stream stop, committed end was $committedEnd")
+    // second incarnation, SAME checkpoint, fresh collector
+    val got2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q2 = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("doc_id").collect().foreach(r => got2.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    val resumed = got2.asScala.toSeq.sorted
+    // resume is append-only from the committed offset: every remaining
+    // id exactly once, nothing from before the committed end re-emitted
+    assert(resumed.headOption.forall(_ >= committedEnd),
+      s"restart re-emitted ids before committed offset $committedEnd: " +
+        s"${resumed.takeWhile(_ < committedEnd).take(5).mkString(",")}")
+    assert(resumed === (committedEnd until 600L),
+      s"resumed stream delivered ${resumed.length} rows, " +
+        s"expected [${committedEnd}, 600) exactly once")
+  }
+
+  test("custom DSv2 source: n_chars equals the materialized text length") {
+    // n_chars is computed arithmetically (no string build) when text is
+    // pruned — prove it agrees with the actual text on every row
+    val read = spark.read.format("graft.sources.SyntheticDocs")
+      .option("docs", "500").option("partitions", "4").load()
+    assert(read.filter(length(col("text")) =!= col("n_chars")).count() === 0,
+      "n_chars disagrees with length(text)")
+  }
+
+  test("end-to-end DSv2 pipeline: source → stateful transform → sink survives a mid-stream abort exactly-once") {
+    // The full custom-connector path in ONE streaming query (r12 VERDICT
+    // item 7): SyntheticDocs micro-batch source → filter + stateful
+    // dropDuplicates under RocksDB WITH changelog checkpointing → the
+    // CountingSink's streaming write. A fault injected at epoch 2 kills
+    // the first incarnation mid-stream; the restart replays that epoch
+    // from the checkpoint, and the sink's per-epoch commit registry
+    // proves exactly-once end to end: every epoch committed once, total
+    // rows exactly the batch-side expectation.
+    import graft.sources.CountingSink
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val saved = Seq(providerKey, changelogKey)
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelogKey, "true")
+    try {
+      CountingSink.clearStream("pipe")
+      val ckpt = Files.createTempDirectory("graft_pipe").toString
+      def start(failAt: Option[Long]) = {
+        val xform = spark.readStream.format("graft.sources.SyntheticDocs")
+          .option("docs", "400").option("partitions", "4")
+          .option("rowsPerBatch", "100").load()
+          .filter(col("lang") === "en")
+          .dropDuplicates("doc_id") // stateful: RocksDB + changelog
+          .select(col("doc_id"), col("n_chars"))
+        val w = xform.writeStream.format("graft.sources.CountingSink")
+          .option("name", "pipe").option("checkpointLocation", ckpt)
+        failAt.fold(w)(e => w.option("failAtEpoch", e.toString)).start()
+      }
+      // incarnation 1: epochs 0-1 commit, the injected fault at epoch 2
+      // aborts the query mid-stream
+      val q1 = start(failAt = Some(2L))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.awaitTermination(120000)
+        throw q1.exception.getOrElse(
+          fail("query survived the injected epoch-2 fault"))
+      }
+      val (rowsBefore, epochsBefore) = CountingSink.streamTotal("pipe")
+      assert(epochsBefore === 2 && rowsBefore > 0,
+        s"expected epochs 0-1 committed before the abort, got " +
+          s"$epochsBefore epochs / $rowsBefore rows")
+      // incarnation 2: same checkpoint, no fault — replays epoch 2 and
+      // finishes the id space
+      val q2 = start(failAt = None)
+      try q2.processAllAvailable() finally q2.stop()
+      val expected = spark.read.format("graft.sources.SyntheticDocs")
+        .option("docs", "400").load()
+        .filter(col("lang") === "en").count()
+      val (rows, epochs) = CountingSink.streamTotal("pipe")
+      assert(rows === expected,
+        s"pipeline delivered $rows rows, batch expectation $expected — " +
+          "a replayed epoch double-counted or rows were lost")
+      assert(epochs === 4, s"expected 4 committed epochs (100 ids each), got $epochs")
+      // per-epoch audit: the aborted epoch 2 appears EXACTLY once
+      val perEpoch = CountingSink.streamEpochs("pipe")
+      assert(perEpoch.keySet === Set(0L, 1L, 2L, 3L),
+        s"epoch set wrong: ${perEpoch.keySet}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("custom DSv2 sink: task-commit counting, atomic publish, abort leaves no trace") {
     import graft.sources.CountingSink
     val docs = Io.table(spark, sf, "nation").select(col("n_nationkey").cast("long").as("k"))

@@ -293,4 +293,44 @@ class StorageLayoutSpec extends AnyFunSuite {
       SnapshotStore.vacuum(root, keepLast = 0)
     }
   }
+
+  test("snapshot store: vacuum is failure-atomic and tolerates foreign dirs") {
+    import graft.io.SnapshotStore
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vac2").toString
+    (0 to 2).foreach { v =>
+      SnapshotStore.writeVersion(
+        Seq((1L, v.toDouble)).toDF("k", "price"), root, v)
+    }
+    // a stray non-numeric v= entry (writer scratch) must not break
+    // listing or vacuum for the whole table root
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(root).resolve("v=tmp"))
+    assert(SnapshotStore.listVersions(root) === Seq(0, 1, 2))
+    // simulate a crash mid-expiry: the version dir renamed to its
+    // tombstone but not yet reclaimed — the version must be INVISIBLE
+    // (never readable with missing rows), not half-present
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(SnapshotStore.versionPath(root, 0)),
+      java.nio.file.Paths.get(root).resolve("_vacuum_v=0"))
+    assert(SnapshotStore.listVersions(root) === Seq(1, 2),
+      "tombstoned version leaked into listVersions")
+    intercept[Exception] { // expired read fails loudly, never partial
+      SnapshotStore.readVersion(spark, root, 0).collect()
+    }
+    // the next vacuum reclaims the leftover tombstone and proceeds
+    val (removed, retained) = SnapshotStore.vacuum(root, keepLast = 2)
+    assert(removed === Seq.empty && retained === Seq(1, 2))
+    val names = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      .iterator()
+    var leftovers = List.empty[String]
+    while (names.hasNext) {
+      val n = names.next().getFileName.toString
+      if (n.startsWith("_vacuum_")) leftovers ::= n
+    }
+    assert(leftovers.isEmpty, s"tombstones not reclaimed: $leftovers")
+    // the stray dir survives untouched and reads still work
+    assert(SnapshotStore.readVersion(spark, root, 2)
+      .as[(Long, Double)].collect().toSeq === Seq((1L, 2.0)))
+  }
 }
