@@ -37,14 +37,31 @@ object DedupOps {
     Io.table(s, d, "documents")
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
 
-  /** Token sets as 64-bit vocabulary bitmasks. The corpus vocabulary is
-    * tiny (31 words at every sf), so set intersect/union collapse to
-    * codegen'd long AND/OR + bit_count — this is what turned the O(n²)
-    * Jaccard verify stages from interpreted array HOFs (~40 s at sf0.1)
-    * into sub-second long arithmetic. The vocab→bit mapping is derived
-    * from the data (broadcast, derived once); corpora with >64-word
-    * vocabularies use the token-array path (MinHash signatures don't
-    * care) — the mask is an optimization valid exactly when it fits.
+  /** Token sets as vocabulary bitmasks, WIDTH-ADAPTIVE. The bench
+    * corpus vocabulary is tiny (31 words at every sf), so set
+    * intersect/union collapse to codegen'd long AND/OR + bit_count —
+    * this is what turned the O(n²) Jaccard verify stages from
+    * interpreted array HOFs (~40 s at sf0.1) into sub-second long
+    * arithmetic. The vocab→bit mapping is derived from the data
+    * (broadcast, derived once), and the REPRESENTATION follows the
+    * probed vocabulary width:
+    *
+    *  - ≤64 tokens → ONE long per doc (`mask: bigint`), pair loops run
+    *    scalar `bit_count(a & b)` in whole-stage codegen — the fast
+    *    path every graded corpus takes;
+    *  - >64 tokens → ceil(|vocab|/64) longs (`mask: array<bigint>`),
+    *    built map-side by the native ngram_set_mask (binary search
+    *    against the broadcast sorted vocab — the same representation
+    *    [[bigramMasks]] always uses), pair loops run the codegen'd
+    *    bitmask_jaccard popcount loop.
+    *
+    * The one-row width probe replaces the r12 fail-loud 64-token
+    * raise_error guard: the sf1 scale corpus (89-token vocabulary)
+    * routes to the wide path instead of refusing service, so every
+    * docMasks consumer (h_minhash_lsh_dedup, h_dedup_clusters,
+    * h_cluster_size_hist, h_dedup_method_agreement) is scale-continuous.
+    * Consumers group/join on `mask` (valid for both types) and pick the
+    * matching Jaccard kernel via [[maskJaccard]].
     */
   private def docMasks(s: SparkSession, d: String): DataFrame =
     Q.memoized(s, d, "docMasks") { docMasksBuild(s, d) }
@@ -56,34 +73,50 @@ object DedupOps {
     // wise). The eager localCheckpoint materializes the tiny mask table
     // once per query, since every caller references it from at least
     // two join branches and Spark re-executes shared subtrees.
-    val tok = Io.table(s, d, "documents")
+    val docs = Io.table(s, d, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("lang"),
-        explode(array_distinct(split(col("text"), " "))).as("token"))
-    // The whole vocabulary is ONE sorted array row (≤64 entries inside
-    // the mask path's validity domain): a two-stage collect_set
-    // aggregate + broadcast + array_position replaces the distinct →
-    // rank → offset-join pipeline — three fewer shuffles, and docMasks
-    // is on the critical path of four dedup queries. The final collect
-    // reducer is bounded by the vocabulary domain, never by the data;
-    // wide-vocabulary tables (ngram bigrams, 961 types) use the native
-    // ngram_set_mask expression (binary search against the broadcast
-    // sorted vocab), see h_ngram_jaccard.
-    // Guard the mask path's validity domain: shiftleft silently wraps
-    // mod 64, so a >64-token vocabulary would corrupt masks with no
-    // error. Fail loudly instead (wide vocabularies take the
-    // ngram_set_mask array<long> path).
-    val vocabArr = tok.agg(sort_array(collect_set(col("token"))).as("varr0"))
-      .select(when(size(col("varr0")) <= 64, col("varr0"))
-        .otherwise(raise_error(concat(lit("docMasks: vocabulary exceeds 64 tokens ("),
-          size(col("varr0")).cast("string"), lit(") — single-long masks invalid"))))
-        .as("varr"))
-    tok.crossJoin(broadcast(vocabArr))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(expr(
-        "shiftleft(CAST(1 AS BIGINT), CAST(array_position(varr, token) AS INT) - 1)"))
-        .as("mask"))
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+    // The whole vocabulary is ONE sorted array row: a two-stage
+    // collect_set aggregate + broadcast + array_position replaces the
+    // distinct → rank → offset-join pipeline — three fewer shuffles,
+    // and docMasks is on the critical path of four dedup queries. The
+    // final collect reducer is bounded by the vocabulary domain, never
+    // by the data. Materialized so the scalar width probe below and
+    // the mask build don't recompute it.
+    val vocabArr = Q.materialize(s, d, "docMasksVocab") {
+      tok.agg(sort_array(collect_set(col("token"))).as("varr"))
+    }
+    val nVocab = vocabArr.select(size(col("varr"))).head.getInt(0)
+    if (nVocab <= 64) {
+      // single-long fast path (shiftleft wraps mod 64 — valid exactly
+      // because the probe bounded the vocabulary)
+      tok.crossJoin(broadcast(vocabArr))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(array_position(varr, token) AS INT) - 1)"))
+          .as("mask"))
+    } else {
+      // width-adaptive wide path: one map-side pass, no per-token
+      // explode/groupBy at all — the mask is built from `text` directly
+      graft.functions.NgramSetMask.register(s)
+      val nWords = (nVocab + 63) / 64
+      docs.crossJoin(broadcast(vocabArr))
+        .select(col("doc_id"), col("lang"),
+          expr(s"ngram_set_mask(text, varr, 1, $nWords)").as("mask"))
+    }
   }
+
+  /** The Jaccard kernel matching [[docMasks]]'s probed representation:
+    * scalar long bit ops on the ≤64-token fast path, the codegen'd
+    * bitmask_jaccard popcount loop on the wide path. `masks` is any
+    * frame carrying docMasks' `mask` column (possibly renamed — the
+    * caller passes the two column names to compare). */
+  private def maskJaccard(masks: DataFrame, a: String, b: String): Column =
+    if (masks.schema("mask").dataType ==
+      org.apache.spark.sql.types.LongType)
+      expr(s"bit_count($a & $b)") / expr(s"bit_count($a | $b)")
+    else expr(s"bitmask_jaccard($a, $b)")
 
   /** Per-doc word-bigram set masks as array<long> — the WIDE-vocabulary
     * twin of [[docMasks]] with no fixed bound: the mask width is derived
@@ -306,6 +339,7 @@ object DedupOps {
       byLang: Boolean): DataFrame = {
     val numHashes = 64; val bands = 16; val rowsPerBand = numHashes / bands
     graft.functions.MinHashSig.register(s)
+    graft.functions.DotProduct.register(s) // bitmask_jaccard (wide-vocab masks)
     val t = docToks(s, d)
     val sig = expr(s"minhash_sig(toks, $numHashes)")
     val bandHashes = array((0 until bands).map { b =>
@@ -331,7 +365,7 @@ object DedupOps {
       col("na") < col("nb")
     val cond = if (byLang) cond0 && col("la") === col("lb") else cond0
     val nodePairs = aSide.join(bSide, cond)
-      .withColumn("j", maskJaccard("ma", "mb"))
+      .withColumn("j", maskJaccard(masks, "ma", "mb"))
       .filter(col("j") >= 0.9)
       .select(Seq(col("na"), col("nb"), r6(col("j")).as("jaccard")) ++
         (if (byLang) Seq(col("la").as("lang")) else Nil): _*)
@@ -354,9 +388,6 @@ object DedupOps {
           lit(1.0).as("jaccard"))
     cross.union(within)
   }
-
-  private def maskJaccard(a: String, b: String): Column =
-    expr(s"bit_count($a & $b)") / expr(s"bit_count($a | $b)")
 
   /** SimHash near-dup pair table (hamming ≤ 2), memoized AND
     * materialized per corpus — consumed by h_simhash_dedup and the

@@ -36,21 +36,34 @@ class GuardSpec extends AnyFunSuite {
       s"expected the ragged-dim assert, got: ${rootMessages(e).take(300)}")
   }
 
-  test("a >64-token vocabulary fails the single-long bitmask dedup loudly") {
+  test("a >64-token vocabulary routes to width-adaptive wide masks, stays correct") {
+    // r12's fail-loud 64-token guard (silently-wrapping shiftleft would
+    // corrupt single-long masks) is replaced by a width probe: a >64
+    // vocabulary routes to the array<long> representation and the whole
+    // docMasks dedup family keeps serving — scale continuity for the
+    // sf1 corpus (89-token vocab) where the guard used to refuse.
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_widevocab").toString
-    // 70 distinct tokens across two docs — silently wrapping shiftleft
-    // mod 64 would corrupt masks; the build must raise instead
-    val words = (0 until 70).map(i => s"tok$i")
-    Seq((1L, words.take(40).mkString(" "), "en", "src0", 100L),
-      (2L, words.drop(30).mkString(" "), "en", "src0", 100L))
+    val words = (0 until 70).map(i => f"tok$i%02d")
+    // doc1 ~ doc2 at j = 69/70 ≈ 0.9857 (the one ≥0.9 pair); doc3 at
+    // j = 0.5 from doc1 must NOT pair
+    Seq(
+      (1L, words.mkString(" "), "en", "src0", 100L),
+      (2L, words.take(69).mkString(" "), "en", "src0", 100L),
+      (3L, words.take(35).mkString(" "), "en", "src0", 100L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val e = intercept[Throwable] {
-      Registry.queries("h_jaccard_pairs")(spark, dir).collect()
-    }
-    assert(rootMessages(e).contains("vocabulary exceeds 64"),
-      s"expected the vocab-width guard, got: ${rootMessages(e).take(300)}")
+    val pairs = Registry.queries("h_jaccard_pairs")(spark, dir).collect()
+    assert(pairs.length === 1, s"expected exactly (1,2), got ${pairs.toSeq}")
+    assert(pairs.head.getLong(0) === 1L && pairs.head.getLong(1) === 2L)
+    assert(math.abs(pairs.head.getDouble(3) - 69.0 / 70.0) < 1e-6,
+      s"jaccard ${pairs.head.getDouble(3)} != 69/70")
+    // the CC cluster family rides the same wide masks: {1,2} one
+    // cluster (rep=1, 2 members), {3} a singleton
+    val clusters = Registry.queries("h_dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(clusters === Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)),
+      s"wide-mask clusters wrong: $clusters")
   }
 
   test("adamic-adar deg-1 wedge center yields NULL on both engines, not 1/ln(1)") {
