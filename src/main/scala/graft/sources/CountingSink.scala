@@ -50,6 +50,33 @@ object CountingSink {
   def result(name: String): Option[(Long, Int)] = Option(results.get(name))
   def clear(name: String): Unit = results.remove(name)
 
+  /** Streaming commits, keyed (name, epochId). The epoch key is what
+    * makes the sink EXACTLY-ONCE under retries and checkpoint restarts:
+    * a replayed epoch overwrites its own slot instead of double
+    * counting, so `streamTotal` is exact however many times the engine
+    * re-delivers a batch (the DSv2 streaming analogue of a file sink's
+    * per-batch manifest). */
+  private val streamResults = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[Long, (Long, Int)]]()
+  /** (total rows, committed epoch count) for a streaming sink name. */
+  def streamTotal(name: String): (Long, Int) = {
+    val m = streamResults.get(name)
+    if (m == null) (0L, 0)
+    else {
+      import scala.jdk.CollectionConverters._
+      (m.values.asScala.map(_._1).sum, m.size)
+    }
+  }
+  def streamEpochs(name: String): Map[Long, (Long, Int)] = {
+    val m = streamResults.get(name)
+    if (m == null) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      m.asScala.map { case (k, v) => (k.longValue, v) }.toMap
+    }
+  }
+  def clearStream(name: String): Unit = streamResults.remove(name)
+
   private case class CountMsg(rows: Long) extends WriterCommitMessage
 
   private[sources] class SinkTable(name: String, failNeg: Boolean)
@@ -58,9 +85,11 @@ object CountingSink {
     override def schema(): StructType = new StructType()
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_WRITE,
+        TableCapability.STREAMING_WRITE,
         TableCapability.ACCEPT_ANY_SCHEMA)
 
-    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      val failAtEpoch = Option(info.options.get("failAtEpoch")).map(_.toLong)
       new WriteBuilder {
         override def build(): Write = new Write {
           override def toBatch: BatchWrite = new BatchWrite {
@@ -76,28 +105,68 @@ object CountingSink {
             override def abort(messages: Array[WriterCommitMessage]): Unit =
               () // nothing was published; nothing to roll back
           }
+          override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+              override def createStreamingWriterFactory(
+                  pInfo: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+                new StreamingCountingWriterFactory(failNeg, failAtEpoch)
+              override def commit(epochId: Long,
+                  messages: Array[WriterCommitMessage]): Unit = {
+                val rows = messages.collect { case CountMsg(n) => n }.sum
+                // idempotent per epoch: a replayed batch overwrites its
+                // own slot — exactly-once totals under restart
+                streamResults
+                  .computeIfAbsent(name, _ =>
+                    new java.util.concurrent.ConcurrentHashMap[Long, (Long, Int)]())
+                  .put(epochId, (rows, messages.length))
+              }
+              override def abort(epochId: Long,
+                  messages: Array[WriterCommitMessage]): Unit =
+                () // nothing published for this epoch
+            }
         }
       }
+    }
   }
 
   private final class CountingWriterFactory(failNeg: Boolean)
       extends DataWriterFactory {
     override def createWriter(partitionId: Int,
         taskId: Long): DataWriter[InternalRow] =
-      new DataWriter[InternalRow] {
-        private var n = 0L
-        override def write(record: InternalRow): Unit = {
-          // optional validation hook: a sink that rejects a record
-          // fails ITS task; Spark fails the job and calls abort —
-          // the registry stays untouched (tested)
-          if (failNeg && !record.isNullAt(0) && record.getLong(0) < 0)
-            throw new IllegalArgumentException(
-              s"rejected record: negative first column ${record.getLong(0)}")
-          n += 1
-        }
-        override def commit(): WriterCommitMessage = CountMsg(n)
-        override def abort(): Unit = ()
-        override def close(): Unit = ()
-      }
+      new CountingWriter(failNeg)
+  }
+
+  /** Streaming twin of [[CountingWriterFactory]]: same counting writer,
+    * plus an optional fault-injection epoch (`failAtEpoch`) used by the
+    * end-to-end pipeline test to force a mid-stream abort — the write of
+    * that epoch throws, the streaming query dies, and a restart from the
+    * checkpoint must replay it exactly once. */
+  private final class StreamingCountingWriterFactory(failNeg: Boolean,
+      failAtEpoch: Option[Long])
+      extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long,
+        epochId: Long): DataWriter[InternalRow] = {
+      if (failAtEpoch.contains(epochId))
+        throw new IllegalStateException(
+          s"injected sink fault at epoch $epochId (pipeline abort test)")
+      new CountingWriter(failNeg)
+    }
+  }
+
+  private final class CountingWriter(failNeg: Boolean)
+      extends DataWriter[InternalRow] {
+    private var n = 0L
+    override def write(record: InternalRow): Unit = {
+      // optional validation hook: a sink that rejects a record
+      // fails ITS task; Spark fails the job and calls abort —
+      // the registry stays untouched (tested)
+      if (failNeg && !record.isNullAt(0) && record.getLong(0) < 0)
+        throw new IllegalArgumentException(
+          s"rejected record: negative first column ${record.getLong(0)}")
+      n += 1
+    }
+    override def commit(): WriterCommitMessage = CountMsg(n)
+    override def abort(): Unit = ()
+    override def close(): Unit = ()
   }
 }
