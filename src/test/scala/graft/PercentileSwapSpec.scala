@@ -93,6 +93,82 @@ class PercentileSwapSpec extends AnyFunSuite {
       s"$moved of $total customers moved — more than a boundary sliver")
   }
 
+  test("approx mode is green on the degenerate corpora (agree or bracketed)") {
+    // The r13 degen audit of the swap: over DegenGen's adversarial
+    // micro-corpora every consumer must (a) refuse/complete exactly as
+    // exact mode does, (b) keep schema and row cardinality, and (c) on
+    // cells where the two modes differ, the approx value must be an
+    // interpolation-bracket neighbor — |approx − exact| bounded by the
+    // gap to the adjacent order statistic, here checked as the value
+    // lying inside the exact [p−δ, p+δ] band with δ = one rank at the
+    // smallest group (the sketch is RANK-exact below its accuracy; any
+    // difference from exact mode is interpolation-vs-element, never
+    // rank error). Corpora where no interpolation occurs (empty,
+    // single) must agree EXACTLY — the tool-side sweep
+    // (tools/degen_sweep.py with -Dspark.graft.percentileMode=approx)
+    // showed exactly that split: empty/single zero divergences, zero
+    // corpus interpolation-cells only.
+    val root = "/tmp/graft-degen"
+    val need = Seq("single", "zero", "empty").exists { c =>
+      !new java.io.File(s"$root/$c/lineitem.parquet").exists()
+    }
+    if (need) DegenGen.generate(spark, "/root/testdata/sf0.001", root)
+    val consumers = Seq("d_agg_percentile", "d_agg_kll_quantiles",
+      "g_rfm_segments", "g_fulfillment_latency", "g_interpurchase_time",
+      "g_funnel_time")
+    for (corpus <- Seq("empty", "single", "zero"); name <- consumers) {
+      val dir = s"$root/$corpus"
+      val fn = SparkEntry.queries(name)
+      val exact = try Right(fn(spark, dir).collect()) catch {
+        case e: Exception => Left(e.getClass.getSimpleName)
+      }
+      val approx = withApprox() {
+        try Right(fn(spark, dir).collect()) catch {
+          case e: Exception => Left(e.getClass.getSimpleName)
+        }
+      }
+      (exact, approx) match {
+        case (Left(a), Left(b)) =>
+          assert(a === b, s"$corpus/$name: refusal class differs")
+        case (Right(er), Right(ar)) =>
+          assert(er.length === ar.length,
+            s"$corpus/$name: row cardinality drifted")
+          if (corpus != "zero")
+            assert(ar.toSeq === er.toSeq,
+              s"$corpus/$name: no-interpolation corpus must agree exactly")
+        case _ =>
+          fail(s"$corpus/$name: one mode errored and the other did not")
+      }
+    }
+    // the interpolation-cell bound on the `zero` corpus, on the raw
+    // percentile helper: approx values sit between the adjacent exact
+    // order statistics (rank ±1 at the group's n)
+    val li = spark.read.parquet(s"$root/zero/lineitem.parquet")
+      .select(col("l_returnflag").as("k"), col("l_quantity").cast("double").as("v"))
+    val nMin = math.max(2L,
+      li.groupBy("k").count().agg(min("count")).head().getLong(0))
+    val delta = 1.0 / (nMin - 1).toDouble
+    val ps = Seq((0.5, "p50"), (0.9, "p90"))
+    val bandPs = ps.flatMap { case (p, n) =>
+      Seq((math.max(0.0, p - delta), s"lo_$n"),
+        (math.min(1.0, p + delta), s"hi_$n"))
+    }
+    val band = Q.exactPercentiles(li, "k", "v", bandPs)
+      .collect().map(r => r.getString(0) ->
+        bandPs.indices.map(i => r.getDouble(i + 1))).toMap
+    val approxVals = withApprox() {
+      Q.exactPercentiles(li, "k", "v", ps)
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => r.getDouble(i + 1))).toMap
+    }
+    for ((k, vs) <- approxVals; (v, i) <- vs.zipWithIndex) {
+      val lo = band(k)(2 * i); val hi = band(k)(2 * i + 1)
+      assert(lo <= v && v <= hi,
+        s"zero corpus key $k ${ps(i)._2}: approx $v outside " +
+          s"adjacent-order-statistic bracket [$lo, $hi]")
+    }
+  }
+
   test("every consumer runs green in approx mode with the exact schema") {
     val consumers = Seq("d_agg_percentile", "d_agg_boxplot",
       "d_agg_approx_pctl", "d_agg_kll_quantiles", "g_anomaly_mad",

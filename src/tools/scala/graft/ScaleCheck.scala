@@ -33,14 +33,15 @@ object ScaleCheck {
     "h_mmr_rerank", "t_q16", "t_q09", "t_q10", "t_q03",
     "d_agg_corr_matrix", "h_ccnet_buckets",
     "g_price_index", "i_assoc_rules",
-    // scale-risk families beyond the raw top list. The dedup rows here
-    // are the OPEN-VOCABULARY scale path (digest dedup, widevocab
-    // MinHash): the single-long docMasks variants
-    // (h_minhash_lsh_dedup / h_dedup_clusters / h_cluster_size_hist /
-    // h_dedup_method_agreement) are vocabulary-bounded BY DESIGN and
-    // their fail-loud guard fires on the sf1 corpus's grown vocabulary
-    // (89 > 64 tokens) — demonstrated in the r12 run, recorded in
-    // SCALE.md; at open vocab the widevocab chain carries the load.
+    // scale-risk families beyond the raw top list. The docMasks dedup
+    // rows (h_minhash_lsh_dedup and the CC family on top of it) are
+    // back in the table as of r13: docMasks is width-adaptive — the
+    // sf1 corpus's 89-token vocabulary routes to array<long> masks
+    // (the r12 fail-loud 64-token guard is gone), so these rows are
+    // scale-continuous alongside the always-open-vocab paths
+    // (digest dedup, widevocab MinHash).
+    "h_minhash_lsh_dedup", "h_dedup_clusters", "h_cluster_size_hist",
+    "h_dedup_method_agreement",
     "h_exact_dedup", "h_line_dedup", "h_minhash_widevocab",
     "i_graph_cc", "c_join_5way", "g_session_30m", "h_ann_ivf",
     "h_pca_power", "g_markov_attribution", "h_prefix_filter_pairs",

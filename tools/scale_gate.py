@@ -28,6 +28,34 @@ QUAD_MAX = 130.0
 MIN_BASE = 0.3
 
 
+def pctl_section():
+    """Exact-vs-approx percentile cost table (target/pctl_swap.json,
+    written by graft.PctlSwapCheck) — empty when the tool hasn't run."""
+    path = os.path.join(HERE, "..", "target", "pctl_swap.json")
+    try:
+        rows = json.load(open(path))
+    except (OSError, ValueError):
+        return []
+    out = [
+        "",
+        "## Percentile swap at scale (exact two-pass rank vs"
+        " approx_percentile sketch)",
+        "",
+        "The documented 100 TB swap (`spark.graft.percentileMode=approx`,",
+        "Q.exactPercentiles) measured on the sf1 corpus — output",
+        "tolerance is PercentileSwapSpec's gate, this table is COST.",
+        "Warm = min of two steady-state runs per mode.",
+        "",
+        "| query | exact warm s | approx warm s | speedup |",
+        "|---|---|---|---|",
+    ]
+    for r in rows:
+        out.append(
+            f"| {r['q']} | {r['exact_warm']:.2f} | {r['approx_warm']:.2f} "
+            f"| {r['speedup_warm']:.1f}× |")
+    return out
+
+
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         HERE, "..", "target", "scale_check.json")
@@ -56,7 +84,7 @@ def main():
             f"| {verdict} |")
 
     md = [
-        "# SCALE — empirical scale-slope evidence (r12)",
+        "# SCALE — empirical scale-slope evidence (r13)",
         "",
         "`graft.ScaleGen` derives an sf1 corpus (10× the sf0.1 bench",
         "scale: 6M lineitem / 1.5M orders / 1M events / 50k documents /",
@@ -71,14 +99,14 @@ def main():
         f"{MIN_BASE} s (fixed-overhead amortization is not a slope).",
         "",
         "",
-        "The bounded-vocabulary docMasks dedup variants",
-        "(h_minhash_lsh_dedup / h_dedup_clusters / h_cluster_size_hist /",
-        "h_dedup_method_agreement) are NOT in this table by design:",
-        "their single-long token masks carry a fail-loud 64-token",
-        "vocabulary guard, and the sf1 corpus's grown vocabulary (89",
-        "tokens) correctly RAISED it in the r12 run — the open-vocab",
-        "scale path (h_exact_dedup / h_line_dedup / h_minhash_widevocab)",
-        "is what is measured here.",
+        "The docMasks dedup family (h_minhash_lsh_dedup /",
+        "h_dedup_clusters / h_cluster_size_hist /",
+        "h_dedup_method_agreement) joined this table in r13: docMasks is",
+        "width-adaptive — the sf1 corpus's 89-token vocabulary routes to",
+        "array<long> masks (one scalar width probe; the r12 fail-loud",
+        "64-token guard is gone), so the bounded-vocab rows are",
+        "scale-continuous alongside the always-open-vocab paths",
+        "(h_exact_dedup / h_line_dedup / h_minhash_widevocab).",
         "",
         "| query | sf0.1 cold | sf0.1 warm | sf1 cold | sf1 warm "
         "| warm slope | class | gate |",
@@ -86,9 +114,11 @@ def main():
     ] + lines + [
         "",
         f"Gate: {'PASS — every row inside its slope cap' if not bad else 'FAIL: ' + '; '.join(f'{q} ({why})' for q, why in bad)}",
+    ] + pctl_section() + [
         "",
         "Reproduce: `runMain graft.ScaleGen` (writes /tmp/graft-sf1),",
-        "`runMain graft.ScaleCheck`, `python3 tools/scale_gate.py`.",
+        "`runMain graft.ScaleCheck`, `python3 tools/scale_gate.py`;",
+        "percentile table: `runMain graft.PctlSwapCheck /tmp/graft-sf1`.",
     ]
     out = os.path.join(HERE, "..", "SCALE.md")
     with open(out, "w") as f:
