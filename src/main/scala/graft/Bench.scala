@@ -277,8 +277,10 @@ object Bench {
     // the wall was attributed GC, and never count the retry — kept the
     // noise in the reported total. Policy now:
     //   retry when  (a) GC ate >half the wall of a ≥1 s row, OR
-    //               (b) the row read >2× its quiet anchor AND >+0.75 s
-    //                   absolute (sub-second rows jitter ±0.3 s);
+    //               (b) the row would BLOCK the regression gate —
+    //                   >1.5× its quiet anchor AND >+0.75 s absolute
+    //                   (bench_check.py's exact rule, so every
+    //                   potential blocker gets its exoneration shot);
     //   up to 2 retries per row, and the row's REPORTED time is
     //   min(first, retries). A same-session re-run of an identical plan
     //   against resident artifacts can only shed ambient noise — it
@@ -304,7 +306,7 @@ object Bench {
       val anchor = anchors.get(name)
       def suspect(v: Double): Boolean =
         (gcSec > v / 2 && v >= 1.0) ||
-          anchor.exists(a => v > 2 * a && v - a > 0.75)
+          anchor.exists(a => v > 1.5 * a && v - a > 0.75)
       var best = sec
       var tries = 0
       while (suspect(best) && tries < 2 && retryBudgetNs > 0 && sec >= 0) {
