@@ -66,7 +66,18 @@ object DedupOps {
   private def docMasks(s: SparkSession, d: String): DataFrame =
     Q.memoized(s, d, "docMasks") { docMasksBuild(s, d) }
 
-  private def docMasksBuild(s: SparkSession, d: String): DataFrame = Q.materialize(s, d, "docMasks") {
+  private def docMasksBuild(s: SparkSession, d: String): DataFrame =
+    Q.materialize(s, d, "docMasks") { docMasksBuildBody(s, d, mat = true) }
+
+  /** The memoized+materialized docMasks truncates lineage; mat=false
+    * exposes the un-materialized BUILD plan for shape pins (the wide
+    * route must read as ONE map-side ngram_set_mask projection over a
+    * broadcast vocabulary — no per-token explode/groupBy, no cartesian).
+    */
+  private[graft] def docMasksBuildForPlan(s: SparkSession, d: String): DataFrame =
+    docMasksBuildBody(s, d, mat = false)
+
+  private def docMasksBuildBody(s: SparkSession, d: String, mat: Boolean): DataFrame = {
     // The bench corpus is one parquet file → a 1-task scan, so the
     // explode/join would run single-threaded without the repartition
     // (at 100 TB the scan itself is parallel and this is a no-op cost-
@@ -84,9 +95,11 @@ object DedupOps {
     // final collect reducer is bounded by the vocabulary domain, never
     // by the data. Materialized so the scalar width probe below and
     // the mask build don't recompute it.
-    val vocabArr = Q.materialize(s, d, "docMasksVocab") {
-      tok.agg(sort_array(collect_set(col("token"))).as("varr"))
-    }
+    val vocabArr =
+      if (mat) Q.materialize(s, d, "docMasksVocab") {
+        tok.agg(sort_array(collect_set(col("token"))).as("varr"))
+      }
+      else tok.agg(sort_array(collect_set(col("token"))).as("varr"))
     val nVocab = vocabArr.select(size(col("varr"))).head.getInt(0)
     if (nVocab <= 64) {
       // single-long fast path (shiftleft wraps mod 64 — valid exactly

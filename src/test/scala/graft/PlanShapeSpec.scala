@@ -89,6 +89,37 @@ class PlanShapeSpec extends AnyFunSuite {
       "plane cross join resurfaced — signatures should be one generated-code pass")
   }
 
+  test("wide docMasks route builds masks map-side: ngram_set_mask, no explode/groupBy") {
+    // r13 width-adaptive docMasks: on a >64-token vocabulary the build
+    // must be ONE projection of the native ngram_set_mask over a
+    // broadcast vocabulary row — no per-token explode → groupBy mask
+    // assembly (the fast path's shape, quadratic in tokens×docs rows at
+    // crawl scale), and no cartesian.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wideplan").toString
+    val words = (0 until 80).map(i => f"tok$i%02d")
+    Seq((1L, words.mkString(" "), "en", "s0", 1L),
+      (2L, words.take(70).mkString(" "), "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val df = graft.ops.DedupOps.docMasksBuildForPlan(spark, dir)
+    df.collect()
+    val p = executedPlan(df)
+    // the native expression carries the mask build (vocab derivation
+    // upstream still explodes+aggregates — that branch is vocabulary-
+    // bounded); the single-long kernel (shiftleft sum) must be absent
+    assert(p.contains("ngram_set_mask"),
+      "wide route did not build masks via the native expression:\n" + p.take(1500))
+    assert(!p.contains("shiftleft"),
+      "wide route fell into the single-long mask kernel:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"),
+      "unexpected cartesian (scalar vocab attach should broadcast):\n" + p.take(1500))
+    // and the masks are array<long> of ceil(80/64) = 2 words
+    val row = df.select(col("mask")).head.getSeq[Long](0)
+    assert(row.length === 2, s"expected 2-long masks, got ${row.length}")
+  }
+
   test("minhash candidate join keys on (band, hash), never a cartesian") {
     // the pair table is memoized + localCheckpoint'ed (its lineage is
     // truncated in consumer queries), so pin the BUILD pipeline's plan.
@@ -252,11 +283,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("wide-vocabulary near-dedup: no vocabulary guard, no cartesian") {
-    // h_minhash_widevocab is the open-vocabulary dedup path: the
-    // 64-token mask guard (raise_error in docMasks) must be unreachable
-    // — the plan shingles to arrays and verifies with
-    // array_intersect/array_union — and candidates must come from the
-    // (band, hash) equi-join, never an all-pairs join.
+    // h_minhash_widevocab is the always-open-vocabulary dedup path: no
+    // raise_error guard anywhere in the plan (docMasks itself became
+    // width-adaptive in r13 — the guard this pin was written against
+    // no longer exists in ANY path; the assertion stays as a
+    // regression tripwire) — the plan shingles to arrays and verifies
+    // with the bitmask popcount loop — and candidates must come from
+    // the (band, hash) equi-join, never an all-pairs join.
     // the checked query serves the memoized pair table (truncated
     // lineage), so pin the BUILD pipeline — mat=false keeps the whole
     // lineage (shingling → masks → signatures → band join) in one
