@@ -262,6 +262,50 @@ object EngineSurfaceOps {
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Catalog DDL inside the graded gate (r13): publish a managed table
+    // (saveAsTable through the warehouse), define a PERSISTENT view over
+    // it (stored query text, not a temp view), and aggregate through the
+    // view BY NAME — the second-session surface CatalogSpec exercises,
+    // here with a DuckDB oracle on the equivalent direct derivation.
+    // Names are corpus-hashed so SFs never collide in a shared session;
+    // CREATE OR REPLACE + overwrite keep the row idempotent. At 100 TB
+    // the table write is the one data-sized stage (a filtered subset);
+    // the view is metadata and the final agg is one keyed hash agg.
+    Q("f_catalog_ddl", (s, d) => {
+      val sfx = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      val tbl = s"ord_urgent_$sfx"
+      // the in-memory catalog forgets tables across JVMs but the
+      // warehouse directory survives — an orphaned location blocks
+      // CREATE (LOCATION_ALREADY_EXISTS), so drop metadata AND reclaim
+      // the dir before publishing (what a real retention job does)
+      s.sql(s"DROP VIEW IF EXISTS v_$tbl")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val loc = java.nio.file.Paths.get(wh, tbl)
+      if (java.nio.file.Files.isDirectory(loc)) {
+        val st = java.nio.file.Files.walk(loc)
+        try {
+          val it = st.sorted(java.util.Comparator.reverseOrder()).iterator()
+          while (it.hasNext) java.nio.file.Files.delete(it.next())
+        } finally st.close()
+      }
+      Io.table(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .write.mode("overwrite").saveAsTable(tbl)
+      s.sql(s"CREATE OR REPLACE VIEW v_$tbl AS " +
+        s"SELECT o_orderstatus, o_totalprice FROM $tbl")
+      s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+           |FROM v_$tbl
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }, Some(
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     Q("f_parameterized_sql", (s, d) => {
       Io.views(s, d)
       s.sql(
