@@ -1,6 +1,82 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Task-metric tap for the bench: accumulates JVM-wide task counters
+  * (for per-attempt evidence deltas on rows that stay over-anchor) and
+  * per-job-group executor run time (for warm-phase CPU attribution —
+  * the r13 driver host read 30-190 s WALL for warm rows whose idle
+  * cost is 2-27 s, and without task-time the artifact can't separate
+  * "this row is expensive" from "this row queued behind 15 concurrent
+  * warm jobs on an oversubscribed host").
+  */
+private[graft] class BenchMetrics extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.ConcurrentHashMap
+  import java.util.concurrent.atomic.AtomicLong
+  val stageGroup = new ConcurrentHashMap[Int, String]()
+  val groupRunMs = new ConcurrentHashMap[String, AtomicLong]()
+  val runMs = new AtomicLong; val gcMs = new AtomicLong
+  val shufReadB = new AtomicLong; val shufWriteB = new AtomicLong
+  val fetchWaitMs = new AtomicLong; val shufWriteMs = new AtomicLong
+  val taskN = new AtomicLong
+  override def onJobStart(
+      j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+    val g = Option(j.properties)
+      .map(_.getProperty("spark.jobGroup.id")).orNull
+    if (g != null) {
+      val it = j.stageIds.iterator
+      while (it.hasNext) stageGroup.put(it.next(), g)
+    }
+  }
+  override def onTaskEnd(
+      t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      runMs.addAndGet(m.executorRunTime)
+      gcMs.addAndGet(m.jvmGCTime)
+      shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+      shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      shufWriteMs.addAndGet(m.shuffleWriteMetrics.writeTime / 1000000L)
+      taskN.incrementAndGet()
+      val g = stageGroup.get(t.stageId)
+      if (g != null)
+        groupRunMs.computeIfAbsent(g, _ => new AtomicLong)
+          .addAndGet(m.executorRunTime)
+    }
+  }
+  def snapshot(): Array[Long] = Array(runMs.get, gcMs.get, shufReadB.get,
+    shufWriteB.get, fetchWaitMs.get, shufWriteMs.get, taskN.get)
+  /** Listener-bus events are async; poll until the counters stop
+    * moving (or ~500 ms) so an attempt's delta isn't clipped. */
+  def settled(): Array[Long] = {
+    var prev = snapshot(); var i = 0
+    var stable = false
+    while (!stable && i < 10) {
+      Thread.sleep(50)
+      val cur = snapshot()
+      if (java.util.Arrays.equals(prev, cur)) stable = true
+      else { prev = cur; i += 1 }
+    }
+    prev
+  }
+}
+
 object Bench {
+  /** Flatten an executed (post-AQE) plan, descending through the
+    * adaptive wrapper and materialized query stages — `children` alone
+    * stops at stage boundaries, which is exactly where the join
+    * strategies the evidence pass needs to see live. */
+  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a +: planNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: planNodes(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      r +: planNodes(r.child)
+    case o => o +: o.children.flatMap(planNodes)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -14,6 +90,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new BenchMetrics
+    spark.sparkContext.addSparkListener(metrics)
     // Warm-up sweep: run every query once at the smallest SF first, so
     // the timed pass measures steady-state execution rather than
     // per-query Janino/JIT compilation (whole-stage codegen is cached by
@@ -43,6 +121,12 @@ object Bench {
       def runWarm(name: String,
           fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
         val t0 = System.nanoTime()
+        // Tag the row's jobs with a job group (thread-local, so the 16
+        // concurrent sweep threads don't cross-tag) — the listener
+        // attributes task run time per row into warm_cpu_sec, which is
+        // what separates "expensive row" from "queue victim" in the
+        // r13 driver-host heavy-tail postmortem (VERDICT r13 item 5).
+        spark.sparkContext.setJobGroup(s"warm:$name", s"warm $name")
         // NonFatal only (an OOM/interrupt must propagate), and a failed
         // warm run is LOGGED and NOT recorded as warmed — a consistently
         // failing query must not hide behind a plausible warm_sec entry.
@@ -53,8 +137,18 @@ object Bench {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] warm-up FAILED for $name: " +
               s"${e.getClass.getSimpleName}: ${e.getMessage}")
-        }
+        } finally spark.sparkContext.clearJobGroup()
       }
+      // The sf0.001 sweep's jobs are dominated by scheduler overhead,
+      // not data: at 500-doc/60k-row inputs a 32-bucket shuffle stage
+      // is 32 near-empty tasks, and 16 concurrent sweep threads queue
+      // hundreds of such tasks behind each other (driver r13: per-row
+      // WALL 30-190 s vs 2-27 s idle at identical work — queueing, not
+      // compute; warm_sec sums 6835 s driver vs 2191 s idle under the
+      // same 16 threads). Codegen — the thing the sweep exists to
+      // compile — is partition-count-independent, so warm with 8
+      // shuffle partitions and restore the timed setting afterwards.
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
       // Phase A — pre-build the shared artifact chains. Q.memoized
       // serializes concurrent builders of one artifact behind a per-key
       // monitor (correct: duplicate builds are pure waste), but that
@@ -122,6 +216,10 @@ object Bench {
       }
       workers.foreach(_.start())
       workers.foreach(_.join())
+      // Back to the timed configuration before Phase C builds the
+      // timed-SF artifacts (those ARE read by timed queries, so they
+      // must be laid out exactly as a timed build would lay them out).
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
       warmed = warmSec.size()
       deadlineHit = deadlineFlag.get()
       // Release the sf0.001 sweep's memoized artifacts BEFORE Phase C:
@@ -200,6 +298,7 @@ object Bench {
         .filter(SparkEntry.queries.contains).foreach { n =>
         if (System.nanoTime() < warmDeadline) {
           val t0 = System.nanoTime()
+          spark.sparkContext.setJobGroup(s"warm:$n@timed_sf", s"tier $n")
           try {
             SparkEntry.queries(n)(spark, sfDir).count()
             warmSec.put(s"$n@timed_sf", (System.nanoTime() - t0) / 1e9)
@@ -207,7 +306,7 @@ object Bench {
             case scala.util.control.NonFatal(e) =>
               System.err.println(s"[bench] tier run FAILED for $n: " +
                 s"${e.getClass.getSimpleName}: ${e.getMessage}")
-          }
+          } finally spark.sparkContext.clearJobGroup()
         } else phaseCDeadlineHit = true
       }
       deadlineHit = deadlineFlag.get()
@@ -291,62 +390,163 @@ object Bench {
     //   (raw_sec + retry_sec) so the min is auditable per row.
     //   A global retry budget (180 s wall) bounds the worst case on a
     //   pathologically noisy host.
+    // Per-attempt success is tracked EXPLICITLY (r13 ADVICE items 1+2):
+    // a failed run's wall time is never folded into the reported
+    // minimum (a fast failure would otherwise impersonate a fast run
+    // and sail through the gate), and a row with NO successful run
+    // reports -1.0, which the gate below flags as a blocker whether or
+    // not the row has an anchor. Failed readings are kept in raw_sec/
+    // retry_sec as NEGATIVE walls so every attempt stays auditable.
+    def attempt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Boolean, Double) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println("[bench] run FAILED: " +
+              s"${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(160))
+            false
+        }
+      (ok, (System.nanoTime() - t0) / 1e9)
+    }
     val retrySec = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     val rawSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val evidence = scala.collection.mutable.LinkedHashMap[String, String]()
     var retryBudgetNs = 180L * 1000000000L
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val g0 = gcMillis()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val (ok0, sec) = attempt(fn)
       val gcSec = (gcMillis() - g0) / 1e3
       if (gcSec >= 0.5)
         System.err.println(f"[bench] $name%-24s $sec%8.2f s  (gc $gcSec%.1f s)")
       else
         System.err.println(f"[bench] $name%-24s $sec%8.2f s")
       val anchor = anchors.get(name)
-      def suspect(v: Double): Boolean =
-        (gcSec > v / 2 && v >= 1.0) ||
-          anchor.exists(a => v > 1.5 * a && v - a > 0.75)
-      var best = sec
+      var okAny = ok0
+      var best = if (ok0) sec else Double.MaxValue
+      var fails = if (ok0) 0 else 1
+      // retry when the row (a) failed outright, (b) spent >half its
+      // wall in GC, or (c) would block the anchor gate (bench_check's
+      // exact rule, so every potential blocker gets its exoneration
+      // shot). min over SUCCESSFUL attempts only.
+      def suspect: Boolean = !okAny ||
+        (gcSec > best / 2 && best >= 1.0) ||
+        anchor.exists(a => best > 1.5 * a && best - a > 0.75)
       var tries = 0
-      while (suspect(best) && tries < 2 && retryBudgetNs > 0 && sec >= 0) {
+      while (suspect && tries < 2 && retryBudgetNs > 0) {
         val r0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val rSec = (System.nanoTime() - r0) / 1e9
+        val (okR, rSec) = attempt(fn)
         retryBudgetNs -= (System.nanoTime() - r0)
-        retrySec(name) = retrySec.getOrElse(name, Nil) :+ rSec
+        retrySec(name) =
+          retrySec.getOrElse(name, Nil) :+ (if (okR) rSec else -rSec)
         System.err.println(
-          f"[bench] $name%-24s $rSec%8.2f s  (outlier retry ${tries + 1})")
-        if (rSec < best) best = rSec
+          f"[bench] $name%-24s $rSec%8.2f s  (outlier retry ${tries + 1}" +
+            (if (okR) ")" else ", FAILED)"))
+        if (okR) { okAny = true; if (rSec < best) best = rSec }
+        else fails += 1
         tries += 1
       }
-      if (tries > 0) rawSec(name) = sec
-      (name, best, gcSec)
+      // Evidence pass (r13 VERDICT item 1): a row still failing or
+      // still over its anchor after both retries gets ONE instrumented
+      // re-run recording per-stage facts into bench_full.json — task
+      // run time vs wall (host interference reads as wall >> task
+      // time), task GC, shuffle bytes + fetch-wait, broadcast build
+      // time, and the executed plan's join-strategy census (an AQE
+      // broadcast→SMJ flip becomes visible in the artifact itself,
+      // no manual re-run needed — c_join_5way read 3.77 s vs its
+      // 0.79 s anchor in r13 with nothing but wall seconds to go on).
+      val stillRed = !okAny ||
+        anchor.exists(a => best > 1.5 * a && best - a > 0.75)
+      if (stillRed && retryBudgetNs > 0) {
+        val m0 = metrics.settled()
+        val e0 = System.nanoTime()
+        var eOk = false
+        var joinSig = ""
+        var bcastMs = 0L
+        try {
+          // groupBy().count() + collect is exactly Dataset.count(),
+          // spelled out so the executed (post-AQE) plan stays in hand.
+          val agg = fn(spark, sfDir).groupBy().count()
+          agg.collect()
+          eOk = true
+          val nodes = planNodes(agg.queryExecution.executedPlan)
+          joinSig = nodes.map(_.nodeName).filter(_.contains("Join"))
+            .groupBy(identity).toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k x${v.size}" }.mkString("; ")
+          bcastMs = nodes.collect {
+            case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+              Seq("collectTime", "buildTime", "broadcastTime")
+                .flatMap(k => b.metrics.get(k).map(_.value)).sum
+          }.sum
+        } catch { case scala.util.control.NonFatal(_) => () }
+        val eSec = (System.nanoTime() - e0) / 1e9
+        retryBudgetNs -= (System.nanoTime() - e0)
+        val m1 = metrics.settled()
+        System.err.println(
+          f"[bench] $name%-24s $eSec%8.2f s  (evidence run, ok=$eOk)")
+        if (eOk) {
+          okAny = true
+          retrySec(name) = retrySec.getOrElse(name, Nil) :+ eSec
+          if (eSec < best) best = eSec
+        } else {
+          fails += 1
+          retrySec(name) = retrySec.getOrElse(name, Nil) :+ -eSec
+        }
+        val d = m1.zip(m0).map { case (a, b) => a - b }
+        evidence(name) =
+          f"""{"wall_sec":$eSec%.2f,"ok":$eOk,"task_run_ms":${d(0)},""" +
+            s""""task_gc_ms":${d(1)},"shuffle_read_mb":${d(2) / 1048576},""" +
+            s""""shuffle_write_mb":${d(3) / 1048576},""" +
+            s""""fetch_wait_ms":${d(4)},"shuffle_write_ms":${d(5)},""" +
+            s""""tasks":${d(6)},"bcast_build_ms":$bcastMs,""" +
+            s""""joins":"$joinSig"}"""
+      }
+      if (tries > 0 || !ok0) rawSec(name) = if (ok0) sec else -sec
+      if (fails > 0) failed(name) = fails
+      (name, if (okAny) best else -1.0, gcSec)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val gcs = results.filter(_._3 >= 0.1)
       .map { case (k, _, g) => s"\"" + k + "\":" + g }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total counts successful rows only; failed rows carry -1.0 in the
+    // per-query map and are blockers below.
+    val total = results.map(_._2).filter(_ >= 0).sum
     val totalGc = results.map(_._3).sum
     // Self-printed regression verdict (tools/bench_check.py's exact
     // rule, evaluated in-run): a noisy bench is self-diagnosing in the
     // driver artifact instead of needing a separate quiet-host read.
+    // A failed row (-1.0) is a blocker even without an anchor.
     val gateBlockers = results.flatMap { case (name, v, _) =>
-      anchors.get(name).collect {
-        case a if v < 0 || (v > 1.5 * a && v - a > 0.75) => (name, a, v)
+      if (v < 0) Some((name, anchors.getOrElse(name, 0.0), v))
+      else anchors.get(name).collect {
+        case a if v > 1.5 * a && v - a > 0.75 => (name, a, v)
       }
     }
+    // Anchor-coverage invariant (r13 VERDICT item 2): every declared
+    // query must have an anchor, or the gap is invisible to the
+    // regression gate — f_catalog_ddl shipped un-anchored in r13 and
+    // nothing caught it. Only enforced when anchors loaded at all
+    // (off-SF runs legitimately run anchor-less).
+    val anchorMissing =
+      if (anchors.isEmpty) Nil
+      else SparkEntry.queries.keys.filterNot(anchors.contains).toSeq.sorted
     val anchorTotal = results.flatMap(r => anchors.get(r._1)).sum
     locally {
       val ratio = if (anchorTotal > 0) total / anchorTotal else 0.0
-      val verdict = if (gateBlockers.isEmpty) "PASS"
+      val verdict =
+        if (gateBlockers.isEmpty && anchorMissing.isEmpty) "PASS"
+        else if (gateBlockers.isEmpty)
+          "FAIL un-anchored: " + anchorMissing.mkString(", ")
         else "FAIL " + gateBlockers.map { case (n, a, v) =>
           f"$n ($v%.2f vs $a%.2f)"
         }.mkString(", ")
       System.err.println(
-        f"[bench] gate: ${gateBlockers.length} blockers vs anchors " +
+        f"[bench] gate: ${gateBlockers.length} blockers, " +
+          f"${anchorMissing.length} un-anchored vs anchors " +
           f"(total $total%.1f s, anchor $anchorTotal%.1f s, " +
           f"ratio $ratio%.2f) — $verdict")
     }
@@ -380,15 +580,33 @@ object Bench {
       val raws = rawSec.toSeq
         .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
+      // per-row warm CPU (task run time attributed via job group) —
+      // paired with warm_sec's wall, this separates "expensive row"
+      // from "queue victim" on a contended host.
+      val wcpu = metrics.groupRunMs.entrySet().asScala.toSeq
+        .filter(_.getKey.startsWith("warm:"))
+        .map(e => e.getKey.substring(5) -> e.getValue.get() / 1e3)
+        .sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+      val fl = failed.toSeq
+        .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val ev = evidence.toSeq
+        .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val am = anchorMissing.map("\"" + _ + "\"").mkString("[", ",", "]")
       java.nio.file.Files.write(dir.resolve("bench_full.json"),
         (s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir",""" +
           s""""warmed":$warmed,"n_queries":$nQueries,""" +
           s""""gc_sec":$gcs,"gc_total_sec":$totalGc,""" +
           s""""warm_sec":$ws,""" +
+          s""""warm_cpu_sec":$wcpu,""" +
           s""""warm_wall_sec":$warmWallSec,""" +
           f""""artifact_build_sec":$artifactBuildSec%.2f,""" +
           s""""raw_sec":$raws,""" +
           s""""retry_sec":$rs,""" +
+          s""""failed":$fl,""" +
+          s""""evidence":$ev,""" +
+          s""""anchor_missing":$am,""" +
           s""""gate_blockers":${gateBlockers.length},""" +
           s""""deadline_hit":$deadlineHit,""" +
           s""""phase_c_deadline_hit":$phaseCDeadlineHit}""")
@@ -407,6 +625,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","headline":$hq,""" +
       f""""artifact_build_sec":$artifactBuildSec%.2f,""" +
       f""""gate_blockers":${gateBlockers.length},"anchor_ratio":$anchorRatio%.2f,""" +
+      s""""failed":${failed.size},"anchor_missing":${anchorMissing.length},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

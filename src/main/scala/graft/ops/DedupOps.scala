@@ -124,11 +124,19 @@ object DedupOps {
     * scalar long bit ops on the ≤64-token fast path, the codegen'd
     * bitmask_jaccard popcount loop on the wide path. `masks` is any
     * frame carrying docMasks' `mask` column (possibly renamed — the
-    * caller passes the two column names to compare). */
+    * caller passes the two column names to compare).
+    *
+    * Contract (r13 ADVICE): both representations agree on the
+    * empty∪empty edge — J(∅, ∅) = 0.0, matching BitmaskJaccard's
+    * codegen kernel. The raw SQL `bit_count(a&b)/bit_count(a|b)` would
+    * yield NULL there (0/0), so the scalar path pins the case
+    * explicitly; NULL masks stay NULL on both paths. */
   private def maskJaccard(masks: DataFrame, a: String, b: String): Column =
     if (masks.schema("mask").dataType ==
       org.apache.spark.sql.types.LongType)
-      expr(s"bit_count($a & $b)") / expr(s"bit_count($a | $b)")
+      when(expr(s"bit_count($a | $b)") === 0, lit(0.0))
+        .otherwise(
+          expr(s"bit_count($a & $b)") / expr(s"bit_count($a | $b)"))
     else expr(s"bitmask_jaccard($a, $b)")
 
   /** Per-doc word-bigram set masks as array<long> — the WIDE-vocabulary

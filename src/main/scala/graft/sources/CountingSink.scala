@@ -39,7 +39,8 @@ class CountingSink extends TableProvider {
       properties: util.Map[String, String]): Table =
     new CountingSink.SinkTable(
       Option(properties.get("name")).getOrElse("default"),
-      Option(properties.get("failOnNegativeFirstColumn")).exists(_.toBoolean))
+      Option(properties.get("failOnNegativeFirstColumn")).exists(_.toBoolean),
+      Option(properties.get("failFirstAttemptOfPartition")).map(_.toInt))
 }
 
 object CountingSink {
@@ -79,7 +80,24 @@ object CountingSink {
 
   private case class CountMsg(rows: Long) extends WriterCommitMessage
 
-  private[sources] class SinkTable(name: String, failNeg: Boolean)
+  /** Writer-creation attempts per (sink, partition) — the witness that
+    * a scheduler-level task retry actually HAPPENED in the task-retry
+    * commit test (without it, a silently-not-retried run would pass
+    * vacuously). Process-wide like the result registries: local-mode
+    * executors share the JVM. */
+  private val attempts = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]()
+  def attemptCount(name: String, partitionId: Int): Int = {
+    val a = attempts.get(s"$name#$partitionId")
+    if (a == null) 0 else a.get()
+  }
+  def clearAttempts(name: String): Unit = {
+    val it = attempts.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(s"$name#")) it.remove()
+  }
+
+  private[sources] class SinkTable(name: String, failNeg: Boolean,
+      failFirstAttemptOf: Option[Int] = None)
       extends Table with SupportsWrite {
     override def name(): String = s"counting_sink($name)"
     override def schema(): StructType = new StructType()
@@ -95,7 +113,7 @@ object CountingSink {
           override def toBatch: BatchWrite = new BatchWrite {
             override def createBatchWriterFactory(
                 pInfo: PhysicalWriteInfo): DataWriterFactory =
-              new CountingWriterFactory(failNeg)
+              new CountingWriterFactory(name, failNeg, failFirstAttemptOf)
             override def commit(messages: Array[WriterCommitMessage]): Unit = {
               val rows = messages.collect { case CountMsg(n) => n }.sum
               // single atomic publish — readers see the whole job or
@@ -129,11 +147,25 @@ object CountingSink {
     }
   }
 
-  private final class CountingWriterFactory(failNeg: Boolean)
+  private final class CountingWriterFactory(name: String, failNeg: Boolean,
+      failFirstAttemptOf: Option[Int])
       extends DataWriterFactory {
     override def createWriter(partitionId: Int,
-        taskId: Long): DataWriter[InternalRow] =
+        taskId: Long): DataWriter[InternalRow] = {
+      // Fault injection for the task-retry commit test: the FIRST
+      // attempt of the chosen partition dies before writing a row;
+      // the scheduler's retry (attempt 2) succeeds. commit() must then
+      // see exactly one message for this partition — a sink that
+      // counted writes instead of commit messages would double-count.
+      val n = attempts.computeIfAbsent(s"$name#$partitionId",
+        _ => new java.util.concurrent.atomic.AtomicInteger)
+        .incrementAndGet()
+      if (failFirstAttemptOf.contains(partitionId) && n == 1)
+        throw new IllegalStateException(
+          s"injected first-attempt fault for partition $partitionId " +
+            "(task-retry commit test)")
       new CountingWriter(failNeg)
+    }
   }
 
   /** Streaming twin of [[CountingWriterFactory]]: same counting writer,

@@ -97,6 +97,50 @@ class CatalogSpec extends AnyFunSuite {
       "temp view leaked across sessions")
   }
 
+  test("catalog recovery: empty catalog + surviving partitioned location → CREATE TABLE ... LOCATION + MSCK") {
+    // The cross-JVM survivor scenario (r13 VERDICT item 4): the
+    // in-memory catalog dies with its JVM, the warehouse directory does
+    // not. Simulated faithfully here by laying out a partitioned table
+    // directory this catalog has NEVER had an entry for — the recovery
+    // session's first contact with the data is the surviving files.
+    // (The true two-JVM version of this — publish in one JVM, recover
+    // the f_catalog_ddl table in a second — is driven by
+    // tools/CatalogBoot; this spec pins the recovery DDL itself.)
+    val dir = java.nio.file.Files.createTempDirectory("graft_survivor").toString
+    val src = Io.table(spark, sf, "orders")
+      .withColumn("o_month", month(col("o_orderdate")))
+    src.write.mode("overwrite").partitionBy("o_month").parquet(dir)
+    val expected = src.count()
+    spark.sql("DROP TABLE IF EXISTS cat_recovered")
+    spark.sql(s"CREATE TABLE cat_recovered USING parquet LOCATION '$dir'")
+    // partition COLUMNS are inferred from the layout at creation, but
+    // the catalog's partition LIST starts empty — MSCK repairs it from
+    // the surviving directories (ALTER TABLE ... RECOVER PARTITIONS is
+    // the same code path)
+    spark.sql("MSCK REPAIR TABLE cat_recovered")
+    assert(spark.table("cat_recovered").count() === expected && expected > 0)
+    val parts = spark.catalog.listColumns("cat_recovered")
+      .collect().filter(_.isPartition).map(_.name).toSeq
+    assert(parts === Seq("o_month"),
+      "recovered table lost its partition column")
+    // the recovered table prunes by name, like the original would
+    val pruned = spark.table("cat_recovered").filter(col("o_month") === 3)
+    assert(pruned.count() ===
+      Io.table(spark, sf, "orders")
+        .filter(month(col("o_orderdate")) === 3).count())
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("o_month"),
+      s"recovered table scan did not prune:\n${scan.take(1200)}")
+    // recovery must register EXTERNAL: dropping the recovered entry can
+    // never delete the survivor data it was rebuilt from
+    val t = spark.catalog.listTables().collect()
+      .filter(_.name == "cat_recovered")
+    assert(t.length === 1 && t.head.tableType === "EXTERNAL")
+    spark.sql("DROP TABLE cat_recovered")
+    assert(spark.read.parquet(dir).count() === expected,
+      "dropping the recovered table deleted the surviving files")
+  }
+
   test("database DDL: create, use, qualify, drop") {
     spark.sql("DROP DATABASE IF EXISTS cat_db CASCADE")
     spark.sql("CREATE DATABASE cat_db")

@@ -178,6 +178,33 @@ class NativeFuncSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("Jaccard kernels agree on the empty∪empty edge: J(∅,∅) = 0.0, never NULL") {
+    // r13 ADVICE: the two docMasks representations (scalar long /
+    // array<long>) must return the SAME value for two empty masks, or a
+    // consumer comparing raw j across vocab widths sees a
+    // representation-dependent discontinuity. Contract: 0.0.
+    val r = spark.sql(
+      """SELECT
+        |  bitmask_jaccard(array(0L, 0L), array(0L, 0L)) AS wide_empty,
+        |  CASE WHEN bit_count(0L | 0L) = 0 THEN 0.0D
+        |       ELSE bit_count(0L & 0L) / bit_count(0L | 0L) END AS scalar_empty,
+        |  bitmask_jaccard(array(5L), array(5L)) AS wide_same,
+        |  CASE WHEN bit_count(5L | 5L) = 0 THEN 0.0D
+        |       ELSE bit_count(5L & 5L) / bit_count(5L | 5L) END AS scalar_same
+        |""".stripMargin).head()
+    assert(!r.isNullAt(0) && r.getDouble(0) === 0.0)
+    assert(!r.isNullAt(1) && r.getDouble(1) === 0.0)
+    assert(r.getDouble(2) === 1.0 && r.getDouble(3) === 1.0)
+    // NULL masks stay NULL on both paths (null-intolerant kernels)
+    val n = spark.sql(
+      """SELECT bitmask_jaccard(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS w,
+        |  CASE WHEN bit_count(CAST(NULL AS BIGINT) | 1L) = 0 THEN 0.0D
+        |       ELSE bit_count(CAST(NULL AS BIGINT) & 1L)
+        |            / bit_count(CAST(NULL AS BIGINT) | 1L) END AS s
+        |""".stripMargin).head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("f_sample_hash is deterministic across runs") {
     val a = Registry.queries("f_sample_hash")(spark, sf).collect()
     val b = Registry.queries("f_sample_hash")(spark, sf).collect()

@@ -330,6 +330,33 @@ class SourceSpec extends AnyFunSuite {
       "aborted job must not publish partial results")
   }
 
+  test("custom DSv2 sink: a retried task commits exactly once (no double count)") {
+    // r13 VERDICT item 7: the batch write path's task-commit protocol
+    // under a real scheduler-level retry. Partition 0's FIRST attempt
+    // dies in createWriter (before any row); local[4, 2] retries it;
+    // the job succeeds and the driver-side commit must see exactly one
+    // message per partition — the aborted attempt contributes nothing.
+    import graft.sources.CountingSink
+    val docs = Io.table(spark, sf, "nation")
+      .select(col("n_nationkey").cast("long").as("k"))
+    val expected = docs.count()
+    CountingSink.clear("t3")
+    CountingSink.clearAttempts("t3")
+    docs.repartition(4).write.format("graft.sources.CountingSink")
+      .option("name", "t3").option("failFirstAttemptOfPartition", "0")
+      .mode("append").save()
+    // the retry actually happened (not a vacuous pass)...
+    assert(CountingSink.attemptCount("t3", 0) === 2,
+      "partition 0 should have run exactly twice (fail + retry)")
+    assert(CountingSink.attemptCount("t3", 1) === 1)
+    // ...and the committed totals are single-counted
+    val (rows, tasks) = CountingSink.result("t3").get
+    assert(rows === expected,
+      s"retried task double- or under-counted: $rows vs $expected")
+    assert(tasks === 4,
+      s"expected one commit message per partition, got $tasks")
+  }
+
   test("partition pruning skips non-matching partitions") {
     val dir = Files.createTempDirectory("graft_part").toString
     Io.table(spark, sf, "orders")

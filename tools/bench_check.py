@@ -11,18 +11,26 @@ VERDICT item 4). A row FAILS when BOTH hold:
                                a 0.2 -> 0.35 s reading is noise, not
                                a regression)
 
-New queries (no anchor) are listed informationally, never failed —
-they get an anchor when anchors.json is refreshed at a close.
+Anchor coverage is itself a gate invariant (r13 VERDICT item 2):
+a bench row with NO anchor is a FAILURE unless --allow-new is passed
+(mid-round development escape) — f_catalog_ddl shipped un-anchored in
+r13 and was invisible to this gate until the r14 close.
+
+A cross-round sanity line compares the anchors' per-row cost to the
+latest driver bench (BENCH_r*.json): a >10% move must be justified by
+a note_* entry in anchors.json meta, keeping re-baselining honest
+(r13 VERDICT item 6).
 
 Usage:
-  python3 tools/bench_check.py [bench_full.json] [--update]
+  python3 tools/bench_check.py [bench_full.json] [--update] [--allow-new]
 
   default input: target/bench_full.json (written by graft.Bench)
   --update: rewrite tools/anchors.json from this run (round close),
             keeping per-row max(old, new) is NOT done — anchors track
             the latest accepted quiet run verbatim.
 
-Exit code 0 = no blockers, 1 = at least one row regressed.
+Exit code 0 = no blockers, 1 = at least one row regressed, failed
+outright (sec < 0), or is un-anchored (without --allow-new).
 """
 import json
 import os
@@ -35,9 +43,60 @@ RATIO = 1.5
 ABS_GUARD = 0.75
 
 
+def cross_round_sanity(anchors) -> None:
+    """Print anchors-vs-latest-driver-round per-row delta; flag a >10%
+    move that has no note_* justification in anchors.json meta."""
+    import glob
+    import re
+    benches = sorted(
+        glob.glob(os.path.join(HERE, "..", "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)))
+    if not benches:
+        return
+    latest = benches[-1]
+    rnd = re.search(r"r(\d+)", os.path.basename(latest)).group(1)
+    with open(latest) as f:
+        drv = json.load(f)
+    # the driver wraps Bench's stdout in a "tail" string; the headline
+    # {"metric":"total",...} line is the last JSON object inside it
+    if "value" not in drv and "tail" in drv:
+        lines = [ln.strip() for ln in drv["tail"].splitlines()
+                 if ln.strip().startswith('{"metric":"total"')]
+        if not lines:
+            return
+        try:
+            drv = json.loads(lines[-1])
+        except json.JSONDecodeError:
+            return
+    if "value" not in drv:
+        return
+    corr = os.path.join(HERE, "..", f"CORRECTNESS_r{rnd}.json")
+    try:
+        with open(corr) as f:
+            drv_rows = len(json.load(f))
+    except OSError:
+        drv_rows = anchors["meta"].get("n_queries", 1)
+    a_per = anchors["meta"]["total_sec"] / anchors["meta"]["n_queries"]
+    d_per = drv["value"] / max(1, drv_rows)
+    delta = (a_per - d_per) / d_per if d_per else 0.0
+    print(f"-- anchor sanity: anchors {a_per:.3f} s/row vs "
+          f"{os.path.basename(latest)} driver {d_per:.3f} s/row "
+          f"({delta:+.0%})")
+    if abs(delta) > 0.10:
+        notes = [k for k in anchors["meta"] if k.startswith("note")]
+        if notes:
+            print(f"   >10% move — justification on file: meta.{notes[-1]}")
+        else:
+            print("   WARNING: >10% move with NO note_* justification "
+                  "in anchors.json meta — document the host/code cause "
+                  "before accepting these anchors")
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--update"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--update", "--allow-new")]
     update = "--update" in sys.argv[1:]
+    allow_new = "--allow-new" in sys.argv[1:]
     bench_path = args[0] if args else os.path.join(
         HERE, "..", "target", "bench_full.json")
     with open(bench_path) as f:
@@ -69,8 +128,12 @@ def main() -> int:
     atotal = anchors["meta"].get("total_sec", sum(aq.values()))
     print(f"== bench_check: {len(qs)} rows, total {total:.1f} s "
           f"(anchor total {atotal:.1f} s, ratio {total / atotal:.2f}) ==")
+    cross_round_sanity(anchors)
     if new:
-        print(f"-- {len(new)} new rows (no anchor yet):")
+        tag = "new rows (no anchor yet)" if allow_new \
+            else "UN-ANCHORED rows (BLOCKER — anchor them or pass " \
+                 "--allow-new mid-round)"
+        print(f"-- {len(new)} {tag}:")
         for name, sec in new:
             print(f"   NEW  {name:32s} {sec:7.2f} s")
     if gone:
@@ -101,7 +164,7 @@ def main() -> int:
             json.dump(anchors, f, indent=1)
         print(f"-- anchors.json refreshed from {bench_path}")
 
-    return 1 if regressed else 0
+    return 1 if regressed or (new and not allow_new) else 0
 
 
 if __name__ == "__main__":
