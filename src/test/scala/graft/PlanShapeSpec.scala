@@ -198,6 +198,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("c_join_5way final plan: every join broadcast, no sort-merge flip") {
+    // The row's cross-round bench bimodality (r13 VERDICT item 1) was
+    // probed 20x in one JVM (tools/ProbeJoin5): the executed plan read
+    // BroadcastHashJoin x4 on EVERY run including the slow ones, with
+    // the wall excursions tracking broadcast BUILD time — host
+    // contention, not an AQE flip. This pin turns the "plan unchanged"
+    // half of that attribution into a machine check: if a future
+    // change (or AQE stat drift) flips a dim join to sort-merge at the
+    // small SF, this fails before any bench reads red.
+    val df = Registry.queries("c_join_5way")(spark, sf).groupBy().count()
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllMatchIn(p).length
+    assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a dim join left broadcast:\n${p.take(1500)}")
+  }
+
   test("correlated LATERAL top-k decorrelates to a windowed filter (no per-row subquery)") {
     val p = plan("f_lateral_join")
     // Catalyst rewrites LIMIT-under-correlation into row_number over a
