@@ -56,6 +56,34 @@ def pctl_section():
     return out
 
 
+def ann_section():
+    """ANN quality at 10x data (target/ann_quality.json, recorded from
+    the checked rows' own outputs via graft.ShowQ) — empty when the
+    measurement hasn't been taken. Kept as an artifact so regenerating
+    SCALE.md never silently drops the quality evidence (r14)."""
+    path = os.path.join(HERE, "..", "target", "ann_quality.json")
+    try:
+        d = json.load(open(path))
+    except (OSError, ValueError):
+        return []
+    out = [
+        "",
+        "## ANN quality at scale (r14 — recall measured, not just"
+        " runtime slope)",
+        "",
+        "The \"ANN carries it at scale\" claim has a measured QUALITY",
+        "point at 10× data, recorded from the checked rows' own outputs",
+        "(`runMain graft.ShowQ <dir> h_ann_recall h_ann_mrr_ndcg`):",
+        "",
+        "| metric (checked row) | sf0.1 (2k vecs) | sf1 (20k vecs) |",
+        "|---|---|---|",
+    ]
+    for r in d["rows"]:
+        out.append(f"| {r['metric']} | {r['a']} | {r['b']} |")
+    out += [""] + d.get("note", [])
+    return out
+
+
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         HERE, "..", "target", "scale_check.json")
@@ -114,7 +142,7 @@ def main():
     ] + lines + [
         "",
         f"Gate: {'PASS — every row inside its slope cap' if not bad else 'FAIL: ' + '; '.join(f'{q} ({why})' for q, why in bad)}",
-    ] + pctl_section() + [
+    ] + ann_section() + pctl_section() + [
         "",
         "Reproduce: `runMain graft.ScaleGen` (writes /tmp/graft-sf1),",
         "`runMain graft.ScaleCheck`, `python3 tools/scale_gate.py`;",
