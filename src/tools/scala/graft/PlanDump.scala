@@ -69,6 +69,18 @@ object PlanDump {
       // broadcast / sq_dist_dec / argmin shape is visible
       "h_pq_encode" ->
         (() => graft.ops.VectorOps.pqCodesBuildForPlan(spark, sfDir)))
+    // durable per-query prose that must survive regeneration (a note
+    // hand-edited into PLANS.md would be silently dropped here)
+    val notes: Map[String, String] = Map(
+      "c_join_5way" ->
+        ("""Bimodality attribution (r14, tools/ProbeJoin5 — 20 same-JVM runs at
+          |sf0.1): the executed plan is BroadcastHashJoin x4 on EVERY run, slow
+          |ones included (no AQE flip, zero attributed GC); wall excursions track
+          |the broadcast BUILD metric (cold run 10.8 s wall / 7.2 s bcast-build,
+          |steady 1.1-1.5 s / 0.35-0.6 s). The row's driver-host excursions are
+          |broadcast-build latency under contention, not a plan defect — the
+          |bench's evidence pass records bcast_build_ms + task-vs-wall for any
+          |red reading, and PlanShapeSpec pins the x4-broadcast shape.""".stripMargin))
     val sb = new StringBuilder
     sb.append("# PLANS — final executed plans of representative queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001; AQE settled\n")
@@ -76,7 +88,9 @@ object PlanDump {
     for ((name, why) <- picks) {
       val df = custom.get(name).map(_()).getOrElse(SparkEntry.queries(name)(spark, sfDir))
       df.collect()
-      sb.append(s"\n## $name — $why\n\n```\n")
+      sb.append(s"\n## $name — $why\n")
+      notes.get(name).foreach(n => sb.append(s"\n$n\n"))
+      sb.append("\n```\n")
       sb.append(df.queryExecution.executedPlan.toString.linesIterator
         .map(_.replaceAll("#\\d+[L]?", "").take(140)).take(60).mkString("\n"))
       sb.append("\n```\n")
