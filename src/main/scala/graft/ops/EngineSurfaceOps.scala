@@ -306,6 +306,76 @@ object EngineSurfaceOps {
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // VARIANT (Spark 4 semi-structured type): parse once into the
+    // binary variant encoding, then typed-path extraction with
+    // variant_get / try_variant_get — the open-schema JSON story at
+    // 100 TB, where parsing each path separately (get_json_object xN)
+    // re-tokenizes the document N times but a variant parses ONCE and
+    // each extraction is a cheap binary probe. The checked contract
+    // builds a nested doc (object + array) from events rows with plain
+    // string concat — byte-identical SQL on both engines — and
+    // aggregates typed extractions; the DuckDB twin runs json_extract
+    // over the same constructed text. try_variant_get on a missing
+    // path must yield NULL (counted as 0), matching JSON-null algebra.
+    // Map-side parse + one grouping shuffle; no UDF, codegen'd.
+    Q("f_variant_json", (s, d) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Io.events(s, d)
+        .withColumn("j", concat(
+          lit("{\"a\":"), k.cast("string"),
+          lit(",\"nested\":{\"b\":"), (k * 2).cast("string"),
+          lit("},\"tags\":[\"x\",\""), col("event_type"), lit("\"]}")))
+        .select(col("event_type"), parse_json(col("j")).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.a', 'int')").as("a"),
+          expr("variant_get(v, '$.nested.b', 'int')").as("b"),
+          expr("variant_get(v, '$.tags[1]', 'string')").as("tag"),
+          expr("try_variant_get(v, '$.missing', 'int')").as("m"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("a")).as("sum_a"), sum(col("b")).as("sum_b"),
+          count(col("m")).as("n_missing"),
+          count(when(col("tag") === col("event_type"), 1)).as("n_tag_match"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH j AS (
+        |  SELECT event_type,
+        |    '{"a":' || CAST(CAST(json_extract_string(props, '$.k') AS INT) AS VARCHAR)
+        |    || ',"nested":{"b":' || CAST(CAST(json_extract_string(props, '$.k') AS INT) * 2 AS VARCHAR)
+        |    || '},"tags":["x","' || event_type || '"]}' AS doc
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(doc, '$.a') AS INT)) AS BIGINT) AS sum_a,
+        |  CAST(SUM(CAST(json_extract_string(doc, '$.nested.b') AS INT)) AS BIGINT) AS sum_b,
+        |  COUNT(json_extract_string(doc, '$.missing')) AS n_missing,
+        |  COUNT(CASE WHEN json_extract_string(doc, '$.tags[1]') = event_type THEN 1 END) AS n_tag_match
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // SQL-defined functions (Spark 4 CREATE FUNCTION ... RETURN expr):
+    // reusable business logic registered IN the engine, not smeared as
+    // client-side expression copies — and COMPOSABLE (charge calls
+    // net). Catalyst inlines the bodies at plan time, so the executed
+    // plan is the same scan + hash agg as the open-coded expression:
+    // zero per-row interpretation cost at 100 TB, unlike a JVM/Python
+    // UDF. Per-row arithmetic is pure double (IEEE-identical in both
+    // engines — the t_q01 expression class); sums snapped through the
+    // shared decimal discipline.
+    Q("f_sql_udf", (s, d) => {
+      Io.views(s, d)
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_net(p DOUBLE, disc DOUBLE) " +
+        "RETURNS DOUBLE RETURN p * (1.0 - disc)")
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_charge(p DOUBLE, disc DOUBLE, tax DOUBLE) " +
+        "RETURNS DOUBLE RETURN graft_net(p, disc) * (1.0 + tax)")
+      s.sql(
+        """SELECT l_returnflag, COUNT(*) AS n,
+          |  ROUND(CAST(SUM(CAST(graft_net(l_extendedprice, l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue,
+          |  ROUND(CAST(SUM(CAST(graft_charge(l_extendedprice, l_discount, l_tax) AS DECIMAL(38,6))) AS DOUBLE), 4) AS charged
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }, Some(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue,
+        |  ROUND(CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE), 4) AS charged
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     Q("f_parameterized_sql", (s, d) => {
       Io.views(s, d)
       s.sql(

@@ -216,6 +216,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a dim join left broadcast:\n${p.take(1500)}")
   }
 
+  test("SQL UDF bodies inline at plan time — no per-row function node survives") {
+    // f_sql_udf registers graft_net/graft_charge as SQL-defined
+    // functions (one calling the other); the 100 TB point of SQL UDFs
+    // over JVM UDFs is that Catalyst INLINES the bodies, leaving the
+    // same codegen'd arithmetic as the open-coded expression. Pin it.
+    val df = Registry.queries("f_sql_udf")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("ScalaUDF"),
+      s"SQL UDF fell back to a per-row UDF node:\n${opt.take(1500)}")
+    // bodies appear as arithmetic over parameter aliases projected
+    // straight from the scan (p = l_extendedprice, disc = l_discount)
+    assert(opt.contains("1.0 - disc") && opt.contains("1.0 + tax"),
+      s"inlined body arithmetic not visible:\n${opt.take(1500)}")
+    assert(opt.contains("l_extendedprice") && opt.contains("AS p"),
+      s"parameter binding not a plain projection:\n${opt.take(1500)}")
+  }
+
   test("correlated LATERAL top-k decorrelates to a windowed filter (no per-row subquery)") {
     val p = plan("f_lateral_join")
     // Catalyst rewrites LIMIT-under-correlation into row_number over a

@@ -4,6 +4,7 @@ import graft.io.Io
 import graft.streaming.Streams
 import graft.streaming.Streams.{Ev, EwmaOut, Media, UserCount}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -254,6 +255,43 @@ class StatefulSpec extends AnyFunSuite {
       assert(reference.exists(s1 => s1.start_us <= boundary && s1.end_us > boundary),
         "no session spans the kill point — weak scenario")
     } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("state data source: checkpointed aggregation state is readable offline") {
+    // Operability at 100 TB (r14): when a stateful job misbehaves, the
+    // first diagnostic is reading its STATE from the checkpoint with
+    // the Spark 4 state data source — no instrumentation of the live
+    // query. Contract pinned here: after a keyed streaming count runs
+    // to completion, format("statestore") over the checkpoint returns
+    // one row per key whose buffer value equals the sink's final count.
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val evs = Io.events(spark, sf).filter("user_id < 20")
+      .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_statesrc").toString
+    val mem = MemoryStream[Ev]
+    val q = mem.toDS().groupBy($"user_id").count()
+      .writeStream.format("memory").queryName("ssrc")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Complete()).start()
+    try { mem.addData(evs); q.processAllAvailable() } finally q.stop()
+    val fromSink = spark.table("ssrc").as[(Long, Long)].collect().toMap
+    val state = spark.read.format("statestore").load(ckpt)
+    // schema is (key: struct, value: struct<agg buffer>, partition_id);
+    // resolve the buffer's count field by type, not by its display name
+    val valueFields = state.schema("value").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fields
+    val cntField = valueFields.collectFirst {
+      case f if f.dataType == org.apache.spark.sql.types.LongType => f.name
+    }.getOrElse(fail(s"no long field in state value: ${valueFields.mkString(",")}"))
+    val fromState = state
+      .select(col("key").getField("user_id").as("u"),
+        col("value").getField(cntField).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(fromState === fromSink,
+      "offline state read disagrees with the sink's final counts")
+    assert(fromState.nonEmpty && fromState.keys.forall(_ < 20))
   }
 
   test("stateful streaming EWMA equals the batch g_ewma query") {
