@@ -205,6 +205,26 @@ class NativeFuncSpec extends AnyFunSuite {
     assert(n.isNullAt(0) && n.isNullAt(1))
   }
 
+  test("VARIANT surface: schema_of_variant, is_variant_null, singleton round-trips") {
+    // the checked row (f_variant_json) exercises typed extraction;
+    // this pins the introspection half of the Spark 4 variant surface,
+    // which has no DuckDB twin (schema strings are engine-specific).
+    val r = spark.sql(
+      """SELECT
+        |  schema_of_variant(parse_json('{"a":1,"nested":{"b":2},"tags":["x","y"]}')) AS sch,
+        |  is_variant_null(parse_json('null')) AS isn,
+        |  is_variant_null(parse_json('{"a":null}')) AS obj_not_null,
+        |  CAST(variant_get(parse_json('3.25'), '$', 'double') AS DOUBLE) AS scalar,
+        |  variant_get(parse_json('[10,20,30]'), '$[2]', 'int') AS arr
+        |""".stripMargin).head()
+    val sch = r.getString(0)
+    assert(sch.contains("a") && sch.contains("nested") && sch.contains("tags"),
+      s"schema_of_variant lost fields: $sch")
+    assert(r.getBoolean(1), "JSON null literal should be a variant null")
+    assert(!r.getBoolean(2), "an object containing a null field is not itself null")
+    assert(r.getDouble(3) === 3.25 && r.getInt(4) === 30)
+  }
+
   test("f_sample_hash is deterministic across runs") {
     val a = Registry.queries("f_sample_hash")(spark, sf).collect()
     val b = Registry.queries("f_sample_hash")(spark, sf).collect()
