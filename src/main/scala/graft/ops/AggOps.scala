@@ -508,31 +508,26 @@ object AggOps {
     // (the exact counts are the hash-checked payload).
     Q("d_agg_theta_setops", (s, d) => {
       val ev = Io.events(s, d).select(col("event_type"), col("user_id"))
-      val sk = ev.groupBy(col("event_type"))
-        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
-      val uc = ev.filter(col("event_type") === "click")
-        .select(col("user_id")).distinct()
-      val up = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id")).distinct()
-      val exactBoth = uc.join(up, "user_id").agg(count(lit(1)).as("exact_both"))
-      val exactOnly = uc.join(up, Seq("user_id"), "left_anti")
-        .agg(count(lit(1)).as("exact_click_only"))
-      val exactAll = ev.agg(countDistinct(col("user_id")).as("exact_all"))
       // Missing-arm set algebra (r12 sweep): a corpus slice with no
-      // click (or purchase) events has no sketch row — the previous
-      // filter×crossJoin then emitted ZERO rows where the oracle emits
-      // its one scalar row. LEFT-attach both sketches to a one-row
-      // spine and apply the set identities explicitly: ∩ with the
-      // absent arm is empty (0), A∖∅ = A, ∅∖B = ∅ — so the row always
-      // exists and the 5%-band flags stay deterministic (exact counts
-      // are 0 exactly when the estimate fallback is 0).
-      val one = s.range(1).select(lit(1).as("_k"))
-      val skc = sk.filter(col("event_type") === "click")
-        .select(lit(1).as("_k"), col("sk").as("skc"))
-      val skp = sk.filter(col("event_type") === "purchase")
-        .select(lit(1).as("_k"), col("sk").as("skp"))
-      val ests = one.join(broadcast(skc), Seq("_k"), "left")
-        .join(broadcast(skp), Seq("_k"), "left")
+      // click (or purchase) events must still emit the one scalar row
+      // the oracle emits. A GLOBAL aggregate always returns one row —
+      // the arm sketches pivot out of the per-type sketch table as
+      // max(when(...)) columns (at most one row per type, so the max
+      // IS that sketch; an absent arm pivots to NULL) and the set
+      // identities apply explicitly: ∩ with the absent arm is empty
+      // (0), A∖∅ = A, ∅∖B = ∅. This one-row pivot replaces the r14
+      // form's two filtered-sketch broadcasts + four scalar
+      // crossJoin(broadcast(...)) attaches — six broadcast builds per
+      // execution, the gate's dominant excursion class under host
+      // contention (r14 VERDICT item 3) — with a single aggregate
+      // subtree and two one-row attach joins.
+      val estRow = ev.groupBy(col("event_type"))
+        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+        .agg(
+          max(when(col("event_type") === "click", col("sk"))).as("skc"),
+          max(when(col("event_type") === "purchase", col("sk"))).as("skp"),
+          coalesce(expr("theta_sketch_estimate(theta_union_agg(sk))"),
+            lit(0.0)).as("est_all"))
         .select(
           when(col("skc").isNotNull && col("skp").isNotNull,
             expr("theta_sketch_estimate(theta_intersection(skc, skp))"))
@@ -541,12 +536,19 @@ object AggOps {
             .when(col("skp").isNull, expr("theta_sketch_estimate(skc)"))
             .otherwise(
               expr("theta_sketch_estimate(theta_difference(skc, skp))"))
-            .as("est_only"))
-      val estAll = sk.agg(coalesce(
-        expr("theta_sketch_estimate(theta_union_agg(sk))"), lit(0.0))
-        .as("est_all"))
-      ests.crossJoin(broadcast(exactBoth)).crossJoin(broadcast(exactOnly))
-        .crossJoin(broadcast(exactAll)).crossJoin(broadcast(estAll))
+            .as("est_only"),
+          col("est_all"))
+      val uc = ev.filter(col("event_type") === "click")
+        .select(col("user_id")).distinct()
+      val up = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      // one OUTER join answers both ∩ and ∖ (the r14 form ran a join
+      // AND an anti-join over the same distinct sets)
+      val exacts = uc.join(up.withColumn("_p", lit(1)), Seq("user_id"), "left")
+        .agg(count(col("_p")).as("exact_both"),
+          count(when(col("_p").isNull, lit(1))).as("exact_click_only"))
+      val exactAll = ev.agg(countDistinct(col("user_id")).as("exact_all"))
+      estRow.crossJoin(broadcast(exacts)).crossJoin(broadcast(exactAll))
         .select(col("exact_both"),
           (abs(col("est_both") - col("exact_both")) <=
             col("exact_both") * 0.05).as("inter_ok"),

@@ -22,7 +22,8 @@ object ProbeJoin5 {
     case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
       q +: nodes(q.plan)
     case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-      r +: nodes(r.child)
+      // no recursion: the reused subtree exists at its original site too
+      Seq(r)
     case o => o +: o.children.flatMap(nodes)
   }
 
