@@ -323,6 +323,7 @@ object Bench {
         "g_markov_attribution", // mkvM0..4
         "g_mannwhitney_u",      // mannwhitney_ranged
         "h_mmr_rerank",         // mmrCand -> mmrPairs (round-11)
+        "h_ann_hnsw",           // hnswEdges navigable graph (round-15)
         "c_join_dpp",           // dppOrders partitioned copy
         "e_csv_roundtrip",      // csvOrders CSV write
         "e_json_roundtrip",     // jsonCustomer JSON write

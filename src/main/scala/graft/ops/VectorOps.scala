@@ -202,6 +202,133 @@ object VectorOps {
 
   private val duckCos = duckCosOf("a.embedding", "b.embedding")
 
+  /** HNSW-lite navigable graph parameters: out-degree cap M, beam width
+    * B, fixed hop count H. Small constants: the graph is the LSH
+    * candidate set pruned to its M best cosines per node, and the
+    * search touches ≤ queries × B × M rows per hop — metadata-sized
+    * next to the corpus at any SF. */
+  private val hnswM = 6
+  private val hnswB = 8
+  private val hnswH = 3
+
+  /** Bounded-degree neighbor graph (HNSW-style base layer), built ONCE
+    * per corpus and memoized+materialized like every index artifact:
+    * LSH candidate pairs (the h_ann_topk_pairs equi-join — never a
+    * cartesian) scored by snapped cosine, symmetrized, then pruned to
+    * the top-[[hnswM]] out-edges per node (sim DESC, dst tiebreak).
+    * 100 TB shape: one (band, band_val) shuffle + one src-keyed window
+    * — both key-partitioned; the stored graph is n×M rows. */
+  private def hnswEdges(s: SparkSession, d: String): DataFrame =
+    Q.memoized(s, d, "hnswEdges") {
+      Q.materialize(s, d, "hnswEdges")(hnswEdgesBuildForPlan(s, d))
+    }
+
+  /** The beam search over [[hnswEdges]] (shared by the checked query
+    * and the plan twin). Each query's visited set is SEEDED with its
+    * full scored LSH bucket (every candidate sharing ≥1 band — exactly
+    * h_ann_lsh's candidate scan), then the graph expands the top-B
+    * beam H hops to recover what the bucket missed. Two cheaper seeds
+    * were measured and rejected: a single global entry point strands
+    * the search inside one near-dup component (sf1: 10 nodes scanned
+    * per query, recall 0.045), and id-ordered bucket members seed from
+    * hash-collision junk on a clustered corpus (sf1 recall 0.0 — the
+    * graph's top-6-cosine edges never cross clusters, so greedy
+    * search cannot escape a bad seed). Per-query seeding with the
+    * bucket's own scores is exactly the job HNSW's upper layers do in
+    * the full algorithm; the checked numbers then show what the graph
+    * hops ADD over the pure-bucket path. With `mat = true` each hop's
+    * visited set is materialized (localCheckpoint via Q.materialize —
+    * the i_graph_bfs lesson: a step referenced twice, by the beam
+    * window AND the next union, re-evaluates 2^H times without it);
+    * `mat = false` keeps the full hop lineage visible to plan
+    * assertions. The per-hop deltas are queries × B×M rows —
+    * metadata-sized at any SF. */
+  private def hnswSearch(s: SparkSession, d: String, mat: Boolean): DataFrame = {
+    val edges = hnswEdges(s, d)
+    val e = withDoubles(s, d)
+      .select(col("vec_id"), col("dv"), sqrt(dot(col("dv"), col("dv"))).as("nrm"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("dv").as("qv"), col("nrm").as("qn"))
+    val en = e.select(col("vec_id").as("node"), col("dv").as("nv"),
+      col("nrm").as("nn"))
+    def m(name: String)(df: DataFrame): DataFrame =
+      if (mat) Q.materialize(s, d, name)(df) else df
+    def score(candidates: DataFrame): DataFrame =
+      candidates.join(en, "node").join(q, "q_id")
+        .select(col("q_id"), col("node"),
+          r6(cosPre(dot(col("qv"), col("nv")), col("qn") * col("nn"))).as("sim"))
+    val wBeam = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("node"))
+    val sig = lshSigs(s, d)
+    val seeds = sig.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("band"), col("band_val"))
+      .join(sig.select(col("vec_id").as("node"), col("band"), col("band_val")),
+        Seq("band", "band_val"))
+      .filter(col("q_id") =!= col("node"))
+      .select("q_id", "node").distinct()
+    val visited0 = m("hnswVis0")(score(seeds))
+    val visited = (1 to hnswH).foldLeft(visited0) { (vis, h) =>
+      val beam = vis.withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= hnswB).select(col("q_id"), col("node"))
+      val cand = beam.join(edges.withColumnRenamed("src", "node"), "node")
+        .select(col("q_id"), col("dst").as("node")).distinct()
+      m(s"hnswVis$h")(vis.unionByName(score(cand))
+        .select("q_id", "node", "sim").distinct())
+    }
+    val top10 = visited.filter(col("node") =!= col("q_id"))
+      .withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= 10)
+      .select(col("q_id"), col("node"))
+    val truth = en.crossJoin(broadcast(q))
+      .filter(col("node") =!= col("q_id"))
+      .withColumn("sim",
+        r6(cosPre(dot(col("qv"), col("nv")), col("qn") * col("nn"))))
+      .withColumn("trn", row_number().over(wBeam))
+      .filter(col("trn") <= 10)
+      .select(col("q_id"), col("node"))
+    val counts = visited.select(lit(1).as("_s"))
+      .unionByName(edges.select(lit(0).as("_s")))
+      .agg(count(when(col("_s") === 1, lit(1))).as("n_scanned"),
+        count(when(col("_s") === 0, lit(1))).as("n_edges"))
+    truth.join(top10.withColumn("_h", lit(1)), Seq("q_id", "node"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("_h"), lit(0))).as("n_hits"))
+      .crossJoin(broadcast(counts))
+      .select(col("n_truth"), col("n_hits"),
+        when(col("n_truth") > 0,
+          (col("n_hits").cast("double") / col("n_truth").cast("double"))
+            .cast(dec6).cast("double")).as("recall_at_10"),
+        col("n_scanned"), col("n_edges"))
+  }
+
+  private[graft] def hnswSearchForPlan(s: SparkSession, d: String): DataFrame =
+    hnswSearch(s, d, mat = false)
+
+  /** Un-memoized build twin for the PlanShapeSpec pin (a materialized
+    * artifact truncates consumer lineage to Scan ExistingRDD — the
+    * pqCodesBuildForPlan lesson). */
+  private[graft] def hnswEdgesBuildForPlan(s: SparkSession, d: String): DataFrame = {
+    val sig = lshSigs(s, d)
+    val cand = sig.select(col("vec_id").as("id_a"), col("band"), col("band_val"))
+      .join(sig.select(col("vec_id").as("id_b"), col("band"), col("band_val")),
+        Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val e = withDoubles(s, d)
+      .select(col("vec_id"), col("dv"), sqrt(dot(col("dv"), col("dv"))).as("nrm"))
+    val ea = e.select(col("vec_id").as("id_a"), col("dv").as("va"), col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("id_b"), col("dv").as("vb"), col("nrm").as("nb"))
+    val sym = cand.join(ea, "id_a").join(eb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        r6(cosPre(dot(col("va"), col("vb")), col("na") * col("nb"))).as("sim"))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst"), col("sim")),
+        struct(col("id_b").as("src"), col("id_a").as("dst"), col("sim")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.sim").as("sim"))
+    val wDeg = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    sym.withColumn("rn", row_number().over(wDeg)).filter(col("rn") <= hnswM)
+      .select(col("src"), col("dst"))
+  }
+
   /** Embedding dimension (one-row metadata read) and the derived PQ
     * subspace count — width-8 subspaces, count derived from the data so
     * a dim change tracks instead of silently truncating. Cached per
@@ -1111,6 +1238,115 @@ object VectorOps {
          |  ${s18("ndcg")} / COUNT(*) AS ndcg_at_10
          |FROM scored""".stripMargin
     })),
+
+    // Graph-based ANN (HNSW-lite) — the fourth index family next to
+    // IVF (h_ann_ivf*/h_ann_nprobe_curve), LSH buckets (h_ann_lsh) and
+    // IVF-PQ (h_ann_ivfpq): a bounded-degree navigable neighbor graph
+    // (hnswEdges — per-node top-M LSH candidates by snapped cosine,
+    // memoized+materialized once per corpus like every index artifact)
+    // searched by fixed-hop beam expansion from per-query LSH-bucket
+    // seeds (the job HNSW's upper layers do — see hnswSearch's
+    // scaladoc for why a single global entry is useless on a
+    // clustered graph): each hop joins the beam to its out-edges,
+    // exact-scores the new candidates against the query, and re-ranks
+    // the visited set down to beam width B — HNSW's greedy best-first
+    // base-layer search, unrolled to H hops so the whole search is H
+    // keyed joins + bounded per-query windows (no iteration state, no
+    // cartesian). Emitted: recall@10 of the search's final top-10
+    // against the exact per-query top-10 (the h_ann_recall discipline
+    // — the approximation itself is the checked number) next to the
+    // candidates-scanned and graph-size cost columns (the
+    // h_ann_nprobe_curve discipline). The oracle re-derives every
+    // signature bit, the graph pruning, and all three unrolled hops.
+    // Shape at 100 TB: the build is one (band, band_val) equi-join +
+    // one src-keyed top-M window; each search hop touches ≤ queries ×
+    // B×M rows; ground truth is per-QUERY linear, not all-pairs.
+    Q("h_ann_hnsw", (s, d) => hnswSearch(s, d, mat = true), Some(
+      s"""WITH $duckSig,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM sig x JOIN sig y
+         |    ON x.band = y.band AND x.band_val = y.band_val AND x.vec_id < y.vec_id),
+         |pairsim AS (
+         |  SELECT c.id_a, c.id_b, ROUND($duckCos, 6) AS sim
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+         |              JOIN embeddings b ON b.vec_id = c.id_b),
+         |sym AS (
+         |  SELECT id_a AS src, id_b AS dst, sim FROM pairsim
+         |  UNION ALL
+         |  SELECT id_b, id_a, sim FROM pairsim),
+         |edges AS (
+         |  SELECT src, dst FROM sym
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src
+         |    ORDER BY sim DESC, dst) <= 6),
+         |seeds AS (
+         |  SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS node
+         |  FROM sig x JOIN sig y
+         |    ON x.band = y.band AND x.band_val = y.band_val
+         |      AND x.vec_id <> y.vec_id
+         |  WHERE x.vec_id < 20),
+         |s0 AS (
+         |  SELECT sd.q_id, sd.node, ROUND($duckCos, 6) AS sim
+         |  FROM seeds sd JOIN embeddings a ON a.vec_id = sd.q_id
+         |                JOIN embeddings b ON b.vec_id = sd.node),
+         |b0 AS (SELECT q_id, node FROM s0
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, node) <= 8),
+         |c1 AS (SELECT DISTINCT f.q_id, e.dst AS node
+         |       FROM b0 f JOIN edges e ON e.src = f.node),
+         |s1 AS (
+         |  SELECT q_id, node, sim FROM s0
+         |  UNION
+         |  SELECT c.q_id, c.node, ROUND($duckCos, 6)
+         |  FROM c1 c JOIN embeddings a ON a.vec_id = c.q_id
+         |            JOIN embeddings b ON b.vec_id = c.node),
+         |b1 AS (SELECT q_id, node FROM s1
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, node) <= 8),
+         |c2 AS (SELECT DISTINCT f.q_id, e.dst AS node
+         |       FROM b1 f JOIN edges e ON e.src = f.node),
+         |s2 AS (
+         |  SELECT q_id, node, sim FROM s1
+         |  UNION
+         |  SELECT c.q_id, c.node, ROUND($duckCos, 6)
+         |  FROM c2 c JOIN embeddings a ON a.vec_id = c.q_id
+         |            JOIN embeddings b ON b.vec_id = c.node),
+         |b2 AS (SELECT q_id, node FROM s2
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, node) <= 8),
+         |c3 AS (SELECT DISTINCT f.q_id, e.dst AS node
+         |       FROM b2 f JOIN edges e ON e.src = f.node),
+         |s3 AS (
+         |  SELECT q_id, node, sim FROM s2
+         |  UNION
+         |  SELECT c.q_id, c.node, ROUND($duckCos, 6)
+         |  FROM c3 c JOIN embeddings a ON a.vec_id = c.q_id
+         |            JOIN embeddings b ON b.vec_id = c.node),
+         |top10 AS (
+         |  SELECT q_id, node FROM s3 WHERE node <> q_id
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, node) <= 10),
+         |truth AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS node
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 20
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |    ORDER BY ROUND($duckCos, 6) DESC, b.vec_id) <= 10),
+         |counts AS (
+         |  SELECT COUNT(CASE WHEN s = 1 THEN 1 END) AS n_scanned,
+         |         COUNT(CASE WHEN s = 0 THEN 1 END) AS n_edges
+         |  FROM (SELECT 1 AS s FROM s3 UNION ALL SELECT 0 FROM edges))
+         |SELECT t.n_truth, t.n_hits,
+         |  CASE WHEN t.n_truth > 0 THEN
+         |    CAST(CAST(CAST(t.n_hits AS DOUBLE) / CAST(t.n_truth AS DOUBLE)
+         |         AS DECIMAL(38,6)) AS DOUBLE) END AS recall_at_10,
+         |  c.n_scanned, c.n_edges
+         |FROM (
+         |  SELECT COUNT(*) AS n_truth,
+         |    CAST(SUM(CASE WHEN tt.node IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits
+         |  FROM truth tr LEFT JOIN top10 tt USING (q_id, node)) t
+         |CROSS JOIN counts c""".stripMargin)),
 
     // Embedding-cosine near-dedup: LSH-candidate pairs verified at
     // cosine >= 0.4 (this corpus's vectors are near-orthogonal — max

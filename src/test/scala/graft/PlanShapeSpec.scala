@@ -120,6 +120,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(row.length === 2, s"expected 2-long masks, got ${row.length}")
   }
 
+  test("hnsw graph build keys on (band, band_val); search stays keyed") {
+    // Build twin (the artifact truncates consumer lineage): candidates
+    // come from the LSH (band, band_val) equi-join — a cartesian or a
+    // nested loop here means the band join degenerated. The degree cap
+    // is a src-keyed window, not a global sort.
+    val bp = executedPlan(graft.ops.VectorOps.hnswEdgesBuildForPlan(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!bp.contains("CartesianProduct") &&
+      !bp.contains("BroadcastNestedLoopJoin"),
+      "hnsw graph build fell off the (band, band_val) equi-join")
+    // Search twin (the checked query materializes each hop's visited
+    // set — truncated lineage): every hop is a keyed join; no
+    // cartesian anywhere. BNLJ count is not asserted on the twin — the
+    // un-materialized fold duplicates the sanctioned one-row entry
+    // attach per referencing subtree (exactly why the checked query
+    // materializes per hop).
+    val sp = executedPlan(graft.ops.VectorOps.hnswSearchForPlan(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!sp.contains("CartesianProduct"),
+      "a data-sized cartesian appeared in the hnsw search")
+    // Checked query (per-hop checkpoints in place): the only
+    // nested-loop joins left are the truth query fan-out and the final
+    // counts attach.
+    val p = plan("h_ann_hnsw").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"),
+      "a data-sized cartesian appeared in the checked hnsw search")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2,
+      s"$bnlj nested-loop joins (> truth + counts attaches)")
+  }
+
   test("minhash candidate join keys on (band, hash), never a cartesian") {
     // the pair table is memoized + localCheckpoint'ed (its lineage is
     // truncated in consumer queries), so pin the BUILD pipeline's plan.
