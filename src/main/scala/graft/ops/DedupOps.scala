@@ -410,6 +410,65 @@ object DedupOps {
     cross.union(within)
   }
 
+  /** Banded MinHash signatures over an ARBITRARY (doc_id, text, …)
+    * frame — the same 64-hash / 16-band / 4-row layout (and the same
+    * native minhash_sig over the DISTINCT token set) as the memoized
+    * pair table, exposed so a streaming micro-batch can join against a
+    * history band index without rebuilding the corpus pipeline.
+    * Emits (doc_id, toks, band, bh). */
+  private[graft] def bandedDocSigs(s: SparkSession, docs: DataFrame): DataFrame = {
+    val numHashes = 64; val bands = 16; val rowsPerBand = numHashes / bands
+    graft.functions.MinHashSig.register(s)
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*),
+        lit(b))
+    }: _*)
+    docs.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      .withColumn("sig", expr(s"minhash_sig(toks, $numHashes)"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(bandHashes).as(Seq("band", "bh")))
+  }
+
+  /** Increment-vs-history dedup verdicts over ARBITRARY frames — the
+    * streaming twin surface of h_incremental_dedup (whose history split
+    * is fixed at doc_id % 10 < 8 of the corpus). A streaming deployment
+    * applies the same two tiers per arriving micro-batch against the
+    * historical index; StreamParitySpec drives this through foreachBatch
+    * and asserts row parity with the checked batch query. Tiers:
+    * exact = content-digest equi-join (min matching history doc);
+    * near = banded-MinHash candidates — the (band, bh) equi-join, never
+    * increment×history — verified at distinct-token Jaccard ≥ 0.9, the
+    * identical set measure (int/int double) the pair table computes via
+    * bitmask jaccard. In production the history side is a materialized
+    * band index (the minhashPairs artifact pattern), not re-derived per
+    * batch as this test-surface helper does. */
+  private[graft] def incrementalStatus(s: SparkSession,
+      inc: DataFrame, hist: DataFrame): DataFrame = {
+    val digest = (c: Column) => sha2(trim(lower(c)), 256)
+    val histD = hist.select(digest(col("text")).as("eh"), col("doc_id"))
+      .groupBy(col("eh")).agg(min(col("doc_id")).as("exact_match"))
+    val hb = bandedDocSigs(s, hist)
+      .select(col("doc_id").as("h"), col("toks").as("htoks"),
+        col("band"), col("bh"))
+    val j = size(array_intersect(col("toks"), col("htoks"))).cast("double") /
+      size(array_union(col("toks"), col("htoks"))).cast("double")
+    val nearM = bandedDocSigs(s, inc).join(hb, Seq("band", "bh"))
+      .select(col("doc_id"), col("h"), col("toks"), col("htoks")).distinct()
+      .filter(j >= 0.9)
+      .groupBy(col("doc_id")).agg(min(col("h")).as("near_match"))
+    inc.select(col("doc_id"), col("lang"), digest(col("text")).as("eh"))
+      .join(histD, Seq("eh"), "left")
+      .join(nearM, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("exact_match").isNotNull, "exact")
+          .when(col("near_match").isNotNull, "near")
+          .otherwise("keep").as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("matched_history_doc"))
+  }
+
   /** SimHash near-dup pair table (hamming ≤ 2), memoized AND
     * materialized per corpus — consumed by h_simhash_dedup and the
     * method-agreement census. Native one-pass simhash32 (the oracle

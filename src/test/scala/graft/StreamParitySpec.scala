@@ -118,6 +118,44 @@ class StreamParitySpec extends AnyFunSuite {
     assert(kept.forall(e => !histSet.contains(e)))
   }
 
+  test("incremental near-dedup: micro-batched increment == checked batch row") {
+    // The streaming freshness twin of h_incremental_dedup (r14 VERDICT
+    // item 7): the increment arrives in TWO micro-batches; each batch
+    // gets its exact/near/keep verdicts against the static history via
+    // DedupOps.incrementalStatus (digest equi-join + banded-MinHash
+    // candidates verified at Jaccard >= 0.9) inside foreachBatch — the
+    // daily-ingest shape, where verdicts depend only on history, so
+    // the union over micro-batches must equal the checked batch query
+    // row for row.
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import Streams.Doc
+    val docs = Io.table(spark, sf, "documents")
+      .selectExpr("doc_id", "lang", "text").as[Doc].collect().toSeq
+    val (hist, inc) = docs.partition(_.doc_id % 10 < 8)
+    val histDf = hist.toDF()
+    val mem = MemoryStream[Doc]
+    val sink = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = mem.toDF().writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val out = graft.ops.DedupOps
+          .incrementalStatus(spark, b, histDf).collect()
+        sink.synchronized { sink ++= out.map(_.toSeq) }
+        ()
+      }
+      .start()
+    val (i1, i2) = inc.splitAt(inc.size / 2)
+    try {
+      mem.addData(i1); q.processAllAvailable()
+      mem.addData(i2); q.processAllAvailable()
+    } finally q.stop()
+    val checked = Registry.queries("h_incremental_dedup")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(sink.nonEmpty && sink.size === inc.size)
+    assert(sink.sortBy(_.head.asInstanceOf[Long]).toSeq ===
+      checked.sortBy(_.head.asInstanceOf[Long]).toSeq)
+  }
+
   test("checkpointed file sink is exactly-once across a query restart") {
     // the production restart story: offsets live in the checkpoint, the
     // parquet sink commits atomically per batch — stop the query midway,
