@@ -243,7 +243,13 @@ object VectorOps {
     * `mat = false` keeps the full hop lineage visible to plan
     * assertions. The per-hop deltas are queries × B×M rows —
     * metadata-sized at any SF. */
-  private def hnswSearch(s: SparkSession, d: String, mat: Boolean): DataFrame = {
+  /** Core of the beam search: the per-hop visited sets (index 0 =
+    * scored seeds) plus the query and node vector frames, so both the
+    * headline row (final recall) and the hop curve consume ONE
+    * machinery. `prefix` keeps the two rows' materialize labels
+    * distinct. */
+  private def hnswVisitedByHop(s: SparkSession, d: String, mat: Boolean,
+      prefix: String): (Seq[DataFrame], DataFrame, DataFrame) = {
     val edges = hnswEdges(s, d)
     val e = withDoubles(s, d)
       .select(col("vec_id"), col("dv"), sqrt(dot(col("dv"), col("dv"))).as("nrm"))
@@ -266,27 +272,43 @@ object VectorOps {
         Seq("band", "band_val"))
       .filter(col("q_id") =!= col("node"))
       .select("q_id", "node").distinct()
-    val visited0 = m("hnswVis0")(score(seeds))
-    val visited = (1 to hnswH).foldLeft(visited0) { (vis, h) =>
+    val visited0 = m(s"${prefix}0")(score(seeds))
+    val visiteds = (1 to hnswH).scanLeft(visited0) { (vis, h) =>
       val beam = vis.withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= hnswB).select(col("q_id"), col("node"))
       val cand = beam.join(edges.withColumnRenamed("src", "node"), "node")
         .select(col("q_id"), col("dst").as("node")).distinct()
-      m(s"hnswVis$h")(vis.unionByName(score(cand))
+      m(s"$prefix$h")(vis.unionByName(score(cand))
         .select("q_id", "node", "sim").distinct())
     }
-    val top10 = visited.filter(col("node") =!= col("q_id"))
-      .withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= 10)
-      .select(col("q_id"), col("node"))
-    val truth = en.crossJoin(broadcast(q))
+    (visiteds, q, en)
+  }
+
+  /** Exact per-query cosine top-10 ground truth (20 queries × corpus —
+    * linear, never all-pairs), shared by the hnsw rows. */
+  private def hnswTruth(q: DataFrame, en: DataFrame): DataFrame = {
+    val wBeam = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("node"))
+    en.crossJoin(broadcast(q))
       .filter(col("node") =!= col("q_id"))
       .withColumn("sim",
         r6(cosPre(dot(col("qv"), col("nv")), col("qn") * col("nn"))))
       .withColumn("trn", row_number().over(wBeam))
       .filter(col("trn") <= 10)
       .select(col("q_id"), col("node"))
+  }
+
+  private def hnswSearch(s: SparkSession, d: String, mat: Boolean): DataFrame = {
+    val (visiteds, q, en) = hnswVisitedByHop(s, d, mat, "hnswVis")
+    val visited = visiteds.last
+    val wBeam = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("node"))
+    val top10 = visited.filter(col("node") =!= col("q_id"))
+      .withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= 10)
+      .select(col("q_id"), col("node"))
+    val truth = hnswTruth(q, en)
     val counts = visited.select(lit(1).as("_s"))
-      .unionByName(edges.select(lit(0).as("_s")))
+      .unionByName(hnswEdges(s, d).select(lit(0).as("_s")))
       .agg(count(when(col("_s") === 1, lit(1))).as("n_scanned"),
         count(when(col("_s") === 0, lit(1))).as("n_edges"))
     truth.join(top10.withColumn("_h", lit(1)), Seq("q_id", "node"), "left")
@@ -1347,6 +1369,149 @@ object VectorOps {
          |      AS BIGINT) AS n_hits
          |  FROM truth tr LEFT JOIN top10 tt USING (q_id, node)) t
          |CROSS JOIN counts c""".stripMargin)),
+
+    // The graph-ANN HOP curve — the knob itself as a checked row, the
+    // h_ann_nprobe_curve discipline applied to the graph family: for
+    // hops = 0..3, recall@10 of the beam search's top-10 next to the
+    // cumulative candidates-scanned cost, so the table shows exactly
+    // what each graph hop BUYS over the pure LSH-bucket seeds (hop 0
+    // IS the bucket path). One tall first-discovery-hop table (each
+    // (query, node) tagged with the min hop that scored it — the
+    // per-hop visited sets are nested, so min-tag + a 4-row spine
+    // fan-out reconstructs every prefix) feeds one (hops, query)-keyed
+    // window for the per-hop top-10 and one keyed aggregate for the
+    // census; ground truth is the shared per-query linear scan. All
+    // emitted values are integers or int/int divisions.
+    Q("h_ann_hnsw_hops", (s, d) => {
+      val (visiteds, q, en) = hnswVisitedByHop(s, d, mat = true, "hnswHop")
+      val fh = visiteds.zipWithIndex.map { case (v, h) =>
+        v.select(col("q_id"), col("node"), col("sim"), lit(h).as("fh"))
+      }.reduce(_.unionByName(_))
+        .groupBy(col("q_id"), col("node"), col("sim"))
+        .agg(min(col("fh")).as("first_hop"))
+      val spine = s.range(0, hnswH + 1)
+        .select(col("id").cast("int").as("hops"))
+      val fan = fh.crossJoin(broadcast(spine))
+        .filter(col("first_hop") <= col("hops"))
+      val wH = Window.partitionBy(col("hops"), col("q_id"))
+        .orderBy(col("sim").desc, col("node"))
+      val top10 = fan.filter(col("node") =!= col("q_id"))
+        .withColumn("rn", row_number().over(wH)).filter(col("rn") <= 10)
+        .select(col("hops"), col("q_id"), col("node"))
+      val scanned = fan.groupBy(col("hops")).agg(count(lit(1)).as("n_scanned"))
+      val truth = Q.materialize(s, d, "hnswHopTruth")(hnswTruth(q, en))
+      val hits = top10.join(truth.withColumn("_t", lit(1)),
+          Seq("q_id", "node"), "left")
+        .groupBy(col("hops")).agg(sum(coalesce(col("_t"), lit(0))).as("n_hits"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      spine.join(scanned, Seq("hops"), "left")
+        .join(hits, Seq("hops"), "left")
+        .crossJoin(broadcast(nTruth))
+        .select(col("hops"),
+          coalesce(col("n_scanned"), lit(0L)).as("n_scanned"),
+          col("n_truth"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          when(col("n_truth") > 0,
+            (coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_truth").cast("double"))
+              .cast(dec6).cast("double")).as("recall_at_10"))
+        .orderBy("hops")
+    }, Some(
+      s"""WITH $duckSig,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM sig x JOIN sig y
+         |    ON x.band = y.band AND x.band_val = y.band_val AND x.vec_id < y.vec_id),
+         |pairsim AS (
+         |  SELECT c.id_a, c.id_b, ROUND($duckCos, 6) AS sim
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+         |              JOIN embeddings b ON b.vec_id = c.id_b),
+         |sym AS (
+         |  SELECT id_a AS src, id_b AS dst, sim FROM pairsim
+         |  UNION ALL
+         |  SELECT id_b, id_a, sim FROM pairsim),
+         |edges AS (
+         |  SELECT src, dst FROM sym
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src
+         |    ORDER BY sim DESC, dst) <= 6),
+         |seeds AS (
+         |  SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS node
+         |  FROM sig x JOIN sig y
+         |    ON x.band = y.band AND x.band_val = y.band_val
+         |      AND x.vec_id <> y.vec_id
+         |  WHERE x.vec_id < 20),
+         |s0 AS (
+         |  SELECT sd.q_id, sd.node, ROUND($duckCos, 6) AS sim
+         |  FROM seeds sd JOIN embeddings a ON a.vec_id = sd.q_id
+         |                JOIN embeddings b ON b.vec_id = sd.node),
+         |b0 AS (SELECT q_id, node FROM s0
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, node) <= 8),
+         |c1 AS (SELECT DISTINCT f.q_id, e.dst AS node
+         |       FROM b0 f JOIN edges e ON e.src = f.node),
+         |s1 AS (
+         |  SELECT q_id, node, sim FROM s0
+         |  UNION
+         |  SELECT c.q_id, c.node, ROUND($duckCos, 6)
+         |  FROM c1 c JOIN embeddings a ON a.vec_id = c.q_id
+         |            JOIN embeddings b ON b.vec_id = c.node),
+         |b1 AS (SELECT q_id, node FROM s1
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, node) <= 8),
+         |c2 AS (SELECT DISTINCT f.q_id, e.dst AS node
+         |       FROM b1 f JOIN edges e ON e.src = f.node),
+         |s2 AS (
+         |  SELECT q_id, node, sim FROM s1
+         |  UNION
+         |  SELECT c.q_id, c.node, ROUND($duckCos, 6)
+         |  FROM c2 c JOIN embeddings a ON a.vec_id = c.q_id
+         |            JOIN embeddings b ON b.vec_id = c.node),
+         |b2 AS (SELECT q_id, node FROM s2
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, node) <= 8),
+         |c3 AS (SELECT DISTINCT f.q_id, e.dst AS node
+         |       FROM b2 f JOIN edges e ON e.src = f.node),
+         |s3 AS (
+         |  SELECT q_id, node, sim FROM s2
+         |  UNION
+         |  SELECT c.q_id, c.node, ROUND($duckCos, 6)
+         |  FROM c3 c JOIN embeddings a ON a.vec_id = c.q_id
+         |            JOIN embeddings b ON b.vec_id = c.node),
+         |allv AS (
+         |  SELECT q_id, node, sim, 0 AS fh FROM s0
+         |  UNION ALL SELECT q_id, node, sim, 1 FROM s1
+         |  UNION ALL SELECT q_id, node, sim, 2 FROM s2
+         |  UNION ALL SELECT q_id, node, sim, 3 FROM s3),
+         |fht AS (
+         |  SELECT q_id, node, sim, MIN(fh) AS first_hop
+         |  FROM allv GROUP BY 1, 2, 3),
+         |spine AS (SELECT CAST(UNNEST(generate_series(0, 3)) AS INT) AS hops),
+         |fan AS (
+         |  SELECT s.hops, f.q_id, f.node, f.sim
+         |  FROM fht f JOIN spine s ON f.first_hop <= s.hops),
+         |top10h AS (
+         |  SELECT hops, q_id, node FROM fan WHERE node <> q_id
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY hops, q_id
+         |    ORDER BY sim DESC, node) <= 10),
+         |sc AS (SELECT hops, COUNT(*) AS n_scanned FROM fan GROUP BY hops),
+         |truth AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS node
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 20
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |    ORDER BY ROUND($duckCos, 6) DESC, b.vec_id) <= 10),
+         |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+         |ht AS (
+         |  SELECT t1.hops, COUNT(*) AS n_hits
+         |  FROM top10h t1 JOIN truth USING (q_id, node) GROUP BY t1.hops)
+         |SELECT s.hops, COALESCE(sc.n_scanned, 0) AS n_scanned, nt.n_truth,
+         |  COALESCE(ht.n_hits, 0) AS n_hits,
+         |  CASE WHEN nt.n_truth > 0 THEN
+         |    CAST(CAST(CAST(COALESCE(ht.n_hits, 0) AS DOUBLE)
+         |         / CAST(nt.n_truth AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)
+         |  END AS recall_at_10
+         |FROM spine s LEFT JOIN sc USING (hops) LEFT JOIN ht USING (hops)
+         |CROSS JOIN nt ORDER BY hops""".stripMargin)),
 
     // Embedding-cosine near-dedup: LSH-candidate pairs verified at
     // cosine >= 0.4 (this corpus's vectors are near-orthogonal — max

@@ -24,6 +24,7 @@ object PlanDump {
       "d_agg_groupby" -> "hash aggregation, partial+final, whole-stage codegen",
       "e_win_topk_group" -> "top-k per group → WindowGroupLimit pushdown",
       "h_ann_lsh" -> "LSH ANN: map-side native signatures, equi-join candidates",
+      "h_ann_hnsw" -> "graph ANN BUILD: (band,band_val) candidate equi-join + src-keyed top-M degree window",
       "h_minhash_lsh_dedup" -> "MinHash LSH: contraction + (band,hash) bucket join",
       "h_cosine_topk" -> "brute-force baseline: codegen dot_product pair loop",
       "f_topk_global" -> "global top-k → TakeOrderedAndProject",
@@ -68,7 +69,12 @@ object PlanDump {
       // lineage) — dump the BUILD pipeline, where the codebook
       // broadcast / sq_dist_dec / argmin shape is visible
       "h_pq_encode" ->
-        (() => graft.ops.VectorOps.pqCodesBuildForPlan(spark, sfDir)))
+        (() => graft.ops.VectorOps.pqCodesBuildForPlan(spark, sfDir)),
+      // the checked query serves the memoized graph + per-hop
+      // checkpointed search — dump the graph BUILD, where the LSH
+      // candidate join and the bounded-degree window are visible
+      "h_ann_hnsw" ->
+        (() => graft.ops.VectorOps.hnswEdgesBuildForPlan(spark, sfDir)))
     // durable per-query prose that must survive regeneration (a note
     // hand-edited into PLANS.md would be silently dropped here)
     val notes: Map[String, String] = Map(
