@@ -1285,6 +1285,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "i_graph_hits" -> "|event types| rows",
       "h_zipf_fit" -> "top-1000 token rows",
       "h_heaps_vocab_growth" -> "|sources| rows",
+      // two windows folding the rollup's global (V, N) row onto the
+      // per-source rows — the r15 single-broadcast merge of the KL
+      // cell table's scalar attaches
+      "h_kl_source_shift" -> "|sources|+1 rollup rows",
       "h_mix_reweight" -> "|languages| rows",
       "h_epoch_plan" -> "|sources| rows",
       // each retrieval arm is ranked AFTER its fused global top-50

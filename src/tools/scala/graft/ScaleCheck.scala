@@ -45,6 +45,7 @@ object ScaleCheck {
     "h_exact_dedup", "h_line_dedup", "h_minhash_widevocab",
     "i_graph_cc", "c_join_5way", "g_session_30m", "h_ann_ivf",
     "h_ann_hnsw",           // r15: graph-ANN build + bucket-seeded search
+    "h_ann_hnsw_hops",      // r15: per-hop recall/cost curve
     "h_pca_power", "g_markov_attribution", "h_prefix_filter_pairs",
     "e_table_checksum", "q1_agg",
     // exact all-pairs yardsticks: O(n^2) BY DESIGN (the approximate
