@@ -194,9 +194,18 @@ class SourceSpec extends AnyFunSuite {
       }
       .option("checkpointLocation", ckpt).trigger(
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(100)).start()
+    // wait for a COMMITTED batch, not merely delivered rows: foreachBatch
+    // runs before the engine writes the commit file, so stopping on
+    // "got1 non-empty" races the batch-0 commit on a loaded host
+    // (observed: rows delivered, commits/ still empty → spurious fail)
+    def committedCount() = {
+      val fs = new java.io.File(s"$ckpt/commits").listFiles()
+      if (fs == null) 0 else fs.count(_.getName.forall(_.isDigit))
+    }
     try {
       val deadline = System.nanoTime() + 30L * 1000000000L
-      while (got1.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      while (committedCount() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
     } finally q1.stop()
     assert(!got1.isEmpty, "first incarnation delivered nothing")
     // the exactly-once contract is against the COMMITTED offset (the
