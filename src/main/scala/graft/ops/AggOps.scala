@@ -371,11 +371,17 @@ object AggOps {
     // Computed via Q.exactPercentiles (windowed two-pass selection), not
     // the holistic `percentile`/`median` aggregates whose single buffer
     // holds every group value — same interpolation, mergeable plan.
+    // boundedDomain (r15): l_quantity's domain is the 50 integral
+    // quantities at ANY corpus size, so the count-histogram form (one
+    // map-side-combined hash agg + a ≤50-row-per-key cumulative window)
+    // replaces the range shuffle + sampling job + input-sized ranked
+    // scratch — value-identical rank selection.
     Q("d_agg_percentile", (s, d) => {
       Q.exactPercentiles(
         Io.table(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity")),
         "l_returnflag", "l_quantity",
-        Seq((0.5, "med_qty"), (0.25, "p25_qty"), (0.75, "p75_qty")))
+        Seq((0.5, "med_qty"), (0.25, "p25_qty"), (0.75, "p75_qty")),
+        boundedDomain = true)
         .select(col("l_returnflag"), col("med_qty"), col("p25_qty"), col("p75_qty"))
         .orderBy("l_returnflag")
     }, Some(
@@ -476,8 +482,10 @@ object AggOps {
       // exact reference via the mergeable windowed selection (no
       // holistic buffer); the sketch side stays approx_percentile —
       // KLL-style sketches merge, so that aggregate already scales.
+      // boundedDomain (r15): l_quantity is a 50-value integral domain —
+      // histogram form, no range shuffle/sampling/ranked scratch
       val exact = Q.exactPercentiles(li, "l_returnflag", "l_quantity",
-        Seq((0.5, "exact_med")))
+        Seq((0.5, "exact_med")), boundedDomain = true)
       val approx = li.groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_med"))
       exact.join(approx, "l_returnflag")
@@ -590,9 +598,12 @@ object AggOps {
     Q("d_agg_kll_quantiles", (s, d) => {
       val li = Io.table(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_quantity"))
+      // boundedDomain (r15): l_quantity is a 50-value integral domain —
+      // histogram form, no range shuffle/sampling/ranked scratch
       val exact = Q.exactPercentiles(li, "l_returnflag", "l_quantity",
         Seq((0.4375, "lo50"), (0.5, "exact_med"), (0.5625, "hi50"),
-          (0.84375, "lo90"), (0.9, "exact_p90"), (0.96875, "hi90")))
+          (0.84375, "lo90"), (0.9, "exact_p90"), (0.96875, "hi90")),
+        boundedDomain = true)
       val sk = li.groupBy(col("l_returnflag"))
         .agg(expr("kll_sketch_agg_double(CAST(l_quantity AS DOUBLE), 200)").as("sk"),
           count(lit(1)).as("n_rows"))

@@ -880,8 +880,14 @@ object AnalyticsOps {
       val ev = Io.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
       val med = Q.exactPercentiles(ev, "event_type", "value", Seq((0.5, "med")))
-      val withDev = ev.join(broadcast(med), "event_type")
-        .withColumn("dev", abs(col("value") - col("med")))
+      // materialized (r15): withDev feeds the MAD percentile pass —
+      // whose range partitioner runs a SAMPLING job over its input, a
+      // full extra execution — and the final scoring join. Without the
+      // checkpoint the events scan + median broadcast join runs three
+      // times (sample, rank shuffle, final).
+      val withDev = Q.materialize(s, d, "mad_withdev")(
+        ev.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("value") - col("med"))))
       val mad = Q.exactPercentiles(withDev.select(col("event_type"), col("dev")),
         "event_type", "dev", Seq((0.5, "mad")))
       withDev.join(broadcast(mad), "event_type")
@@ -1424,6 +1430,11 @@ object AnalyticsOps {
     // corpus pass to the (part, month) grain, then part-keyed joins
     // and a months-bounded rollup.
     Q("g_price_index", (s, d) => {
+      // examined r15, left re-computed: pm is consumed three times, but
+      // at ~503k groups (sf0.1) it is near input-sized — a measured
+      // materialization attempt cost MORE than the two extra columnar
+      // scan+agg passes it saved (2.3 s vs 1.3 s baseline), so the
+      // recompute is the cheaper plan here.
       val pm = Io.table(s, d, "lineitem")
         .select(col("l_partkey").as("part"),
           expr("year(l_shipdate) * 100 + month(l_shipdate)").as("ym"),
@@ -2584,7 +2595,11 @@ object AnalyticsOps {
           Window.orderBy(col("pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0).cast(dec6)))
         .select(col("pid"), col("off"))
-      val tot = rev.agg(sum(col("rev").cast(dec6)).as("total"))
+      // total from the MATERIALIZED ranked table, not a second
+      // lineitem scan + hash agg (r15): `local` carries every rev row
+      // already, and DECIMAL(38,6) sums are exact and associative, so
+      // the total is bit-identical to summing the pre-shuffle aggregate
+      val tot = local.agg(sum(col("rev").cast(dec6)).as("total"))
       // zero-revenue guard (r12 sweep): total = 0 → NULL share, which
       // falls through both <= branches to 'C' — the same path DuckDB's
       // natural /0 → NULL takes through its CASE (oracle unchanged)
@@ -2641,26 +2656,38 @@ object AnalyticsOps {
     // except at the 1e-? threshold epsilon); the 12 thresholds
     // broadcast back, scoring is map-side, final agg is ≤125 groups.
     Q("g_rfm_segments", (s, d) => {
-      val rfm = Io.table(s, d, "orders")
-        .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"),
-          col("o_totalprice"))
-        .groupBy(col("o_custkey"))
-        .agg(max(col("od")).as("last_d"), count(lit(1)).as("freq"),
-          decSum(col("o_totalprice")).as("monet"))
+      // materialized (r15): rfm is consumed FIVE times (the watermark
+      // agg, three threshold passes, the scoring pass) — without the
+      // checkpoint each consumer re-runs the orders scan + hash agg.
+      // The table is customer-aggregate-sized, the class Q.materialize
+      // exists for.
+      val rfm = Q.materialize(s, d, "rfm_cust")(
+        Io.table(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"),
+            col("o_totalprice"))
+          .groupBy(col("o_custkey"))
+          .agg(max(col("od")).as("last_d"), count(lit(1)).as("freq"),
+            decSum(col("o_totalprice")).as("monet")))
       val mx = rfm.agg(max(col("last_d")).as("mxd"))
       val base = rfm.crossJoin(broadcast(mx))
         .withColumn("rec", datediff(col("mxd"), col("last_d")).cast("long"))
         .withColumn("k", lit(1))
-      def th(v: String, pfx: String) = broadcast(
+      // boundedDomain (r15) for rec (day-grain lag, calendar-bounded)
+      // and freq (orders per customer, activity-bounded): histogram
+      // form. monet is a continuous decimal — it keeps the general
+      // range-rank form.
+      def th(v: String, pfx: String, bounded: Boolean = false) = broadcast(
         Q.exactPercentiles(base.select(col("k"), col(v)), "k", v,
           Seq((0.2, s"${pfx}q20"), (0.4, s"${pfx}q40"),
-            (0.6, s"${pfx}q60"), (0.8, s"${pfx}q80"))).drop("k"))
+            (0.6, s"${pfx}q60"), (0.8, s"${pfx}q80")),
+          boundedDomain = bounded).drop("k"))
       def score(v: String, pfx: String) =
         (col(v) > col(s"${pfx}q20")).cast("int") +
           (col(v) > col(s"${pfx}q40")).cast("int") +
           (col(v) > col(s"${pfx}q60")).cast("int") +
           (col(v) > col(s"${pfx}q80")).cast("int")
-      base.crossJoin(th("rec", "r")).crossJoin(th("freq", "f"))
+      base.crossJoin(th("rec", "r", bounded = true))
+        .crossJoin(th("freq", "f", bounded = true))
         .crossJoin(th("monet", "m"))
         .withColumn("rscore", lit(5) - score("rec", "r"))
         .withColumn("fscore", lit(1) + score("freq", "f"))
@@ -2853,11 +2880,16 @@ object AnalyticsOps {
           (col("sm").cast("double") / 1000000.0 / col("cnt")).as("m"))
       val wcd = org.apache.spark.sql.expressions.Window.orderBy(col("m"))
       val cd = means.withColumn("cd", cume_dist().over(wcd))
-      val lo = cd.filter(col("cd") >= 0.025).agg(min(col("m")).as("ci_lo"))
-      val hi = cd.filter(col("cd") >= 0.975).agg(min(col("m")).as("ci_hi"))
+      // both CI bounds from ONE conditional aggregate (r15): the old
+      // two-filter form ran the ×B replica explode twice — once per
+      // bound — because each bound aggregated its own copy of `cd`.
+      // min(when(...)) over the same 100-row frame is value-identical.
+      val ci = cd.agg(
+        min(when(col("cd") >= 0.025, col("m"))).as("ci_lo"),
+        min(when(col("cd") >= 0.975, col("m"))).as("ci_hi"))
       val point = orders.agg(count(lit(1)).as("n_orders"),
         (Q.decSum(col("o_totalprice")) / count(lit(1))).as("mean_price"))
-      point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      point.crossJoin(broadcast(ci))
         .select(col("n_orders"), col("mean_price"), col("ci_lo"),
           col("ci_hi"), lit(b).as("n_replicas"))
     }, Some(
@@ -3391,8 +3423,12 @@ object AnalyticsOps {
           (col("sday") - col("oday")).cast("double").as("lat_days"))
       val n = lat.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"))
+      // boundedDomain (r15): lat_days is a day-grain integer-valued lag
+      // bounded by the calendar span (≈5k distinct at any corpus size) —
+      // histogram form, no range shuffle/sampling/ranked scratch
       Q.exactPercentiles(lat, "o_orderpriority", "lat_days",
-          Seq((0.5, "p50r"), (0.9, "p90r"), (0.99, "p99r")))
+          Seq((0.5, "p50r"), (0.9, "p90r"), (0.99, "p99r")),
+          boundedDomain = true)
         .select(col("o_orderpriority"), snap6(col("p50r")).as("p50_days"),
           snap6(col("p90r")).as("p90_days"), snap6(col("p99r")).as("p99_days"))
         .join(n, "o_orderpriority")

@@ -482,10 +482,11 @@ object EngineSurfaceOps {
            |  DECLARE sigma DOUBLE DEFAULT 0;
            |  DECLARE i INT DEFAULT 0;
            |  WHILE i < 3 DO
-           |    SET mean = (SELECT $meanExpr FROM events
-           |                WHERE value >= lo AND value <= hi);
-           |    SET m2 = (SELECT $m2Expr FROM events
-           |              WHERE value >= lo AND value <= hi);
+           |    -- one scan per round (r15): mean and m2 come from the
+           |    -- SAME aggregate via tuple assignment — the old form's
+           |    -- two scalar subqueries each ran a full events scan
+           |    SET (mean, m2) = (SELECT $meanExpr, $m2Expr FROM events
+           |                      WHERE value >= lo AND value <= hi);
            |    SET sigma = SQRT(GREATEST(m2 - mean * mean, 0));
            |    SET lo = mean - 2 * sigma;
            |    SET hi = mean + 2 * sigma;

@@ -994,8 +994,12 @@ object GraphOps {
       val e0 = Io.table(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val itemN = e0.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
-      val totN = e0.select(col("l_orderkey")).distinct()
-        .agg(count(lit(1)).as("n_orders"))
+      // distinct orders straight off the scan (r15): the old form
+      // re-ran e0's full (orderkey, partkey) shuffle-distinct just to
+      // count distinct orderkeys — COUNT(DISTINCT l_orderkey) over the
+      // base scan is the same value with one narrow distinct-agg
+      val totN = Io.table(s, d, "lineitem")
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
       pairs
         .join(itemN.select(col("l_partkey").as("pa"), col("n_item").as("n_a")), "pa")
         .join(itemN.select(col("l_partkey").as("pb"), col("n_item").as("n_b")), "pb")

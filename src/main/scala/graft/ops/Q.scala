@@ -144,7 +144,7 @@ object Q {
     * rank-error band (the percentile-emitting consumers).
     */
   def exactPercentiles(df: DataFrame, key: String, v: String,
-      ps: Seq[(Double, String)]): DataFrame = {
+      ps: Seq[(Double, String)], boundedDomain: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = df.sparkSession
     val mode =
@@ -162,6 +162,42 @@ object Q {
         percentile_approx(col(v), lit(p), lit(acc)).cast("double").as(name)
       }
       return df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    }
+    if (boundedDomain) {
+      // Count-histogram form, for value columns the CALLER asserts have
+      // a bounded distinct domain at any corpus size (integral
+      // quantities, day-grain lags bounded by the calendar span). One
+      // map-side-combined hash aggregate collapses the corpus to
+      // |keys|·|domain| (value, count) rows; the per-key cumulative
+      // window below runs over ≤|domain| rows — metadata-sized, never a
+      // corpus funnel — so the range shuffle, its per-execution
+      // sampling job, and the input-sized ranked-scratch checkpoint of
+      // the general form all disappear (guide §2.4: remove shuffles
+      // outright). Value-identical to the rank form: the value at rank
+      // r of a sorted multiset is the smallest v whose cumulative count
+      // reaches r, and the interpolation below is the same expression
+      // on the same (lo, hi, n, p).
+      val hist = df.groupBy(col(key), col(v)).agg(count(lit(1)).as("_hc"))
+      val wCum = Window.partitionBy(col(key)).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col(key))
+      val cum = hist
+        .withColumn("_cum", sum(col("_hc")).over(wCum))
+        .withColumn("_n", sum(col("_hc")).over(wAll))
+      val aggs = ps.flatMap { case (p, name) =>
+        val lo = floor((col("_n") - 1) * lit(p)) + 1
+        Seq(min(when(col("_cum") >= lo, col(v))).as(s"_lo_$name"),
+          min(when(col("_cum") >= lo + 1, col(v))).as(s"_hi_$name"))
+      }
+      val g = cum.groupBy(col(key)).agg(max(col("_n")).as("_cnt"), aggs: _*)
+      val outs = ps.map { case (p, name) =>
+        val pos = (col("_cnt") - 1) * lit(p)
+        val frac = pos - floor(pos)
+        (col(s"_lo_$name") +
+          (coalesce(col(s"_hi_$name"), col(s"_lo_$name")) - col(s"_lo_$name")) * frac)
+          .as(name)
+      }
+      return g.select(col(key) +: outs: _*)
     }
     val parts = s.sparkContext.defaultParallelism
     val wLoc = Window.partitionBy(col("_pid"), col(key)).orderBy(col(v))

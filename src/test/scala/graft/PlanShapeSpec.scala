@@ -1302,7 +1302,14 @@ class PlanShapeSpec extends AnyFunSuite {
       // centered 7-observation MA over the day-grain revenue series —
       // calendar-bounded (≤ data range in days), same class as
       // g_survival_km's duration histogram
-      "g_stl_decompose" -> "day-grain revenue series (≤ data range in days)")
+      "g_stl_decompose" -> "day-grain revenue series (≤ data range in days)",
+      // r15 bounded-domain percentile histograms on the constant
+      // whole-population key: recency is a day-grain lag (≤ data range
+      // in days), frequency an orders-per-customer count — both
+      // distinct-VALUE histograms after a map-side-combined hash agg,
+      // never the raw customer rows (monet keeps the range-rank form)
+      "g_rfm_segments" ->
+        "day-grain recency + order-count quintile histograms")
     val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan
