@@ -259,6 +259,11 @@ object VectorOps {
       col("nrm").as("nn"))
     def m(name: String)(df: DataFrame): DataFrame =
       if (mat) Q.materialize(s, d, name)(df) else df
+    // examined r15, left planner-chosen: forcing broadcast(candidates)
+    // per hop measured SLOWER (2.26 → 3.01 s) — AQE already broadcasts
+    // the vector frame once and REUSES that exchange across hops, while
+    // an explicit per-hop candidate broadcast builds a fresh relation
+    // every hop.
     def score(candidates: DataFrame): DataFrame =
       candidates.join(en, "node").join(q, "q_id")
         .select(col("q_id"), col("node"),
@@ -2226,8 +2231,14 @@ object VectorOps {
               (lit(7L) * col("rel_u") - lit(3L) * col("pen_u")).as("score_u10"))
             .orderBy(col("score_u10").desc, col("doc_id")).limit(1)
         }
+      // each pick is materialized (r15 — the i_graph_bfs lesson): step k
+      // references EVERY earlier pick (anti-join + penalty union), so
+      // without per-step checkpoints pick 1's subtree re-evaluates
+      // 2^4 times through pick 5 and the final union — dozens of tiny
+      // stages over 1-row frames. Each checkpoint is a single row.
       var picks = Vector.empty[DataFrame]
-      for (k <- 1 to 5) picks = picks :+ pick(picks, k)
+      for (k <- 1 to 5)
+        picks = picks :+ Q.materialize(s, d, s"mmrPick$k")(pick(picks, k))
       picks.reduce(_ unionByName _).orderBy("step")
     }, Some {
       def sk(k: Int): String =
