@@ -1665,9 +1665,14 @@ object AnalyticsOps {
     // corpus-sized pass is the daily count aggregate.
     Q("g_theilsen_slope", (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val daily = Io.events(s, d).filter(col("event_type") === "purchase")
-        .select(expr("ts_us DIV 86400000000").as("day"))
-        .groupBy(col("day")).agg(count(lit(1)).as("y"))
+      // materialized (r15): daily is consumed FIVE times (base-day
+      // scalar, both slope-pair sides, the residual pass, the n_days
+      // census) — each execution re-ran the events scan + hash agg.
+      // The table is |days| rows, calendar-bounded.
+      val daily = Q.materialize(s, d, "theilsen_daily")(
+        Io.events(s, d).filter(col("event_type") === "purchase")
+          .select(expr("ts_us DIV 86400000000").as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("y")))
       val ser = daily.crossJoin(broadcast(daily.agg(min(col("day")).as("d0"))))
         .select((col("day") - col("d0")).as("x"), col("y"))
       val slopes = ser.select(col("x").as("x1"), col("y").as("y1"))
@@ -1675,10 +1680,15 @@ object AnalyticsOps {
         .filter(col("x1") < col("x2"))
         .select(((col("y2") - col("y1")).cast("double") /
           (col("x2") - col("x1")).cast("double")).as("m"))
+      // one pass (r15): the count rides the SAME WindowExec as the rank
+      // (identical partition/order spec, whole-partition frame) — the
+      // old crossJoin(broadcast(df.agg(count))) executed the |days|²
+      // slope-pair join a second time just to learn its size.
       def rankMedian(df: org.apache.spark.sql.DataFrame, c: String): org.apache.spark.sql.DataFrame = {
-        val ranked = df.withColumn("rn",
-          row_number().over(Window.orderBy(col(c))))
-        ranked.crossJoin(broadcast(df.agg(count(lit(1)).as("np"))))
+        val w = Window.orderBy(col(c))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("np", count(lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
           .filter(col("rn") === expr("(np + 1) DIV 2") ||
             col("rn") === expr("np DIV 2 + 1"))
           .agg(((min(col(c)) + max(col(c))) / 2.0).as(s"med_$c"),
@@ -3251,16 +3261,20 @@ object AnalyticsOps {
       // degenerate at small SF — 15 users at sf0.001 ALL have a signup
       // — while the coin guarantees both arms at any scale; randomized
       // exposure also makes ATT ≈ naive a built-in sanity read)
-      val users = ev.groupBy(col("user_id")).agg(
-        max(when(expr(s"(${Q.coin("user_id")}) < 2147483648"), 1L)
-          .otherwise(0L)).as("treated"),
-        count(lit(1)).as("activity"),
-        countDistinct(expr("ts_us DIV 86400000000")).as("days"),
-        sum(when(col("event_type") === "purchase" && col("value").isNotNull,
-          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
-          .otherwise(0L)).as("y_micros"))
-        .select(col("treated"), (col("activity") / 10).cast("long").as("abin"),
-          (col("days") / 5).cast("long").as("dbin"), col("y_micros"))
+      // materialized (r15): users is consumed THREE times (both stratum
+      // arms + the naive contrast) — each execution re-ran the events
+      // scan + per-user aggregate. The table is user-aggregate-sized.
+      val users = Q.materialize(s, d, "cem_users")(
+        ev.groupBy(col("user_id")).agg(
+          max(when(expr(s"(${Q.coin("user_id")}) < 2147483648"), 1L)
+            .otherwise(0L)).as("treated"),
+          count(lit(1)).as("activity"),
+          countDistinct(expr("ts_us DIV 86400000000")).as("days"),
+          sum(when(col("event_type") === "purchase" && col("value").isNotNull,
+            expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+            .otherwise(0L)).as("y_micros"))
+          .select(col("treated"), (col("activity") / 10).cast("long").as("abin"),
+            (col("days") / 5).cast("long").as("dbin"), col("y_micros")))
       val strata = users.groupBy(col("abin"), col("dbin"), col("treated"))
         .agg(count(lit(1)).as("n"), sum(col("y_micros")).as("sy"))
       val t = strata.filter(col("treated") === 1)
