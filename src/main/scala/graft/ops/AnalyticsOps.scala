@@ -2253,14 +2253,19 @@ object AnalyticsOps {
     Q("g_interpurchase_time", (s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us"), col("event_id"))
-      val gaps = Io.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("ts_us"))
-        .withColumn("prev", lag(col("ts_us"), 1).over(w))
-        .filter(col("prev").isNotNull)
-        .select(lit("all").as("k"), (col("ts_us") - col("prev")).as("gmic"),
-          ((col("ts_us") - col("prev")).cast("double") / 86400000000.0)
-            .as("gap_days"))
+      // materialized (r15): gaps feeds the count/mean aggregate AND the
+      // percentile pass (whose range partitioner samples its input), so
+      // the user-keyed LAG window ran three times without it. The frame
+      // is purchase-gap-sized.
+      val gaps = Q.materialize(s, d, "interpurchase_gaps")(
+        Io.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts_us"))
+          .withColumn("prev", lag(col("ts_us"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(lit("all").as("k"), (col("ts_us") - col("prev")).as("gmic"),
+            ((col("ts_us") - col("prev")).cast("double") / 86400000000.0)
+              .as("gap_days")))
       val n = gaps.groupBy(col("k"))
         .agg(count(lit(1)).as("n_gaps"), sum(col("gmic")).as("sum_mic"))
       Q.exactPercentiles(gaps, "k", "gap_days",
@@ -3478,14 +3483,19 @@ object AnalyticsOps {
       val ev = Io.events(s, d)
       val c0 = ev.filter(col("event_type") === "click")
         .groupBy(col("user_id")).agg(min(col("ts_us")).as("c0"))
-      val conv = ev.filter(col("event_type") === "purchase")
-        .join(c0, "user_id").filter(col("ts_us") >= col("c0"))
-        .groupBy(col("user_id"), col("c0"))
-        .agg(min(col("ts_us")).as("p0"))
-        .select(((expr("c0 DIV 86400000000") + 3) % 7).as("dow"),
-          (col("p0") - col("c0")).as("dmic"),
-          ((col("p0") - col("c0")).cast("double") / 3600000000.0)
-            .as("lat_hours"))
+      // materialized (r15): conv feeds the count/mean aggregate AND the
+      // percentile pass — whose range partitioner runs a SAMPLING job
+      // over its input — so without the checkpoint the two events scans
+      // + join ran three times. The frame is converter-sized.
+      val conv = Q.materialize(s, d, "funnel_time_conv")(
+        ev.filter(col("event_type") === "purchase")
+          .join(c0, "user_id").filter(col("ts_us") >= col("c0"))
+          .groupBy(col("user_id"), col("c0"))
+          .agg(min(col("ts_us")).as("p0"))
+          .select(((expr("c0 DIV 86400000000") + 3) % 7).as("dow"),
+            (col("p0") - col("c0")).as("dmic"),
+            ((col("p0") - col("c0")).cast("double") / 3600000000.0)
+              .as("lat_hours")))
       val n = conv.groupBy(col("dow"))
         .agg(count(lit(1)).as("n_conv"), sum(col("dmic")).as("sum_mic"))
       Q.exactPercentiles(conv, "dow", "lat_hours",
