@@ -803,11 +803,13 @@ object AnalyticsOps {
       val ev = Io.events(s, d).select(col("event_type"), col("event_id"), col("value"))
       val wcd = Window.partitionBy(col("event_type")).orderBy(col("value"))
       val cd = ev.withColumn("cd", cume_dist().over(wcd))
-      val lo = cd.filter(col("cd") >= 0.05).groupBy(col("event_type"))
-        .agg(min(col("value")).as("p5"))
-      val hi = cd.filter(col("cd") >= 0.95).groupBy(col("event_type"))
-        .agg(min(col("value")).as("p95"))
-      ev.join(broadcast(lo), "event_type").join(broadcast(hi), "event_type")
+      // both clip thresholds from ONE conditional aggregate (r15): the
+      // old two-filter form ran the cume_dist window over the corpus
+      // twice — once per threshold. min(when(...)) is value-identical.
+      val th = cd.groupBy(col("event_type"))
+        .agg(min(when(col("cd") >= 0.05, col("value"))).as("p5"),
+          min(when(col("cd") >= 0.95, col("value"))).as("p95"))
+      ev.join(broadcast(th), "event_type")
         .withColumn("clipped", least(greatest(col("value"), col("p5")), col("p95")))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -1232,12 +1234,17 @@ object AnalyticsOps {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us"), col("event_id"))
-      val trans = Io.events(s, d)
-        .select(col("user_id"), col("ts_us"), col("event_id"),
-          col("event_type").as("src"))
-        .withColumn("dst", lead(col("src"), 1).over(w))
-        .filter(col("dst").isNotNull)
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+      // materialized (r15): trans is consumed FOUR times (source
+      // marginal, total, conditional term, destination marginal) — each
+      // execution re-ran the events scan + user-keyed LEAD window. The
+      // table is |types|² rows.
+      val trans = Q.materialize(s, d, "seqent_trans")(
+        Io.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_type").as("src"))
+          .withColumn("dst", lead(col("src"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c")))
       val bySrc = trans.groupBy(col("src")).agg(sum(col("c")).as("ns"))
       val tot = trans.agg(sum(col("c")).as("n"))
       val hCondTerm = floor((col("c").cast("double") / col("ns").cast("double")) *
@@ -1296,10 +1303,15 @@ object AnalyticsOps {
     // residual is an exact dyadic double and the 3×MAD comparison is
     // engine-identical. Emits the anomalous days only.
     Q("g_seasonal_anomaly", (s, d) => {
-      val daily = Io.events(s, d)
-        .select(col("event_type"), expr("ts_us DIV 86400000000").as("day"))
-        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
-        .withColumn("dow", (col("day") + 4) % 7)
+      // materialized (r15): daily feeds the per-dow median AND the
+      // residual join, and resid below feeds the MAD aggregate AND the
+      // final scoring join — without the checkpoint the events scan +
+      // hash agg ran three times. The table is |types|×|days| rows.
+      val daily = Q.materialize(s, d, "seasonal_daily")(
+        Io.events(s, d)
+          .select(col("event_type"), expr("ts_us DIV 86400000000").as("day"))
+          .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+          .withColumn("dow", (col("day") + 4) % 7))
       val base = daily.groupBy(col("event_type"), col("dow"))
         .agg(sort_array(collect_list(col("y"))).as("w"),
           count(lit(1)).as("nw"))
@@ -1376,11 +1388,16 @@ object AnalyticsOps {
         .filter(col("prev").isNotNull)
         .select(col("event_type"), col("day"),
           (col("rev") - col("prev")).as("delta"))
-      val ranked = delta.withColumn("rn", row_number().over(
-        Window.partitionBy(col("event_type"))
-          .orderBy(col("delta"), col("day"))))
-      val n = delta.groupBy(col("event_type")).agg(count(lit(1)).as("n_moves"))
-      ranked.join(broadcast(n), "event_type")
+      // n_moves rides the SAME window pass as the rank (r15 — exactly
+      // how the oracle spells it): the old groupBy + broadcast join
+      // executed the daily agg + LAG window a second time
+      val ranked = delta
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("delta"), col("day"))))
+        .withColumn("n_moves", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      ranked
         .withColumn("k", greatest(lit(1L),
           ceil(col("n_moves").cast("double") * 0.05).cast("long")))
         .filter(col("rn") <= col("k"))
@@ -3094,7 +3111,10 @@ object AnalyticsOps {
           Window.orderBy(col("pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("pid"), col("coff"), col("noff"))
-      val tot = spend.agg(sum(col("cents")).as("tc"),
+      // totals from the MATERIALIZED ranked table (r15): `spend` here
+      // re-ran the orders scan + hash agg; BIGINT sums are exact and
+      // associative, so summing the checkpoint is bit-identical
+      val tot = local.agg(sum(col("cents")).as("tc"),
         count(lit(1)).as("tn"))
       val ranked = local.join(broadcast(offs), "pid")
         .select((col("lc") + col("coff")).as("cum"),
@@ -3881,7 +3901,10 @@ object AnalyticsOps {
           Window.orderBy(col("pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("pid"), col("off"))
-      val tot = ev.agg(count(lit(1)).as("n"), sum(col("y")).as("ty"))
+      // totals from the MATERIALIZED ranked table (r15): `ev` here
+      // re-ran the events scan; integer count/sum over the checkpoint
+      // is identical
+      val tot = local.agg(count(lit(1)).as("n"), sum(col("y")).as("ty"))
       val perDec = local.join(broadcast(offs), "pid")
         .crossJoin(broadcast(tot))
         .withColumn("decile",

@@ -838,8 +838,12 @@ object MixOps {
       val glob = local.join(broadcast(offs), "pid")
         .select((col("lrn") + col("noff")).as("rn"),
           col("quality").as("q_norm"))
-      val n = scored.agg(count(lit(1)).as("n"))
-      scored
+      // count + per-source ranking read the MATERIALIZED ranked table
+      // (r15): `scored` re-tokenized and re-scored every document text
+      // once per extra consumer (3 executions of the split/score
+      // projection); local carries (doc_id, source, quality) already
+      val n = local.agg(count(lit(1)).as("n"))
+      local.select(col("doc_id"), col("source"), col("quality"))
         .withColumn("src_rank", row_number().over(wSrc))
         .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("source"))))
         .crossJoin(broadcast(n))
