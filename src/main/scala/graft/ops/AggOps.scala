@@ -654,11 +654,20 @@ object AggOps {
       def cell = expr(
         s"CAST(${Q.coin(s"(user_id + r * 1000003)")} AS BIGINT) % $w")
       val ev = Io.events(s, d).select(col("user_id"))
-      val cms = ev
-        .select(col("user_id"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
-        .select(col("r"), cell.as("c"))
-        .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
-      val cand = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      // one corpus pass (r15): every user in a cell contributes exactly
+      // its row count, so the sketch is the per-user count table
+      // re-aggregated by cell — the ×depth explode now runs over USER
+      // aggregates (map-side-combined first), not raw rows, and the
+      // same table serves the exact top-20 candidates. Values are
+      // bit-identical (Σ_users-in-cell n_user = row count of the cell).
+      val ucnt = Q.materialize(s, d, "cms_ucnt")(
+        ev.groupBy("user_id").agg(count(lit(1)).as("n_exact")))
+      val cms = ucnt
+        .select(col("user_id"), col("n_exact"),
+          explode(sequence(lit(0), lit(depth - 1))).as("r"))
+        .select(col("r"), cell.as("c"), col("n_exact"))
+        .groupBy("r", "c").agg(sum(col("n_exact")).as("cnt"))
+      val cand = ucnt
         .orderBy(col("n_exact").desc, col("user_id")).limit(20)
       cand
         .select(col("user_id"), col("n_exact"),
