@@ -1808,15 +1808,20 @@ object GraphOps {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us"), col("event_id"))
-      val trans = Io.events(s, d)
-        .select(col("user_id"), col("ts_us"), col("event_id"),
-          col("event_type").as("src"))
-        .withColumn("dst", lead(col("src"), 1).over(w))
-        .filter(col("dst").isNotNull)
-        .select(expr("CAST(ts_us DIV 604800000000 AS BIGINT)").as("wk"),
-          col("src"), col("dst"))
-        .groupBy(col("wk"), col("src"), col("dst"))
-        .agg(count(lit(1)).as("n"))
+      // materialized (r15): the downstream fan-out (per-week totals,
+      // the supported-edge filter consumed by the week spine and both
+      // join arms) re-executed the events scan + user-keyed LEAD window
+      // ~6 times. The table is |weeks|×|types|² rows.
+      val trans = Q.materialize(s, d, "edge_churn_trans")(
+        Io.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_type").as("src"))
+          .withColumn("dst", lead(col("src"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .select(expr("CAST(ts_us DIV 604800000000 AS BIGINT)").as("wk"),
+            col("src"), col("dst"))
+          .groupBy(col("wk"), col("src"), col("dst"))
+          .agg(count(lit(1)).as("n")))
       val tot = trans.groupBy(col("wk"), col("src"))
         .agg(sum(col("n")).as("tot"))
       val edges = trans.join(tot, Seq("wk", "src"))
