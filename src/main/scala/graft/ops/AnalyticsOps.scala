@@ -4137,11 +4137,15 @@ object AnalyticsOps {
     // spelling — same frontier, independently derived.
     Q("g_pareto_skyline", (s, d) => {
       val parts = s.sparkContext.defaultParallelism
-      val cust = Io.table(s, d, "orders")
-        .groupBy(col("o_custkey"))
-        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100" +
-          " AS BIGINT)")).as("cents"),
-          count(lit(1)).as("n_ord"))
+      // materialized (r15): cust feeds the dominance census AND the
+      // final member join — each execution re-ran the orders scan +
+      // hash agg. The table is customer-aggregate-sized.
+      val cust = Q.materialize(s, d, "skyline_cust")(
+        Io.table(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100" +
+            " AS BIGINT)")).as("cents"),
+            count(lit(1)).as("n_ord")))
       val m = cust.groupBy(col("cents")).agg(min(col("n_ord")).as("mn"))
       val wLoc = Window.partitionBy(col("pid")).orderBy(col("cents").desc)
         .rowsBetween(Window.unboundedPreceding, -1)

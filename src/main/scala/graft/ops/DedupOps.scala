@@ -1476,8 +1476,11 @@ object DedupOps {
     Q("h_pipeline_verdict", (s, d) => {
       graft.functions.ExplodeNgrams.register(s)
       val docs = Io.table(s, d, "documents")
-      val eh = docs.select(col("doc_id"),
-        sha2(trim(lower(col("text"))), 256).as("eh"))
+      // materialized (r15): eh feeds the keeper census AND the verdict
+      // join — each execution re-hashed every document text.
+      val eh = Q.materialize(s, d, "verdict_eh")(
+        docs.select(col("doc_id"),
+          sha2(trim(lower(col("text"))), 256).as("eh")))
       val keepers = eh.groupBy(col("eh")).agg(min(col("doc_id")).as("keep_id"))
       val exact = eh.join(keepers, "eh")
         .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("is_exact_dup"))
@@ -1497,7 +1500,11 @@ object DedupOps {
         lit(0.4) * (lit(1.0) - size(filter(rt, x => x === "the" || x === "a")) / nTok) +
         lit(0.3) * least(nTok / 100.0, lit(1.0)))
         .cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double")
-      val scored = docs.select(col("doc_id"), col("lang"), quality.as("quality"))
+      // materialized (r15): scored feeds the per-lang threshold AND the
+      // low-quality flag join — each execution re-tokenized and
+      // re-scored every document text.
+      val scored = Q.materialize(s, d, "verdict_scored")(
+        docs.select(col("doc_id"), col("lang"), quality.as("quality")))
       val thr = scored
         .withColumn("cd", cume_dist().over(
           Window.partitionBy(col("lang")).orderBy(col("quality"))))

@@ -370,8 +370,12 @@ object TextOps {
     // TF-IDF, top-5 terms per document (smoothed idf = ln((N+1)/(df+1))).
     Q("h_tfidf_topterms", (s, d) => {
       val docs = Io.table(s, d, "documents")
-      val tf = docs.select(col("doc_id"), explode(toks).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      // materialized (r15): tf feeds the document-frequency rollup AND
+      // the scoring join — each execution re-ran the corpus token
+      // explode + hash agg (the expensive pass).
+      val tf = Q.materialize(s, d, "tfidf_tf")(
+        docs.select(col("doc_id"), explode(toks).as("token"))
+          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
       val df = tf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
