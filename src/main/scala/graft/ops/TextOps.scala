@@ -370,12 +370,13 @@ object TextOps {
     // TF-IDF, top-5 terms per document (smoothed idf = ln((N+1)/(df+1))).
     Q("h_tfidf_topterms", (s, d) => {
       val docs = Io.table(s, d, "documents")
-      // materialized (r15): tf feeds the document-frequency rollup AND
-      // the scoring join — each execution re-ran the corpus token
-      // explode + hash agg (the expensive pass).
-      val tf = Q.materialize(s, d, "tfidf_tf")(
-        docs.select(col("doc_id"), explode(toks).as("token"))
-          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
+      // examined r15, left re-computed: tf is consumed twice (df rollup
+      // + scoring join), but at ~(docs × distinct tokens/doc) rows it
+      // is near input-sized — a measured materialization attempt read
+      // 1.34 s vs the 1.01 s recompute baseline (the g_price_index
+      // lesson), so the double explode is the cheaper plan here.
+      val tf = docs.select(col("doc_id"), explode(toks).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
