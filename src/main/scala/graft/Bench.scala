@@ -738,13 +738,21 @@ object Bench {
       "h_minhash_lsh_dedup", "h_cosine_topk", "h_ngram_jaccard", "g_session_30m")
     val hq = results.filter { case (k, _, _) => headline.contains(k) }
       .map { case (k, v, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // "headline" (not "queries"): this line carries only 8 spotlight
-    // timings — the full map is the per_query line above. A distinct key
-    // keeps any consumer from mistaking the subset for the whole.
+    // Full per-query map ON STDOUT (r15 VERDICT item 1): the driver's
+    // per-query comparison (PERF geomean, regressions, the scaling
+    // block) reads only this line — the r1-era worry that a full map
+    // would truncate the driver's stdout capture no longer holds at
+    // compact 3-decimal floats (~12 KB for 384 rows). `headline` stays
+    // for cross-round continuity of the 8 spotlight rows. Values are
+    // the same reported seconds as bench_full.json's `queries`
+    // (min over successful attempts; -1.0 = failed row).
+    val qsc = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     // gate_blockers/anchor_ratio carry the self-check verdict into the
     // driver-captured line (anchor_ratio 0 = no anchors loaded).
     val anchorRatio = if (anchorTotal > 0) total / anchorTotal else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","headline":$hq,""" +
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qsc,"headline":$hq,""" +
       f""""artifact_build_sec":$artifactBuildSec%.2f,""" +
       f""""gate_blockers":${gateBlockers.length},""" +
       f""""exonerated_host":${exonerated.length},""" +

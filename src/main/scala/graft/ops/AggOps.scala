@@ -269,14 +269,31 @@ object AggOps {
       // read 2.39-2.43 s vs the 2.01-2.20 s recompute readings — the
       // extra eager checkpoint job costs more than re-running the
       // rank-selection aggregate over the already-checkpointed scratch.
-      val qs = Q.exactPercentiles(li, "l_returnflag", "l_extendedprice",
-        Seq((0.25, "q1r"), (0.5, "medr"), (0.75, "q3r")))
+      // r16 (guide §1.2-1): in exact mode the outlier census reads the
+      // SAME ranked scratch the quartiles rank over (it holds every
+      // (flag, price) row) instead of a third lineitem parquet scan.
+      val mode =
+        try s.conf.get("spark.graft.percentileMode", "exact")
+        catch { case _: Throwable => "exact" }
+      val ranked =
+        if (mode == "approx") None
+        else Some(Q.rankScratch(li, "l_returnflag", "l_extendedprice"))
+      val qsRaw = ranked match {
+        case Some(r) => Q.percentilesFromRanked(r, "l_returnflag",
+          "l_extendedprice",
+          Seq((0.25, "q1r"), (0.5, "medr"), (0.75, "q3r")))
+        case None => Q.exactPercentiles(li, "l_returnflag", "l_extendedprice",
+          Seq((0.25, "q1r"), (0.5, "medr"), (0.75, "q3r")))
+      }
+      val qs = qsRaw
         .select(col("l_returnflag"), snap(col("q1r")).as("q1"),
           snap(col("medr")).as("med"), snap(col("q3r")).as("q3"))
         .withColumn("iqr", col("q3") - col("q1"))
         .withColumn("lo_fence", col("q1") - lit(1.5) * col("iqr"))
         .withColumn("hi_fence", col("q3") + lit(1.5) * col("iqr"))
-      val outliers = li.join(broadcast(qs), "l_returnflag")
+      val outliers = ranked.map(_.select(col("l_returnflag"),
+          col("l_extendedprice"))).getOrElse(li)
+        .join(broadcast(qs), "l_returnflag")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
           sum(when(col("l_extendedprice") < col("lo_fence") ||
@@ -660,7 +677,11 @@ object AggOps {
       // aggregates (map-side-combined first), not raw rows, and the
       // same table serves the exact top-20 candidates. Values are
       // bit-identical (Σ_users-in-cell n_user = row count of the cell).
-      val ucnt = Q.materialize(s, d, "cms_ucnt")(
+      // localCheckpoint-only scratch (r16, ADVICE r15): per-query frame
+      // with exactly two consumers in one execution — routing it through
+      // the parquet artifact store would write a user-cardinality-sized
+      // table per run just to read it back once.
+      val ucnt = Q.scratch("cms_ucnt")(
         ev.groupBy("user_id").agg(count(lit(1)).as("n_exact")))
       val cms = ucnt
         .select(col("user_id"), col("n_exact"),

@@ -881,23 +881,55 @@ object AnalyticsOps {
     Q("g_anomaly_mad", (s, d) => {
       val ev = Io.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
-      val med = Q.exactPercentiles(ev, "event_type", "value", Seq((0.5, "med")))
-      // materialized (r15): withDev feeds the MAD percentile pass —
-      // whose range partitioner runs a SAMPLING job over its input, a
-      // full extra execution — and the final scoring join. Without the
-      // checkpoint the events scan + median broadcast join runs three
-      // times (sample, rank shuffle, final).
-      val withDev = Q.materialize(s, d, "mad_withdev")(
-        ev.join(broadcast(med), "event_type")
-          .withColumn("dev", abs(col("value") - col("med"))))
-      val mad = Q.exactPercentiles(withDev.select(col("event_type"), col("dev")),
-        "event_type", "dev", Seq((0.5, "mad")))
-      withDev.join(broadcast(mad), "event_type")
-        .filter(col("dev") > col("mad") * 3.0)
-        .select(col("event_type"), col("event_id"), col("value"),
-          r6(col("med")).as("med"), r6(col("mad")).as("mad"),
-          r6(col("dev") / col("mad")).as("mad_score"))
-        .orderBy("event_type", "event_id")
+      val mode =
+        try s.conf.get("spark.graft.percentileMode", "exact")
+        catch { case _: Throwable => "exact" }
+      if (mode == "approx") {
+        // sketch mode (the 100 TB swap): no ranked scratch exists to
+        // share, so keep the r15 structure — one materialized dev frame
+        // feeding the MAD sketch aggregate and the scoring join.
+        val med = Q.exactPercentiles(ev, "event_type", "value",
+          Seq((0.5, "med")))
+        val withDev = Q.materialize(s, d, "mad_withdev")(
+          ev.join(broadcast(med), "event_type")
+            .withColumn("dev", abs(col("value") - col("med"))))
+        val mad = Q.exactPercentiles(
+          withDev.select(col("event_type"), col("dev")),
+          "event_type", "dev", Seq((0.5, "mad")))
+        withDev.join(broadcast(mad), "event_type")
+          .filter(col("dev") > col("mad") * 3.0)
+          .select(col("event_type"), col("event_id"), col("value"),
+            r6(col("med")).as("med"), r6(col("mad")).as("mad"),
+            r6(col("dev") / col("mad")).as("mad_score"))
+          .orderBy("event_type", "event_id")
+      } else {
+        // r16 (guide §1.2-1, §5): ONE ranked base scratch — carrying
+        // event_id — serves the median selection, the deviation rank
+        // pass AND the final scoring, replacing the r15 chain of three
+        // input-sized checkpoints (median ranked scratch + materialized
+        // withDev + dev ranked scratch) and a third parquet events scan.
+        // withDev below is a broadcast hash join over the in-memory
+        // scratch (re-evaluated per consumer, but each evaluation is an
+        // in-memory scan — cheaper than an extra eager checkpoint, the
+        // d_agg_boxplot r15 measurement).
+        val base = Q.rankScratch(ev, "event_type", "value")
+        val med = Q.percentilesFromRanked(base, "event_type", "value",
+          Seq((0.5, "med")))
+        val withDev = base
+          .select(col("event_id"), col("event_type"), col("value"))
+          .join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("value") - col("med")))
+        val devRanked = Q.rankScratch(
+          withDev.select(col("event_type"), col("dev")), "event_type", "dev")
+        val mad = Q.percentilesFromRanked(devRanked, "event_type", "dev",
+          Seq((0.5, "mad")))
+        withDev.join(broadcast(mad), "event_type")
+          .filter(col("dev") > col("mad") * 3.0)
+          .select(col("event_type"), col("event_id"), col("value"),
+            r6(col("med")).as("med"), r6(col("mad")).as("mad"),
+            r6(col("dev") / col("mad")).as("mad_score"))
+          .orderBy("event_type", "event_id")
+      }
     }, Some(
       """WITH med AS (
         |  SELECT event_type, MEDIAN(CAST(value AS DOUBLE)) AS med

@@ -166,7 +166,15 @@ object Q {
     if (boundedDomain) {
       // Count-histogram form, for value columns the CALLER asserts have
       // a bounded distinct domain at any corpus size (integral
-      // quantities, day-grain lags bounded by the calendar span). One
+      // quantities, day-grain lags bounded by the calendar span).
+      // PRECONDITION (ADVICE r15): the value column must be NON-NULL.
+      // This branch's min(when(_cum >= lo, v)) skips a null group and
+      // returns the first non-null value, whereas the rank form would
+      // return NULL at a null-occupied rank — a nullable caller would
+      // silently shift every percentile. All current callers pass
+      // arithmetic results of non-null columns; a new caller with a
+      // nullable column must filter isNotNull FIRST (and decide what
+      // its oracle does with nulls) before asserting boundedDomain. One
       // map-side-combined hash aggregate collapses the corpus to
       // |keys|·|domain| (value, count) rows; the per-key cumulative
       // window below runs over ≤|domain| rows — metadata-sized, never a
@@ -199,27 +207,47 @@ object Q {
       }
       return g.select(col(key) +: outs: _*)
     }
+    percentilesFromRanked(rankScratch(df.select(col(key), col(v)), key, v),
+      key, v, ps)
+  }
+
+  /** Range-partitioned ranked SCRATCH of `df` on (key, v) — the shared
+    * base of the two-pass exact-percentile machinery, exposed (r16) so
+    * a query needing both the percentile selection AND the ranked rows
+    * themselves (d_agg_boxplot's outlier census, g_anomaly_mad's
+    * deviation scoring) builds ONE scratch instead of one per pass plus
+    * a separate input-sized checkpoint (guide §1.2-1/§5). Carries every
+    * column of `df` (callers project first — guide §2.3); adds `_pid`
+    * (range partition id) and `_lrn` (row_number per (partition, key)
+    * ordered by v). Always a localCheckpoint, never the parquet
+    * artifact store: input-sized, per-call-unique scratch. */
+  def rankScratch(df: DataFrame, key: String, v: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = df.sparkSession
     val parts = s.sparkContext.defaultParallelism
     val wLoc = Window.partitionBy(col("_pid"), col(key)).orderBy(col(v))
-    // per-execution SCRATCH, always a localCheckpoint — never the
-    // parquet artifact store: the ranked table is input-sized and
-    // per-call-unique (pctlSeq), so routing it through the shared
-    // store would write an unbounded stream of never-reused,
-    // never-deleted corpus-sized copies.
-    val ranked = {
-      val t0 = System.nanoTime()
-      val out = df.select(col(key), col(v))
-        .repartitionByRange(parts, col(key), col(v))
-        .withColumn("_pid", spark_partition_id())
-        .withColumn("_lrn", row_number().over(wLoc))
-        .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      System.err.println(f"[artifact] pctl_${key}_${v}_" +
-        f"${pctlSeq.incrementAndGet()} built in " +
-        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
-      trackPctlScratch(s, out)
-      out
-    }
+    val t0 = System.nanoTime()
+    val out = df
+      .repartitionByRange(parts, col(key), col(v))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn", row_number().over(wLoc))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    System.err.println(f"[artifact] pctl_${key}_${v}_" +
+      f"${pctlSeq.incrementAndGet()} built in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    trackPctlScratch(s, out)
+    out
+  }
+
+  /** Percentile selection over a [[rankScratch]] result: per-key offset
+    * prefix sums (≤|partitions| rows per key), global rank, one hash
+    * aggregate picking the two boundary ranks per percentile, then the
+    * shared `lo + (hi − lo)·frac` interpolation. Split from
+    * [[exactPercentiles]] (r16) so multiple passes can read one scratch. */
+  def percentilesFromRanked(ranked: DataFrame, key: String, v: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // per-(key, partition) counts → per-key exclusive prefix offsets +
     // group sizes; the windows below run over ≤|partitions| rows per key
     val offs = ranked.groupBy(col(key), col("_pid"))
@@ -229,7 +257,8 @@ object Q {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("_n", sum(col("_pcnt")).over(Window.partitionBy(col(key))))
       .select(col(key), col("_pid"), col("_off"), col("_n"))
-    val g0 = ranked.join(broadcast(offs), Seq(key, "_pid"))
+    val g0 = ranked.select(col(key), col(v), col("_pid"), col("_lrn"))
+      .join(broadcast(offs), Seq(key, "_pid"))
       .withColumn("_rn", col("_lrn") + col("_off"))
     val aggs = ps.flatMap { case (p, name) =>
       val lo = floor((col("_n") - 1) * lit(p)) + 1
@@ -361,6 +390,24 @@ object Q {
   private def storeMode(s: SparkSession): String =
     try s.conf.get("spark.graft.artifactStore", "local")
     catch { case _: Throwable => "local" }
+
+  /** Per-execution SCRATCH checkpoint (r16, ADVICE r15): always a
+    * localCheckpoint, NEVER the parquet artifact store — for frames that
+    * are consumed more than once inside ONE query execution but are not
+    * pipeline artifacts (d_agg_cms_freq's per-user count table). In
+    * parquet store mode `materialize` would write such a frame to the
+    * shared store and read it back once — at large user cardinality the
+    * store becomes the bottleneck the query exists to avoid. Same
+    * serialized storage level and [artifact] log line as materialize's
+    * local branch. */
+  def scratch(name: String)(df: DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
+    val out = df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    System.err.println(
+      f"[artifact] $name built in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    out
+  }
 
   /** Materialize a pipeline-shared artifact (pair table, CC labels,
     * token masks). Two stores, chosen by the session conf

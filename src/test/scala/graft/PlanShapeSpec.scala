@@ -1260,85 +1260,93 @@ class PlanShapeSpec extends AnyFunSuite {
     // so growth is capped by construction, not by luck. Memoized
     // artifacts truncate lineage, so build-side windows are pinned via
     // their *BuildForPlan twins in the dedicated tests above/below.
-    val bounded = Map(
+    // r16 (VERDICT r15 item 7 / ADVICE item 2): each whitelist entry is
+    // scoped to the EXACT number of single-partition windows it
+    // justifies, not the query name alone — a future unbounded global
+    // window added to a whitelisted query now fails this gate instead
+    // of hiding behind the name's existing justification. The counts
+    // were measured from the current plans (tools ProbeWinCount) and
+    // each is tied to a stated construction bound.
+    val bounded = Map[String, (Int, String)](
       // |cluster partitions|-row offset tables of the two-pass
       // range-rank pattern (the pattern this gate exists to protect)
-      "e_win_ntile_pct" -> "32-row partition-offset table",
-      "g_cusum_changepoint" -> "32-row partition-offset table",
-      "g_mannwhitney_u" -> "32-row partition-offset table",
-      "g_auc_value" -> "32-row partition-offset table",
-      "g_abc_classification" -> "32-row partition-offset table",
-      "g_gini_spend" -> "32-row partition-offset table",
-      "g_pareto_share" -> "32-row partition-offset table",
-      "g_pareto_skyline" -> "32-row partition-offset table",
-      "h_quality_qnorm" -> "32-row partition-offset table",
+      "e_win_ntile_pct" -> (3, "32-row partition-offset tables (rank + ntile + pct)"),
+      "g_cusum_changepoint" -> (1, "32-row partition-offset table"),
+      "g_mannwhitney_u" -> (1, "32-row partition-offset table"),
+      "g_auc_value" -> (1, "32-row partition-offset table"),
+      "g_abc_classification" -> (1, "32-row partition-offset table"),
+      "g_gini_spend" -> (2, "32-row partition-offset table + customer-rank cumsum census"),
+      "g_pareto_share" -> (1, "32-row partition-offset table"),
+      "g_pareto_skyline" -> (1, "32-row partition-offset table"),
+      "h_quality_qnorm" -> (1, "32-row partition-offset table"),
       // two windows: the 32-row offset table of the range-rank decile
       // assignment + the cumulative gain over the ≤10 decile census
-      "g_lift_decile" -> "32-row partition-offset table + 10-row decile census",
+      "g_lift_decile" -> (2, "32-row partition-offset table + 10-row decile census"),
       // post-aggregation histograms/censuses with a construction bound
-      "g_survival_km" -> "day-grain duration histogram (≤ data range in days)",
-      "g_ks_drift" -> "100-bin value histogram",
-      "g_bootstrap_ci" -> "B=200 replica-mean rows",
-      "g_tail_index" -> "top-101 spenders after TakeOrdered",
-      "e_drift_psi" -> "width-20 doc-length bucket histogram",
-      "h_len_histogram" -> "width-10 doc-length bucket histogram",
-      "i_graph_hits" -> "|event types| rows",
-      "h_zipf_fit" -> "top-1000 token rows",
-      "h_heaps_vocab_growth" -> "|sources| rows",
+      "g_survival_km" -> (1, "day-grain duration histogram (≤ data range in days)"),
+      "g_ks_drift" -> (1, "100-bin value histogram"),
+      "g_bootstrap_ci" -> (1, "B=200 replica-mean rows"),
+      "g_tail_index" -> (2, "top-101 spenders after TakeOrdered"),
+      "e_drift_psi" -> (2, "width-20 doc-length bucket histogram (rank + cum)"),
+      "h_len_histogram" -> (1, "width-10 doc-length bucket histogram"),
+      "i_graph_hits" -> (2, "|event types| rows"),
+      "h_zipf_fit" -> (2, "top-1000 token rows"),
+      "h_heaps_vocab_growth" -> (2, "|sources| rows"),
       // two windows folding the rollup's global (V, N) row onto the
       // per-source rows — the r15 single-broadcast merge of the KL
       // cell table's scalar attaches
-      "h_kl_source_shift" -> "|sources|+1 rollup rows",
-      "h_mix_reweight" -> "|languages| rows",
-      "h_epoch_plan" -> "|sources| rows",
+      "h_kl_source_shift" -> (2, "|sources|+1 rollup rows"),
+      "h_mix_reweight" -> (1, "|languages| rows"),
+      "h_epoch_plan" -> (3, "|sources| rows"),
       // each retrieval arm is ranked AFTER its fused global top-50
       // (TakeOrderedAndProject — pinned in the dedicated test), so the
       // window input is capped at 50 rows by construction
-      "h_rrf_fusion" -> "two 50-row retrieval lists after TakeOrdered",
+      "h_rrf_fusion" -> (2, "two 50-row retrieval lists after TakeOrdered"),
       // Theil-Sen ranks the |days|²-bounded slope-pair table and the
       // |days|-row residual table — TIME-bounded metadata, independent
       // of corpus row count
-      "g_theilsen_slope" -> "days²-bounded slope-pair table",
+      "g_theilsen_slope" -> (3, "days²-bounded slope-pair table"),
       // centered 7-observation MA over the day-grain revenue series —
       // calendar-bounded (≤ data range in days), same class as
       // g_survival_km's duration histogram
-      "g_stl_decompose" -> "day-grain revenue series (≤ data range in days)",
+      "g_stl_decompose" -> (2, "day-grain revenue series (≤ data range in days)"),
       // r15 bounded-domain percentile histograms on the constant
       // whole-population key: recency is a day-grain lag (≤ data range
       // in days), frequency an orders-per-customer count — both
       // distinct-VALUE histograms after a map-side-combined hash agg,
-      // never the raw customer rows (monet keeps the range-rank form)
+      // never the raw customer rows (monet keeps the range-rank form).
+      // 4 = (cum + total) windows × 2 histograms — exactly the
+      // bounded-histogram windows, nothing else is exempt here
       "g_rfm_segments" ->
-        "day-grain recency + order-count quintile histograms")
-    val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap {
+        (4, "day-grain recency + order-count quintile histograms (2 windows each)"))
+    val counts = Registry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.sparkPlan
-        val empties = plan.collect {
+        name -> plan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec
             if w.partitionSpec.isEmpty => w.getClass.getSimpleName
           case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
             if w.partitionSpec.isEmpty => w.getClass.getSimpleName
         }
-        if (empties.nonEmpty && !bounded.contains(name)) Seq(name -> empties)
-        else Nil
+    }
+    val offenders = counts.flatMap { case (name, empties) =>
+      bounded.get(name) match {
+        case None if empties.nonEmpty => Seq(s"$name -> $empties (unlisted)")
+        case Some((n, _)) if empties.nonEmpty && empties.size != n =>
+          Seq(s"$name -> ${empties.size} single-partition windows, " +
+            s"whitelist justifies exactly $n")
+        case _ => Nil
+      }
     }
     assert(offenders.isEmpty,
       s"unjustified single-partition window(s): ${offenders.mkString(", ")} — " +
-        "either convert to the two-pass range-rank pattern or add a " +
-        "justified bound to the whitelist")
+        "either convert to the two-pass range-rank pattern or add/update a " +
+        "justified (count, bound) in the whitelist")
     // the whitelist must not rot: every entry still has to exhibit the
     // window it justifies (a stale entry would mask a future regression
     // under the same name)
-    val stale = bounded.keys.filter { name =>
-      Registry.queries.get(name).forall { fn =>
-        fn(spark, sf).queryExecution.sparkPlan.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => w
-          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-            if w.partitionSpec.isEmpty => w
-        }.isEmpty
-      }
-    }
+    val byName = counts.toMap
+    val stale = bounded.keys.filter(name => byName.get(name).forall(_.isEmpty))
     assert(stale.isEmpty,
       s"whitelist entries with no single-partition window anymore: " +
         s"${stale.mkString(", ")} — remove them")
