@@ -332,7 +332,7 @@ object DedupOps {
     Q.memoized(s, d, s"minhashPairs:$byLang") {
       if (!byLang)
         Q.materialize(s, d, "minhashPairsAll") {
-          minhashNearDupPairsBuild(s, d, byLang = false)
+          minhashNearDupPairsBuild(s, d, byLang = false, mat = true)
         }
       else Q.materialize(s, d, "minhashPairsLang") {
         val langs = graft.io.Io.table(s, d, "documents")
@@ -357,7 +357,7 @@ object DedupOps {
       byLang: Boolean): DataFrame = minhashNearDupPairsBuild(s, d, byLang)
 
   private def minhashNearDupPairsBuild(s: SparkSession, d: String,
-      byLang: Boolean): DataFrame = {
+      byLang: Boolean, mat: Boolean = false): DataFrame = {
     val numHashes = 64; val bands = 16; val rowsPerBand = numHashes / bands
     graft.functions.MinHashSig.register(s)
     graft.functions.DotProduct.register(s) // bitmask_jaccard (wide-vocab masks)
@@ -368,15 +368,24 @@ object DedupOps {
         (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*),
         lit(b))
     }: _*)
+    // r16 (guide §1.2-1): with mat=true the twice/4×-consumed build
+    // frames checkpoint once — reps feeds BOTH self-join sides (the
+    // native 64-hash minhash_sig over every rep's token set ran twice),
+    // docNode feeds memA, memB and both within-group sides. Sizes are
+    // bounded: reps = nodes×bands rows, docNode = |docs| rows. The
+    // ForPlan twin keeps mat=false so plan pins see the full lineage.
+    def m(name: String)(df: DataFrame): DataFrame =
+      if (mat) Q.scratch(name)(df) else df
     val grpKeys = if (byLang) Seq("lang", "mask") else Seq("mask")
     val masks = docMasks(s, d).select(("doc_id" +: grpKeys).map(col): _*)
     val nodeIds = masks.groupBy(grpKeys.map(col): _*).agg(min(col("doc_id")).as("nid"))
-    val docNode = masks.join(nodeIds, grpKeys).select(col("doc_id"), col("nid"))
+    val docNode = m("minhashDocNode")(
+      masks.join(nodeIds, grpKeys).select(col("doc_id"), col("nid")))
     val langOf: Seq[Column] = if (byLang) Seq(col("lang")) else Nil
-    val reps = nodeIds.join(t, nodeIds("nid") === t("doc_id"))
+    val reps = m("minhashReps")(nodeIds.join(t, nodeIds("nid") === t("doc_id"))
       .withColumn("sig", sig)
       .select(Seq(col("nid"), col("mask")) ++ langOf :+
-        posexplode(bandHashes).as(Seq("band", "bh")): _*)
+        posexplode(bandHashes).as(Seq("band", "bh")): _*))
     val aSide = reps.select(Seq(col("nid").as("na"), col("mask").as("ma"),
       col("band"), col("bh")) ++ (if (byLang) Seq(col("lang").as("la")) else Nil): _*)
     val bSide = reps.select(Seq(col("nid").as("nb"), col("mask").as("mb"),
