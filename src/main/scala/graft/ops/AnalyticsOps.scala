@@ -919,11 +919,16 @@ object AnalyticsOps {
           .select(col("event_id"), col("event_type"), col("value"))
           .join(broadcast(med), "event_type")
           .withColumn("dev", abs(col("value") - col("med")))
+        // the dev scratch CARRIES (event_id, value, med) so the final
+        // scoring reads it directly — withDev (a broadcast join over the
+        // base scratch) is evaluated exactly twice (the dev pass's
+        // sampling + shuffle), never a third time for scoring
         val devRanked = Q.rankScratch(
-          withDev.select(col("event_type"), col("dev")), "event_type", "dev")
+          withDev.select(col("event_type"), col("event_id"), col("value"),
+            col("med"), col("dev")), "event_type", "dev")
         val mad = Q.percentilesFromRanked(devRanked, "event_type", "dev",
           Seq((0.5, "mad")))
-        withDev.join(broadcast(mad), "event_type")
+        devRanked.join(broadcast(mad), "event_type")
           .filter(col("dev") > col("mad") * 3.0)
           .select(col("event_type"), col("event_id"), col("value"),
             r6(col("med")).as("med"), r6(col("mad")).as("mad"),
