@@ -611,19 +611,28 @@ object AnalyticsOps {
     Q("g_markov_steady_state", (s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us"), col("event_id"))
-      val c = Io.events(s, d)
+      // r16 (guide §1.2-1, ProbeScanCount census: events scanned 6×):
+      // the transition-count table c fed BOTH the row-sum aggregate and
+      // the tr join (2 LEAD-window executions inside the tr build) and
+      // the final n_out join re-derived r from scratch (a 3rd); the
+      // type census was re-scanned by k, p0 and the final join. Both
+      // intermediates are ≤|types|²-bounded — scratch each once: the
+      // corpus is now read exactly twice (transitions + type census,
+      // the two semantically distinct passes).
+      val c = Q.scratch("markov_steady_c")(Io.events(s, d)
         .select(col("user_id"), col("ts_us"), col("event_id"),
           col("event_type").as("from_type"))
         .withColumn("to_type", lead(col("from_type"), 1).over(w))
         .filter(col("to_type").isNotNull)
         .groupBy(col("from_type"), col("to_type"))
-        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n")))
       val r = c.groupBy(col("from_type")).agg(sum(col("n")).as("rs"))
       val tr = Q.materialize(s, d, "markovSteadyTr")(
         c.join(r, "from_type")
           .select(col("from_type"), col("to_type"),
             (col("n").cast("double") / col("rs")).as("pr")))
-      val types = Io.events(s, d).select(col("event_type").as("t")).distinct()
+      val types = Q.scratch("markov_steady_types")(
+        Io.events(s, d).select(col("event_type").as("t")).distinct())
       val k = types.agg(count(lit(1)).as("k"))
       val p0 = types.crossJoin(broadcast(k))
         .select(col("t"), (lit(1.0) / col("k")).as("p"))
