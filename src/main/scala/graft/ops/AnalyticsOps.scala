@@ -642,7 +642,9 @@ object AnalyticsOps {
             floor(col("p") * col("pr") * 1e12 + 0.5).cast("long").as("c12"))
           .groupBy(col("t")).agg(sum(col("c12")).as("s12"))
           .select(col("t"), (col("s12").cast("double") / 1e12).as("p"))
-      val p3 = step(step(step(p0)))
+      // p3 feeds the mass scalar AND the final join — without the
+      // scratch the whole 3-step power chain re-evaluates twice
+      val p3 = Q.scratch("markov_steady_p3")(step(step(step(p0))))
       val mass = p3.agg(
         sum(floor(col("p") * 1e12 + 0.5).cast("long")).as("m12"))
       types.join(p3, Seq("t"), "left")
