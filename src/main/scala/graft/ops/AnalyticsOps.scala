@@ -926,20 +926,19 @@ object AnalyticsOps {
         val base = Q.rankScratch(ev, "event_type", "value")
         val med = Q.percentilesFromRanked(base, "event_type", "value",
           Seq((0.5, "med")))
-        val withDev = base
+        // withDev is its own narrow scratch (the r15 layout), but built
+        // from the in-memory base instead of a THIRD parquet events
+        // scan; the dev rank pass and the final scoring read it exactly
+        // as before
+        val withDev = Q.scratch("mad_withdev")(base
           .select(col("event_id"), col("event_type"), col("value"))
           .join(broadcast(med), "event_type")
-          .withColumn("dev", abs(col("value") - col("med")))
-        // the dev scratch CARRIES (event_id, value, med) so the final
-        // scoring reads it directly — withDev (a broadcast join over the
-        // base scratch) is evaluated exactly twice (the dev pass's
-        // sampling + shuffle), never a third time for scoring
+          .withColumn("dev", abs(col("value") - col("med"))))
         val devRanked = Q.rankScratch(
-          withDev.select(col("event_type"), col("event_id"), col("value"),
-            col("med"), col("dev")), "event_type", "dev")
+          withDev.select(col("event_type"), col("dev")), "event_type", "dev")
         val mad = Q.percentilesFromRanked(devRanked, "event_type", "dev",
           Seq((0.5, "mad")))
-        devRanked.join(broadcast(mad), "event_type")
+        withDev.join(broadcast(mad), "event_type")
           .filter(col("dev") > col("mad") * 3.0)
           .select(col("event_type"), col("event_id"), col("value"),
             r6(col("med")).as("med"), r6(col("mad")).as("mad"),
